@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify via sbt,
+then compare each dumped parquet against its DuckDB oracle (sorted columns,
+sorted rows, exact equality). Usage: python3 scripts/check.py [sfdir] [outdir]
+Pass --no-verify to reuse an existing outdir."""
+import json, os, subprocess, sys
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--no-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo", timeout=1800)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[error]" in l or "failed" in l) + "\n")
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED"); print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+        got = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
+        if list(exp.columns) != list(got.columns):
+            fails.append(name); print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}"); continue
+        if len(exp) != len(got):
+            fails.append(name); print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}"); continue
+        exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        exp = exp.astype(str); got = got.astype(str)
+        if not exp.equals(got):
+            neq = (exp != got).any(axis=1)
+            idx = neq[neq].index[:3]
+            fails.append(name)
+            print(f"FAIL {name}: value mismatch in {int(neq.sum())}/{len(exp)} rows, e.g.:")
+            for i in idx:
+                print("  exp:", exp.loc[i].to_dict())
+                print("  got:", got.loc[i].to_dict())
+        else:
+            print(f"ok   {name} ({len(exp)} rows)")
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+
+rows_only = [n for n in json.load(open(f"{OUT}/oracle_sql.json")) if False]
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,261 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2b LLM-training-data operators over `documents` / `embeddings` /
+  * `events`. Heuristics are mirrored verbatim in the DuckDB oracle SQL
+  * (SURVEY §6); similarity/dedup internals live in `graft.operators`.
+  */
+object LlmQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  // q20: exact dedup on normalized-content hash.
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT min(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       count(*) AS n_copies
+       FROM documents GROUP BY 2 ORDER BY doc_id"""
+
+  // q21: MinHash+LSH near-dup survivors (rows-only: the banded-LSH
+  // pipeline is not expressible in ANSI SQL).
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  // q22: SimHash near-dup candidate pairs (native Catalyst expression;
+  // rows-only).
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  // q23: character-set Jaccard between consecutive docs of each source —
+  // matches DuckDB's jaccard() exactly (integer set sizes -> exact
+  // double division).
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("source"), col("doc_id"), col("next_id"),
+        TextFunctions.charJaccard(col("text"), col("next_text")).as("char_jaccard"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q23Sql: String =
+    """SELECT source, doc_id, next_id, jaccard(text, next_text) AS char_jaccard FROM (
+         SELECT source, doc_id, text,
+           lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS next_id,
+           lead(text, 1) OVER (PARTITION BY source ORDER BY doc_id) AS next_text
+         FROM documents)
+       WHERE next_id IS NOT NULL
+       ORDER BY source, doc_id"""
+
+  // q24: brute-force cosine top-k (correctness baseline for ANN).
+  // Compared against DuckDB's list_cosine_similarity over DOUBLE[] —
+  // both sides are a sequential double-precision fold, so the cosine is
+  // bit-identical and the rank tiebreak (neighbor_id) deterministic.
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q24Sql: String =
+    """SELECT query_id, rank, neighbor_id, cosine FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rank
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id % 25 = 0)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // q25: LSH-bucketed ANN (scale path; rows-only — candidate recall
+  // depends on the bucketing, verified in the spec against brute force).
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+        dim = 64, bits = 6, tables = 12)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  // q26: heuristic language ID — stopword-profile argmax, deterministic
+  // tiebreak, mirrored verbatim in SQL.
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val q26Sql: String = {
+    def hits(words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0 AND x IN ($inList)))"
+    }
+    val en = hits(TextFunctions.LangProfiles(0)._2)
+    val de = hits(TextFunctions.LangProfiles(1)._2)
+    val fr = hits(TextFunctions.LangProfiles(2)._2)
+    val es = hits(TextFunctions.LangProfiles(3)._2)
+    s"""SELECT doc_id,
+        CASE WHEN m = 0 THEN 'und'
+             WHEN s_en = m THEN 'en'
+             WHEN s_de = m THEN 'de'
+             WHEN s_fr = m THEN 'fr'
+             ELSE 'es' END AS pred_lang
+        FROM (
+          SELECT doc_id, s_en, s_de, s_fr, s_es,
+            greatest(s_en, s_de, s_fr, s_es) AS m
+          FROM (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM documents))
+        ORDER BY doc_id"""
+  }
+
+  // q27: quality scoring — every ratio derives from exact integer counts
+  // so the doubles are bit-identical across engines.
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nChars = length(text)
+    val nWords = TextFunctions.wordCount(text)
+    val punct = TextFunctions.punctCount(text)
+    val upper = TextFunctions.upperCount(text)
+    val stops = TextFunctions.stopwordCount(text)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nChars.as("n_chars_m"), nWords.as("n_words"),
+        punct.as("n_punct"), upper.as("n_upper"), stops.as("n_stop"),
+        (punct.cast(DoubleType) / nChars.cast(DoubleType)).as("punct_ratio"),
+        (stops.cast(DoubleType) / nWords.cast(DoubleType)).as("stop_ratio"),
+        (nChars.cast(DoubleType) / nWords.cast(DoubleType)).as("chars_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val q27Sql: String = {
+    val stopList = TextFunctions.LangProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+        length(text) AS n_chars_m,
+        len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS n_words,
+        length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+        length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+        len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0 AND x IN ($stopList))) AS n_stop,
+        CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0 AND x IN ($stopList))) AS DOUBLE)
+          / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS stop_ratio,
+        CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS chars_per_word
+        FROM documents ORDER BY doc_id"""
+  }
+
+  // q28: token counting — whitespace tokens + BPE-ish regex tokens.
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).cast(LongType).as("bpeish_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  val q28Sql: String =
+    """SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+       length(text) AS n_chars_m
+       FROM documents ORDER BY doc_id"""
+
+  // q29: document fingerprints — full-content MD5 + winnowing-style min
+  // k-gram hash (Schleimer et al., SIGMOD'03).
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.contentHash(col("text")).as("content_hash"),
+        TextFunctions.winnowFingerprint(col("text"), k = 8, maxChars = 256).as("winnow_fp"))
+      .orderBy("doc_id")
+
+  val q29Sql: String =
+    """SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       list_min(list_transform(
+         range(1, greatest(length(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 256)) - 7, 1) + 1),
+         i -> md5(substr(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 256), CAST(i AS INTEGER), 8)))) AS winnow_fp
+       FROM documents ORDER BY doc_id"""
+
+  // q30: multimodal opaque-binary pipeline (rows-only) — real Spark
+  // plumbing (binary column, typed metadata, partition-batched decode),
+  // stubbed deterministic "decode".
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(Multimodal.asMedia(Tables.documents(spark, dir)))
+      .orderBy("doc_id")
+
+  // q31: gap-based sessionization (batch twin of the streaming
+  // flatMapGroupsWithState path in graft.streaming.EventStream).
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"),
+        sum(cents(col("value"))).as("value_c"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q31Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+       FROM (
+         SELECT user_id, event_id, value, ts_sec,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM (
+           SELECT user_id, event_id, value, ts_sec,
+             CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM (
+             SELECT user_id, event_id, value,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+               lag(CAST(floor(extract(epoch FROM ts)) AS BIGINT), 1) OVER (
+                 PARTITION BY user_id ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT) ASC, event_id ASC) AS prev_sec
+             FROM events)))
+       GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  // q32: tumbling-window event aggregation (batch twin of the
+  // watermarked streaming window agg in graft.streaming.EventStream).
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("hour_start", (col("ts_sec") - (col("ts_sec") % 3600)).cast(LongType))
+      .groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      .orderBy("hour_start", "event_type")
+
+  val q32Sql: String =
+    """SELECT hour_start, event_type, count(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+       FROM (SELECT event_type, value,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+                 - CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 3600 AS hour_start
+             FROM events)
+       GROUP BY hour_start, event_type ORDER BY hour_start, event_type"""
+}

@@ -1,0 +1,422 @@
+package graft
+
+import graft.functions.JsonFunctions
+import graft.operators.{MergeUpsert, Watermark, GraphOps}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2a relational core: the reference's ETL query semantics re-expressed
+  * as declarative Spark plans over the TPC-H-ish test tables.
+  *
+  * Oracle-parity conventions (SURVEY §6): money compared as exact
+  * integer cents (`round(x*100)` per row, then integer sums — bit-equal
+  * across engines regardless of float summation order); timestamps as
+  * epoch seconds or `yyyy-MM-dd` strings; every computed column aliased
+  * identically in the Spark plan and the DuckDB SQL.
+  */
+object Queries {
+
+  /** Exact per-row cents: round(x*100) as BIGINT. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  private def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // q01: pushdown scan — filter + projection reach the parquet reader
+  // (reference: time-window bounding, stats.py:841). `.explain` shows
+  // PushedFilters on l_shipdate and a 5-column ReadSchema.
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1996-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), dstr(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+       ORDER BY l_orderkey, l_linenumber"""
+
+  // q02: multi-measure hash aggregate with map-side partial aggregation.
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       count(*) AS cnt
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // q03: star enrichment (reference: repo/user lookups per revision,
+  // stats.py:692). nation/region are broadcast; orders⋈customer shuffles
+  // on the key (bucketing removes that at warehouse scale).
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"),
+        cents(col("o_totalprice")).as("total_c"), dstr(col("o_orderdate")).as("order_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, c_name, n_name, r_name,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       ORDER BY o_orderkey"""
+
+  // q04: argmax-per-key (reference: get_last_review_id, stats.py:219 —
+  // ORDER BY dateModified DESC LIMIT 1, run once per revision; here one
+  // window over all keys).
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("last_order_key"),
+        dstr(col("o_orderdate")).as("last_order_date"), cents(col("o_totalprice")).as("total_c"))
+      .orderBy("o_custkey")
+  }
+
+  val q04Sql: String =
+    """SELECT o_custkey, o_orderkey AS last_order_key,
+       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+       FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+       ORDER BY o_custkey"""
+
+  // q05: MERGE-dedup keep-latest (reference: merge_into_bigquery's
+  // QUALIFY-dedup, stats.py:920) via graft.operators.MergeUpsert.
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    MergeUpsert.dedupLatest(Tables.events(spark, dir),
+        Seq("user_id", "event_type"), "ts", tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .orderBy("user_id", "event_type")
+
+  val q05Sql: String =
+    """SELECT user_id, event_type, event_id,
+       CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec, value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+       ORDER BY user_id, event_type"""
+
+  // q06: conditional max per key (reference: latest_approved_date /
+  // latest_landed_date, transforms.py:126,161 — max over a filtered
+  // subset, expressed as max(CASE) so it is one aggregation pass).
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        dstr(max(when(col("o_orderstatus") === "F", col("o_orderdate")))).as("last_f_date"),
+        dstr(max(when(col("o_orderstatus") === "O", col("o_orderdate")))).as("last_o_date"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  val q06Sql: String =
+    """SELECT o_custkey,
+       strftime(max(CASE WHEN o_orderstatus = 'F' THEN o_orderdate END), '%Y-%m-%d') AS last_f_date,
+       strftime(max(CASE WHEN o_orderstatus = 'O' THEN o_orderdate END), '%Y-%m-%d') AS last_o_date,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
+  // q07: compound predicate + prefix filter (reference:
+  // should_include_diff, transforms.py:109 — drop commit-method diffs and
+  // PHID-RIDT- authors).
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(!(col("o_orderpriority").startsWith("1-") || col("o_orderstatus") === "F"))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val q07Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority
+       FROM orders
+       WHERE NOT (o_orderpriority LIKE '1-%' OR o_orderstatus = 'F')
+       ORDER BY o_orderkey"""
+
+  // q08: semi join / EXISTS (reference: comments IN-subquery,
+  // stats.py:500). left_semi never duplicates or widens rows.
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q08Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY c_custkey"""
+
+  // q09: anti join + prefix anti-filter (reference: ~name.startswith
+  // ("bmo-"), stats.py:555).
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(!col("c_mktsegment").startsWith("BUI"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+       FROM customer
+       WHERE c_mktsegment NOT LIKE 'BUI%'
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY c_custkey"""
+
+  // q10: JSON extraction + aggregation (reference: is_suggestion /
+  // repository details JSON, transforms.py:71,172). Spark side uses
+  // get_json_object (codegen'd Jackson path); oracle mirrors with a
+  // regexp for engine-independence of the check.
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+
+  val q10Sql: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // q11: group -> sorted array, i.e. a REPEATED analytics column
+  // (reference: get_revision_projects project-tag slugs, stats.py:287;
+  // group member lists, stats.py:551). Compared as a joined string for
+  // engine-neutral hashing; the library API returns the array.
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = broadcast(Tables.part(spark, dir))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        array_join(array_sort(collect_set(col("p_brand"))), ",").as("brands"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_orderkey")
+  }
+
+  val q11Sql: String =
+    """SELECT l_orderkey,
+       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+       count(DISTINCT l_partkey) AS n_parts
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY l_orderkey ORDER BY l_orderkey"""
+
+  // q12: scalar -> string-list coercion (reference:
+  // convert_value_to_string_list, transforms.py:29: bool -> "1"/"0").
+  // A synthetic tri-state value derived from the JSON payload exercises
+  // all three branches.
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val rawValue = when(k % 3 === 0, lit("true"))
+      .when(k % 3 === 1, lit("false"))
+      .otherwise(k.cast(StringType))
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        array_join(JsonFunctions.valueToStringList(rawValue), ",").as("value_list"))
+      .orderBy("event_id")
+  }
+
+  val q12Sql: String =
+    """SELECT event_id,
+       CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 3 = 0 THEN '1'
+            WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 3 = 1 THEN '0'
+            ELSE CAST(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS VARCHAR) END AS value_list
+       FROM events ORDER BY event_id"""
+
+  // q13: connected components (reference: get_stack_size BFS,
+  // stats.py:310) over the order—part co-occurrence graph restricted to
+  // high-quantity lines. Iterative set-based fixpoint; rows-only check.
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 48)
+      .select(concat(lit("O"), col("l_orderkey")).as("src"),
+              concat(lit("P"), col("l_partkey")).as("dst"))
+      .distinct()
+    GraphOps.componentSizes(edges).orderBy("node")
+  }
+
+  // q14: calendar bucketing (reference: revision_year_month,
+  // stats.py:876 — the per-month staging/merge loop).
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_c"))
+      .orderBy("y", "m")
+
+  val q14Sql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders GROUP BY 1, 2 ORDER BY y, m"""
+
+  // q15: incremental watermark (reference: get_time_queries /
+  // get_last_run_timestamp, stats.py:757-873). The "previous run
+  // snapshot" is orders before 1997-07-01; the watermark is its max
+  // date, applied with no driver-side collect.
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snapshot = o.filter(col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+    Watermark.newerThanSnapshot(o, snapshot, "o_orderdate")
+      .select(col("o_orderkey"), dstr(col("o_orderdate")).as("order_date"),
+        cents(col("o_totalprice")).as("total_c"))
+      .orderBy("o_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+       FROM orders
+       WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01')
+       ORDER BY o_orderkey"""
+
+  // q16: top-k per group with deterministic tiebreak.
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  val q16Sql: String =
+    """SELECT c_mktsegment, rank, o_orderkey, total_c FROM (
+         SELECT c_mktsegment, o_orderkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         FROM orders JOIN customer ON o_custkey = c_custkey)
+       WHERE rank <= 5 ORDER BY c_mktsegment, rank"""
+
+  // q17: running total — integer-cents window sum, exact across engines.
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        dstr(col("o_orderdate")).as("order_date"), col("running_c"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+       FROM orders ORDER BY o_custkey, order_date, o_orderkey"""
+
+  // q18: conformed multi-table union (reference: the 8-table load
+  // fan-out, stats.py:1077). Three sources conformed to one schema,
+  // unioned, aggregated.
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      lit("order").as("entity_type"), cents(col("o_totalprice")).as("amount_c"))
+    val l = Tables.lineitem(spark, dir).select(
+      lit("lineitem").as("entity_type"), cents(col("l_extendedprice")).as("amount_c"))
+    val e = Tables.events(spark, dir).select(
+      lit("event").as("entity_type"), cents(col("value")).as("amount_c"))
+    o.unionByName(l).unionByName(e)
+      .groupBy("entity_type")
+      .agg(count(lit(1)).as("n"), sum(col("amount_c")).as("amount_c_sum"))
+      .orderBy("entity_type")
+  }
+
+  val q18Sql: String =
+    """SELECT entity_type, count(*) AS n, CAST(SUM(amount_c) AS BIGINT) AS amount_c_sum FROM (
+         SELECT 'order' AS entity_type, CAST(round(o_totalprice*100) AS BIGINT) AS amount_c FROM orders
+         UNION ALL
+         SELECT 'lineitem', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'event', CAST(round(value*100) AS BIGINT) FROM events)
+       GROUP BY entity_type ORDER BY entity_type"""
+
+  // q19: flagship denormalized fact (reference: get_revision,
+  // stats.py:681 — one fully-enriched row per revision). One aggregation
+  // over the fact table, then broadcast-enriched; the per-order
+  // aggregate is computed once, not once per output column like the
+  // reference's per-revision queries.
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val l = Tables.lineitem(spark, dir)
+    val p = broadcast(Tables.part(spark, dir))
+
+    val lineAgg = l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        dstr(max(col("l_shipdate"))).as("last_ship"),
+        dstr(max(when(col("l_returnflag") === "N", col("l_shipdate")))).as("landed_ship"),
+        array_join(array_sort(collect_set(col("p_brand"))), ",").as("brands"))
+
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(lineAgg, o("o_orderkey") === lineAgg("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("revenue_c"), lit(0L)).as("revenue_c"),
+        col("last_ship"), col("landed_ship"), col("brands"),
+        dstr(col("o_orderdate")).as("order_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderkey, c_name, n_name,
+       coalesce(la.n_items, 0) AS n_items,
+       coalesce(la.revenue_c, 0) AS revenue_c,
+       la.last_ship, la.landed_ship, la.brands,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       LEFT JOIN (
+         SELECT l_orderkey, count(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+           strftime(max(CASE WHEN l_returnflag = 'N' THEN l_shipdate END), '%Y-%m-%d') AS landed_ship,
+           string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY l_orderkey) la ON la.l_orderkey = o_orderkey
+       ORDER BY o_orderkey"""
+}

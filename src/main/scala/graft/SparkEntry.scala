@@ -1,13 +1,80 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
+  * and §6 (oracle-parity conventions). Each `queries` key is one §2
+  * operator; keys present in `oracleSql` are hash-checked against
+  * DuckDB at sf0.01, the rest get the rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (§2a #19, the denormalized revision fact) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q19(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pushdown_scan"        -> (Queries.q01 _),
+    "q02_group_agg"            -> (Queries.q02 _),
+    "q03_join_enrich"          -> (Queries.q03 _),
+    "q04_latest_per_key"       -> (Queries.q04 _),
+    "q05_merge_dedup"          -> (Queries.q05 _),
+    "q06_conditional_max"      -> (Queries.q06 _),
+    "q07_predicate_filter"     -> (Queries.q07 _),
+    "q08_semi_join"            -> (Queries.q08 _),
+    "q09_anti_join"            -> (Queries.q09 _),
+    "q10_json_extract"         -> (Queries.q10 _),
+    "q11_array_collect"        -> (Queries.q11 _),
+    "q12_value_to_string_list" -> (Queries.q12 _),
+    "q13_graph_components"     -> (Queries.q13 _),
+    "q14_calendar_bucket"      -> (Queries.q14 _),
+    "q15_incremental_watermark" -> (Queries.q15 _),
+    "q16_topk_per_group"       -> (Queries.q16 _),
+    "q17_running_total"        -> (Queries.q17 _),
+    "q18_multi_table_union"    -> (Queries.q18 _),
+    "q19_revision_denorm"      -> (Queries.q19 _),
+    "q20_dedup_exact"          -> (LlmQueries.q20 _),
+    "q21_dedup_minhash"        -> (LlmQueries.q21 _),
+    "q22_dedup_simhash"        -> (LlmQueries.q22 _),
+    "q23_ngram_jaccard"        -> (LlmQueries.q23 _),
+    "q24_embedding_topk"       -> (LlmQueries.q24 _),
+    "q25_ann_lsh"              -> (LlmQueries.q25 _),
+    "q26_lang_id"              -> (LlmQueries.q26 _),
+    "q27_quality_score"        -> (LlmQueries.q27 _),
+    "q28_token_count"          -> (LlmQueries.q28 _),
+    "q29_fingerprint"          -> (LlmQueries.q29 _),
+    "q30_multimodal_meta"      -> (LlmQueries.q30 _),
+    "q31_sessionize"           -> (LlmQueries.q31 _),
+    "q32_stream_window_agg"    -> (LlmQueries.q32 _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pushdown_scan"        -> Queries.q01Sql,
+    "q02_group_agg"            -> Queries.q02Sql,
+    "q03_join_enrich"          -> Queries.q03Sql,
+    "q04_latest_per_key"       -> Queries.q04Sql,
+    "q05_merge_dedup"          -> Queries.q05Sql,
+    "q06_conditional_max"      -> Queries.q06Sql,
+    "q07_predicate_filter"     -> Queries.q07Sql,
+    "q08_semi_join"            -> Queries.q08Sql,
+    "q09_anti_join"            -> Queries.q09Sql,
+    "q10_json_extract"         -> Queries.q10Sql,
+    "q11_array_collect"        -> Queries.q11Sql,
+    "q12_value_to_string_list" -> Queries.q12Sql,
+    "q14_calendar_bucket"      -> Queries.q14Sql,
+    "q15_incremental_watermark" -> Queries.q15Sql,
+    "q16_topk_per_group"       -> Queries.q16Sql,
+    "q17_running_total"        -> Queries.q17Sql,
+    "q18_multi_table_union"    -> Queries.q18Sql,
+    "q19_revision_denorm"      -> Queries.q19Sql,
+    "q20_dedup_exact"          -> LlmQueries.q20Sql,
+    "q23_ngram_jaccard"        -> LlmQueries.q23Sql,
+    "q24_embedding_topk"       -> LlmQueries.q24Sql,
+    "q26_lang_id"              -> LlmQueries.q26Sql,
+    "q27_quality_score"        -> LlmQueries.q27Sql,
+    "q28_token_count"          -> LlmQueries.q28Sql,
+    "q29_fingerprint"          -> LlmQueries.q29Sql,
+    "q31_sessionize"           -> LlmQueries.q31Sql,
+    "q32_stream_window_agg"    -> LlmQueries.q32Sql,
+  )
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level re-expressions of the reference's JSON decoding helpers
+  * (`phabricator_etl/transforms.py`). Each helper is a pure `Column`
+  * expression built from codegen'd builtins (`from_json`,
+  * `get_json_object`, `map_keys`), so Catalyst can inline them into
+  * whole-stage codegen — the reference parses the same JSON per row in
+  * Python (`transforms.py:71,180,194,219`).
+  */
+object JsonFunctions {
+
+  /** `transforms.py:29 convert_value_to_string_list`: booleans become
+    * `["1"]`/`["0"]`, everything else is its string form in a
+    * single-element list. `value` may be any column; the boolean mapping
+    * applies when the *string form* is a JSON boolean literal.
+    */
+  def valueToStringList(value: Column): Column = {
+    val s = value.cast(StringType)
+    array(
+      when(s === "true", lit("1"))
+        .when(s === "false", lit("0"))
+        .otherwise(s))
+  }
+
+  /** `transforms.py:183 is_membership_edge_transaction`: true iff the JSON
+    * `metadata` object has an `edge:type` field equal to
+    * `PROJECT_HAS_MEMBER` (13). Malformed JSON / wrong shape -> false.
+    */
+  def isMembershipEdge(metadata: Column, memberEdgeType: Int = 13): Column = {
+    val t = get_json_object(metadata, "$['edge:type']")
+    coalesce(t.cast(IntegerType) === lit(memberEdgeType), lit(false))
+  }
+
+  /** `transforms.py:207 parse_edge_member_phids`: a JSON object keyed by
+    * PHID, or a legacy JSON list of PHIDs, -> array of PHIDs (empty on
+    * null / malformed / other shapes).
+    */
+  def edgeMemberPhids(value: Column): Column = {
+    val asMap  = from_json(value, MapType(StringType, StringType))
+    val asList = from_json(value, ArrayType(StringType))
+    when(asMap.isNotNull, map_keys(asMap))
+      .when(asList.isNotNull, filter(asList, x => x.isNotNull))
+      .otherwise(array())
+  }
+
+  /** `transforms.py:230 decode_name_transaction_value`: a JSON *string*
+    * value -> single-element list of the decoded string; null / empty /
+    * JSON null / any non-string JSON -> empty list.
+    *
+    * Spark's `from_json` only takes struct/array/map schemas, so the
+    * scalar is parsed by wrapping it in a one-element JSON array; a
+    * syntactic guard keeps non-string scalars (numbers, objects, lists)
+    * out, matching the reference's `isinstance(decoded, str)` check.
+    */
+  def decodeNameValue(value: Column): Column = {
+    val isJsonString = value.rlike("^\\s*\".*\"\\s*$")
+    val arr = from_json(concat(lit("["), value, lit("]")), ArrayType(StringType))
+    when(isJsonString && arr.isNotNull && size(arr) === 1 &&
+        element_at(arr, 1).isNotNull,
+      array(element_at(arr, 1))).otherwise(array())
+  }
+
+  /** `transforms.py:71`: a comment is a suggestion iff
+    * `attributes['inline.state.initial']['hassuggestion'] == "true"` —
+    * the literal JSON *string* `"true"`; a JSON boolean `true` does not
+    * count (reference test `test_transforms.py:287`). `get_json_object`
+    * stringifies both, so the check runs on the inner object's raw JSON
+    * text where the quotes still distinguish them.
+    */
+  def isSuggestion(attributes: Column): Column = {
+    val inner = get_json_object(attributes, "$['inline.state.initial']")
+    coalesce(inner.rlike("\"hassuggestion\"\\s*:\\s*\"true\""), lit(false))
+  }
+
+  /** `transforms.py:172 parse_repository_details`: pull one key out of a
+    * JSON `details` blob, null-safe.
+    */
+  def jsonDetail(details: Column, key: String): Column =
+    get_json_object(details, s"$$['$key']")
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis kernels for the LLM-training-data pipeline operators.
+  *
+  * All pure `Column` expressions over builtins (split/transform/filter/
+  * aggregate/md5) so they stay inside whole-stage codegen — no UDFs in
+  * the hot path. Heuristics are deliberately deterministic and
+  * SQL-mirrorable so the DuckDB oracle can replay them exactly.
+  */
+object TextFunctions {
+
+  /** Lowercase, trim, collapse runs of whitespace — canonical form for
+    * exact dedup and fingerprints. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Hex MD5 of the normalized text (exact-dup key). */
+  def contentHash(text: Column): Column = md5(normText(text).cast(BinaryType))
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles (space-joined) over whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    transform(
+      sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Character n-gram shingles of the *raw* text (position 1-based). */
+  def charShingles(text: Column, n: Int, maxChars: Int = 4096): Column = {
+    val t = substring(text, 1, maxChars)
+    val count = greatest(length(t) - (n - 1), lit(1))
+    transform(sequence(lit(1), count), i => substring(t, i, lit(n)))
+  }
+
+  /** Distinct-character set of a string, as a sorted array — the basis of
+    * DuckDB-compatible character Jaccard. */
+  def charSet(text: Column): Column =
+    array_sort(array_distinct(filter(split(text, ""), c => c =!= "")))
+
+  /** Character-set Jaccard similarity between two strings (matches
+    * DuckDB's `jaccard()`): |chars(a) ∩ chars(b)| / |chars(a) ∪ chars(b)|.
+    * Computed from exact integer set sizes, so the double result is
+    * bit-identical across engines.
+    */
+  def charJaccard(a: Column, b: Column): Column = {
+    val sa = charSet(a)
+    val sb = charSet(b)
+    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
+    val union = size(array_union(sa, sb)).cast(DoubleType)
+    when(union === 0d, lit(0d)).otherwise(inter / union)
+  }
+
+  /** Generic n-gram Jaccard over word shingles (set semantics). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(wordShingles(a, n))
+    val sb = array_distinct(wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
+    val union = size(array_union(sa, sb)).cast(DoubleType)
+    when(union === 0d, lit(0d)).otherwise(inter / union)
+  }
+
+  // ---- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword profiles. Chosen to be disjoint enough for
+    * a deterministic argmax; mirrored verbatim in the DuckDB oracle.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "en", "un", "una", "por", "como", "para"),
+  )
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Deterministic heuristic language ID: argmax of stopword hits with
+    * profile-order tiebreak; "und" (undetermined) when no profile hits.
+    * N-gram/stopword heuristics like this are the classic pre-neural
+    * langid approach; precision is bounded but the point here is a
+    * deterministic, scale-free (map-only) classifier.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    // argmax with profile-order tiebreak via nested CASE (pure expression):
+    val s = scores.toMap
+    val en = s("en"); val de = s("de"); val fr = s("fr"); val es = s("es")
+    val m = greatest(en, de, fr, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(fr === m, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  // ---- quality -----------------------------------------------------------
+
+  /** Integer quality signals; each derived from exact integer counts so
+    * downstream ratios are bit-identical across engines. */
+  def wordCount(text: Column): Column = size(tokens(text))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+  def stopwordCount(text: Column): Column =
+    stopwordHits(text, LangProfiles.flatMap(_._2).distinct)
+
+  /** BPE-ish subword count: alnum runs + isolated non-space symbols. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  // ---- fingerprints ------------------------------------------------------
+
+  /** Winnowing-style min-hash fingerprint: minimum MD5 over character
+    * k-grams of the normalized text (cap at `maxChars` to bound cost).
+    * (Schleimer et al., SIGMOD'03 "Winnowing" — the min-of-window idea,
+    * collapsed to a single global min per doc for a compact doc key.)
+    */
+  def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column =
+    array_min(transform(charShingles(normText(text), k, maxChars), g => md5(g.cast(BinaryType))))
+}

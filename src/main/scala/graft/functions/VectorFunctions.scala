@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector kernels over `array<float>` embedding columns, expressed
+  * with Spark's higher-order functions (`zip_with`, `aggregate`) so they
+  * are codegen'd and never leave the JVM row pipeline.
+  *
+  * Accumulation is a strict left fold in element order, double
+  * precision — the same order a scalar loop (or DuckDB's
+  * `list_cosine_similarity` over a DOUBLE[]) uses, which keeps results
+  * bit-comparable for the oracle.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0d || nb === 0d, lit(0d)).otherwise(d / (na * nb))
+  }
+
+  /** Signed projection onto a constant hyperplane -> one LSH bit. */
+  def hyperplaneBit(v: Column, plane: Seq[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    (dot(v, planeCol) >= 0d).cast(IntegerType)
+  }
+
+  /** Random-hyperplane LSH signature of `bits` bits packed into a long.
+    * Planes are generated from a deterministic LCG seed so signatures are
+    * reproducible across runs/engines — at cluster scale the signature is
+    * computed map-side once and reused by every band join.
+    */
+  def lshSignature(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val planes = LshPlanes.planes(dim, bits, seed)
+    planes.zipWithIndex
+      .map { case (p, i) => hyperplaneBit(v, p).cast(LongType) * lit(1L << i) }
+      .reduce(_ + _)
+  }
+}
+
+/** Deterministic pseudo-random hyperplanes (public-domain LCG constants,
+  * Numerical Recipes). Not cryptographic — just reproducible.
+  */
+object LshPlanes {
+  def planes(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] = {
+    var state = seed
+    def nextUnit(): Double = {
+      state = state * 1664525L + 1013904223L
+      // top 32 bits -> [-1, 1)
+      ((state >>> 16) & 0xffffffffL).toDouble / 2147483648.0 - 1.0
+    }
+    Seq.fill(bits)(Seq.fill(dim)(nextUnit()))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.plans.SimHash64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for LLM-training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard verification.
+  *
+  * Shared shape: compute a *signature* map-side (no shuffle), group or
+  * self-join only on signature buckets (shuffle keyed on the bucket, so
+  * candidate-pair generation is ~linear in input + output, never a
+  * cartesian), verify candidates, then keep the min doc id per
+  * duplicate cluster. This is the standard web-scale layout
+  * (Broder, "On the resemblance and containment of documents", 1997;
+  * Manku et al., WWW'07) and survives a 1000-executor 100 TB run
+  * because nothing ever materializes all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: keep the smallest id per
+    * hash. One shuffle on the 128-bit hash — uniformly distributed, so
+    * no skew at any scale.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs
+      .withColumn("content_hash", contentHash(col(textCol)))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("content_hash"), col("n_copies"))
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** k minhash values over word-`n`-gram shingles. Hash family:
+    * h_i(x) = xxhash64(i, shingle) — k independent 64-bit draws.
+    * Computed entirely map-side in ONE `aggregate` pass over the
+    * shingle array (shingling and tokenization run once per document,
+    * not once per hash function — k separate `array_min(transform(...))`
+    * columns would re-evaluate the shingle expression k times).
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = array_distinct(wordShingles(text, shingleN))
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
+  }
+
+  /** Candidate near-dup pairs via banded LSH over the minhash signature:
+    * signatures agreeing on all rows of any band collide in that band's
+    * bucket. bands*rowsPerBand = k. Returns (id_a, id_b) with a < b,
+    * distinct across bands, plus the estimated Jaccard from full
+    * signature agreement.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleN, k))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    // join within (band, band_sig) buckets only
+    val l = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(bands * rowsPerBand).cast(DoubleType)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash-LSH dedup: candidates above `threshold` estimated Jaccard
+    * form duplicate edges; survivors = docs that are not the larger id
+    * of any duplicate edge (min-id representative survives).
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, shingleN: Int = 3,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val dupes = minhashCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash signature (native Catalyst expression, codegen'd). */
+  def simhashSignature(text: Column): Column = SimHash64.simhash64(tokens(text))
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
+    * blocked on 4 16-bit bands (pigeonhole: any pair within Hamming 3
+    * agrees exactly on at least one band — Manku et al., WWW'07).
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash dedup: survivors after dropping the larger id of every
+    * near-dup pair. */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val dupes = simhashCandidates(docs, idCol, textCol, maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard between given candidate pairs (verification
+    * stage after any LSH pass). `pairs` has (id_a, id_b). */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    pairs
+      .join(d.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(d.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), n))
+      .drop("text_a", "text_b")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native MERGE-upsert, re-expressing the reference's BigQuery
+  * load path (`phabricator_etl/stats.py:896 merge_into_bigquery`):
+  *
+  *   1. dedup staging by `id` keeping the newest `updatedAt`
+  *      (`QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY u DESC)=1`)
+  *   2. MERGE: matched -> update (staging wins), not matched -> insert.
+  *
+  * Step 2 over immutable DataFrames = staging ∪ (target ⟕̸ staging):
+  * keep every staged row, plus target rows whose key is absent from
+  * staging (left_anti). Both steps shuffle once on the key; at 100 TB
+  * with target and staging bucketed by the key column the anti join is
+  * co-located and shuffle-free, and AQE handles staging skew.
+  */
+object MergeUpsert {
+
+  /** Keep exactly one row per `keys`: the max `updatedAt`, with
+    * `tiebreak` columns (descending) making the survivor deterministic
+    * where the reference lets BigQuery keep an arbitrary row.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], updatedAt: String,
+                  tiebreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(updatedAt) +: tiebreak.map(col)).map(_.desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Full MERGE semantics between a deduplicated staging frame and the
+    * current target snapshot. Schemas must be union-compatible by name.
+    */
+  def merge(target: DataFrame, staging: DataFrame, keys: Seq[String],
+            updatedAt: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    val deduped = dedupLatest(staging, keys, updatedAt, tiebreak)
+    val untouched = target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(deduped.select(target.columns.map(col): _*))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One input row to the stubbed media decoder. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
+
+/** Decoder output: per-asset features. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, mean_byte: Double,
+                         frame_count: Int, width: Int, height: Int, fmt: String)
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * partition-sized batches.
+  *
+  * This mirrors the `mapInPandas` layout a Python pipeline would use:
+  * the decode runs once per partition over an iterator of rows (batch
+  * amortizes model/codec init), never on the driver, and the binary
+  * payload stays opaque to Catalyst so nothing tries to codegen over
+  * megabyte blobs. Real image/audio codecs are not available in this
+  * container, so `decodeOne` is a clearly-marked deterministic STUB —
+  * the schema, partitioning, batch shape, and typed plumbing are the
+  * real, tested part.
+  */
+object Multimodal {
+
+  /** Synthesize an opaque media column from `documents`: payload =
+    * UTF-8 bytes of the text (stand-in for image bytes), plus typed
+    * metadata columns derived deterministically from `doc_id`.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 64).cast("int").as("width"),
+      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("webp").as("fmt"))
+
+  /** STUB decode: a real pipeline would invoke an image/audio codec
+    * here (per-partition init, e.g. `Iterator -> Iterator` like
+    * mapInPandas). The stand-in computes deterministic byte statistics
+    * so specs can assert exact values end-to-end.
+    */
+  private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
+    // ??? <- real codec goes here; deterministic fake below.
+    val len = m.payload.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
+    val mean = if (len == 0) 0.0 else sum.toDouble / len.toDouble
+    MediaFeatures(m.doc_id, len, mean, (len / 1024L + 1L).toInt,
+      m.width, m.height, m.fmt)
+  }
+
+  private def featuresOf(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    // Partition-batched: one iterator pass per partition, codec init
+    // amortized across the batch — the Scala twin of mapInPandas.
+    media.mapPartitions { rows => rows.map(decodeOne) }
+  }
+
+  /** DataFrame-level entry: media frame -> per-asset features. */
+  def decodeStub(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    featuresOf(media.as[MediaRow]).toDF()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k via a block-nested-loop
+  *    (queries broadcast against the corpus). Correctness baseline; cost
+  *    |Q|·|C| — right answer when |Q| is small (the common "probe a
+  *    candidate set" case) even at 100 TB corpus, because the corpus
+  *    side stays partition-parallel and never shuffles.
+  *  - `lshTopK`: random-hyperplane LSH buckets (sign-of-projection bits,
+  *    Charikar STOC'02) with multi-probe via several independent tables;
+  *    candidate generation is a bucket equi-join (shuffle keyed by
+  *    bucket id), then exact cosine re-rank within candidates. This is
+  *    the scale path: cost ~ |Q| + |C| + candidates.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for every row of `queries` against `corpus`.
+    * Excludes self-matches on id equality. Deterministic tiebreak:
+    * higher cosine first, then smaller corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed ANN: `tables` independent signatures of `bits` bits
+    * each; rows sharing any table's bucket become candidates, re-ranked
+    * by exact cosine, top-k per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int,
+              bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    def signed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sigs = (0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          lshSignature(col(vec), dim, bits, seed + t).as("bucket"))
+      }
+      df.select(col(id), col(vec), explode(array(sigs: _*)).as("sig"))
+        .select(col(id), col(vec), col("sig.table"), col("sig.bucket"))
+    }
+    val qs = signed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val cands = qs.join(cs, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental-extraction window bounding, re-expressing the reference's
+  * `get_time_queries` / `get_last_run_timestamp`
+  * (`phabricator_etl/stats.py:757-873`): the previous run's
+  * `MAX(date_modified)` read from the destination becomes the lower
+  * bound, `now` the upper bound, and only rows in between are
+  * reprocessed.
+  *
+  * The watermark is computed as a 1-row aggregate and applied via a
+  * broadcast (cross) join, so Catalyst folds it into a scan predicate
+  * after the exchange — no driver-side `.collect()`; the plan stays a
+  * single distributed DAG and at scale the filter prunes partitions of
+  * a date-partitioned table before any shuffle.
+  */
+object Watermark {
+
+  /** Rows of `df` strictly newer than `snapshot`'s max `tsCol`.
+    * `full = true` mirrors the reference's `--full` flag (no lower bound).
+    */
+  def newerThanSnapshot(df: DataFrame, snapshot: DataFrame, tsCol: String,
+                        full: Boolean = false): DataFrame = {
+    if (full) return df
+    val wm = snapshot.agg(max(col(tsCol)).as("__wm"))
+    df.join(broadcast(wm))
+      .filter(col("__wm").isNull || col(tsCol) > col("__wm"))
+      .drop("__wm")
+  }
+
+  /** Upper bound: exclude rows at/after `now` (reference `stats.py:841`). */
+  def before(df: DataFrame, tsCol: String, now: Column): DataFrame =
+    df.filter(col(tsCol) < now)
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static SimHash kernel shared by interpreted eval and generated code.
+  *
+  * SimHash (Charikar, STOC'02 "Similarity estimation techniques from
+  * rounding algorithms"; used for web-scale near-dup by Manku et al.,
+  * WWW'07): hash every token to 64 bits, sum ±1 per bit position
+  * weighted by token occurrences, take the sign vector as a 64-bit
+  * signature. Near-duplicate docs land within a small Hamming distance.
+  *
+  * Token hash is FNV-1a 64 over UTF-8 bytes — public, allocation-free,
+  * stable across JVMs, no dependency on Spark's internal hash exprs.
+  */
+object SimHashImpl {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime  = 0x100000001b3L
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash over an array of UTF8String tokens (nulls skipped). */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Native Catalyst expression: `SimHash64(array<string>) -> long`.
+  *
+  * A custom `Expression` with `doGenCode` (not a Scala UDF) so the kernel
+  * stays inside whole-stage codegen: the generated code calls the static
+  * `SimHashImpl.simhash64` with no boxing, serialization, or closure
+  * dispatch per row — this is the hot map-side loop of simhash dedup at
+  * 100 TB, so per-row overhead matters.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashImpl.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

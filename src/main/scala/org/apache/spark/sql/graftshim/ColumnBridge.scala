@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column<->Expression
+  * conversion (`org.apache.spark.sql.classic.ExpressionUtils`), the
+  * supported classic-mode path for libraries contributing native
+  * Catalyst expressions in Spark 4.x. Lives under `org.apache.spark.sql`
+  * solely to satisfy the `private[sql]` qualifier — the same technique
+  * Spark-extension libraries use; everything else in this repo stays in
+  * `graft.*`.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column   = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

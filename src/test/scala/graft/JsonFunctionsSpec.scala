@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.JsonFunctions._
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's transform unit tests
+  * (`/root/reference/tests/test_transforms.py:30-178`) at the Column
+  * level. */
+class JsonFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("valueToStringList: booleans -> [\"1\"]/[\"0\"], rest stringified") {
+    // test_transforms.py:137-176
+    assert(one(valueToStringList(lit(true))) == Seq("1"))
+    assert(one(valueToStringList(lit(false))) == Seq("0"))
+    assert(one(valueToStringList(lit("already"))) == Seq("already"))
+    assert(one(valueToStringList(lit(42))) == Seq("42"))
+    assert(one(valueToStringList(lit("")))  == Seq(""))
+  }
+
+  test("isMembershipEdge: only edge:type == 13") {
+    // test_transforms.py:30-47
+    assert(one(isMembershipEdge(lit("""{"edge:type": 13}"""))) == true)
+    assert(one(isMembershipEdge(lit("""{"edge:type": 42}"""))) == false)
+    assert(one(isMembershipEdge(lit(null).cast("string"))) == false)
+    assert(one(isMembershipEdge(lit(""))) == false)
+    assert(one(isMembershipEdge(lit("{}"))) == false)
+    assert(one(isMembershipEdge(lit("not json"))) == false)
+  }
+
+  test("edgeMemberPhids: dict snapshot, list snapshot, garbage") {
+    // test_transforms.py:49-79
+    val dict = """{"PHID-USER-alice": {"dst": "x"}, "PHID-USER-bob": {}}"""
+    assert(one(edgeMemberPhids(lit(dict))).asInstanceOf[scala.collection.Seq[String]].toSet ==
+      Set("PHID-USER-alice", "PHID-USER-bob"))
+    val list = """["PHID-USER-alice", "PHID-USER-bob"]"""
+    assert(one(edgeMemberPhids(lit(list))).asInstanceOf[scala.collection.Seq[String]].toSet ==
+      Set("PHID-USER-alice", "PHID-USER-bob"))
+    assert(one(edgeMemberPhids(lit(null).cast("string"))) == Seq())
+    assert(one(edgeMemberPhids(lit("null"))) == Seq())
+  }
+
+  test("membership diff: added and removed sets") {
+    // test_transforms.py:70-79 — expressed with array set ops
+    val oldV = lit("""{"PHID-USER-alice": {}, "PHID-USER-bob": {}}""")
+    val newV = lit("""{"PHID-USER-bob": {}, "PHID-USER-carol": {}}""")
+    val removed = one(array_except(edgeMemberPhids(oldV), edgeMemberPhids(newV)))
+    val added   = one(array_except(edgeMemberPhids(newV), edgeMemberPhids(oldV)))
+    assert(removed == Seq("PHID-USER-alice"))
+    assert(added == Seq("PHID-USER-carol"))
+  }
+
+  test("decodeNameValue: JSON string -> single-element list, rest empty") {
+    // test_transforms.py:81-86
+    assert(one(decodeNameValue(lit("\"proj\""))) == Seq("proj"))
+    assert(one(decodeNameValue(lit(null).cast("string"))) == Seq())
+    assert(one(decodeNameValue(lit("null"))) == Seq())
+    assert(one(decodeNameValue(lit("[1,2]"))) == Seq())
+  }
+
+  test("isSuggestion: literal-string 'true' only") {
+    // test_transforms.py:226-311
+    val sugg = """{"inline.state.initial": {"hassuggestion": "true"}}"""
+    val notSugg = """{"inline.state.initial": {"hassuggestion": "false"}}"""
+    val boolSugg = """{"inline.state.initial": {"hassuggestion": true}}"""
+    assert(one(isSuggestion(lit(sugg))) == true)
+    assert(one(isSuggestion(lit(notSugg))) == false)
+    assert(one(isSuggestion(lit(boolSugg))) == false,
+      "JSON boolean true must not count — only the literal string (test_transforms.py:287)")
+    assert(one(isSuggestion(lit("{}"))) == false)
+  }
+
+  test("jsonDetail: repository default-branch") {
+    // test_transforms.py:564+ parse_repository_details
+    assert(one(jsonDetail(lit("""{"default-branch": "main"}"""), "default-branch")) == "main")
+    assert(one(jsonDetail(lit(null).cast("string"), "default-branch")) == null)
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.{Dedup, GraphOps, MergeUpsert, Multimodal, Similarity, Watermark}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MergeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupLatest keeps newest row per key with deterministic tiebreak") {
+    val df = Seq(
+      (1L, "a", 10L, "old"), (1L, "a", 20L, "new"),
+      (1L, "a", 20L, "tie-lower"), (2L, "b", 5L, "only")
+    ).toDF("id", "k", "updated", "payload")
+    val got = MergeUpsert.dedupLatest(df, Seq("id", "k"), "updated", tiebreak = Seq("payload"))
+      .orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("payload") == "tie-lower") // 'tie-lower' > 'new' desc
+    assert(got(1).getAs[String]("payload") == "only")
+  }
+
+  test("merge: staging wins on match, inserts new, keeps untouched") {
+    // mirrors merge_into_bigquery semantics (stats.py:896)
+    val target = Seq((1L, "v1", 10L), (2L, "v2", 10L)).toDF("id", "v", "updated")
+    val staging = Seq((2L, "v2-new", 20L), (2L, "v2-older", 15L), (3L, "v3", 20L))
+      .toDF("id", "v", "updated")
+    val got = MergeUpsert.merge(target, staging, Seq("id"), "updated")
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "v1"), (2L, "v2-new"), (3L, "v3")))
+  }
+}
+
+class WatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("newerThanSnapshot keeps only rows past the snapshot max") {
+    val snap = Seq((1L, 100L), (2L, 200L)).toDF("id", "ts")
+    val cur  = Seq((1L, 100L), (2L, 200L), (3L, 201L), (4L, 500L)).toDF("id", "ts")
+    val got = Watermark.newerThanSnapshot(cur, snap, "ts").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
+  test("empty snapshot (null watermark) keeps everything") {
+    val snap = Seq.empty[(Long, Long)].toDF("id", "ts")
+    val cur  = Seq((1L, 100L)).toDF("id", "ts")
+    assert(Watermark.newerThanSnapshot(cur, snap, "ts").count() == 1)
+  }
+}
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components on two known components + isolated self-loop") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")).toDF("s", "d")
+    val got = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
+  test("componentSizes matches the reference stack-size semantics") {
+    // stats.py:310: size of the revision's dependency closure
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val sizes = GraphOps.componentSizes(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 2L, 11L -> 2L))
+  }
+
+  test("long path converges (diameter > a few rounds)") {
+    val chain = (0 until 30).map(i => (i.toLong, (i + 1).toLong))
+    val got = GraphOps.connectedComponents(chain.toDF("s", "d")).collect()
+    assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "Completely different content about distributed query engines and shuffles"),
+    (5L, "  the QUICK brown fox jumps over the lazy dog near the river bank today ") // normalized dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    assert(got(0).getAs[Long]("n_copies") == 3L) // 1, 2, 5 normalize identically
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "exact dup must collide")
+    assert(cands.contains((1L, 3L)), "near dup shares most shingles")
+    assert(!cands.exists { case (a, b) => b == 4L || a == 4L },
+      "unrelated doc must not be a candidate")
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(2L) && survivors.contains(4L) && survivors.contains(1L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, distinct far") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 10))
+  }
+
+  test("verifyJaccard computes exact n-gram overlap on candidates") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text", n = 3)
+      .orderBy("id_b").collect()
+    assert(got(0).getAs[Double]("jaccard") == 1.0)
+    assert(got(1).getAs[Double]("jaccard") < 0.05)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force topK: planted identical vector ranks first") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(base, base.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("neighbor_id") == 2L)
+    assert(got(0).getAs[Double]("cosine") > 0.999)
+    assert(got(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, bits = 6, tables = 12)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("stubbed decode produces deterministic byte features end-to-end") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(10))
+    val got = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    assert(got.length == 10)
+    val r0 = got(0)
+    assert(r0.getAs[Long]("byte_len") > 0)
+    val mean = r0.getAs[Double]("mean_byte")
+    assert(mean > 32.0 && mean < 127.0, s"ASCII-ish payload mean expected, got $mean")
+    assert(r0.getAs[Int]("frame_count") == (r0.getAs[Long]("byte_len") / 1024L + 1L).toInt)
+  }
+}

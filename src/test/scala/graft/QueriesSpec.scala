@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Smoke + plan-shape assertions for the §2 queries. Correctness against
+  * DuckDB is the driver's gate (and scripts/check.py locally); these
+  * specs pin the *plan* properties that matter at 100 TB: pushdown,
+  * pruning, broadcast joins.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  test("every declared query returns rows on sf0.001 (except legit-empty q09)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (name == "q09_anti_join") assert(n >= 0)
+      else assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 pushes the shipdate filter and prunes columns at the scan") {
+    val scan = executed("q01_pushdown_scan").toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$scan")
+    assert(!scan.contains("l_tax"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q03 star enrichment broadcasts the dimension tables") {
+    val plan = executed("q03_join_enrich").toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("q19 flagship keeps whole-stage codegen in the aggregate path") {
+    val df = SparkEntry.queries("q19_revision_denorm")(spark, sf)
+    df.collect() // AQE only finalizes (and shows codegen) after execution
+    // codegen'd operators render with a "*(stageId)" prefix in the
+    // executed plan (WholeStageCodegen spans)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"flagship plan fell out of codegen:\n$plan")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.{EventStream, RawEvent}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The batch queries are the oracle for their streaming twins: the same
+  * events driven through a file-based streaming source must produce the
+  * same aggregates once all data is processed.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly window agg == batch q32 (modulo watermark-complete windows)") {
+    import spark.implicits._
+    val batchEvents = Tables.events(spark, sf)
+    // Drive the stream from a temp copy of the events table
+    val dir = s"/tmp/graft_stream_${System.nanoTime()}"
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streaming = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val agg = EventStream.hourlyWindowAgg(streaming)
+    val qname = s"hourly_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table(qname)
+      .select(col("hour_start"), col("event_type"), col("n"))
+    val expected = LlmQueries.q32(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n"))
+    // Append mode only emits windows closed by the watermark; every
+    // emitted window must match the batch result exactly.
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expRows = expected.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotRows.nonEmpty, "stream emitted no closed windows")
+    gotRows.foreach { case (k, n) =>
+      assert(expRows.get(k).contains(n), s"window $k: stream=$n batch=${expRows.get(k)}")
+    }
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) closes sessions like batch q31") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sess_${System.nanoTime()}"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streaming = spark.readStream.schema(schema).parquet(dir).as[RawEvent]
+    val sessions = EventStream.sessionize(streaming)
+    val qname = s"sessions_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Closed sessions from the stream must be a subset of batch sessions
+    // (the final open session per user is still in state).
+    val got = spark.table(qname)
+      .select("user_id", "session_start_sec", "session_end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = LlmQueries.q31(spark, sf)
+      .select("user_id", "start_sec", "end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "no sessions closed")
+    val missing = got -- batch
+    assert(missing.isEmpty, s"stream emitted sessions absent from batch: ${missing.take(3)}")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.plans.{SimHash64, SimHashImpl}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("normText collapses whitespace and case") {
+    assert(one(normText(lit("  Hello\t WORLD\n x "))) == "hello world x")
+  }
+
+  test("charJaccard matches hand-computed set overlap") {
+    // chars("abc") = {a,b,c}; chars("bcd") = {b,c,d} -> 2/4
+    assert(one(charJaccard(lit("abc"), lit("bcd"))) == 0.5)
+    assert(one(charJaccard(lit("same"), lit("same"))) == 1.0)
+  }
+
+  test("wordShingles produces n-grams with short-text floor") {
+    assert(one(wordShingles(lit("a b c d"), 3)) == Seq("a b c", "b c d"))
+    assert(one(wordShingles(lit("a"), 3)) == Seq("a"))
+  }
+
+  test("langId picks the profile with most stopword hits; und on none") {
+    assert(one(langId(lit("the cat and the dog of the house"))) == "en")
+    assert(one(langId(lit("der hund und die katze ist nicht da"))) == "de")
+    assert(one(langId(lit("xyzzy plugh 12345"))) == "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    assert(one(wordCount(lit("two words"))) == 2)
+    assert(one(bpeishTokenCount(lit("don't stop-me now!"))) == 8L)
+    // don / ' / t / stop / - / me / now / !
+  }
+
+  test("winnowFingerprint is stable and lexicographically minimal") {
+    val fp = one(winnowFingerprint(lit("hello world hello world"))).asInstanceOf[String]
+    assert(fp.length == 32)
+    assert(one(winnowFingerprint(lit("hello world hello world"))) == fp)
+  }
+
+  test("SimHash64: identical token arrays -> identical signature; kernel stable") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally different words entirely unrelated content here")
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"), SimHash64.simhash64(tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hamming13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hamming13 > 8, s"unrelated docs should be far apart, got $hamming13")
+    // FNV-1a kernel: known stability check (empty -> offset basis)
+    assert(SimHashImpl.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
+  }
+}
