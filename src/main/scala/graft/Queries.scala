@@ -223,7 +223,9 @@ object Queries {
       .groupBy("l_orderkey")
       .agg(
         array_join(array_sort(collect_set(col("p_brand"))), ",").as("brands"),
-        countDistinct(col("l_partkey")).as("n_parts"))
+        // size(collect_set) == count(DISTINCT) but avoids the second
+        // distinct-aggregate expand pass over the fact table
+        size(collect_set(col("l_partkey"))).cast(LongType).as("n_parts"))
       .orderBy("l_orderkey")
   }
 
@@ -260,12 +262,21 @@ object Queries {
   // stats.py:310) over the order—part co-occurrence graph restricted to
   // high-quantity lines. Iterative set-based fixpoint; rows-only check.
   def q13(spark: SparkSession, dir: String): DataFrame = {
+    // Numeric node encoding (orderkey*2 / partkey*2+1): long-keyed
+    // shuffles and joins in the iterative fixpoint are far cheaper than
+    // string keys; decode to readable ids only on the final output.
     val edges = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 48)
-      .select(concat(lit("O"), col("l_orderkey")).as("src"),
-              concat(lit("P"), col("l_partkey")).as("dst"))
+      .select((col("l_orderkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
-    GraphOps.componentSizes(edges).orderBy("node")
+    def decode(c: Column): Column =
+      when(c % 2 === 0, concat(lit("O"), (c / 2).cast(LongType)))
+        .otherwise(concat(lit("P"), ((c - 1) / 2).cast(LongType)))
+    GraphOps.componentSizes(edges)
+      .select(decode(col("node")).as("node"), decode(col("component")).as("component"),
+        col("component_size"))
+      .orderBy("node")
   }
 
   // q14: calendar bucketing (reference: revision_year_month,

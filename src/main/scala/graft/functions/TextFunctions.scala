@@ -25,13 +25,26 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles (space-joined) over whitespace tokens. */
+  /** Word n-gram shingles (space-joined) over whitespace tokens.
+    *
+    * Built as a chain of `zip_with`s against shifted slices rather than
+    * `transform(sequence(...), i => slice(toks, ...))`: a higher-order
+    * lambda re-evaluates its free sub-expressions per ELEMENT, so the
+    * index formulation re-tokenizes the document once per shingle —
+    * O(len²) work per row. `zip_with` children evaluate once per row.
+    */
   def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(1))
-    transform(
-      sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    if (n == 1) toks
+    else {
+      val slid = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), size(toks)), (a, b) =>
+          when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
+      }
+      when(size(toks) >= n, filter(slid, x => x.isNotNull))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
   }
 
   /** Character n-gram shingles of the *raw* text (position 1-based). */
@@ -125,7 +138,23 @@ object TextFunctions {
     * k-grams of the normalized text (cap at `maxChars` to bound cost).
     * (Schleimer et al., SIGMOD'03 "Winnowing" — the min-of-window idea,
     * collapsed to a single global min per doc for a compact doc key.)
+    *
+    * One `aggregate` pass whose accumulator STRUCT carries the
+    * normalized string: the zero expression evaluates `normText` once
+    * per row, and each step only runs substring+md5 — the naive
+    * `transform(charShingles(normText(...)))` re-normalizes the text
+    * once per k-gram (O(len²) regex work per row).
     */
-  def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column =
-    array_min(transform(charShingles(normText(text), k, maxChars), g => md5(g.cast(BinaryType))))
+  def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column = {
+    val t = substring(normText(text), 1, maxChars)
+    val count = greatest(length(t) - (k - 1), lit(1))
+    aggregate(
+      sequence(lit(1), count),
+      struct(t.as("s"), lit("\uffff").as("m")),
+      (acc, i) => struct(
+        acc.getField("s").as("s"),
+        least(acc.getField("m"),
+          md5(substring(acc.getField("s"), i, lit(k)).cast(BinaryType))).as("m")),
+      acc => acc.getField("m"))
+  }
 }

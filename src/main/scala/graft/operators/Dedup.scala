@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import graft.plans.SimHash64
+import graft.plans.{MinHash64, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,23 +35,16 @@ object Dedup {
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** k minhash values over word-`n`-gram shingles. Hash family:
-    * h_i(x) = xxhash64(i, shingle) — k independent 64-bit draws.
-    * Computed entirely map-side in ONE `aggregate` pass over the
-    * shingle array (shingling and tokenization run once per document,
-    * not once per hash function — k separate `array_min(transform(...))`
-    * columns would re-evaluate the shingle expression k times).
+  /** k minhash values over word-`n`-gram shingles, via the native
+    * `MinHash64` Catalyst expression (graft.plans.MinHashExpr): one
+    * codegen'd pass — one FNV hash per shingle + k multiply-adds.
+    * Entirely map-side; at 100 TB this is the per-document kernel every
+    * dedup pass runs, so it must not be an interpreted HOF lambda.
+    * (Duplicate shingles only re-update identical minima, so explicit
+    * array_distinct is unnecessary.)
     */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = array_distinct(wordShingles(text, shingleN))
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
-        (a, h) => least(a, h)))
-  }
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    MinHash64.minhash64(tokens(text), shingleN, k)
 
   /** Candidate near-dup pairs via banded LSH over the minhash signature:
     * signatures agreeing on all rows of any band collide in that band's

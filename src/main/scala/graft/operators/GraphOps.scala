@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, NumericType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives, re-expressing the reference's
@@ -30,13 +31,28 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val e0 = edges.toDF("src", "dst")
-    // closed neighborhood, undirected: u->v, v->u, v->v
+    // closed neighborhood, undirected: u->v, v->u, v->v. No distinct():
+    // min-aggregation is duplicate-insensitive, and the dedup shuffle
+    // would cost more than the duplicates do.
+    // Pre-partitioned on `v` (the per-round join key) and persisted with
+    // that partitioning: every iteration's join then only shuffles the
+    // small labels side — the adjacency exchange happens once, not per
+    // round. This is the property a bucketed edge table gives at
+    // warehouse scale.
     val adj = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
       .union(e0.select(col("src").as("u"), col("src").as("v")))
       .union(e0.select(col("dst").as("u"), col("dst").as("v")))
-      .distinct()
+      .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Labels only ever decrease, so for numeric node ids the exact
+    // decimal sum of labels is a strictly-decreasing convergence
+    // monitor — one tiny aggregate per round instead of a join.
+    val numericIds = adj.schema.fields.head.dataType.isInstanceOf[NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
 
     // localCheckpoint (not persist) each round: an iterative DataFrame
     // algorithm must physically truncate lineage, or the logical plan
@@ -44,6 +60,7 @@ object GraphOps {
     // standard Spark iterative-graph pitfall.
     var labels = adj.groupBy(col("u").as("node")).agg(min(col("v")).as("component"))
       .localCheckpoint(eager = true)
+    var prevSum = if (numericIds) labelSum(labels) else null
 
     var iter = 0
     var converged = false
@@ -60,11 +77,16 @@ object GraphOps {
           Seq("component"), "left")
         .select(col("node"), least(col("component"), col("jump")).as("component"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old"))
-        .limit(1).count() > 0
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else {
+        converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+          .filter(col("component") =!= col("old"))
+          .limit(1).count() == 0
+      }
       labels = next
-      converged = !changed
       iter += 1
     }
     adj.unpersist()

@@ -1,9 +1,12 @@
 package graft.operators
 
+import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import graft.plans.CosineF32
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -26,12 +29,21 @@ object Similarity {
     * Excludes self-matches on id equality. Deterministic tiebreak:
     * higher cosine first, then smaller corpus id.
     */
+  /** Native codegen'd kernel for float32 embeddings, HOF fallback for
+    * any other element type — identical results (same fold order). */
+  private def cosineOf(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => CosineF32.cosineF32(a, b)
+      case _                       => VectorFunctions.cosine(a, b)
+    }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    val cos = cosineOf(corpus, vecCol) _
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -56,11 +68,12 @@ object Similarity {
     }
     val qs = signed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
     val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val cos = cosineOf(corpus, vecCol) _
     val cands = qs.join(cs, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .distinct()
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static MinHash kernel: word-shingle + k-permutation minima in one
+  * imperative pass.
+  *
+  * MinHash (Broder 1997, "On the resemblance and containment of
+  * documents"): the probability two sets share the same minimum under a
+  * random hash permutation equals their Jaccard similarity; k
+  * independent permutations give a k-sample estimate. The permutation
+  * family is g_i(x) = a_i·x + b_i over a 64-bit base hash (FNV-1a of
+  * the shingle bytes) — the standard cheap pairwise-independent family:
+  * ONE string hash per shingle, then k multiply-adds, instead of k full
+  * string hashes.
+  *
+  * This replaces an `aggregate`/`transform` higher-order formulation:
+  * HOF lambdas are interpreted per element, and 5k docs × 1k shingles ×
+  * 64 hashes = 320M interpreted evals dominated the profile. The
+  * native kernel is a tight loop behind a static `doGenCode` call.
+  */
+object MinHashImpl {
+  /** Deterministic odd multipliers/offsets from an LCG (public-domain
+    * Numerical Recipes constants), fixed seed -> reproducible runs. */
+  private def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    val a = Array.fill(k)(next() | 1L) // odd
+    val b = Array.fill(k)(next())
+    (a, b)
+  }
+  // Cache per (k, seed); tiny and immutable.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  def coeffsFor(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent((k, seed), { case (kk, ss) => coeffs(kk, ss) })
+
+  /** MinHash signature over word `n`-gram shingles of a token array.
+    * Tokens shorter than n fall back to the full token join (mirrors
+    * TextFunctions.wordShingles). Nulls in `tokens` are skipped.
+    */
+  def minhash(tokens: ArrayData, n: Int, k: Int, seed: Long): ArrayData = {
+    val (a, b) = coeffsFor(k, seed)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val numTok = tokens.numElements()
+    val toks = new Array[UTF8String](numTok)
+    var m = 0
+    var i = 0
+    while (i < numTok) {
+      if (!tokens.isNullAt(i)) { toks(m) = tokens.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    def update(shingle: UTF8String): Unit = {
+      val h = SimHashImpl.fnv1a64(shingle.getBytes)
+      var j = 0
+      while (j < k) {
+        val g = a(j) * h + b(j)
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+    }
+    if (m < n) {
+      update(UTF8String.concatWs(space, toks.take(m): _*))
+    } else {
+      var s = 0
+      while (s + n <= m) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(s + j); j += 1 }
+        update(UTF8String.concatWs(space, parts: _*))
+        s += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native `minhash64(array<string>) -> array<long>` with fixed
+  * (shingleN, k, seed) parameters baked into the expression. */
+case class MinHash64(child: Expression, shingleN: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"minhash64 requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.minhash(input.asInstanceOf[ArrayData], shingleN, k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashImpl.minhash($c, $shingleN, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+}
+
+object MinHash64 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  def minhash64(tokens: Column, shingleN: Int, k: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHash64(ColumnBridge.expression(tokens), shingleN, k, seed))
+}

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Static cosine kernel shared by interpreted eval and generated code.
+  *
+  * Strict sequential left-fold in double precision — the SAME
+  * accumulation order as the higher-order-function formulation
+  * (`graft.functions.VectorFunctions.cosine`) and as DuckDB's
+  * `list_cosine_similarity` over DOUBLE[], so results stay bit-identical
+  * across all three paths and the DuckDB oracle hash-matches.
+  */
+object VectorKernel {
+  def cosineF32(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+}
+
+/** Native `cosine(array<float>, array<float>) -> double`.
+  *
+  * The ANN hot kernel: at 100 TB every query-candidate pair evaluates
+  * this, so it must be a tight primitive loop inside whole-stage codegen
+  * (`doGenCode` emits a static call — no boxing, no per-element lambda
+  * dispatch like the `zip_with`+`aggregate` formulation, which remains
+  * as the generic-typed fallback in VectorFunctions).
+  */
+case class CosineF32(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"cosine_f32 requires two array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.cosineF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernel.cosineF32($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineF32 =
+    copy(left = l, right = r)
+}
+
+object CosineF32 {
+  def cosineF32(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
