@@ -430,4 +430,34 @@ object Queries {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY l_orderkey) la ON la.l_orderkey = o_orderkey
        ORDER BY o_orderkey"""
+
+  // q33: full MERGE-upsert cycle (reference: merge_staging_tables,
+  // stats.py:969 — the staging->target load lifecycle). Target = the
+  // "already loaded" snapshot (orders before 1997), staging = an
+  // overlapping newer extract (orders of 1996+); merge keeps the
+  // staging version of every overlapping key and inserts the new ones.
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    val staging = o.filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+    MergeUpsert.merge(target, staging, Seq("o_orderkey"), "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dstr(col("o_orderdate")).as("order_date"), cents(col("o_totalprice")).as("total_c"))
+      .orderBy("o_orderkey")
+  }
+
+  val q33Sql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+       staging AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+       staged AS (SELECT * FROM staging
+                  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1)
+       SELECT o_orderkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+       FROM (
+         SELECT * FROM staged
+         UNION ALL
+         SELECT t.* FROM target t WHERE NOT EXISTS
+           (SELECT 1 FROM staged s WHERE s.o_orderkey = t.o_orderkey))
+       ORDER BY o_orderkey"""
 }

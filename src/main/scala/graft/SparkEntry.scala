@@ -46,6 +46,7 @@ object SparkEntry {
     "q30_multimodal_meta"      -> (LlmQueries.q30 _),
     "q31_sessionize"           -> (LlmQueries.q31 _),
     "q32_stream_window_agg"    -> (LlmQueries.q32 _),
+    "q33_merge_upsert"         -> (Queries.q33 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,5 +77,6 @@ object SparkEntry {
     "q29_fingerprint"          -> LlmQueries.q29Sql,
     "q31_sessionize"           -> LlmQueries.q31Sql,
     "q32_stream_window_agg"    -> LlmQueries.q32Sql,
+    "q33_merge_upsert"         -> Queries.q33Sql,
   )
 }

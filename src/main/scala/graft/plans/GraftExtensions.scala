@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer exposing graft's native Catalyst
+  * expressions to SQL:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions). ...
+  * // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  * spark.sql("SELECT simhash64(tokens), cosine_f32(a, b), minhash64(tokens) ...")
+  * }}}
+  *
+  * Registration goes through `injectFunction`, the supported extension
+  * point — the same mechanism Spark's own extension libraries use — so
+  * the functions resolve in pure-SQL pipelines, not just the Column API.
+  */
+object GraftExtensions {
+  /** Install on an already-running session (tests, shells). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.ColumnBridge.installExtensions(spark, new GraftExtensions)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      info("cosine_f32", "cosine_f32(array<float>, array<float>) - cosine similarity"),
+      (children: Seq[Expression]) => CosineF32(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      info("minhash64",
+        "minhash64(array<string>[, shingleN[, k[, seed]]]) - MinHash signature"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int, default: Int): Int =
+          if (children.length > i) children(i).eval(null).toString.toInt else default
+        def longArg(i: Int, default: Long): Long =
+          if (children.length > i) children(i).eval(null).toString.toLong else default
+        MinHash64(children.head, intArg(1, 3), intArg(2, 64), longArg(3, 42L))
+      }))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table plumbing — the storage layout that removes the
+  * fact-to-fact shuffle at warehouse scale.
+  *
+  * At 100 TB the orders⋈lineitem (or staging⋈target MERGE) shuffle is
+  * the dominant cost of every run. Writing both sides bucketed by the
+  * join key means Spark's scan reports a compatible output partitioning
+  * and the sort-merge join runs with NO Exchange on either side — the
+  * same run co-locates, every future run benefits. This module wraps
+  * the `DataFrameWriter.bucketBy` path (bucketed tables require
+  * `saveAsTable` + a session catalog; plain parquet paths can't carry
+  * bucket metadata).
+  */
+object Warehouse {
+
+  /** Write `df` as a bucketed, sorted managed table (overwrite). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** True iff the executed plan of `df` contains no shuffle exchange —
+    * the property bucketing buys. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    df.queryExecution.executedPlan.toString() // force planning
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  }
+}

@@ -75,4 +75,15 @@ object EventStream {
   /** Flush any open sessions (used by specs after the final batch). */
   def drainOpenSessions(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] =
     sessionize(events, gapSec)
+
+  /** Streaming exact dedup (the streaming twin of `Dedup.exact` /
+    * MERGE-dedup): drop events whose `event_id` was already seen, with
+    * the watermark bounding how long ids are kept in state — at 100 TB
+    * ingest, unbounded dedup state is the thing that kills a stream, so
+    * the watermark IS the retention policy.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
 }

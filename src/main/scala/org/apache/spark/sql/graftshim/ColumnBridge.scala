@@ -15,4 +15,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column   = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Install graft's SQL functions on an ALREADY-RUNNING session (the
+    * `withExtensions`/`spark.sql.extensions` path only applies at
+    * session build time). */
+  def installExtensions(spark: org.apache.spark.sql.SparkSession,
+                        ext: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val extensions = new org.apache.spark.sql.SparkSessionExtensions
+    ext(extensions)
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    extensions.registerFunctions(registry)
+  }
 }

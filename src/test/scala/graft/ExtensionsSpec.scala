@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.GraftExtensions
+import graft.sources.{Tables, Warehouse}
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft SQL functions resolve after installing GraftExtensions") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      """SELECT simhash64(array('a','b','c')) AS sh,
+                cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+                minhash64(array('x','y','z'), 1, 4) AS mh""").collect()(0)
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+  }
+
+  test("SQL simhash64 equals the Column-API simhash64") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val df = Seq("the quick brown fox").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val viaSql = df.selectExpr("simhash64(toks) AS s").collect()(0).getLong(0)
+    val viaCol = df.select(graft.plans.SimHash64.simhash64(col("toks")).as("s"))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+}
+
+class WarehouseSpec extends SparkSpec {
+
+  test("bucketed fact tables join with zero shuffle exchanges") {
+    // warehouse dir is a static conf — the shared session's default
+    // (./spark-warehouse, gitignored) is fine for the managed tables.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Warehouse.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+      Warehouse.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", 4)
+      val joined = Warehouse.readTable(spark, "orders_b")
+        .join(Warehouse.readTable(spark, "lineitem_b"), "o_orderkey")
+      assert(Warehouse.isShuffleFree(joined),
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
+
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import graft.streaming.EventStream
+    val ev = Tables.events(spark, sf).limit(200)
+    val doubled = ev.unionByName(ev) // replay every event once
+    val dir = s"/tmp/graft_dedup_${System.nanoTime()}"
+    doubled.write.mode("overwrite").parquet(dir)
+    val streaming = spark.readStream.schema(doubled.schema).parquet(dir)
+    val qname = s"dedup_${System.nanoTime()}"
+    val q = EventStream.dedupStream(streaming).writeStream
+      .outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table(qname).count() == ev.count(),
+      "each replayed event_id must survive exactly once")
+  }
+}
