@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.JsonFunctions
-import graft.operators.{MergeUpsert, Watermark, GraphOps}
+import graft.operators.{AsOfJoin, GraphOps, MergeUpsert, Watermark}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -460,4 +460,36 @@ object Queries {
          SELECT t.* FROM target t WHERE NOT EXISTS
            (SELECT 1 FROM staged s WHERE s.o_orderkey = t.o_orderkey))
        ORDER BY o_orderkey"""
+
+  // q34: as-of (point-in-time) join — enrich each event with the
+  // customer's latest order at event time. Spark lacks ASOF JOIN; the
+  // graft.operators.AsOfJoin composition does it in one shuffle, and
+  // DuckDB's native ASOF JOIN is the oracle. The right side is reduced
+  // to one row per (key, ts) first so tie-breaking is deterministic in
+  // both engines.
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val rWin = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val o = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(rWin)).filter(col("__rn") === 1).drop("__rn")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    AsOfJoin.asOf(e, o, Seq("user_id"), leftTs = "ts", rightTs = "o_orderdate")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("o_orderkey"), dstr(col("o_orderdate")).as("order_date"),
+        cents(col("o_totalprice")).as("total_c"))
+      .orderBy("event_id")
+  }
+
+  val q34Sql: String =
+    """WITH r AS (SELECT * FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+       SELECT e.event_id, e.user_id,
+         CAST(floor(extract(epoch FROM e.ts)) AS BIGINT) AS ts_sec,
+         r.o_orderkey, strftime(r.o_orderdate, '%Y-%m-%d') AS order_date,
+         CAST(round(r.o_totalprice*100) AS BIGINT) AS total_c
+       FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+       ORDER BY e.event_id"""
 }

@@ -47,6 +47,7 @@ object SparkEntry {
     "q31_sessionize"           -> (LlmQueries.q31 _),
     "q32_stream_window_agg"    -> (LlmQueries.q32 _),
     "q33_merge_upsert"         -> (Queries.q33 _),
+    "q34_asof_join"            -> (Queries.q34 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,5 +79,6 @@ object SparkEntry {
     "q31_sessionize"           -> LlmQueries.q31Sql,
     "q32_stream_window_agg"    -> LlmQueries.q32Sql,
     "q33_merge_upsert"         -> Queries.q33Sql,
+    "q34_asof_join"            -> Queries.q34Sql,
   )
 }

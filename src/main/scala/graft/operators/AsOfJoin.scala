@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for every left row, attach the latest
+  * right row whose timestamp is <= the left timestamp, per key — the
+  * "enrich events with the dimension state that was current at event
+  * time" operator every temporal ETL needs.
+  *
+  * Spark has no ASOF JOIN operator, but the semantics ARE expressible
+  * with built-ins in ONE shuffle (so per the custom-operator preference
+  * order this composes rather than adding a SparkPlan): tag and union
+  * both sides, sort within each key by (ts, side), and carry the last
+  * non-null right payload forward with a running `last(ignoreNulls)`
+  * window. Compared to the naive inequality-join + argmax (a near
+  * cartesian per key at 100 TB), this is a single hash-partition by key
+  * + per-partition sort — the same cost as one sort-merge join.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (keeps every row for "left" join type)
+    * @param right     reference side; pre-deduplicate ties on
+    *                  (key, rightTs) upstream for deterministic output
+    * @param keys      equi-join key column names (present both sides)
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param joinType  "inner" (drop unmatched) or "left"
+    * @return left columns + right columns (right null when unmatched)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"unsupported: $joinType")
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+
+    val lPayload = left.select(leftCols.map(col): _*).schema
+    val rPayload = right.select(rightCols.map(col): _*).schema
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rPayload).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lPayload).as("__l"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+
+    // right rows sort before left rows at equal ts => ts equality matches
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val probes = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched =
+      if (joinType == "inner") probes.filter(col("__match").isNotNull) else probes
+
+    // right payload columns colliding with left names get a _right
+    // suffix (mirrors pandas merge_asof's suffix behavior)
+    matched.select(
+      keys.map(col) ++
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map { c =>
+          val name = if (leftCols.contains(c)) s"${c}_right" else c
+          col(s"__match.$c").as(name)
+        }: _*)
+  }
+}

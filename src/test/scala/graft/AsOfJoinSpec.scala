@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 15L, "t3")
+  ).toDF("sym", "ts", "trade")
+  private val quotes = Seq(
+    ("A", 8L, 100.0), ("A", 10L, 101.0), ("A", 18L, 102.0), ("C", 1L, 9.0)
+  ).toDF("sym", "ts", "px")
+
+  test("inner as-of picks the latest right row at or before each left ts") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts")
+      .orderBy("sym", "ts")
+      .select("sym", "trade", "px").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // t0 (ts=5) has no quote <= 5 -> dropped; t1 (ts=10) matches the
+    // ts=10 quote (equality counts); t2 (ts=20) matches ts=18; B has no
+    // quotes at all -> dropped.
+    assert(got == Seq(("A", "t1", 101.0), ("A", "t2", 102.0)))
+  }
+
+  test("left as-of keeps unmatched probes with null right payload") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts", joinType = "left")
+      .orderBy("sym", "ts")
+      .select("sym", "trade", "px").collect()
+    assert(got.length == 4)
+    assert(got.count(_.isNullAt(2)) == 2) // t0 and B's t3
+  }
+
+  test("as-of plan shuffles exactly once (union+window, no inequality join)") {
+    val df = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts")
+    df.collect()
+    // count only the final AQE plan, not the echoed initial plan
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$plan")
+  }
+}
