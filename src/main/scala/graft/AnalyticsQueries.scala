@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OLAP-analytics surface: pivot, rollup, lateral explode, exact
+  * quantiles — operators an engine "users could switch to" expects even
+  * though the reference's ETL never needed them. Same oracle-parity
+  * conventions as Queries (SURVEY §6).
+  */
+object AnalyticsQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  // q35: pivot — event_type counts per user cohort. Values are listed
+  // explicitly: an unlisted pivot triggers a driver-side distinct scan,
+  // which at 100 TB is a full extra pass over the fact table.
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy("cohort")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy("cohort")
+
+  val q35Sql: String = {
+    val cases = EventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"").mkString(",\n         ")
+    s"""SELECT user_id % 10 AS cohort,
+         $cases
+       FROM events GROUP BY 1 ORDER BY cohort"""
+  }
+
+  // q36: rollup — (year, status) with subtotals and a grand total;
+  // subtotal grouping keys rendered as 'ALL' so the null convention is
+  // engine-independent in the compare.
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).as("y"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+      .select(
+        coalesce(col("y").cast(StringType), lit("ALL")).as("y"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n"), col("total_c"))
+      .orderBy("y", "o_orderstatus")
+
+  val q36Sql: String =
+    """SELECT coalesce(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS VARCHAR), 'ALL') AS y,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders
+       GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), o_orderstatus)
+       ORDER BY y, o_orderstatus"""
+
+  // q37: lateral explode + top-n — global token frequencies. The
+  // explode is map-side; only (token, partial count) pairs shuffle.
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(25)
+
+  val q37Sql: String =
+    """SELECT token, count(*) AS n FROM (
+         SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+         FROM documents)
+       GROUP BY token ORDER BY n DESC, token ASC LIMIT 25"""
+
+  // q38: exact discrete quantiles per group (SQL-standard
+  // percentile_disc: first value with cume_dist >= p — identical
+  // selection rule in both engines, so exact integer cents match).
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("total_c", cents(col("o_totalprice")))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY total_c)").cast(LongType).as("p50_c"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY total_c)").cast(LongType).as("p90_c"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderpriority,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p50_c,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p90_c,
+       count(*) AS n
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+}

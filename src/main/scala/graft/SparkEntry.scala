@@ -48,6 +48,10 @@ object SparkEntry {
     "q32_stream_window_agg"    -> (LlmQueries.q32 _),
     "q33_merge_upsert"         -> (Queries.q33 _),
     "q34_asof_join"            -> (Queries.q34 _),
+    "q35_pivot"                -> (AnalyticsQueries.q35 _),
+    "q36_rollup"               -> (AnalyticsQueries.q36 _),
+    "q37_explode_topn"         -> (AnalyticsQueries.q37 _),
+    "q38_quantiles"            -> (AnalyticsQueries.q38 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -80,5 +84,9 @@ object SparkEntry {
     "q32_stream_window_agg"    -> LlmQueries.q32Sql,
     "q33_merge_upsert"         -> Queries.q33Sql,
     "q34_asof_join"            -> Queries.q34Sql,
+    "q35_pivot"                -> AnalyticsQueries.q35Sql,
+    "q36_rollup"               -> AnalyticsQueries.q36Sql,
+    "q37_explode_topn"         -> AnalyticsQueries.q37Sql,
+    "q38_quantiles"            -> AnalyticsQueries.q38Sql,
   )
 }
