@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's end-to-end run loop (`phabricator_etl/stats.py:1094
+  * process()`) as one distributed pipeline:
+  *
+  *   1. read the current target and derive the watermark =
+  *      MAX(date_modified) (`get_last_run_timestamp`, stats.py:757)
+  *   2. extract only source rows newer than the watermark
+  *      (`get_time_queries`, stats.py:828)
+  *   3. transform: one denormalized fact row per entity (`get_revision`
+  *      et al. — but set-based, not per-row queries)
+  *   4. MERGE into the target keep-latest by key
+  *      (`merge_staging_tables`, stats.py:969)
+  *   5. write the new target snapshot
+  *
+  * The reference loops revision-by-revision with ~6 SQL queries per row
+  * and merges per calendar month; here each run is a constant number of
+  * joins/windows regardless of row count, and an incremental run's scan
+  * is bounded by the watermark predicate (partition-pruned on a
+  * date-partitioned 100 TB table).
+  */
+object EtlPipeline {
+
+  /** The denormalized order fact (a compact q19): one row per order
+    * with customer/nation enrichment and lineitem rollups. */
+  def transform(spark: SparkSession, sourceDir: String): DataFrame = {
+    val o = Tables.orders(spark, sourceDir)
+    val c = Tables.customer(spark, sourceDir)
+    val n = broadcast(Tables.nation(spark, sourceDir))
+    val lineAgg = Tables.lineitem(spark, sourceDir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("gross_c"),
+        max(col("l_shipdate")).as("last_ship"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(lineAgg, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderdate").as("date_modified"),
+        col("o_orderstatus"), col("c_name"), col("n_name"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("gross_c"), lit(0L)).as("gross_c"),
+        col("last_ship"))
+  }
+
+  /** One incremental run against a parquet target snapshot. Returns the
+    * number of rows in the new snapshot. `full = true` reprocesses
+    * everything (the reference's `--full` flag). */
+  def run(spark: SparkSession, sourceDir: String, targetPath: String,
+          full: Boolean = false): Long = {
+    val existing: Option[DataFrame] =
+      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
+
+    val facts = transform(spark, sourceDir)
+    val fresh = existing match {
+      case Some(t) if !full => Watermark.newerThanSnapshot(facts, t, "date_modified")
+      case _                => facts
+    }
+
+    val merged = existing match {
+      case Some(t) => MergeUpsert.merge(t, fresh, Seq("o_orderkey"), "date_modified")
+      case None    => MergeUpsert.dedupLatest(fresh, Seq("o_orderkey"), "date_modified")
+    }
+
+    // Write via a staging path + atomic-ish swap (the staging-table
+    // discipline of stats.py:801/942 — never clobber the live target
+    // with a half-written result).
+    val staging = targetPath + "_staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val out = spark.read.parquet(staging)
+    out.write.mode(SaveMode.Overwrite).parquet(targetPath)
+    spark.read.parquet(targetPath).count()
+  }
+}

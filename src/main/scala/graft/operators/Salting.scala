@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: salt the skewed (left) side's key
+  * into `saltFactor` sub-keys and explode the build (right) side across
+  * all salts, so a hot key's rows spread over `saltFactor` reducers
+  * instead of serializing on one.
+  *
+  * AQE's skew-join handling (spark.sql.adaptive.skewJoin) covers most
+  * cases at runtime; explicit salting remains the tool when the skew is
+  * known and extreme (one key = 10% of 100 TB), when the join is not an
+  * AQE-supported shape, or when deterministic partitioning is needed.
+  * The salt must be a deterministic function of the row (here: a hash of
+  * all left columns), never `rand()` — retries/speculative tasks must
+  * produce the same salt or results silently diverge.
+  */
+object Salting {
+
+  /** Inner equi-join `left ⋈ right` on `key`, salted `saltFactor` ways.
+    * Right side is replicated saltFactor× — use for dimension-vs-skewed-
+    * fact shapes where the right side is the smaller one.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    // deterministic salt from the whole left row (NOT rand(): task
+    // retries must re-derive identical salts)
+    val saltCol = pmod(hash(left.columns.map(col): _*), lit(saltFactor))
+    val l = left.withColumn("__salt", saltCol)
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Salting
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SaltingSpec extends SparkSpec {
+
+  test("salted join returns exactly the rows of the plain join") {
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val r = Tables.part(spark, sf).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain  = l.join(r, "l_partkey")
+    val salted = Salting.saltedJoin(l, r, "l_partkey", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads a hot key across multiple partitions' sub-keys") {
+    import spark.implicits._
+    // one pathological key with 1000 rows
+    val hot = (1 to 1000).map(i => (42L, s"row$i")).toDF("k", "payload")
+    val dim = Seq((42L, "dim")).toDF("k", "dimv")
+    val salted = Salting.saltedJoin(hot, dim, "k", saltFactor = 8)
+    assert(salted.count() == 1000)
+    // distinct salts actually used by the hot key
+    val salts = hot.select(pmod(hash(col("k"), col("payload")), lit(8)).as("s"))
+      .distinct().count()
+    assert(salts > 4, s"hot key only spread across $salts sub-keys")
+  }
+}
