@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.JsonFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deep JSON-semantics queries mirroring the reference's edge-snapshot
+  * and reviewer-map machinery end-to-end — the parts of
+  * `get_project_transactions` / `convert_json_to_string_list`
+  * (`stats.py:626-754`) that go beyond scalar extraction: snapshot
+  * diffing and id→name resolution with unresolved-skip.
+  */
+object JsonQueries {
+
+  // q39: membership-diff over JSON snapshots (reference:
+  // parse_edge_member_phids old/new diff, stats.py:653-656). The daily
+  // event-type set per user plays the member-PHID snapshot: it is
+  // serialized to a JSON object keyed by member (to_json), re-parsed
+  // with the reference's dict-or-list semantics (edgeMemberPhids), and
+  // diffed against the previous day — added = new-old, removed =
+  // old-new. The oracle computes the same diff set-theoretically, so
+  // the JSON round-trip itself is what's under test.
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val types = sort_array(collect_set(col("event_type")))
+    val snapshot = to_json(map_from_arrays(types, transform(types, _ => lit("1"))))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(snapshot.as("snap"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val withPrev = daily.withColumn("prev_snap", lag(col("snap"), 1).over(w))
+    val cur  = JsonFunctions.edgeMemberPhids(col("snap"))
+    val prev = JsonFunctions.edgeMemberPhids(col("prev_snap"))
+    withPrev.select(
+      col("user_id"), col("day"),
+      array_join(array_sort(array_except(cur, prev)), ",").as("added"),
+      array_join(array_sort(array_except(prev, cur)), ",").as("removed"))
+      .orderBy("user_id", "day")
+  }
+
+  val q39Sql: String =
+    """WITH s AS (
+         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                list_sort(list(DISTINCT event_type)) AS cur
+         FROM events GROUP BY 1, 2
+       ), w AS (
+         SELECT user_id, day, cur,
+                lag(cur) OVER (PARTITION BY user_id ORDER BY day) AS prev
+         FROM s)
+       SELECT user_id, day,
+         coalesce(array_to_string(list_sort(list_filter(cur,
+           x -> prev IS NULL OR NOT list_contains(prev, x))), ','), '') AS added,
+         CASE WHEN prev IS NULL THEN ''
+              ELSE coalesce(array_to_string(list_sort(list_filter(prev,
+                x -> NOT list_contains(cur, x))), ','), '') END AS removed
+       FROM w ORDER BY user_id, day"""
+
+  // q40: reviewer-map resolution (reference: convert_json_to_string_list,
+  // stats.py:717 — JSON {id: status} map -> resolved display names,
+  // unresolved ids silently skipped). A synthetic reviewer map is built
+  // from the event payload, serialized to JSON, parsed back (map_keys),
+  // and resolved against the customer dimension; ids outside the dim
+  // drop out, exactly like PHIDs with no user row.
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val reviewerJson = to_json(map_from_arrays(
+      array(concat(lit("U"), k + 1), concat(lit("U"), k + 101)),
+      array(lit("added"), lit("removed"))))
+    val exploded = Tables.events(spark, dir)
+      .select(col("event_id"), reviewerJson.as("reviewers"))
+      .select(col("event_id"),
+        explode(map_keys(from_json(col("reviewers"), MapType(StringType, StringType)))).as("phid"))
+      .select(col("event_id"), substring(col("phid"), 2, 20).cast(LongType).as("uid"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("uid"), col("c_name"))
+    exploded.join(broadcast(c), Seq("uid"), "left")
+      .groupBy("event_id")
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("reviewer_names"))
+      .orderBy("event_id")
+  }
+
+  val q40Sql: String =
+    """WITH x AS (
+         SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         FROM events
+       ), u AS (
+         SELECT event_id, unnest([k + 1, k + 101]) AS uid FROM x
+       ), j AS (
+         SELECT u.event_id, c.c_name FROM u LEFT JOIN customer c ON c.c_custkey = u.uid)
+       SELECT event_id,
+         coalesce(string_agg(c_name, ',' ORDER BY c_name) FILTER (c_name IS NOT NULL), '') AS reviewer_names
+       FROM j GROUP BY event_id ORDER BY event_id"""
+}

@@ -279,6 +279,34 @@ object Queries {
       .orderBy("node")
   }
 
+  /** DuckDB oracle for q13: min-label components via a recursive
+    * transitive closure (feasible because the thresholded graph's
+    * components are small; the Spark side never materializes the
+    * closure — it converges via label propagation). */
+  val q13Sql: String =
+    """WITH RECURSIVE e AS (
+         SELECT DISTINCT l_orderkey*2 AS a, l_partkey*2+1 AS b FROM lineitem WHERE l_quantity >= 48
+       ), ee AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ), reach(n, m) AS (
+         SELECT a, b FROM ee
+         UNION
+         SELECT r.n, ee.b FROM reach r JOIN ee ON r.m = ee.a
+       ), comp AS (
+         SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+       ), sizes AS (
+         SELECT component, count(*) AS component_size FROM comp GROUP BY component
+       )
+       SELECT
+         CASE WHEN comp.node % 2 = 0 THEN 'O' || CAST(comp.node // 2 AS VARCHAR)
+              ELSE 'P' || CAST((comp.node - 1) // 2 AS VARCHAR) END AS node,
+         CASE WHEN comp.component % 2 = 0 THEN 'O' || CAST(comp.component // 2 AS VARCHAR)
+              ELSE 'P' || CAST((comp.component - 1) // 2 AS VARCHAR) END AS component,
+         sizes.component_size
+       FROM comp JOIN sizes USING (component)
+       ORDER BY node"""
+
   // q14: calendar bucketing (reference: revision_year_month,
   // stats.py:876 — the per-month staging/merge loop).
   def q14(spark: SparkSession, dir: String): DataFrame =

@@ -52,6 +52,8 @@ object SparkEntry {
     "q36_rollup"               -> (AnalyticsQueries.q36 _),
     "q37_explode_topn"         -> (AnalyticsQueries.q37 _),
     "q38_quantiles"            -> (AnalyticsQueries.q38 _),
+    "q39_membership_diff"      -> (JsonQueries.q39 _),
+    "q40_reviewer_resolution"  -> (JsonQueries.q40 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +90,8 @@ object SparkEntry {
     "q36_rollup"               -> AnalyticsQueries.q36Sql,
     "q37_explode_topn"         -> AnalyticsQueries.q37Sql,
     "q38_quantiles"            -> AnalyticsQueries.q38Sql,
+    "q13_graph_components"     -> Queries.q13Sql,
+    "q39_membership_diff"      -> JsonQueries.q39Sql,
+    "q40_reviewer_resolution"  -> JsonQueries.q40Sql,
   )
 }
