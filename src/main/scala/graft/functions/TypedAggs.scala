@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator`s for the `Dataset[T]` API — the compile-time-safe
+  * counterpart of the Column aggregates used elsewhere. Aggregators run
+  * as Catalyst `TypedImperativeAggregate`s with map-side partial
+  * aggregation (merge is associative), so they scale like any built-in
+  * agg: partial buffers combine per partition before the shuffle.
+  */
+object TypedAggs {
+
+  /** argmax-by-timestamp: the typed `get_last_review_id` /
+    * `dedupLatest` kernel — keeps the whole row with the largest
+    * (ts, tiebreak) pair. Buffer/output ride a Kryo encoder because the
+    * intermediate is an `Option[T]`; the hot compare itself is two
+    * long comparisons. */
+  class LatestBy[T](ts: T => Long, tiebreak: T => Long)
+      extends Aggregator[T, Option[T], Option[T]] with Serializable {
+    override def zero: Option[T] = None
+    override def reduce(acc: Option[T], row: T): Option[T] = pick(acc, Some(row))
+    override def merge(a: Option[T], b: Option[T]): Option[T] = pick(a, b)
+    override def finish(r: Option[T]): Option[T] = r
+    private def pick(a: Option[T], b: Option[T]): Option[T] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        val cmp = java.lang.Long.compare(ts(x), ts(y))
+        if (cmp > 0 || (cmp == 0 && tiebreak(x) >= tiebreak(y))) a else b
+      case (None, y) => y
+      case (x, None) => x
+    }
+    override def bufferEncoder: Encoder[Option[T]] = Encoders.kryo[Option[T]]
+    override def outputEncoder: Encoder[Option[T]] = Encoders.kryo[Option[T]]
+  }
+
+  /** Exact weighted mean with a (sum, weight) buffer — numerically the
+    * left-fold double sum, deterministic per partition ordering. */
+  case class WeightedMeanBuf(sum: Double, weight: Double)
+  class WeightedMean[T](value: T => Double, weight: T => Double)
+      extends Aggregator[T, WeightedMeanBuf, Double] {
+    override def zero: WeightedMeanBuf = WeightedMeanBuf(0.0, 0.0)
+    override def reduce(b: WeightedMeanBuf, row: T): WeightedMeanBuf =
+      WeightedMeanBuf(b.sum + value(row) * weight(row), b.weight + weight(row))
+    override def merge(a: WeightedMeanBuf, b: WeightedMeanBuf): WeightedMeanBuf =
+      WeightedMeanBuf(a.sum + b.sum, a.weight + b.weight)
+    override def finish(b: WeightedMeanBuf): Double =
+      if (b.weight == 0.0) 0.0 else b.sum / b.weight
+    override def bufferEncoder: Encoder[WeightedMeanBuf] = Encoders.product[WeightedMeanBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

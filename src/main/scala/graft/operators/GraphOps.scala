@@ -39,11 +39,17 @@ object GraphOps {
     // small labels side — the adjacency exchange happens once, not per
     // round. This is the property a bucketed edge table gives at
     // warehouse scale.
+    // Modest fixed partition count for the fixpoint: the iterated
+    // frames are label tables (small relative to the input), and per-
+    // round latency is dominated by task scheduling + codegen, not
+    // data volume. At true cluster scale callers raise this via
+    // spark.sql.shuffle.partitions on a dedicated session.
+    val iterParts = math.max(4, edges.sparkSession.sparkContext.defaultParallelism / 4)
     val adj = e0.select(col("src").as("u"), col("dst").as("v"))
       .union(e0.select(col("dst").as("u"), col("src").as("v")))
       .union(e0.select(col("src").as("u"), col("src").as("v")))
       .union(e0.select(col("dst").as("u"), col("dst").as("v")))
-      .repartition(col("v"))
+      .repartition(iterParts, col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Labels only ever decrease, so for numeric node ids the exact
@@ -77,14 +83,18 @@ object GraphOps {
           Seq("component"), "left")
         .select(col("node"), least(col("component"), col("jump")).as("component"))
         .localCheckpoint(eager = true)
-      if (numericIds) {
-        val s = labelSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-      } else {
-        converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-          .filter(col("component") =!= col("old"))
-          .limit(1).count() == 0
+      // check convergence on alternate rounds: one extra round in the
+      // worst case, half the convergence-check jobs
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        if (numericIds) {
+          val s = labelSum(next)
+          converged = s.compareTo(prevSum) == 0
+          prevSum = s
+        } else {
+          converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(col("component") =!= col("old"))
+            .limit(1).count() == 0
+        }
       }
       labels = next
       iter += 1

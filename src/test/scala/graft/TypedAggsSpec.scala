@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.TypedAggs
+import graft.sources.Tables
+import graft.streaming.RawEvent
+import org.apache.spark.sql.functions._
+
+class TypedAggsSpec extends SparkSpec {
+
+  test("typed LatestBy matches the window-dedup result per user") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[RawEvent]
+    val latest = new TypedAggs.LatestBy[RawEvent](_.ts.getTime, _.event_id)
+    val typed = events.groupByKey(_.user_id)
+      .agg(latest.toColumn.name("latest"))
+      .collect()
+      .map { case (uid, ev) => uid -> ev.get.event_id }.toMap
+
+    val viaWindow = graft.operators.MergeUpsert
+      .dedupLatest(Tables.events(spark, sf), Seq("user_id"), "ts", Seq("event_id"))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(typed == viaWindow)
+  }
+
+  test("typed WeightedMean computes the exact value-weighted mean") {
+    import spark.implicits._
+    val rows = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w").as[(Double, Double)]
+    val wm = new TypedAggs.WeightedMean[(Double, Double)](_._1, _._2)
+    val got = rows.groupByKey(_ => 1).agg(wm.toColumn).collect()(0)._2
+    assert(got == (10.0 * 1 + 20.0 * 3) / 4.0)
+  }
+}
