@@ -95,4 +95,53 @@ object AnalyticsQueries {
        CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS p90_c,
        count(*) AS n
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // q41: the full ranking-window family in one pass — rank, dense_rank,
+  // ntile, cume_dist (exact integer ratio), lag/lead. One shuffle on
+  // the partition key serves all six functions.
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("total_c", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("tile"),
+        cume_dist().over(w).as("cdist"),
+        lag(col("total_c"), 1).over(w).as("prev_c"),
+        lead(col("total_c"), 1).over(w).as("next_c"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q41Sql: String =
+    """SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS tile,
+       cume_dist() OVER w AS cdist,
+       lag(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER w AS prev_c,
+       lead(CAST(round(o_totalprice*100) AS BIGINT), 1) OVER w AS next_c
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+       ORDER BY o_custkey, o_orderkey"""
+
+  // q42: set operations — customers active in 1995 AND 1996 but NOT
+  // 1997 (INTERSECT/EXCEPT distinct semantics both engines).
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def active(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    active(1995).intersect(active(1996)).except(active(1997))
+      .orderBy("o_custkey")
+  }
+
+  val q42Sql: String =
+    """SELECT o_custkey FROM (
+         SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+       ORDER BY o_custkey"""
 }

@@ -54,6 +54,8 @@ object SparkEntry {
     "q38_quantiles"            -> (AnalyticsQueries.q38 _),
     "q39_membership_diff"      -> (JsonQueries.q39 _),
     "q40_reviewer_resolution"  -> (JsonQueries.q40 _),
+    "q41_window_suite"         -> (AnalyticsQueries.q41 _),
+    "q42_set_ops"              -> (AnalyticsQueries.q42 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -93,5 +95,7 @@ object SparkEntry {
     "q13_graph_components"     -> Queries.q13Sql,
     "q39_membership_diff"      -> JsonQueries.q39Sql,
     "q40_reviewer_resolution"  -> JsonQueries.q40Sql,
+    "q41_window_suite"         -> AnalyticsQueries.q41Sql,
+    "q42_set_ops"              -> AnalyticsQueries.q42Sql,
   )
 }
