@@ -68,18 +68,29 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var prevSum = if (numericIds) labelSum(labels) else null
 
+    // The label table (one row per node) is broadcastable far beyond
+    // the point where the edge table no longer is; broadcasting it
+    // turns each round into map-side joins + ONE groupBy shuffle.
+    // Above the threshold the same plan runs as shuffle joins.
+    val broadcastable = labels.count() <= 2000000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
+
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // 1-hop: node takes min(label of every neighbor incl. itself)
       val hop = adj
-        .join(labels.withColumnRenamed("node", "v"), "v")
+        .join(maybeBroadcast(labels.withColumnRenamed("node", "v")), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("component")).as("component"))
-      // pointer doubling: follow the label's label, so label information
-      // travels 2^k hops after k rounds -> O(log n) rounds, not O(diameter)
+      // pointer jump: follow the new label through the PREVIOUS round's
+      // (already materialized) label table — label information travels
+      // multiple hops per round without re-evaluating `hop` for the
+      // build side, so each round stays two map-side joins + one shuffle
       val next = hop.as("x")
-        .join(hop.select(col("node").as("component"), col("component").as("jump")),
+        .join(maybeBroadcast(
+            labels.select(col("node").as("component"), col("component").as("jump"))),
           Seq("component"), "left")
         .select(col("node"), least(col("component"), col("jump")).as("component"))
         .localCheckpoint(eager = true)

@@ -58,10 +58,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val floatVecs = corpus.schema(vecCol).dataType == ArrayType(FloatType, containsNull = true) ||
+      corpus.schema(vecCol).dataType == ArrayType(FloatType, containsNull = false)
+    def sigOf(vec: Column, tableSeed: Long): Column =
+      if (floatVecs) graft.plans.LshSignF32.lshSignF32(vec, dim, bits, tableSeed)
+      else lshSignature(vec, dim, bits, tableSeed)
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val sigs = (0 until tables).map { t =>
         struct(lit(t).as("table"),
-          lshSignature(col(vec), dim, bits, seed + t).as("bucket"))
+          sigOf(col(vec), seed + t).as("bucket"))
       }
       df.select(col(id), col(vec), explode(array(sigs: _*)).as("sig"))
         .select(col(id), col(vec), col("sig.table"), col("sig.bucket"))

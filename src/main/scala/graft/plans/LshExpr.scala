@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.functions.LshPlanes
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static random-hyperplane LSH kernel.
+  *
+  * Same plane family as `graft.functions.VectorFunctions.lshSignature`
+  * (deterministic LCG, seed-addressed), flattened into one primitive
+  * double[] so the per-row work is `bits` dot products over a
+  * contiguous array — the HOF formulation dispatches an interpreted
+  * lambda per element per plane (dim × bits evals/row), which dominated
+  * the ANN bucket-build profile.
+  */
+object LshKernel {
+  // (dim, bits, seed) -> flattened planes [bit * dim + i]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  def planesFor(dim: Int, bits: Int, seed: Long): Array[Double] =
+    cache.computeIfAbsent((dim, bits, seed), { case (d, b, s) =>
+      LshPlanes.planes(d, b, s).flatten.toArray
+    })
+
+  def signF32(vec: ArrayData, dim: Int, bits: Int, seed: Long): Long = {
+    val planes = planesFor(dim, bits, seed)
+    val n = math.min(vec.numElements(), dim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      val off = b * dim
+      var i = 0
+      while (i < n) {
+        dot += vec.getFloat(i).toDouble * planes(off + i)
+        i += 1
+      }
+      if (dot >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Native `lsh_sign_f32(array<float>) -> long` with (dim, bits, seed)
+  * baked in; codegen emits a static call. */
+case class LshSignF32(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"lsh_sign_f32 requires array<float>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    LshKernel.signF32(input.asInstanceOf[ArrayData], dim, bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LshKernel.signF32($c, $dim, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignF32 =
+    copy(child = newChild)
+}
+
+object LshSignF32 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  def lshSignF32(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    ColumnBridge.column(LshSignF32(ColumnBridge.expression(vec), dim, bits, seed))
+}
