@@ -144,4 +144,22 @@ object AnalyticsQueries {
          EXCEPT
          SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
        ORDER BY o_custkey"""
+
+  // q43: the custom TopKPerKey operator (LogicalPlan + SparkStrategy +
+  // partial/final SparkPlan, graft.plans.TopKPerKey) — bounded heaps
+  // instead of a full per-partition sort, ≤k rows per key per map
+  // partition cross the shuffle. Oracle = the window formulation.
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).withColumn("total_c", cents(col("o_totalprice")))
+    graft.plans.TopKPerKey.perKey(o, Seq("o_custkey"), "total_c", "o_orderkey", k = 3)
+      .select("o_custkey", "o_orderkey", "total_c")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q43Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+       FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_custkey
+         ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC) <= 3
+       ORDER BY o_custkey, o_orderkey"""
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "q40_reviewer_resolution"  -> (JsonQueries.q40 _),
     "q41_window_suite"         -> (AnalyticsQueries.q41 _),
     "q42_set_ops"              -> (AnalyticsQueries.q42 _),
+    "q43_topk_custom_op"       -> (AnalyticsQueries.q43 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,5 +98,6 @@ object SparkEntry {
     "q40_reviewer_resolution"  -> JsonQueries.q40Sql,
     "q41_window_suite"         -> AnalyticsQueries.q41Sql,
     "q42_set_ops"              -> AnalyticsQueries.q42Sql,
+    "q43_topk_custom_op"       -> AnalyticsQueries.q43Sql,
   )
 }

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+import scala.collection.mutable
+
+/** Whole-operator Catalyst extension: top-k rows per key by a numeric
+  * sort key — the operator behind "latest/top N per entity" queries.
+  *
+  * Why a custom operator instead of `row_number().over(window) <= k`:
+  * the window plan SORTS every partition's full contents
+  * (O(n log n) per key group) and shuffles every input row. This
+  * operator keeps a bounded heap per key (O(n log k)), runs a PARTIAL
+  * pass before the exchange (each map partition ships at most k rows
+  * per key, like a partial aggregation), and never materializes a
+  * global sort. At 100 TB with small k the shuffle shrinks by orders
+  * of magnitude — the same reason Spark has partial aggregates.
+  *
+  * Semantics: rows ranked by (orderKey DESC, tieKey ASC); both must be
+  * LongType (cast upstream — exact integer ordering, no float ties).
+  * Output = input rows that rank <= k within their key group, order
+  * unspecified (compose with orderBy downstream if needed).
+  */
+case class TopKPerKeyPlan(keys: Seq[Expression], orderKey: Expression,
+                          tieKey: Expression, k: Int,
+                          child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], orderKey: Expression,
+                          tieKey: Expression, k: Int, partial: Boolean,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ordExpr = orderKey
+    val tieExpr = tieKey
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions ({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordProj = UnsafeProjection.create(Seq(ordExpr, tieExpr), childOutput)
+      // heap head = WORST retained row -> O(1) eviction test
+      val worstFirst: Ordering[(Long, Long, UnsafeRow)] = new Ordering[(Long, Long, UnsafeRow)] {
+        override def compare(a: (Long, Long, UnsafeRow), b: (Long, Long, UnsafeRow)): Int = {
+          // "greater" = worse = smaller orderKey, then larger tieKey
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+      rows.foreach { row =>
+        val ord = ordProj(row)
+        val v = ord.getLong(0)
+        val t = ord.getLong(1)
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty(worstFirst))
+        if (heap.size < limit) {
+          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val (wv, wt, _) = heap.head
+          // candidate better than current worst? (bigger v, or equal v + smaller tie)
+          if (v > wv || (v == wv && t < wt)) {
+            heap.dequeue()
+            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: partial top-k before the exchange, exact top-k
+  * after it — the partial-aggregate shape. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, ord, tie, k, child) =>
+      val c = planLater(child)
+      TopKPerKeyExec(keys, ord, tie, k, partial = false,
+        TopKPerKeyExec(keys, ord, tie, k, partial = true, c)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  /** Top-k rows per key. `orderCol` DESC with `tieCol` ASC tiebreak;
+    * both are cast to LongType (exact ordering). Columns are given by
+    * name and resolved by the analyzer against the child plan — raw
+    * `UnresolvedAttribute`s resolve inside custom nodes, whereas opaque
+    * Column-API node wrappers do not.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+             tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ColumnBridge.installStrategy(spark, TopKStrategy)
+    val plan = TopKPerKeyPlan(
+      keyCols.map(UnresolvedAttribute(_)),
+      Cast(UnresolvedAttribute(orderCol), LongType),
+      Cast(UnresolvedAttribute(tieCol), LongType),
+      k,
+      ColumnBridge.logicalPlan(df))
+    ColumnBridge.ofRows(spark, plan)
+  }
+}

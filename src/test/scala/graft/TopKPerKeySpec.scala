@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.TopKPerKey
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom top-k operator matches the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf)
+      .withColumn("total_c", round(col("o_totalprice") * 100).cast("long"))
+    val viaOp = TopKPerKey.perKey(o, Seq("o_custkey"), "total_c", "o_orderkey", k = 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("total_c").desc, col("o_orderkey").asc)
+    val viaWindow = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOp == viaWindow)
+  }
+
+  test("plan contains the custom exec nodes with a partial pass before the exchange") {
+    val o = Tables.orders(spark, sf)
+      .withColumn("total_c", round(col("o_totalprice") * 100).cast("long"))
+    val df = TopKPerKey.perKey(o, Seq("o_custkey"), "total_c", "o_orderkey", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      s"custom operator not planned:\n$plan")
+    val finalIdx = plan.indexOf("TopKPerKeyFinal")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("TopKPerKeyPartial")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      "expected Final above Exchange above Partial in the plan tree")
+  }
+
+  test("ties break deterministically on the tie column") {
+    import spark.implicits._
+    val df = Seq((1L, 100L, 10L), (1L, 100L, 11L), (1L, 100L, 12L), (1L, 99L, 1L))
+      .toDF("k", "v", "tie")
+    val got = TopKPerKey.perKey(df, Seq("k"), "v", "tie", 2)
+      .select("tie").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L), s"expected smallest ties to win, got $got")
+  }
+}
