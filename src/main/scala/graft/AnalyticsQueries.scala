@@ -162,4 +162,48 @@ object AnalyticsQueries {
        QUALIFY row_number() OVER (PARTITION BY o_custkey
          ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC) <= 3
        ORDER BY o_custkey, o_orderkey"""
+
+  // q44: correlated scalar subquery — orders above their customer's own
+  // average. Expressed as SQL so Catalyst's decorrelation rewrites the
+  // correlated aggregate into a join (`.explain` shows the subquery
+  // become an Aggregate ⟗ join, not a per-row loop — the reference's
+  // per-revision lookups are exactly the anti-pattern this replaces).
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q44")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+         FROM orders_q44 o
+         WHERE o_totalprice > (SELECT avg(i.o_totalprice)
+                               FROM orders_q44 i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+       FROM orders o
+       WHERE o_totalprice > (SELECT avg(i.o_totalprice)
+                             FROM orders i WHERE i.o_custkey = o.o_custkey)
+       ORDER BY o_orderkey"""
+
+  // q45: CUBE — every grouping-set combination of (status, priority).
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("total_c"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val q45Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus, o_orderpriority"""
 }

@@ -57,6 +57,8 @@ object SparkEntry {
     "q41_window_suite"         -> (AnalyticsQueries.q41 _),
     "q42_set_ops"              -> (AnalyticsQueries.q42 _),
     "q43_topk_custom_op"       -> (AnalyticsQueries.q43 _),
+    "q44_correlated_subquery"  -> (AnalyticsQueries.q44 _),
+    "q45_cube"                 -> (AnalyticsQueries.q45 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,5 +101,7 @@ object SparkEntry {
     "q41_window_suite"         -> AnalyticsQueries.q41Sql,
     "q42_set_ops"              -> AnalyticsQueries.q42Sql,
     "q43_topk_custom_op"       -> AnalyticsQueries.q43Sql,
+    "q44_correlated_subquery"  -> AnalyticsQueries.q44Sql,
+    "q45_cube"                 -> AnalyticsQueries.q45Sql,
   )
 }
