@@ -2,24 +2,36 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, NumericType}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph primitives, re-expressing the reference's
   * `get_stack_size` (`phabricator_etl/stats.py:310`) — a driver-side BFS
   * over DEPENDS_ON/DEPENDED_ON edges, one SQL query per frontier hop —
   * as a whole-graph, set-based fixpoint.
   *
-  * Algorithm: min-label propagation. Every node starts labeled with its
-  * own id; each round every node takes the min label in its closed
-  * neighborhood; fixpoint = connected components labeled by min id.
-  * One round = one shuffle-join on node id + one aggregation; rounds =
-  * graph diameter. Labels (not frontiers) move, so each round is a full
-  * set-based pass — no driver round-trips, no per-node queries. Each
-  * round's result is persisted and the previous round unpersisted to
-  * keep lineage bounded. For extreme-diameter graphs at 100 TB the
-  * upgrade path is alternating large-star/small-star (Kiveris et al.,
-  * SoCC'14, O(log²) rounds) behind the same API.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Both
+  * operations rewrite the edge set so every node points closer to the
+  * minimum id of its component:
+  *
+  *   - large-star(u): attach every strictly-larger neighbor of u to
+  *     m = min(Γ(u) ∪ {u})
+  *   - small-star(u): attach every smaller-or-equal neighbor of u, and
+  *     u itself, to m
+  *
+  * The edge set converges to one star per component rooted at the
+  * component's min id in O(log² n) rounds REGARDLESS OF DIAMETER — the
+  * property plain label propagation lacks (its round count grows with
+  * graph diameter, so a chain-shaped dependency stack at 100 TB stalls
+  * the fixpoint). Each round is two groupBy/join passes keyed on node
+  * id; edge count never exceeds the input's m + n, so per-round cost is
+  * flat. Intermediate results are `localCheckpoint`ed to truncate
+  * lineage (the standard Spark iterative-algorithm requirement).
+  *
+  * Convergence detection: a cheap per-round fingerprint
+  * (edge count + sum of xxhash64(u,v)) gates an exact set-equality
+  * confirm (`exceptAll`), so the expensive check runs once, at the
+  * fixpoint — never per round.
   */
 object GraphOps {
 
@@ -29,89 +41,97 @@ object GraphOps {
     * @return DataFrame(node, component) where component = min node id in
     *         the component (lexicographic for strings)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame =
+    connectedComponentsWithStats(edges, maxIter)._1
+
+  /** Same as [[connectedComponents]] but also returns the number of
+    * large-star+small-star rounds run until the fixpoint — the spec
+    * asserts the O(log² n) bound on a 10k-node path graph. */
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 100): (DataFrame, Int) = {
     val e0 = edges.toDF("src", "dst")
-    // closed neighborhood, undirected: u->v, v->u, v->v. No distinct():
-    // min-aggregation is duplicate-insensitive, and the dedup shuffle
-    // would cost more than the duplicates do.
-    // Pre-partitioned on `v` (the per-round join key) and persisted with
-    // that partitioning: every iteration's join then only shuffles the
-    // small labels side — the adjacency exchange happens once, not per
-    // round. This is the property a bucketed edge table gives at
-    // warehouse scale.
-    // Modest fixed partition count for the fixpoint: the iterated
-    // frames are label tables (small relative to the input), and per-
-    // round latency is dominated by task scheduling + codegen, not
-    // data volume. At true cluster scale callers raise this via
-    // spark.sql.shuffle.partitions on a dedicated session.
+    // Modest fixed partition count for the fixpoint: the iterated frames
+    // are edge tables repartitioned by node id; per-round latency here is
+    // dominated by task scheduling + codegen, not data volume. At true
+    // cluster scale callers raise spark.sql.shuffle.partitions.
     val iterParts = math.max(4, edges.sparkSession.sparkContext.defaultParallelism / 4)
-    val adj = e0.select(col("src").as("u"), col("dst").as("v"))
-      .union(e0.select(col("dst").as("u"), col("src").as("v")))
-      .union(e0.select(col("src").as("u"), col("src").as("v")))
-      .union(e0.select(col("dst").as("u"), col("dst").as("v")))
-      .repartition(iterParts, col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Labels only ever decrease, so for numeric node ids the exact
-    // decimal sum of labels is a strictly-decreasing convergence
-    // monitor — one tiny aggregate per round instead of a join.
-    val numericIds = adj.schema.fields.head.dataType.isInstanceOf[NumericType]
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
-
-    // localCheckpoint (not persist) each round: an iterative DataFrame
-    // algorithm must physically truncate lineage, or the logical plan
-    // deepens every round and analysis/caching cost compounds — the
-    // standard Spark iterative-graph pitfall.
-    var labels = adj.groupBy(col("u").as("node")).agg(min(col("v")).as("component"))
+    // Every node that appears anywhere — needed at the end because roots
+    // and isolated nodes have no outgoing edge in the converged forest.
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
       .localCheckpoint(eager = true)
-    var prevSum = if (numericIds) labelSum(labels) else null
 
-    // The label table (one row per node) is broadcastable far beyond
-    // the point where the edge table no longer is; broadcasting it
-    // turns each round into map-side joins + ONE groupBy shuffle.
-    // Above the threshold the same plan runs as shuffle joins.
-    val broadcastable = labels.count() <= 2000000L
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (broadcastable) broadcast(df) else df
+    // Canonical working set: (u, v) with u > v, self-loops dropped.
+    // Both star operations preserve this orientation invariant.
+    var e = e0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
 
+    // large-star: for each node u, every larger neighbor v attaches to
+    // m = min(Γ(u) ∪ {u}). `cur` is canonically oriented, so the
+    // "larger neighbors of u" are exactly the reversed edges; the min
+    // over the full undirected neighborhood needs both directions.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val und = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+        .repartition(iterParts, col("u"))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      cur.select(col("v").as("u"), col("u").as("v")) // (smaller u, larger neighbor v)
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m, orientation holds
+        .distinct()
+    }
+
+    // small-star: for each node u, every smaller neighbor (all of them,
+    // on the canonical orientation) and u itself attach to the min.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val grouped = cur.repartition(iterParts, col("u"))
+      val mins = grouped.groupBy("u").agg(min(col("v")).as("m"))
+      grouped.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v")) // n > m or filtered out
+        .distinct()
+    }
+
+    // Cheap change fingerprint: one tiny aggregate per round. A
+    // fingerprint match triggers the exact exceptAll confirm below, so
+    // hash collisions can delay detection by a round but never produce a
+    // false "converged".
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
+      a != null && b != null && a._1 == b._1 &&
+        ((a._2 == null && b._2 == null) || (a._2 != null && a._2.compareTo(b._2) == 0))
+
+    var prev: (Long, java.math.BigDecimal) = fingerprint(e)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0L // no non-self-loop edges at all
     while (iter < maxIter && !converged) {
-      // 1-hop: node takes min(label of every neighbor incl. itself)
-      val hop = adj
-        .join(maybeBroadcast(labels.withColumnRenamed("node", "v")), "v")
-        .groupBy(col("u").as("node"))
-        .agg(min(col("component")).as("component"))
-      // pointer jump: follow the new label through the PREVIOUS round's
-      // (already materialized) label table — label information travels
-      // multiple hops per round without re-evaluating `hop` for the
-      // build side, so each round stays two map-side joins + one shuffle
-      val next = hop.as("x")
-        .join(maybeBroadcast(
-            labels.select(col("node").as("component"), col("component").as("jump"))),
-          Seq("component"), "left")
-        .select(col("node"), least(col("component"), col("jump")).as("component"))
-        .localCheckpoint(eager = true)
-      // check convergence on alternate rounds: one extra round in the
-      // worst case, half the convergence-check jobs
-      if (iter % 2 == 1 || iter == maxIter - 1) {
-        if (numericIds) {
-          val s = labelSum(next)
-          converged = s.compareTo(prevSum) == 0
-          prevSum = s
-        } else {
-          converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(col("component") =!= col("old"))
-            .limit(1).count() == 0
-        }
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val fp = fingerprint(next)
+      if (same(fp, prev)) {
+        // equal distinct counts + one-sided emptiness => equal sets
+        converged = next.exceptAll(e).limit(1).count() == 0
       }
-      labels = next
+      prev = fp
+      e = next
       iter += 1
     }
-    adj.unpersist()
-    labels
+
+    // Converged: e is a star forest (child -> root, child > root).
+    // Roots and isolated nodes label themselves.
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (labels, iter)
   }
 
   /** Size of each node's component — the generalized `stack_size`

@@ -71,6 +71,21 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.connectedComponents(chain.toDF("s", "d")).collect()
     assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
   }
+
+  test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
+    // The adversarial case for label propagation: diameter = n. The
+    // alternating large-star/small-star fixpoint must converge in
+    // <= ~2·log²(n) rounds (Kiveris SoCC'14) — label propagation would
+    // need ~n rounds and the old 30-round cap would NOT converge.
+    val n = 10000
+    val edges = spark.range(n - 1).selectExpr("id as s", "id + 1 as d")
+    val (cc, rounds) = GraphOps.connectedComponentsWithStats(edges)
+    assert(cc.count() == n)
+    assert(cc.filter(col("component") =!= 0L).limit(1).count() == 0,
+      "every node of the path must label to component 0")
+    val bound = 2.0 * math.pow(math.log(n.toDouble) / math.log(2.0), 2)
+    assert(rounds <= bound.toInt, s"rounds=$rounds exceeds 2·log²(n)=$bound")
+  }
 }
 
 class DedupSpec extends SparkSpec {
