@@ -36,7 +36,9 @@ object LlmQueries {
       .orderBy("doc_id")
 
   // q22: SimHash near-dup candidate pairs (native Catalyst expression;
-  // rows-only).
+  // rows-only). maxHamming=8 derives 16 bands of 4 bits, so the
+  // pigeonhole recall guarantee actually covers the requested bound —
+  // the pair list is exhaustive, not approximate.
   def q22(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 8)

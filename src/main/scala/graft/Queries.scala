@@ -342,15 +342,22 @@ object Queries {
        WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01')
        ORDER BY o_orderkey"""
 
-  // q16: top-k per group with deterministic tiebreak.
+  // q16: top-k per group with deterministic tiebreak — served by the
+  // custom TopKPerKey operator (graft.plans): bounded heaps + a partial
+  // pass before the exchange, so each map partition ships at most k rows
+  // per segment instead of every joined row. The raw (non-Long) price
+  // column orders directly; the trailing row_number window only ranks
+  // the <= k*segments surviving rows.
   def q16(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val top = graft.plans.TopKPerKey.perKey(
+      joined, Seq("c_mktsegment"), "o_totalprice", "o_orderkey", k = 5)
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    top.withColumn("rank", row_number().over(w))
       .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
         cents(col("o_totalprice")).as("total_c"))
       .orderBy("c_mktsegment", "rank")

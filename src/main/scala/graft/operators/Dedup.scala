@@ -51,6 +51,14 @@ object Dedup {
     * bucket. bands*rowsPerBand = k. Returns (id_a, id_b) with a < b,
     * distinct across bands, plus the estimated Jaccard from full
     * signature agreement.
+    *
+    * Shuffle hygiene: the band self-join and the cross-band distinct
+    * carry ONLY (band, band_sig, id) / (id_a, id_b) — the k-long full
+    * signatures (k=64 => 512 bytes/row/side) never ride the pair
+    * shuffle. They are joined back by id onto the deduplicated pair
+    * list; the signature recompute that implies is a map-side codegen'd
+    * kernel pass, which at scale is far cheaper than doubling the
+    * candidate exchange.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
@@ -58,20 +66,24 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", minhashSignature(col("text"), shingleN, k))
     val banded = sig.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
-    // join within (band, band_sig) buckets only
-    val l = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_sig"))
+    // join within (band, band_sig) buckets only, ids only
+    val l = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast(DoubleType) / lit(bands * rowsPerBand).cast(DoubleType)).as("est_jaccard"))
-      .distinct()
   }
 
   /** MinHash-LSH dedup: candidates above `threshold` estimated Jaccard
@@ -92,16 +104,31 @@ object Dedup {
   /** 64-bit SimHash signature (native Catalyst expression, codegen'd). */
   def simhashSignature(text: Column): Column = SimHash64.simhash64(tokens(text))
 
-  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
-    * blocked on 4 16-bit bands (pigeonhole: any pair within Hamming 3
-    * agrees exactly on at least one band — Manku et al., WWW'07).
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming,
+    * blocked on `bands` equal-width bit bands of the 64-bit signature
+    * (Manku et al., WWW'07). Pigeonhole guarantee: a pair within
+    * Hamming distance h agrees exactly on at least one band iff
+    * h < bands — so the band count is DERIVED from `maxHamming` (the
+    * smallest divisor of 64 exceeding it) unless overridden, and an
+    * override that breaks the guarantee is rejected rather than
+    * silently losing pairs. Exhaustive for the requested bound, never
+    * "approximate candidates".
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, bandsOverride: Option[Int] = None): DataFrame = {
+    val bands = bandsOverride.getOrElse(
+      Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxHamming=$maxHamming >= 64 has no banding guarantee; use a full pairwise pass")))
+    require(64 % bands == 0, s"bands=$bands must divide the 64-bit signature")
+    require(bands > maxHamming,
+      s"$bands bands only guarantee recall for hamming <= ${bands - 1}; maxHamming=$maxHamming needs > $maxHamming bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val l = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))

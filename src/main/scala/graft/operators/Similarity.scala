@@ -54,6 +54,16 @@ object Similarity {
   /** LSH-bucketed ANN: `tables` independent signatures of `bits` bits
     * each; rows sharing any table's bucket become candidates, re-ranked
     * by exact cosine, top-k per query.
+    *
+    * Shuffle hygiene (the 100 TB property): candidate generation and
+    * the cross-table distinct carry ONLY (table, bucket, id) — never the
+    * embedding payloads. At dim 768+ a vector is ~3 KB; riding it
+    * through the bucket join (x `tables` copies of the corpus) and then
+    * the distinct's hash exchange would dominate the whole job. Vectors
+    * are joined back exactly once, by id, onto the deduplicated pair
+    * list for the exact re-rank: queries via broadcast (the small probe
+    * side, same assumption as `bruteForceTopK`), corpus via one
+    * id-keyed shuffle of the pairs.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
@@ -63,21 +73,26 @@ object Similarity {
     def sigOf(vec: Column, tableSeed: Long): Column =
       if (floatVecs) graft.plans.LshSignF32.lshSignF32(vec, dim, bits, tableSeed)
       else lshSignature(vec, dim, bits, tableSeed)
+    // id + bucket only: the vector is consumed map-side by the signature
+    // kernel and dropped before anything shuffles
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val sigs = (0 until tables).map { t =>
         struct(lit(t).as("table"),
           sigOf(col(vec), seed + t).as("bucket"))
       }
-      df.select(col(id), col(vec), explode(array(sigs: _*)).as("sig"))
-        .select(col(id), col(vec), col("sig.table"), col("sig.bucket"))
+      df.select(col(id), explode(array(sigs: _*)).as("sig"))
+        .select(col(id), col("sig.table"), col("sig.bucket"))
     }
-    val qs = signed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
-    val cs = signed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
-    val cos = cosineOf(corpus, vecCol) _
-    val cands = qs.join(cs, Seq("table", "bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val candIds = signed(q, "query_id", "qv").join(signed(c, "neighbor_id", "cv"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
+    val cos = cosineOf(corpus, vecCol) _
+    val cands = candIds
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine", cos(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands

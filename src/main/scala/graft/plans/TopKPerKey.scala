@@ -2,16 +2,17 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
 
 import scala.collection.mutable
 
-/** Whole-operator Catalyst extension: top-k rows per key by a numeric
-  * sort key — the operator behind "latest/top N per entity" queries.
+/** Whole-operator Catalyst extension: top-k rows per key by an
+  * orderable sort key — the operator behind "latest/top N per entity"
+  * queries.
   *
   * Why a custom operator instead of `row_number().over(window) <= k`:
   * the window plan SORTS every partition's full contents
@@ -22,9 +23,12 @@ import scala.collection.mutable
   * global sort. At 100 TB with small k the shuffle shrinks by orders
   * of magnitude — the same reason Spark has partial aggregates.
   *
-  * Semantics: rows ranked by (orderKey DESC, tieKey ASC); both must be
-  * LongType (cast upstream — exact integer ordering, no float ties).
-  * Output = input rows that rank <= k within their key group, order
+  * Semantics: exactly the rows `row_number() OVER (PARTITION BY keys
+  * ORDER BY orderKey DESC, tieKey ASC) <= k` would keep, including
+  * Spark's default null placement (DESC => NULLS LAST, ASC => NULLS
+  * FIRST) — the comparator is Spark's own generated ordering over the
+  * two sort expressions, so any orderable type (numeric, string,
+  * decimal, timestamp, ...) works. Output order within the result is
   * unspecified (compose with orderBy downstream if needed).
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], orderKey: Expression,
@@ -47,41 +51,44 @@ case class TopKPerKeyExec(keys: Seq[Expression], orderKey: Expression,
     else Seq(ClusteredDistribution(keys))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    require(RowOrdering.isOrderable(orderKey.dataType),
+      s"orderKey type ${orderKey.dataType} is not orderable")
+    require(RowOrdering.isOrderable(tieKey.dataType),
+      s"tieKey type ${tieKey.dataType} is not orderable")
     val keyExprs = keys
     val ordExpr = orderKey
     val tieExpr = tieKey
     val limit = k
     val childOutput = child.output
+    // Rank order over the projected (orderKey, tieKey) row — Spark's own
+    // generated ordering, so null placement and type semantics are
+    // byte-identical to the window formulation.
+    val sortOrders = Seq(
+      SortOrder(BoundReference(0, ordExpr.dataType, ordExpr.nullable), Descending),
+      SortOrder(BoundReference(1, tieExpr.dataType, tieExpr.nullable), Ascending))
     child.execute().mapPartitions ({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordProj = UnsafeProjection.create(Seq(ordExpr, tieExpr), childOutput)
-      // heap head = WORST retained row -> O(1) eviction test
-      val worstFirst: Ordering[(Long, Long, UnsafeRow)] = new Ordering[(Long, Long, UnsafeRow)] {
-        override def compare(a: (Long, Long, UnsafeRow), b: (Long, Long, UnsafeRow)): Int = {
-          // "greater" = worse = smaller orderKey, then larger tieKey
-          val c = java.lang.Long.compare(b._1, a._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-        }
-      }
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+      val rankCmp: Ordering[UnsafeRow] =
+        new LazilyGeneratedOrdering(sortOrders).asInstanceOf[Ordering[InternalRow]]
+          .on[UnsafeRow](identity)
+      // PriorityQueue dequeues the max under its ordering = the WORST
+      // (latest-ranked) retained row -> O(1) eviction test
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(UnsafeRow, UnsafeRow)]]
+      val heapOrd: Ordering[(UnsafeRow, UnsafeRow)] = Ordering.by[(UnsafeRow, UnsafeRow), UnsafeRow](_._1)(rankCmp)
       rows.foreach { row =>
         val ord = ordProj(row)
-        val v = ord.getLong(0)
-        val t = ord.getLong(1)
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty(worstFirst))
+          mutable.PriorityQueue.empty(heapOrd))
         if (heap.size < limit) {
-          heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
-        } else {
-          val (wv, wt, _) = heap.head
-          // candidate better than current worst? (bigger v, or equal v + smaller tie)
-          if (v > wv || (v == wv && t < wt)) {
-            heap.dequeue()
-            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
-          }
+          heap.enqueue((ord.copy(), row.asInstanceOf[UnsafeRow].copy()))
+        } else if (rankCmp.compare(ord, heap.head._1) < 0) {
+          // candidate ranks strictly earlier than the current worst
+          heap.dequeue()
+          heap.enqueue((ord.copy(), row.asInstanceOf[UnsafeRow].copy()))
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
     }, preservesPartitioning = true)
   }
 
@@ -104,14 +111,13 @@ object TopKStrategy extends SparkStrategy {
 object TopKPerKey {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-  import org.apache.spark.sql.catalyst.expressions.Cast
   import org.apache.spark.sql.graftshim.ColumnBridge
 
-  /** Top-k rows per key. `orderCol` DESC with `tieCol` ASC tiebreak;
-    * both are cast to LongType (exact ordering). Columns are given by
-    * name and resolved by the analyzer against the child plan — raw
-    * `UnresolvedAttribute`s resolve inside custom nodes, whereas opaque
-    * Column-API node wrappers do not.
+  /** Top-k rows per key: `orderCol` DESC with `tieCol` ASC tiebreak,
+    * Spark window null placement, any orderable column types. Columns
+    * are given by name and resolved by the analyzer against the child
+    * plan — raw `UnresolvedAttribute`s resolve inside custom nodes,
+    * whereas opaque Column-API node wrappers do not.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
              tieCol: String, k: Int): DataFrame = {
@@ -119,8 +125,8 @@ object TopKPerKey {
     ColumnBridge.installStrategy(spark, TopKStrategy)
     val plan = TopKPerKeyPlan(
       keyCols.map(UnresolvedAttribute(_)),
-      Cast(UnresolvedAttribute(orderCol), LongType),
-      Cast(UnresolvedAttribute(tieCol), LongType),
+      UnresolvedAttribute(orderCol),
+      UnresolvedAttribute(tieCol),
       k,
       ColumnBridge.logicalPlan(df))
     ColumnBridge.ofRows(spark, plan)

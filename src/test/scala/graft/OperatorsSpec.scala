@@ -124,6 +124,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(_ <= 10))
   }
 
+  test("simhash banding finds ALL pairs within maxHamming, including hamming > 3") {
+    // Ground truth by exhaustive pairwise hamming over the signatures;
+    // the banded candidate stage must reproduce it exactly (pigeonhole:
+    // bands > maxHamming). The fixture must contain at least one pair
+    // beyond hamming 3 — the range the old fixed 4-band blocking could
+    // silently lose.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank at dawn while birds sing softly"
+    val variants = Seq(
+      base,
+      base.replace("dawn", "dusk"),
+      base.replace("quick", "swift").replace("dawn", "noon"),
+      base.replace("brown fox", "red wolf").replace("softly", "loudly"),
+      base.replace("jumps over", "walks past").replace("river", "canal").replace("birds", "frogs"),
+      "entirely different content about distributed query planning and shuffle exchanges in analytics engines today"
+    )
+    val df = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val maxH = 7
+    val sigs = df.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxH
+    } yield (a, b)).toSet
+    assert(truth.exists { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) > 3 },
+      s"fixture must plant a pair at hamming 4..$maxH (old 4-band blocking only guaranteed <= 3); hammings: " +
+        sigs.keys.toSeq.sorted.combinations(2).map(p =>
+          s"(${p(0)},${p(1)})=${java.lang.Long.bitCount(sigs(p(0)) ^ sigs(p(1)))}").mkString(", "))
+    val got = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"banded candidates $got != exhaustive truth $truth")
+  }
+
+  test("simhash banding rejects parameters that break the recall guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 8, bandsOverride = Some(4))
+    }
+  }
+
   test("verifyJaccard computes exact n-gram overlap on candidates") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text", n = 3)

@@ -44,4 +44,40 @@ class TopKPerKeySpec extends SparkSpec {
       .select("tie").collect().map(_.getLong(0)).toSet
     assert(got == Set(10L, 11L), s"expected smallest ties to win, got $got")
   }
+
+  test("non-Long order keys: string and double order exactly like the window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(
+      (1L, "delta", 1.5, 1L), (1L, "alpha", 9.9, 2L), (1L, "echo", 0.1, 3L),
+      (1L, "bravo", 9.9, 4L), (2L, "zulu", -3.0, 5L), (2L, "yank", -2.5, 6L)
+    ).toDF("k", "s", "d", "id")
+    for (ordCol <- Seq("s", "d")) {
+      val viaOp = TopKPerKey.perKey(df, Seq("k"), ordCol, "id", 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val w = Window.partitionBy("k").orderBy(col(ordCol).desc, col("id").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaOp == viaWindow, s"order column $ordCol diverged from window")
+    }
+  }
+
+  test("null order/tie keys follow Spark window placement (DESC => NULLS LAST)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5L), Some(1L)), (1L, None, Some(2L)), (1L, Some(7L), Some(3L)),
+      (1L, None, Some(4L)), (2L, None, Some(5L)), (2L, None, None), (2L, Some(1L), Some(7L))
+    ).toDF("k", "v", "tie")
+    for (k <- Seq(1, 2, 3)) {
+      val viaOp = TopKPerKey.perKey(df, Seq("k"), "v", "tie", k)
+        .select("k", "v", "tie").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("tie").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("k", "v", "tie").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(viaOp == viaWindow, s"k=$k: nulls ranked differently from the window")
+    }
+  }
 }
