@@ -169,14 +169,18 @@ object AnalyticsQueries {
   // become an Aggregate ⟗ join, not a per-row loop — the reference's
   // per-revision lookups are exactly the anti-pattern this replaces).
   def q44(spark: SparkSession, dir: String): DataFrame = {
+    // temp view scoped to plan construction only: spark.sql analyzes
+    // eagerly, so the view can be dropped before returning — no catalog
+    // side effect survives the call
     Tables.orders(spark, dir).createOrReplaceTempView("orders_q44")
-    spark.sql(
+    try spark.sql(
       """SELECT o_orderkey, o_custkey,
            CAST(round(o_totalprice*100) AS BIGINT) AS total_c
          FROM orders_q44 o
          WHERE o_totalprice > (SELECT avg(i.o_totalprice)
                                FROM orders_q44 i WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""")
+    finally spark.catalog.dropTempView("orders_q44")
   }
 
   val q44Sql: String =
@@ -205,5 +209,59 @@ object AnalyticsQueries {
        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
        FROM orders
        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus, o_orderpriority"""
+
+  // q46: salted skew-join (graft.operators.Salting) — the skewed fact
+  // side's key is spread over 8 deterministic sub-keys and the dim side
+  // replicated across them, so one hot supplier can't serialize a
+  // reducer. Oracle = the plain unsalted join: salting must be
+  // row-for-row invisible in the result.
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.Salting.saltedJoin(l, s, "l_suppkey", saltFactor = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("price_c_sum"))
+      .orderBy("s_nationkey")
+  }
+
+  val q46Sql: String =
+    """SELECT s_nationkey, count(*) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c_sum
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  // q47: arbitrary GROUPING SETS (not expressible as rollup or cube:
+  // (status, priority), (status), (priority) — no grand total) with an
+  // engine-neutral grouping id built from grouping() bits explicitly,
+  // since native grouping_id() bit conventions differ across engines.
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")),
+            Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")).cast(LongType) * 2 +
+          grouping(col("o_orderpriority")).cast(LongType)).as("gid"),
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("gid"), col("n"), col("total_c"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val q47Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
        ORDER BY o_orderstatus, o_orderpriority"""
 }

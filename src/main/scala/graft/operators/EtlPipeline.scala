@@ -46,32 +46,51 @@ object EtlPipeline {
         col("last_ship"))
   }
 
-  /** One incremental run against a parquet target snapshot. Returns the
+  /** One incremental run against a month-partitioned parquet target
+    * (`ym=yyyy-MM` of `date_modified` — the reference's
+    * `revision_year_month` merge granularity, stats.py:876). Returns the
     * number of rows in the new snapshot. `full = true` reprocesses
-    * everything (the reference's `--full` flag). */
+    * everything (the reference's `--full` flag).
+    *
+    * Incremental runs rewrite ONLY the affected partitions, via dynamic
+    * partition overwrite: affected = months receiving fresh rows, plus
+    * months holding a previous version of a freshly-merged key (a row
+    * whose `date_modified` moved months must be deleted from its old
+    * month, so that month is rewritten too). Every other partition's
+    * files are untouched — at 100 TB an incremental run costs
+    * O(changed months), not O(table), exactly like the reference's
+    * per-(year, month) MERGE loop. The rows to be written are
+    * checkpointed first so the write never consumes the files it is
+    * replacing (at warehouse scale a table format's snapshot isolation
+    * plays this role).
+    */
   def run(spark: SparkSession, sourceDir: String, targetPath: String,
           full: Boolean = false): Long = {
     val existing: Option[DataFrame] =
       try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
 
     val facts = transform(spark, sourceDir)
-    val fresh = existing match {
-      case Some(t) if !full => Watermark.newerThanSnapshot(facts, t, "date_modified")
-      case _                => facts
-    }
+      .withColumn("ym", date_format(col("date_modified"), "yyyy-MM"))
 
-    val merged = existing match {
-      case Some(t) => MergeUpsert.merge(t, fresh, Seq("o_orderkey"), "date_modified")
-      case None    => MergeUpsert.dedupLatest(fresh, Seq("o_orderkey"), "date_modified")
+    existing match {
+      case Some(t) if !full =>
+        val fresh = Watermark.newerThanSnapshot(facts, t, "date_modified")
+        val freshKeys = fresh.select("o_orderkey").distinct()
+        val affected = fresh.select("ym")
+          .union(t.join(freshKeys, Seq("o_orderkey"), "left_semi").select("ym"))
+          .distinct()
+        val merged = MergeUpsert.merge(t, fresh, Seq("o_orderkey"), "date_modified")
+        val touched = merged.join(affected, Seq("ym"), "left_semi")
+          .localCheckpoint(eager = true)
+        touched.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ym").parquet(targetPath)
+      case _ =>
+        MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ym").parquet(targetPath)
     }
-
-    // Write via a staging path + atomic-ish swap (the staging-table
-    // discipline of stats.py:801/942 — never clobber the live target
-    // with a half-written result).
-    val staging = targetPath + "_staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val out = spark.read.parquet(staging)
-    out.write.mode(SaveMode.Overwrite).parquet(targetPath)
     spark.read.parquet(targetPath).count()
   }
 }

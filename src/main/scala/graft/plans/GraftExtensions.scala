@@ -48,11 +48,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash64",
         "minhash64(array<string>[, shingleN[, k[, seed]]]) - MinHash signature"),
       (children: Seq[Expression]) => {
-        def intArg(i: Int, default: Int): Int =
-          if (children.length > i) children(i).eval(null).toString.toInt else default
-        def longArg(i: Int, default: Long): Long =
-          if (children.length > i) children(i).eval(null).toString.toLong else default
-        MinHash64(children.head, intArg(1, 3), intArg(2, 64), longArg(3, 42L))
+        // The optional args parameterize the expression itself, so they
+        // must be compile-time constants: reject non-foldable arguments
+        // with a proper analysis error instead of an NPE at plan time.
+        def literalArg(i: Int, name: String, default: Long): Long =
+          if (children.length <= i) default
+          else {
+            val c = children(i)
+            def fail(reason: String): Nothing =
+              throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" ->
+                  s"minhash64: argument '$name' (position ${i + 1}) $reason"))
+            if (!c.foldable) fail(s"must be a foldable integer literal, got: ${c.sql}")
+            c.eval(null) match {
+              case n: java.lang.Number => n.longValue()
+              case null  => fail("must not be NULL")
+              case other => fail(s"must be integral, got value: $other")
+            }
+          }
+        MinHash64(children.head,
+          literalArg(1, "shingleN", 3L).toInt,
+          literalArg(2, "k", 64L).toInt,
+          literalArg(3, "seed", 42L))
       }))
   }
 }

@@ -37,44 +37,55 @@ object EventStream {
         col("n"), col("value_sum"))
 
   /** Gap-based sessionization with explicit keyed state (streaming twin
-    * of q31): a session closes when no event arrives for `gapSec`.
-    * Emits one row per closed session via ProcessingTime timeout.
+    * of q31). A session closes when a later event for the same user
+    * arrives more than `gapSec` past it (event-time gap, emitted
+    * immediately), OR when the key stays silent for `gapSec` of
+    * processing time — the ProcessingTime timeout fires, the open
+    * session is flushed, and its state removed. Without the timeout
+    * branch the final session of every user would sit in state forever
+    * and never be emitted.
     */
   def sessionize(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessionState]) =>
-          // Events within a micro-batch arrive unordered: sort the batch,
-          // fold into (possibly multiple) sessions, keep the open one.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionUpdate]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000L
-            cur match {
-              case Some(s) if sec - s.endSec <= gapSec =>
-                cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
-              case Some(s) =>
-                closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
-                cur = Some(SessionState(sec, sec, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(sec, sec, 1L, e.value))
+          if (state.hasTimedOut) {
+            // gapSec of processing-time silence: flush the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum))
+          } else {
+            // Events within a micro-batch arrive unordered: sort the
+            // batch, fold into (possibly multiple) sessions, keep the
+            // open one.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              cur match {
+                case Some(s) if sec - s.endSec <= gapSec =>
+                  cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
+                  cur = Some(SessionState(sec, sec, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1L, e.value))
+              }
             }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration(gapSec * 1000L)
+              case None => state.remove()
+            }
+            closed.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
-          }
-          closed.result().iterator
       }
   }
-
-  /** Flush any open sessions (used by specs after the final batch). */
-  def drainOpenSessions(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] =
-    sessionize(events, gapSec)
 
   /** Streaming exact dedup (the streaming twin of `Dedup.exact` /
     * MERGE-dedup): drop events whose `event_id` was already seen, with

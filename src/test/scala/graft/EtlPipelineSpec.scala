@@ -35,12 +35,23 @@ class EtlPipelineSpec extends SparkSpec {
     val watermarkThen = spark.read.parquet(target)
       .agg(max(col("date_modified")).cast("string")).collect()(0).getString(0)
 
+    // snapshot the per-partition file listing before the incremental run
+    def partitionFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(target)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ym="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    }
+    val filesBefore = partitionFiles()
+
     val n2 = EtlPipeline.run(spark, newSrc, target)
     assert(n2 > n1, "incremental run must add the newer orders")
 
     // convergence: merged incremental state == full recompute
     val fullRecompute = EtlPipeline.transform(spark, newSrc)
-    val got = spark.read.parquet(target)
+    val got = spark.read.parquet(target).drop("ym")
     assert(got.count() == fullRecompute.count())
     assert(got.exceptAll(fullRecompute).isEmpty && fullRecompute.exceptAll(got).isEmpty,
       "incremental target must equal full recompute")
@@ -49,6 +60,17 @@ class EtlPipelineSpec extends SparkSpec {
     // every row that pre-dates it must be byte-identical to run 1's
     val untouched = got.filter(col("date_modified").cast("string") <= lit(watermarkThen))
     assert(untouched.count() == n1)
+
+    // partition-level incrementality: months fully before the watermark
+    // keep their exact files (name + mtime); fresh months were written
+    val filesAfter = partitionFiles()
+    val watermarkYm = watermarkThen.substring(0, 7)
+    val oldPartitions = filesBefore.keys.filter(_.stripPrefix("ym=") < watermarkYm)
+    assert(oldPartitions.nonEmpty, "fixture must have untouched months")
+    for (p <- oldPartitions)
+      assert(filesAfter(p) == filesBefore(p), s"untouched partition $p was rewritten")
+    val newPartitions = filesAfter.keySet -- filesBefore.keySet
+    assert(newPartitions.nonEmpty, "incremental run must create the fresh months")
   }
 
   test("--full mode reprocesses everything idempotently") {

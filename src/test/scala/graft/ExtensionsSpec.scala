@@ -18,6 +18,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
   }
 
+  test("minhash64 rejects non-foldable parameter args with a clear analysis error") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val df = Seq((1, "a b c")).toDF("k", "text").withColumn("toks", split(col("text"), " "))
+    df.createOrReplaceTempView("mh_neg_test")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT minhash64(toks, k) FROM mh_neg_test").collect()
+      }
+      assert(e.getMessage.contains("shingleN") && e.getMessage.contains("foldable"),
+        s"expected a named-parameter foldable error, got: ${e.getMessage}")
+    } finally spark.catalog.dropTempView("mh_neg_test")
+  }
+
   test("SQL simhash64 equals the Column-API simhash64") {
     import spark.implicits._
     GraftExtensions.install(spark)

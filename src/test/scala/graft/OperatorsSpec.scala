@@ -117,6 +117,24 @@ class DedupSpec extends SparkSpec {
     assert(!survivors.contains(2L) && survivors.contains(4L) && survivors.contains(1L))
   }
 
+  test("minhash known-answer: exact candidate-pair and survivor sets on the fixture") {
+    // Fixed seed + fixed corpus => fully deterministic output; this pins
+    // the exact pair list and survivor list, not just their properties.
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L)),
+      s"candidate pairs changed: $cands")
+    // est_jaccard must be exactly 1.0 for the normalization-identical
+    // trio (1, 2, 5) — every minhash of every band agrees
+    val exactDups = Dedup.minhashCandidates(docs, "doc_id", "text", shingleN = 3)
+      .filter(col("est_jaccard") === 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDups == Set((1L, 2L), (1L, 5L), (2L, 5L)), s"exact-dup pairs changed: $exactDups")
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L), s"survivors changed: $survivors")
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, distinct far") {
     val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
@@ -185,6 +203,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0).getAs[Long]("neighbor_id") == 2L)
     assert(got(0).getAs[Double]("cosine") > 0.999)
     assert(got(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("lshTopK known-answer: clustered fixture reproduces brute force EXACTLY") {
+    // 4 well-separated clusters (near-orthogonal axes, dim 8), 5 members
+    // each with tiny deterministic jitter. Same-cluster vectors are
+    // near-parallel, so every hyperplane table buckets them together and
+    // the ANN candidates contain the true top-3; the exact cosine
+    // re-rank must then EQUAL brute force row for row — an exact gate
+    // with an independent oracle, not a recall bound.
+    import spark.implicits._
+    val vecs = for {
+      cluster <- 0 until 4
+      member <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 10.0f
+      v(cluster * 2 + 1) = 0.01f * member // deterministic jitter
+      ((cluster * 5 + member).toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 5 === 0) // one per cluster
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3))
+    val approx = rows(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3,
+      dim = 8, bits = 4, tables = 8))
+    assert(approx == exact, s"ANN diverged from brute force:\n got=$approx\n want=$exact")
   }
 
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
