@@ -36,12 +36,14 @@ object LlmQueries {
       .orderBy("doc_id")
 
   // q22: SimHash near-dup candidate pairs (native Catalyst expression;
-  // rows-only). maxHamming=8 derives 16 bands of 4 bits, so the
-  // pigeonhole recall guarantee actually covers the requested bound —
-  // the pair list is exhaustive, not approximate.
+  // rows-only). maxHamming=7 derives 8 bands of 8 bits: the pigeonhole
+  // recall guarantee covers the whole requested bound (the pair list is
+  // exhaustive, not approximate) AND each band still has 256 buckets of
+  // selectivity — maxHamming=8 would force 16 bands of 4 bits, whose
+  // 16-bucket bands explode the candidate join quadratically at scale.
   def q22(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 7)
       .orderBy("id_a", "id_b")
 
   // q23: character-set Jaccard between consecutive docs of each source —
@@ -260,4 +262,23 @@ object LlmQueries {
                  - CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 3600 AS hour_start
              FROM events)
        GROUP BY hour_start, event_type ORDER BY hour_start, event_type"""
+
+  // q48: embedding-cosine near-dup dedup, exact all-pairs baseline
+  // (the LSH-bucketed scale path is Dedup.embeddingDedupLsh, spec'd
+  // equal to this on a clustered fixture). Cosine parity with DuckDB is
+  // the same double-fold argument as q24.
+  def q48(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.45)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
+  val q48Sql: String =
+    """SELECT vec_id, label FROM embeddings d
+       WHERE NOT EXISTS (
+         SELECT 1 FROM embeddings e
+         WHERE e.vec_id < d.vec_id
+           AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(d.embedding AS DOUBLE[])) >= 0.45)
+       ORDER BY vec_id"""
 }

@@ -150,6 +150,69 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  // ---- Embedding-cosine near-dup ----------------------------------------
+
+  /** Native codegen'd cosine for float32 embeddings, HOF fallback for
+    * other element types — identical results (same double fold order,
+    * matching DuckDB's list_cosine_similarity). */
+  private def cosineOf(df: DataFrame, vecCol: String)(a: Column, b: Column): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => graft.plans.CosineF32.cosineF32(a, b)
+      case _                       => graft.functions.VectorFunctions.cosine(a, b)
+    }
+
+  /** Embedding-cosine near-dup dedup, exact: drop every row whose
+    * cosine to a smaller-id row is >= `threshold`. All-pairs — the
+    * correctness baseline, O(|C|²) like `Similarity.bruteForceTopK`;
+    * at 100 TB run it on a candidate subset or use
+    * [[embeddingDedupLsh]].
+    */
+  def embeddingDedup(docs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val cos = cosineOf(docs, vecCol) _
+    val a = docs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = docs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dupes = b.join(broadcast(a), col("id_a") < col("id_b"))
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-cosine near-dup dedup, LSH-bucketed (the scale path):
+    * candidate pairs from random-hyperplane buckets (id-only shuffles,
+    * same hygiene as `Similarity.lshTopK`), exact cosine verify on the
+    * deduplicated pair list, then drop the larger id of every verified
+    * pair. Linear-ish in |C| + candidates — never all-pairs.
+    */
+  def embeddingDedupLsh(docs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int,
+                        bits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val floatVecs = docs.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    def sigOf(vec: Column, tableSeed: Long): Column =
+      if (floatVecs) graft.plans.LshSignF32.lshSignF32(vec, dim, bits, tableSeed)
+      else graft.functions.VectorFunctions.lshSignature(vec, dim, bits, tableSeed)
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("table"), sigOf(col(vecCol), seed + t).as("bucket"))
+    }
+    val banded = docs.select(col(idCol).as("id"), explode(array(sigs: _*)).as("sig"))
+      .select(col("id"), col("sig.table"), col("sig.bucket"))
+    val pairs = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("table"), col("bucket"), col("id").as("id_b")), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val cos = cosineOf(docs, vecCol) _
+    val dupes = pairs
+      .join(docs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard between given candidate pairs (verification
     * stage after any LSH pass). `pairs` has (id_a, id_b). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

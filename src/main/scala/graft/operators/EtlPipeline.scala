@@ -75,16 +75,8 @@ object EtlPipeline {
     existing match {
       case Some(t) if !full =>
         val fresh = Watermark.newerThanSnapshot(facts, t, "date_modified")
-        val freshKeys = fresh.select("o_orderkey").distinct()
-        val affected = fresh.select("ym")
-          .union(t.join(freshKeys, Seq("o_orderkey"), "left_semi").select("ym"))
-          .distinct()
-        val merged = MergeUpsert.merge(t, fresh, Seq("o_orderkey"), "date_modified")
-        val touched = merged.join(affected, Seq("ym"), "left_semi")
-          .localCheckpoint(eager = true)
-        touched.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ym").parquet(targetPath)
+        MergeUpsert.mergeIntoPartitionedParquet(spark, fresh.drop("ym"), targetPath,
+          Seq("o_orderkey"), "date_modified")
       case _ =>
         MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
           .write.mode(SaveMode.Overwrite)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,5 +40,43 @@ object MergeUpsert {
     val deduped = dedupLatest(staging, keys, updatedAt, tiebreak)
     val untouched = target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
     untouched.unionByName(deduped.select(target.columns.map(col): _*))
+  }
+
+  /** MERGE `fresh` into a month-partitioned (`ym=yyyy-MM` of
+    * `updatedAt`) parquet target with dynamic partition overwrite — the
+    * reference's per-(year, month) MERGE loop (stats.py:876,969)
+    * generalized: only months receiving fresh rows, or holding a prior
+    * version of a freshly-merged key, are rewritten; every other
+    * partition's files are untouched. Creates the target when absent.
+    * Used by both the batch `EtlPipeline` and the streaming
+    * `EventStream.mergeSink` (per micro-batch).
+    */
+  def mergeIntoPartitionedParquet(spark: SparkSession, fresh0: DataFrame,
+                                  targetPath: String, keys: Seq[String],
+                                  updatedAt: String): Unit = {
+    val fresh = fresh0.withColumn("ym", date_format(col(updatedAt), "yyyy-MM"))
+    val existing: Option[DataFrame] =
+      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
+    existing match {
+      case Some(t) =>
+        val freshKeys = fresh.select(keys.map(col): _*).distinct()
+        val affected = fresh.select("ym")
+          .union(t.join(freshKeys, keys, "left_semi").select("ym"))
+          .distinct()
+        val merged = merge(t, fresh, keys, updatedAt)
+        // materialize before writing: the write must never consume the
+        // files it is replacing (a table format's snapshot isolation
+        // plays this role at warehouse scale)
+        val touched = merged.join(affected, Seq("ym"), "left_semi")
+          .localCheckpoint(eager = true)
+        touched.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ym").parquet(targetPath)
+      case None =>
+        dedupLatest(fresh, keys, updatedAt)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("ym").parquet(targetPath)
+    }
   }
 }

@@ -97,4 +97,22 @@ object EventStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming MERGE sink: the reference's staging→MERGE load lifecycle
+    * (stats.py:896,969) as a continuous ingest. Every micro-batch
+    * upserts keep-latest-by-`updatedAt` into a month-partitioned
+    * parquet target via `MergeUpsert.mergeIntoPartitionedParquet`, so a
+    * batch rewrites only the months it touches — the same
+    * O(changed months) property as the batch `EtlPipeline`, held per
+    * trigger. The final target state is independent of how the input
+    * was split into micro-batches (merge is keyed keep-latest), which
+    * is what the spec asserts.
+    */
+  def mergeSink(events: DataFrame, targetPath: String, keys: Seq[String],
+                updatedAt: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val upsert: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>
+      graft.operators.MergeUpsert.mergeIntoPartitionedParquet(
+        batch.sparkSession, batch.toDF(), targetPath, keys, updatedAt)
+    events.writeStream.foreachBatch(upsert)
+  }
 }

@@ -68,6 +68,31 @@ class WarehouseSpec extends SparkSpec {
   }
 }
 
+class MergeSinkSpec extends SparkSpec {
+
+  test("streaming merge sink converges to the batch MERGE state across micro-batches") {
+    import graft.operators.MergeUpsert
+    import graft.streaming.EventStream
+    val ev = Tables.events(spark, sf).limit(300)
+    val doubled = ev.unionByName(ev) // replay every event once
+    val base = s"/tmp/graft_msink_${System.nanoTime()}"
+    doubled.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    val streaming = spark.readStream.schema(doubled.schema)
+      .option("maxFilesPerTrigger", "1") // force several micro-batches
+      .parquet(s"$base/src")
+    val q = EventStream.mergeSink(streaming, s"$base/target", Seq("event_id"), "ts")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(s"$base/target").drop("ym")
+    val want = MergeUpsert.dedupLatest(doubled, Seq("event_id"), "ts")
+    assert(got.count() == ev.count(), "each replayed event must survive exactly once")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed target must equal the batch MERGE result")
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
 
   test("streaming dedup drops replayed event_ids within the watermark") {

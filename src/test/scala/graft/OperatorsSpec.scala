@@ -181,6 +181,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup: LSH scale path equals the exact baseline; known survivors") {
+    import spark.implicits._
+    // 4 clusters on disjoint axes: same-cluster cosine ~1, cross-cluster
+    // exactly 0 — survivors must be exactly the min id of each cluster.
+    val vecs = for {
+      cluster <- 0 until 4
+      member <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 10.0f
+      v(cluster * 2 + 1) = 0.01f * member
+      ((cluster * 5 + member).toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDedup(corpus, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(0L, 5L, 10L, 15L), s"exact survivors: $exact")
+    val lsh = Dedup.embeddingDedupLsh(corpus, "vec_id", "embedding", threshold = 0.99,
+        dim = 8, bits = 4, tables = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh == exact, s"LSH dedup diverged: $lsh vs $exact")
+  }
+
   test("verifyJaccard computes exact n-gram overlap on candidates") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val got = Dedup.verifyJaccard(pairs, docs, "doc_id", "text", n = 3)
