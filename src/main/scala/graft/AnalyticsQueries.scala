@@ -264,4 +264,69 @@ object AnalyticsQueries {
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
        ORDER BY o_orderstatus, o_orderpriority"""
+
+  // q49: RANGE-frame window — trailing-30-day spend per customer at
+  // each order. Unlike the ROWS frames of q17/q41, the frame boundary
+  // is a VALUE offset (epoch-day long both engines, so frame membership
+  // is integer-exact). One shuffle on the partition key.
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("order_day"))
+      .rangeBetween(-30L, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("order_day", datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType))
+      .withColumn("total_c", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+        sum(col("total_c")).over(w).as("trailing30_c"))
+      .orderBy("o_custkey", "order_day", "o_orderkey")
+  }
+
+  val q49Sql: String =
+    """SELECT o_custkey, o_orderkey, order_day,
+       CAST(SUM(total_c) OVER (PARTITION BY o_custkey ORDER BY order_day
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing30_c
+       FROM (SELECT o_custkey, o_orderkey,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+               CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+             FROM orders)
+       ORDER BY o_custkey, order_day, o_orderkey"""
+
+  // q50: calendar-spine gap-fill (resample) — one row per (month x
+  // status) even when no orders landed, zero-filled. The spine is a
+  // sequence/explode cross of the distinct statuses — the standard
+  // time-series densification every downstream ML feature pipeline
+  // needs; at scale the spine is tiny and broadcast, the fact side
+  // aggregates before the join.
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("m1", trunc(col("o_orderdate").cast(DateType), "month"))
+    val bounds = o.agg(min(col("m1")).as("lo"), max(col("m1")).as("hi"))
+    val months = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 month"))).as("month"))
+    val spine = months.crossJoin(o.select(col("o_orderstatus")).distinct())
+    val agg = o.groupBy(col("m1").as("month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_c"))
+    spine.join(agg, Seq("month", "o_orderstatus"), "left")
+      .select(date_format(col("month"), "yyyy-MM").as("month"), col("o_orderstatus"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_c"), lit(0L)).as("total_c"))
+      .orderBy("month", "o_orderstatus")
+  }
+
+  val q50Sql: String =
+    """WITH b AS (SELECT date_trunc('month', min(o_orderdate)) lo,
+                         date_trunc('month', max(o_orderdate)) hi FROM orders),
+       months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b),
+       statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+       agg AS (SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+                 count(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+               FROM orders GROUP BY 1, 2)
+       SELECT strftime(m.month, '%Y-%m') AS month, s.o_orderstatus,
+         coalesce(a.n_orders, 0) AS n_orders,
+         coalesce(a.total_c, 0) AS total_c
+       FROM months m CROSS JOIN statuses s
+       LEFT JOIN agg a ON a.month = m.month AND a.o_orderstatus = s.o_orderstatus
+       ORDER BY month, s.o_orderstatus"""
 }
