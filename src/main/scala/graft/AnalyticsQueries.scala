@@ -329,4 +329,20 @@ object AnalyticsQueries {
        FROM months m CROSS JOIN statuses s
        LEFT JOIN agg a ON a.month = m.month AND a.o_orderstatus = s.o_orderstatus
        ORDER BY month, s.o_orderstatus"""
+
+  // q51: mergeable approximate distinct-count sketches (Apache
+  // DataSketches HLL, built into Spark) — the 100 TB story for COUNT
+  // DISTINCT: per-group binary sketches are built map-side, merged
+  // associatively across partitions/days (hll_union_agg), and estimated
+  // at read time; no exact-distinct shuffle of raw keys ever happens.
+  // Rows-only (sketch estimates are implementation-specific); the spec
+  // pins estimates to within 5% of exact and proves sketch-merge ==
+  // whole-input sketch.
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("approx_customers"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
 }

@@ -49,11 +49,13 @@ object GraphOps {
     * asserts the O(log² n) bound on a 10k-node path graph. */
   def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 100): (DataFrame, Int) = {
     val e0 = edges.toDF("src", "dst")
-    // Modest fixed partition count for the fixpoint: the iterated frames
-    // are edge tables repartitioned by node id; per-round latency here is
-    // dominated by task scheduling + codegen, not data volume. At true
-    // cluster scale callers raise spark.sql.shuffle.partitions.
-    val iterParts = math.max(4, edges.sparkSession.sparkContext.defaultParallelism / 4)
+    // Partition count for the fixpoint follows spark.sql.shuffle.partitions
+    // (divided down because the iterated frames shrink fast and per-round
+    // latency on a small working set is task scheduling, not data volume):
+    // local[32] tests run at 8, a cluster session configured for 100 TB
+    // (shuffle.partitions in the thousands) iterates wide automatically.
+    val iterParts = math.max(4,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt / 4)
 
     // Every node that appears anywhere — needed at the end because roots
     // and isolated nodes have no outgoing edge in the converged forest.
@@ -78,10 +80,12 @@ object GraphOps {
         .repartition(iterParts, col("u"))
       val mins = und.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // No distinct here: duplicates only re-feed duplicate-insensitive
+      // min-aggregations in the following small-star, and the saved
+      // exchange of the full edge set per round outweighs carrying them.
       cur.select(col("v").as("u"), col("u").as("v")) // (smaller u, larger neighbor v)
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m, orientation holds
-        .distinct()
     }
 
     // small-star: for each node u, every smaller neighbor (all of them,

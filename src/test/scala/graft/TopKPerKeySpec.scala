@@ -4,6 +4,31 @@ import graft.plans.TopKPerKey
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
+class HllSketchSpec extends SparkSpec {
+
+  test("HLL estimates within 5% of exact; partition-merge == whole-input sketch") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = AnalyticsQueries.q51(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((status, ex) <- exact) {
+      val e = est(status)
+      assert(math.abs(e - ex).toDouble / ex <= 0.05,
+        s"$status: estimate $e vs exact $ex off by > 5%")
+    }
+    // mergeability — the property that lets 100 TB pre-aggregate per
+    // partition/day and combine later: union of half-sketches must give
+    // the same estimate as one sketch over everything
+    val whole = o.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")).collect()(0).getLong(0)
+    val merged = o.withColumn("half", col("o_orderkey") % 2)
+      .groupBy("half").agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()(0).getLong(0)
+    assert(whole == merged, s"sketch merge changed the estimate: $merged vs $whole")
+  }
+}
+
 class TopKPerKeySpec extends SparkSpec {
 
   test("custom top-k operator matches the window row_number formulation") {
