@@ -330,6 +330,40 @@ object AnalyticsQueries {
        LEFT JOIN agg a ON a.month = m.month AND a.o_orderstatus = s.o_orderstatus
        ORDER BY month, s.o_orderstatus"""
 
+  // q52: banded interval join (graft.operators.IntervalJoin) — global
+  // shipping activity (any lineitem shipped) inside each order's first
+  // day (high-quantity lines, to keep the demo join bounded), WITHOUT
+  // the BroadcastNestedLoopJoin a plain non-equi join
+  // plans. No equality key relates the two sides — this is a pure
+  // containment join. Oracle = DuckDB's native inequality join
+  // (IEJoin), an independent algorithm, so row-for-row agreement is a
+  // strong gate.
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(unix_timestamp(col("l_shipdate")).as("ship_sec"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val intervals = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("start_sec"),
+        (unix_timestamp(col("o_orderdate")) + 86399L).as("end_sec"))
+    graft.operators.IntervalJoin.pointsInIntervals(
+        points, intervals, "ship_sec", "start_sec", "end_sec", bucketSeconds = 86400L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"), sum(col("price_c")).as("price_c_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  val q52Sql: String =
+    """SELECT o_orderkey, count(*) AS n_shipped,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c_sum
+       FROM orders o JOIN lineitem l
+         ON CAST(floor(extract(epoch FROM l.l_shipdate)) AS BIGINT)
+              BETWEEN CAST(floor(extract(epoch FROM o.o_orderdate)) AS BIGINT)
+                  AND CAST(floor(extract(epoch FROM o.o_orderdate)) AS BIGINT) + 86399
+       WHERE l.l_quantity >= 45
+       GROUP BY o_orderkey ORDER BY o_orderkey"""
+
   // q51: mergeable approximate distinct-count sketches (Apache
   // DataSketches HLL, built into Spark) — the 100 TB story for COUNT
   // DISTINCT: per-group binary sketches are built map-side, merged

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded (bucketed) interval join: match point rows to interval rows
+  * with `start <= point <= end` WITHOUT a nested-loop plan.
+  *
+  * A plain non-equi join (`points.join(intervals, ts.between(s, e))`)
+  * has no equi-key, so Spark plans BroadcastNestedLoopJoin — O(|P|·|I|)
+  * compares and a broadcast of one whole side, which is exactly what
+  * dies first at 100 TB. Banding restores an equi-key: points map to
+  * their containing time bucket, intervals explode to the (few) buckets
+  * they overlap, the join runs as a hash join keyed on bucket, and an
+  * exact containment filter removes the bucket-boundary false
+  * positives. Cost is linear in |P| + |I|·(span/bucket) + output; the
+  * bucket size trades interval-explode fan-out against bucket
+  * selectivity and is chosen per workload (rule of thumb: the typical
+  * interval length).
+  *
+  * Each point lives in exactly one bucket, so a (point, interval) pair
+  * can match in at most one bucket — no dedup pass is needed.
+  */
+object IntervalJoin {
+
+  /** Inner join of `points` to `intervals` on containment
+    * `startSec <= pointSec <= endSec` (inclusive), all three columns in
+    * epoch seconds (or any consistent long unit). Column names must be
+    * disjoint across the two inputs.
+    */
+  def pointsInIntervals(points: DataFrame, intervals: DataFrame,
+                        pointSec: String, startSec: String, endSec: String,
+                        bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val p = points.withColumn("__bucket", floor(col(pointSec) / bucketSeconds))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startSec) / bucketSeconds),
+        floor(col(endSec) / bucketSeconds))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointSec) >= col(startSec) && col(pointSec) <= col(endSec))
+      .drop("__bucket")
+  }
+}

@@ -88,6 +88,35 @@ class GraphOpsSpec extends SparkSpec {
   }
 }
 
+class IntervalJoinSpec extends SparkSpec {
+  import graft.operators.IntervalJoin
+  import spark.implicits._
+
+  test("bucketed interval join == naive non-equi join, without a nested loop") {
+    val points = Seq((100L, "a"), (86400L, "b"), (86500L, "c"), (200000L, "d"))
+      .toDF("p_sec", "tag")
+    val intervals = Seq((1L, 0L, 86399L), (2L, 86000L, 90000L), (3L, 500000L, 600000L))
+      .toDF("iv_id", "s_sec", "e_sec")
+    val bucketed = IntervalJoin.pointsInIntervals(points, intervals,
+      "p_sec", "s_sec", "e_sec", bucketSeconds = 86400L)
+    val naive = points.join(intervals,
+      col("p_sec") >= col("s_sec") && col("p_sec") <= col("e_sec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "iv_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(bucketed) == rows(naive))
+    assert(rows(bucketed) == Set(("a", 1L), ("b", 2L), ("c", 2L)),
+      s"expected containment matches incl. the cross-bucket interval, got ${rows(bucketed)}")
+    // the whole point: an equi-join plan, not a nested loop
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed interval join must not nested-loop:\n$plan")
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      "fixture sanity: the naive formulation IS the nested loop the operator avoids")
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
