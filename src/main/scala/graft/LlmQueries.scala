@@ -102,6 +102,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // q53: IVF ANN (coarse-quantizer scale path; rows-only — probe-limited
+  // recall depends on where Lloyd's centroids land, verified in the
+  // spec against brute force).
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   // q26: heuristic language ID — stopword-profile argmax, deterministic
   // tiebreak, mirrored verbatim in SQL.
   def q26(spark: SparkSession, dir: String): DataFrame =

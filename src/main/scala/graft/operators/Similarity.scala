@@ -100,4 +100,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  // ---- IVF (coarse-quantizer) ANN ---------------------------------------
+
+  /** Nearest-centroid assignment: ids-only argmax through the groupBy
+    * (the k-way crossJoin rows carry (id, centroid_id, cos) — never the
+    * vectors), deterministic tiebreak on centroid id. */
+  private def assign(vecs: DataFrame, centroids: DataFrame, id: String, vec: String,
+                     cos: (Column, Column) => Column): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cos(col(vec), col("cvec")))
+      .groupBy(id)
+      .agg(max_by(col("centroid_id"),
+        struct(col("__cos"), negate(col("centroid_id")))).as("centroid_id"))
+
+  /** Deterministic IVF training: init = the `nlist` corpus vectors with
+    * the smallest `xxhash64(id, seed)` (a seeded sample with no driver
+    * round-trip — orderBy+limit plans as TakeOrdered), then `iters`
+    * Lloyd rounds of assign (broadcast centroids, map-side cosine) and
+    * per-centroid elementwise mean (`Summarizer.mean` over ml vectors —
+    * a distributed aggregation, not a collect). Empty centroids keep
+    * their previous position. Returns (centroid_id, cvec).
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val cos = cosineOf(corpus, vecCol) _
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val init = c.withColumn("__h", xxhash64(col("nid"), lit(seed)))
+      .orderBy("__h").limit(nlist) // TakeOrdered: nlist rows, scale-safe
+    var centroids = init
+      .select(row_number().over(Window.orderBy("__h")).as("centroid_id"),
+        col("cv").cast(ArrayType(FloatType)).as("cvec")) // tiny frame; single-partition window is fine
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val membership = assign(c.select(col("nid"), col("cv").as("v")), centroids, "nid", "v", cos)
+      val updated = membership.join(c, "nid")
+        .groupBy("centroid_id")
+        .agg(Summarizer.mean(array_to_vector(col("cv"))).as("__m"))
+        .select(col("centroid_id"),
+          vector_to_array(col("__m")).cast(ArrayType(FloatType)).as("ncvec"))
+      centroids = centroids.join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(eager = true)
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus vectors live in their nearest centroid's inverted
+    * list; each query probes its `nprobe` closest centroids and
+    * re-ranks the union of those lists by exact cosine. Candidate
+    * generation is an equi-join on centroid_id carrying ids only;
+    * vectors join back once for the re-rank (queries broadcast, corpus
+    * id-keyed) — the same shuffle hygiene as `lshTopK`. Cost ~
+    * |C|·nlist map-side assigns + |Q|·|C|·nprobe/nlist exact scores:
+    * the classic recall/cost dial (nprobe=nlist degenerates to brute
+    * force).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val cos = cosineOf(corpus, vecCol) _
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val lists = assign(c.select(col("neighbor_id"), col("cv").as("v")),
+      centroids, "neighbor_id", "v", cos)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__cos", cos(col("qv"), col("cvec")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select("query_id", "centroid_id")
+    // one centroid per corpus vector x distinct probes per query =>
+    // pairs are already unique, no dedup pass needed
+    val candIds = probes.join(lists, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val cands = candIds
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cosine", cos(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

@@ -285,6 +285,47 @@ class SimilaritySpec extends SparkSpec {
     assert(approx == exact, s"ANN diverged from brute force:\n got=$approx\n want=$exact")
   }
 
+  test("IVF ANN known-answer: full-probe search reproduces brute force exactly") {
+    import spark.implicits._
+    val vecs = for {
+      cluster <- 0 until 4
+      member <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 10.0f
+      v(cluster * 2 + 1) = 0.01f * member
+      ((cluster * 5 + member).toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 5 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3))
+    // nprobe = nlist: every inverted list is probed, so the result must
+    // EQUAL brute force row for row — the exact gate on the full
+    // train/assign/probe/re-rank plumbing. (Probe-limited recall, which
+    // depends on how Lloyd's centroids land, is covered by the
+    // real-embeddings recall spec below.)
+    val ivf = rows(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 3,
+      nlist = 4, nprobe = 4, iters = 3))
+    assert(ivf == exact, s"IVF diverged from brute force:\n got=$ivf\n want=$exact")
+  }
+
+  test("IVF ANN recall >= 40% of brute-force top-5 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 0)
