@@ -364,6 +364,34 @@ object AnalyticsQueries {
        WHERE l.l_quantity >= 45
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // q54: UNPIVOT / melt — wide yearly metrics to long (y, metric,
+  // value) form, the reshaping every feature store does. Spark's native
+  // Dataset.unpivot (map-side, no shuffle beyond the input agg); oracle
+  // is the engine-neutral UNION ALL rendering.
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_c"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    wide.unpivot(Array(col("y")),
+        Array(col("total_c"), col("n_orders"), col("n_customers")),
+        "metric", "value")
+      .orderBy("y", "metric")
+  }
+
+  val q54Sql: String =
+    """WITH w AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
+         count(*) AS n_orders,
+         count(DISTINCT o_custkey) AS n_customers
+       FROM orders GROUP BY 1)
+       SELECT y, metric, value FROM (
+         SELECT y, 'total_c' AS metric, total_c AS value FROM w
+         UNION ALL SELECT y, 'n_orders', n_orders FROM w
+         UNION ALL SELECT y, 'n_customers', n_customers FROM w)
+       ORDER BY y, metric"""
+
   // q51: mergeable approximate distinct-count sketches (Apache
   // DataSketches HLL, built into Spark) — the 100 TB story for COUNT
   // DISTINCT: per-group binary sketches are built map-side, merged
