@@ -139,22 +139,14 @@ object TextFunctions {
     * (Schleimer et al., SIGMOD'03 "Winnowing" — the min-of-window idea,
     * collapsed to a single global min per doc for a compact doc key.)
     *
-    * One `aggregate` pass whose accumulator STRUCT carries the
-    * normalized string: the zero expression evaluates `normText` once
-    * per row, and each step only runs substring+md5 — the naive
-    * `transform(charShingles(normText(...)))` re-normalizes the text
-    * once per k-gram (O(len²) regex work per row).
+    * The windowed-min-MD5 loop is the native codegen'd
+    * `graft.plans.WinnowMd5` kernel — one static call per row. The
+    * previous HOF formulation (an `aggregate` over window starts with a
+    * struct accumulator) ran ~len interpreted substring+md5+least steps
+    * per row; the kernel is bit-identical to it (same codepoint
+    * windows, UTF-8 digests, lowercase hex, binary compare), just not
+    * interpreted.
     */
-  def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column = {
-    val t = substring(normText(text), 1, maxChars)
-    val count = greatest(length(t) - (k - 1), lit(1))
-    aggregate(
-      sequence(lit(1), count),
-      struct(t.as("s"), lit("\uffff").as("m")),
-      (acc, i) => struct(
-        acc.getField("s").as("s"),
-        least(acc.getField("m"),
-          md5(substring(acc.getField("s"), i, lit(k)).cast(BinaryType))).as("m")),
-      acc => acc.getField("m"))
-  }
+  def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column =
+    graft.plans.WinnowMd5.winnowMd5(substring(normText(text), 1, maxChars), k)
 }

@@ -44,6 +44,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CosineF32(children(0), children(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("winnow_md5"),
+      info("winnow_md5", "winnow_md5(string[, k]) - min MD5 over character k-grams"),
+      (children: Seq[Expression]) => {
+        def kArg: Int =
+          if (children.length <= 1) 8
+          else {
+            val c = children(1)
+            if (!c.foldable)
+              throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" ->
+                  "winnow_md5: argument 'k' (position 2) must be a foldable integer literal"))
+            c.eval(null) match {
+              case n: java.lang.Number => n.intValue()
+              case _ => throw new org.apache.spark.sql.AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" -> "winnow_md5: argument 'k' must be a non-null integer"))
+            }
+          }
+        WinnowMd5(children.head, kArg)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("minhash64"),
       info("minhash64",
         "minhash64(array<string>[, shingleN[, k[, seed]]]) - MinHash signature"),

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static winnowing kernel shared by interpreted eval and generated
+  * code: the minimum lowercase-hex MD5 over all character `k`-grams of
+  * the input string (Schleimer et al., SIGMOD'03 "Winnowing" — the
+  * min-of-window idea collapsed to one global min per doc).
+  *
+  * Bit-identical to the declarative formulation
+  * `least over i of md5(substring(s, i, k))`: windows are taken with
+  * UTF8String.substringSQL (codepoint semantics, exactly Spark's
+  * `substring`), digested over their UTF-8 bytes (exactly
+  * `cast(... as binary)`), hex-encoded lowercase (exactly `md5`'s
+  * output), and compared bytewise (exactly `least` under binary
+  * collation) — so swapping the HOF for this kernel cannot change any
+  * oracle-compared value.
+  */
+object WinnowImpl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val HexChars = "0123456789abcdef".getBytes
+
+  def winnowMd5(s: UTF8String, k: Int): UTF8String = {
+    val n = s.numChars()
+    val count = math.max(n - (k - 1), 1)
+    val digest = md.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < count) {
+      digest.reset()
+      val window = s.substringSQL(i + 1, k)
+      val d = digest.digest(window.getBytes)
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(j * 2) = HexChars((d(j) >> 4) & 0xf)
+        hex(j * 2 + 1) = HexChars(d(j) & 0xf)
+        j += 1
+      }
+      if (best == null || java.util.Arrays.compare(hex, best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromBytes(best)
+  }
+}
+
+/** Native Catalyst expression: `WinnowMd5(string, k) -> string`.
+  *
+  * The HOF formulation (`aggregate` over a sequence of window starts)
+  * runs ~len interpreted expression-tree steps per row — substring,
+  * md5, least each allocating through the interpreter. This kernel is
+  * one static call per row inside whole-stage codegen; the per-row
+  * fingerprint loop is the whole cost of q29 at scale.
+  */
+case class WinnowMd5(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "winnow_md5"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_md5 requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowImpl.winnowMd5(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WinnowImpl.winnowMd5($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMd5 =
+    copy(child = newChild)
+}
+
+object WinnowMd5 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def winnowMd5(text: Column, k: Int): Column =
+    ColumnBridge.column(WinnowMd5(ColumnBridge.expression(text), k))
+}

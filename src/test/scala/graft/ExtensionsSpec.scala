@@ -12,10 +12,13 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT simhash64(array('a','b','c')) AS sh,
                 cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
                            array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
-                minhash64(array('x','y','z'), 1, 4) AS mh""").collect()(0)
+                minhash64(array('x','y','z'), 1, 4) AS mh,
+                winnow_md5('the quick brown fox', 8) AS wf""").collect()(0)
     assert(row.getAs[Long]("sh") != 0L)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[scala.collection.Seq[Long]]("mh").length == 4)
+    assert(row.getAs[String]("wf").length == 32 &&
+      row.getAs[String]("wf").forall(c => "0123456789abcdef".contains(c)))
   }
 
   test("minhash64 rejects non-foldable parameter args with a clear analysis error") {
