@@ -62,9 +62,18 @@ object TextFunctions {
   /** Character-set Jaccard similarity between two strings (matches
     * DuckDB's `jaccard()`): |chars(a) ∩ chars(b)| / |chars(a) ∪ chars(b)|.
     * Computed from exact integer set sizes, so the double result is
-    * bit-identical across engines.
+    * bit-identical across engines. Runs as the native codegen'd
+    * `graft.plans.CharJaccard` kernel (two codepoint hash-set passes
+    * per row instead of materializing per-character string arrays);
+    * the spec proves kernel == declarative-array formulation over the
+    * whole documents corpus.
     */
-  def charJaccard(a: Column, b: Column): Column = {
+  def charJaccard(a: Column, b: Column): Column =
+    graft.plans.CharJaccard.charJaccard(a, b)
+
+  /** The declarative array formulation of [[charJaccard]] — kept as the
+    * cross-check the spec runs against the native kernel. */
+  def charJaccardDeclarative(a: Column, b: Column): Column = {
     val sa = charSet(a)
     val sb = charSet(b)
     val inter = size(array_intersect(sa, sb)).cast(DoubleType)

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static character-set Jaccard kernel: |chars(a) ∩ chars(b)| /
+  * |chars(a) ∪ chars(b)| over distinct codepoints, 0.0 when both
+  * strings are empty — the same value as the declarative
+  * `size(array_intersect(set_a, set_b)) / size(array_union(...))`
+  * formulation over `split(text, "")` (identical for all BMP text; the
+  * corpus is plain multilingual prose). Exact integer set sizes, so the
+  * double division is bit-identical across engines.
+  */
+object CharJaccardImpl {
+  def charJaccard(a: UTF8String, b: UTF8String): Double = {
+    val sa = new java.util.HashSet[Integer]()
+    val sb = new java.util.HashSet[Integer]()
+    addCodepoints(sa, a.toString)
+    addCodepoints(sb, b.toString)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  private def addCodepoints(set: java.util.HashSet[Integer], s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      set.add(cp)
+      i += Character.charCount(cp)
+    }
+  }
+}
+
+/** Native Catalyst expression: `CharJaccard(string, string) -> double`.
+  *
+  * The declarative formulation materializes one single-character string
+  * per codepoint into an array, distinct-sorts it, and set-ops two such
+  * arrays per row — thousands of tiny UTF8String allocations for a
+  * few-KB document. This kernel is two codepoint hash-set passes and
+  * one membership scan per row, inside whole-stage codegen.
+  */
+case class CharJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_jaccard"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_jaccard requires (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CharJaccardImpl.charJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CharJaccardImpl.charJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CharJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object CharJaccard {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def charJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(CharJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -14,6 +14,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(normText(lit("  Hello\t WORLD\n x "))) == "hello world x")
   }
 
+  test("native charJaccard kernel == declarative array formulation on the whole corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("next_text", lead(col("text"), 1).over(w))
+      .filter(col("next_text").isNotNull)
+    val diff = pairs.select(
+        charJaccard(col("text"), col("next_text")).as("k"),
+        charJaccardDeclarative(col("text"), col("next_text")).as("d"))
+      .filter(col("k") =!= col("d"))
+    assert(diff.limit(1).count() == 0,
+      "kernel diverged from the declarative formulation on real corpus text")
+  }
+
   test("charJaccard matches hand-computed set overlap") {
     // chars("abc") = {a,b,c}; chars("bcd") = {b,c,d} -> 2/4
     assert(one(charJaccard(lit("abc"), lit("bcd"))) == 0.5)
