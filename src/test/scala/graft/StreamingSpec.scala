@@ -64,4 +64,26 @@ class StreamingSpec extends SparkSpec {
     val missing = got -- batch
     assert(missing.isEmpty, s"stream emitted sessions absent from batch: ${missing.take(3)}")
   }
+
+  test("Spark's native session_window agrees with the hand-rolled q31 sessionization") {
+    // Three independent implementations of the same semantics now agree:
+    // the lag/cumsum window (q31, oracle-verified vs DuckDB), the
+    // flatMapGroupsWithState stream (spec above), and the built-in
+    // session_window aggregation. Gap semantics differ by an endpoint:
+    // session_window treats the gap as half-open (event at exactly
+    // start+gap opens a NEW session) while q31 keeps <= gap together,
+    // so the built-in runs with gap+1s to align on integer-second data.
+    val native = Tables.events(spark, sf)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("t", col("ts_sec").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("t"), "1801 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec"))
+      .select("user_id", "start_sec", "end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = LlmQueries.q31(spark, sf)
+      .select("user_id", "start_sec", "end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native == batch,
+      s"session_window diverged: only-native=${(native -- batch).take(3)} only-batch=${(batch -- native).take(3)}")
+  }
 }
