@@ -364,6 +364,31 @@ object AnalyticsQueries {
        WHERE l.l_quantity >= 45
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // q56: Bloom-prefiltered join (graft.operators.BloomPrefilter) — the
+  // selective dim's key set prunes fact rows map-side before the join
+  // shuffle, via Spark's own runtime-filter expressions wired
+  // explicitly. Oracle = the plain join: false positives only pass the
+  // prefilter, the exact join removes them, so bloom must be
+  // row-for-row invisible.
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
+    val build = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.BloomPrefilter.prefilteredJoin(probe, build, "l_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("price_c_sum"))
+      .orderBy("s_nationkey")
+  }
+
+  val q56Sql: String =
+    """SELECT s_nationkey, count(*) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c_sum
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       WHERE s_acctbal > 5000
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   // q54: UNPIVOT / melt — wide yearly metrics to long (y, metric,
   // value) form, the reshaping every feature store does. Spark's native
   // Dataset.unpivot (map-side, no shuffle beyond the input agg); oracle

@@ -88,6 +88,25 @@ class GraphOpsSpec extends SparkSpec {
   }
 }
 
+class BloomPrefilterSpec extends SparkSpec {
+  import graft.operators.BloomPrefilter
+
+  test("bloom-prefiltered join == plain join; prefilter sits before the join") {
+    val probe = Tables.lineitem(spark, sf).select(col("l_suppkey"), col("l_orderkey"))
+    val build = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val viaBloom = BloomPrefilter.prefilteredJoin(probe, build, "l_suppkey")
+    val plain = probe.join(build, Seq("l_suppkey"))
+    assert(viaBloom.count() == plain.count(),
+      "bloom prefilter must be row-for-row invisible in the join result")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    val plan = viaBloom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom might_contain prefilter in the plan:\n$plan")
+  }
+}
+
 class IntervalJoinSpec extends SparkSpec {
   import graft.operators.IntervalJoin
   import spark.implicits._
