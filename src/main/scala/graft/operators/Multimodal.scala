@@ -67,4 +67,39 @@ object Multimodal {
     import media.sparkSession.implicits._
     featuresOf(media.as[MediaRow]).toDF()
   }
+
+  /** STUB resize: a real pipeline re-encodes the payload at the target
+    * resolution; the stand-in rescales the metadata and truncates the
+    * payload proportionally (deterministic, spec-assertable). Pure
+    * map-side — the plumbing point is that resize is a per-row binary
+    * transform with NO shuffle, whatever the codec does inside.
+    */
+  def resizeStub(media: DataFrame, targetWidth: Int): DataFrame = {
+    val scale = col("width").cast("double") / lit(targetWidth).cast("double")
+    media.select(
+      col("doc_id"),
+      expr(s"substring(payload, 1, greatest(cast(length(payload) / " +
+        s"(cast(width as double) / $targetWidth) as int), 1))").as("payload"),
+      lit(targetWidth).cast("int").as("width"),
+      greatest((col("height").cast("double") / scale).cast("int"), lit(1)).as("height"),
+      col("fmt"))
+  }
+
+  /** Frame sampling: one output row per k-th frame of each asset —
+    * the video-at-scale shape (a 2-hour clip explodes to thousands of
+    * frame rows; sampling must happen AT explode time so unsampled
+    * frames never materialize). The explode is map-side (sequence +
+    * explode, no shuffle); the per-frame payload is a deterministic
+    * slice stub standing in for the codec's frame extraction.
+    */
+  def sampleFrames(media: DataFrame, everyKth: Int): DataFrame = {
+    require(everyKth > 0, "everyKth must be positive")
+    val frameCount = (length(col("payload")) / 1024 + 1).cast("int")
+    media.select(col("doc_id"), col("payload"), col("fmt"), frameCount.as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("fmt"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyKth))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        expr("substring(payload, frame_idx * 1024 + 1, 1024)").as("frame_bytes"),
+        col("fmt"))
+  }
 }

@@ -372,4 +372,40 @@ class MultimodalSpec extends SparkSpec {
     assert(mean > 32.0 && mean < 127.0, s"ASCII-ish payload mean expected, got $mean")
     assert(r0.getAs[Int]("frame_count") == (r0.getAs[Long]("byte_len") / 1024L + 1L).toInt)
   }
+
+  test("resize stub rescales metadata and payload map-side") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(20))
+    val resized = Multimodal.resizeStub(media, targetWidth = 64)
+    val rows = resized.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Int]("width") == 64))
+    assert(rows.forall(_.getAs[Int]("height") >= 1))
+    assert(rows.forall(r => r.getAs[Array[Byte]]("payload").length >= 1))
+    // map-side only: no exchange in the plan
+    resized.collect()
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"),
+      "resize must not shuffle")
+  }
+
+  test("frame sampling explodes only every k-th frame, map-side") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf).filter(col("doc_id") < 20))
+    val frames = Multimodal.sampleFrames(media, everyKth = 2)
+    val got = frames.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Int]("frame_idx") % 2 == 0), "only every 2nd frame sampled")
+    // per asset: ceil(n_frames / 2) sampled rows
+    val perDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (_, rs) =>
+      val n = rs.head.getAs[Int]("n_frames")
+      assert(rs.length == (n + 1) / 2, s"expected ${(n + 1) / 2} of $n frames, got ${rs.length}")
+    }
+    assert(got.forall(r => r.getAs[Array[Byte]]("frame_bytes").length <= 1024))
+    // map-side only: sampling adds no exchange beyond what the input had
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange".r.findAllIn(
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)).length
+    }
+    assert(exchanges(frames) == exchanges(media), "frame sampling must not shuffle")
+  }
 }
