@@ -30,7 +30,7 @@ object Bench {
 
     // Optional comma-separated name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // min-of-N per query: a full-suite run accumulates GC debt and
@@ -53,15 +53,18 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) None else Some(times.min))
+      (name, times)
     }
-    // A failed query is NEVER silently counted as a timing: it is
-    // omitted from `queries`/`value` and named in `failures`.
-    val failures = results.collect { case (n, None) => "\"" + n + "\"" }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + f"""\":$v%.3f""" }
+    // A failed run is NEVER silent: queries where EVERY run failed are
+    // omitted from `queries`/`value` and named in `failures` (non-zero
+    // exit); queries that failed some runs but produced a timing are
+    // named in `flaky` so a crash can't hide behind one good sample.
+    val failures = results.collect { case (n, ts) if ts.isEmpty => "\"" + n + "\"" }
+    val flaky = results.collect { case (n, ts) if ts.nonEmpty && ts.length < runs => "\"" + n + "\"" }
+    val qs = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + f"""\":${ts.min}%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val total = results.flatMap { case (_, ts) => ts.minOption }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"flaky":${flaky.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -92,16 +92,19 @@ object JsonQueries {
          coalesce(string_agg(c_name, ',' ORDER BY c_name) FILTER (c_name IS NOT NULL), '') AS reviewer_names
        FROM j GROUP BY event_id ORDER BY event_id"""
 
-  // q55: VARIANT-typed JSON (Spark 4's open JSON type): parse once to
-  // a binary variant, extract typed fields with variant_get — the
-  // shredding-friendly path for semi-structured columns at scale
-  // (vs per-access string re-parsing with get_json_object). Missing
-  // paths surface as NULL, mirrored by the oracle.
+  // q55: VARIANT-typed JSON (Spark 4's open JSON type): parse to a
+  // binary variant, extract typed fields with variant_get — the
+  // shredding-friendly path for semi-structured columns at scale (vs
+  // per-access string re-parsing with get_json_object). The parse is
+  // projected once; whole-stage codegen's subexpression elimination
+  // shares it across the two extractions even after projection
+  // collapse. Missing paths surface as NULL, mirrored by the oracle.
   def q55(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
       .select(col("event_id"),
-        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_val"),
-        expr("variant_get(parse_json(props), '$.absent', 'string')").as("absent_val"))
+        expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+        expr("variant_get(v, '$.absent', 'string')").as("absent_val"))
       .withColumn("k_bucket", col("k_val") % 7)
       .orderBy("event_id")
 

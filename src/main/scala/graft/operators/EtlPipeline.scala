@@ -66,19 +66,16 @@ object EtlPipeline {
     */
   def run(spark: SparkSession, sourceDir: String, targetPath: String,
           full: Boolean = false): Long = {
-    val existing: Option[DataFrame] =
-      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
-
+    val existing = MergeUpsert.readTargetIfExists(spark, targetPath)
     val facts = transform(spark, sourceDir)
-      .withColumn("ym", date_format(col("date_modified"), "yyyy-MM"))
-
     existing match {
       case Some(t) if !full =>
         val fresh = Watermark.newerThanSnapshot(facts, t, "date_modified")
-        MergeUpsert.mergeIntoPartitionedParquet(spark, fresh.drop("ym"), targetPath,
+        MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, targetPath,
           Seq("o_orderkey"), "date_modified")
       case _ =>
         MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
+          .withColumn("ym", date_format(col("date_modified"), "yyyy-MM"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "static")
           .partitionBy("ym").parquet(targetPath)

@@ -130,7 +130,14 @@ object GraphOps {
       iter += 1
     }
 
-    // Converged: e is a star forest (child -> root, child > root).
+    // Only a CONVERGED edge set is a star forest (exactly one out-edge
+    // per non-root node); deriving labels from a mid-iteration set
+    // would silently emit multiple rows per node. Fail loudly instead —
+    // the caller raises maxIter (rounds are O(log² n), so the default
+    // covers any realistic input; hitting this means something is off).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds; raise maxIter")
     // Roots and isolated nodes label themselves.
     val labels = nodes
       .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")

@@ -32,6 +32,8 @@ object IntervalJoin {
                         pointSec: String, startSec: String, endSec: String,
                         bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "inputs must not already contain a __bucket column")
     val p = points.withColumn("__bucket", floor(col(pointSec) / bucketSeconds))
     val i = intervals.withColumn("__bucket",
       explode(sequence(floor(col(startSec) / bucketSeconds),

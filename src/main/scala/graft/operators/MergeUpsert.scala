@@ -51,23 +51,39 @@ object MergeUpsert {
     * Used by both the batch `EtlPipeline` and the streaming
     * `EventStream.mergeSink` (per micro-batch).
     */
+  /** Read a parquet target, distinguishing "does not exist yet" (None)
+    * from real read failures (rethrown). A transient FS error must
+    * NEVER be treated as an absent target — the absent-target branch of
+    * an incremental merge does a full overwrite, so swallowing a
+    * transient failure there would replace the whole table with one
+    * batch's rows.
+    */
+  def readTargetIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "PATH_NOT_FOUND" || e.getMessage.contains("Path does not exist") =>
+        None
+    }
+
   def mergeIntoPartitionedParquet(spark: SparkSession, fresh0: DataFrame,
                                   targetPath: String, keys: Seq[String],
                                   updatedAt: String): Unit = {
     val fresh = fresh0.withColumn("ym", date_format(col(updatedAt), "yyyy-MM"))
-    val existing: Option[DataFrame] =
-      try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
-    existing match {
+    readTargetIfExists(spark, targetPath) match {
       case Some(t) =>
         val freshKeys = fresh.select(keys.map(col): _*).distinct()
         val affected = fresh.select("ym")
           .union(t.join(freshKeys, keys, "left_semi").select("ym"))
           .distinct()
-        val merged = merge(t, fresh, keys, updatedAt)
+        // Restrict the target to affected months BEFORE merging: rows of
+        // unaffected months can never change (their keys are disjoint
+        // from fresh by construction of `affected`), so the merge only
+        // ever reads/shuffles O(changed months), not the whole table.
+        val tAffected = t.join(affected, Seq("ym"), "left_semi")
         // materialize before writing: the write must never consume the
         // files it is replacing (a table format's snapshot isolation
         // plays this role at warehouse scale)
-        val touched = merged.join(affected, Seq("ym"), "left_semi")
+        val touched = merge(tAffected, fresh, keys, updatedAt)
           .localCheckpoint(eager = true)
         touched.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -94,7 +94,9 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, everyKth: Int): DataFrame = {
     require(everyKth > 0, "everyKth must be positive")
-    val frameCount = (length(col("payload")) / 1024 + 1).cast("int")
+    // ceil, not floor+1: a payload of exactly n*1024 bytes has n frames,
+    // not n+1 (a phantom empty frame); empty payloads keep one row
+    val frameCount = greatest(ceil(length(col("payload")) / lit(1024.0)), lit(1)).cast("int")
     media.select(col("doc_id"), col("payload"), col("fmt"), frameCount.as("n_frames"))
       .select(col("doc_id"), col("payload"), col("fmt"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyKth))).as("frame_idx"))

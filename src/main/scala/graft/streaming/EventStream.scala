@@ -44,6 +44,14 @@ object EventStream {
     * session is flushed, and its state removed. Without the timeout
     * branch the final session of every user would sit in state forever
     * and never be emitted.
+    *
+    * Bounded-state tradeoff, stated plainly: if an event inside the
+    * EVENT-time gap arrives only after the PROCESSING-time timeout
+    * already flushed (source stalled longer than `gapSec` wall-clock),
+    * it opens a new session — the batch recompute would have joined
+    * them. That is inherent to emitting with bounded state; pipelines
+    * for which this matters reconcile with the batch q31 recompute
+    * downstream (the MERGE sink makes that idempotent).
     */
   def sessionize(events: Dataset[RawEvent], gapSec: Long = 1800L): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
