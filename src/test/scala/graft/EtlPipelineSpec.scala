@@ -73,6 +73,25 @@ class EtlPipelineSpec extends SparkSpec {
     assert(newPartitions.nonEmpty, "incremental run must create the fresh months")
   }
 
+  test("a corrupt (unreadable) target aborts the merge instead of overwriting it") {
+    import graft.operators.MergeUpsert
+    val base = s"/tmp/graft_etlc_${System.nanoTime()}"
+    val target = s"$base/target"
+    new java.io.File(target).mkdirs()
+    // junk parquet file: the read fails with a real error, NOT path-not-found
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$target/part-junk.parquet"),
+      "not a parquet file".getBytes)
+    val fresh = Tables.orders(spark, sf).limit(10)
+      .select(col("o_orderkey"), col("o_orderdate").as("date_modified"))
+    intercept[Exception] {
+      MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, target,
+        Seq("o_orderkey"), "date_modified")
+    }
+    // the corrupt target must still be there, untouched
+    assert(new java.io.File(s"$target/part-junk.parquet").exists(),
+      "a failed read must never route into the overwrite branch")
+  }
+
   test("--full mode reprocesses everything idempotently") {
     val base = s"/tmp/graft_etlf_${System.nanoTime()}"
     val src = s"$base/src"; val target = s"$base/target"
