@@ -364,6 +364,29 @@ object AnalyticsQueries {
        WHERE l.l_quantity >= 45
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // q57: interpolated quantiles (percentile_cont) per group — the
+  // continuous complement of q38's percentile_disc. Interpolation is
+  // floating point, so per SURVEY §6 both engines round to 4 decimals
+  // (inputs are exact integer cents; only the final lerp is fp).
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("total_c", cents(col("o_totalprice")))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY total_c)"), 4).as("p50_c"),
+        round(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY total_c)"), 4).as("p25_c"),
+        round(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY total_c)"), 4).as("p99_c"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val q57Sql: String =
+    """SELECT o_orderpriority,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 4) AS p50_c,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 4) AS p25_c,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 4) AS p99_c,
+       count(*) AS n
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // q56: Bloom-prefiltered join (graft.operators.BloomPrefilter) — the
   // selective dim's key set prunes fact rows map-side before the join
   // shuffle, via Spark's own runtime-filter expressions wired
