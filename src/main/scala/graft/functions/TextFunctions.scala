@@ -47,11 +47,31 @@ object TextFunctions {
     }
   }
 
-  /** Character n-gram shingles of the *raw* text (position 1-based). */
+  /** Character n-gram shingles of the *raw* text.
+    *
+    * Same `zip_with`-against-shifted-slices construction as
+    * [[wordShingles]], for the same reason: the index formulation
+    * `transform(sequence(...), i => substring(t, i, n))` re-evaluates
+    * the free sub-expression `t` once per ELEMENT — O(maxChars²) work
+    * per row. Here the character array is built once per row and the
+    * `zip_with` chain slides it. Output is identical to the index
+    * formulation for BMP text: n-char windows when the (capped) text
+    * has ≥ n chars, `[text]` when shorter, `[""]` when empty, `[null]`
+    * for null input.
+    */
   def charShingles(text: Column, n: Int, maxChars: Int = 4096): Column = {
+    require(n >= 1, "shingle size must be >= 1")
     val t = substring(text, 1, maxChars)
-    val count = greatest(length(t) - (n - 1), lit(1))
-    transform(sequence(lit(1), count), i => substring(t, i, lit(n)))
+    val chars = filter(split(t, ""), c => c =!= "")
+    val slid =
+      if (n == 1) chars
+      else (2 to n).foldLeft(chars) { (acc, k) =>
+        zip_with(acc, slice(chars, lit(k), size(chars)), (a, b) =>
+          when(a.isNotNull && b.isNotNull, concat(a, b)))
+      }
+    when(text.isNull, array(lit(null).cast("string")))
+      .when(size(chars) >= n, filter(slid, x => x.isNotNull))
+      .otherwise(array(concat_ws("", chars)))
   }
 
   /** Distinct-character set of a string, as a sorted array — the basis of

@@ -48,9 +48,12 @@ object EtlPipeline {
 
   /** One incremental run against a month-partitioned parquet target
     * (`ym=yyyy-MM` of `date_modified` — the reference's
-    * `revision_year_month` merge granularity, stats.py:876). Returns the
-    * number of rows in the new snapshot. `full = true` reprocesses
-    * everything (the reference's `--full` flag).
+    * `revision_year_month` merge granularity, stats.py:876). Returns
+    * stats about what the run WROTE (on initial/full loads that is the
+    * whole snapshot) — deliberately not the post-merge snapshot count,
+    * which would cost a full-table scan per incremental run at 100 TB.
+    * `full = true` reprocesses everything (the reference's `--full`
+    * flag).
     *
     * Incremental runs rewrite ONLY the affected partitions, via dynamic
     * partition overwrite: affected = months receiving fresh rows, plus
@@ -65,7 +68,7 @@ object EtlPipeline {
     * plays this role).
     */
   def run(spark: SparkSession, sourceDir: String, targetPath: String,
-          full: Boolean = false): Long = {
+          full: Boolean = false): MergeStats = {
     val existing = MergeUpsert.readTargetIfExists(spark, targetPath)
     val facts = transform(spark, sourceDir)
     existing match {
@@ -74,12 +77,17 @@ object EtlPipeline {
         MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, targetPath,
           Seq("o_orderkey"), "date_modified")
       case _ =>
-        MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
+        // Observation rides the write job: counting the snapshot by
+        // re-reading the target it just wrote would double the IO.
+        val obs = org.apache.spark.sql.Observation()
+        val ymd = MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
           .withColumn("ym", date_format(col("date_modified"), "yyyy-MM"))
+        ymd.observe(obs, count(lit(1)).as("rows"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "static")
           .partitionBy("ym").parquet(targetPath)
+        MergeStats(obs.get("rows").asInstanceOf[Long],
+          MergeUpsert.listMonths(spark, targetPath), Nil)
     }
-    spark.read.parquet(targetPath).count()
   }
 }

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * with target and staging bucketed by the key column the anti join is
   * co-located and shuffle-free, and AQE handles staging skew.
   */
+/** What a partitioned MERGE run did, without re-scanning the target:
+  * `rowsWritten` counts the rows this run wrote (NOT the full snapshot —
+  * at 100 TB re-counting the snapshot would cost more than the merge),
+  * `monthsWritten`/`monthsDeleted` the partitions it rewrote/removed.
+  */
+case class MergeStats(rowsWritten: Long, monthsWritten: Seq[String],
+                      monthsDeleted: Seq[String])
+
 object MergeUpsert {
 
   /** Keep exactly one row per `keys`: the max `updatedAt`, with
@@ -42,15 +50,6 @@ object MergeUpsert {
     untouched.unionByName(deduped.select(target.columns.map(col): _*))
   }
 
-  /** MERGE `fresh` into a month-partitioned (`ym=yyyy-MM` of
-    * `updatedAt`) parquet target with dynamic partition overwrite — the
-    * reference's per-(year, month) MERGE loop (stats.py:876,969)
-    * generalized: only months receiving fresh rows, or holding a prior
-    * version of a freshly-merged key, are rewritten; every other
-    * partition's files are untouched. Creates the target when absent.
-    * Used by both the batch `EtlPipeline` and the streaming
-    * `EventStream.mergeSink` (per micro-batch).
-    */
   /** Read a parquet target, distinguishing "does not exist yet" (None)
     * from real read failures (rethrown). A transient FS error must
     * NEVER be treated as an absent target — the absent-target branch of
@@ -65,34 +64,97 @@ object MergeUpsert {
         None
     }
 
+  /** MERGE `fresh` into a month-partitioned (`ym=yyyy-MM` of
+    * `updatedAt`) parquet target with dynamic partition overwrite — the
+    * reference's per-(year, month) MERGE loop (stats.py:876,969)
+    * generalized: only months receiving fresh rows, holding a prior
+    * version of a freshly-merged key, or emptied by a key migrating out
+    * are rewritten (or deleted); every other partition's files are
+    * untouched. Keep-latest is global over target ∪ staging (ties to
+    * staging), so the result is independent of how input is split into
+    * batches. Creates the target when absent. Used by both the batch
+    * `EtlPipeline` and the streaming `EventStream.mergeSink` (per
+    * micro-batch).
+    */
   def mergeIntoPartitionedParquet(spark: SparkSession, fresh0: DataFrame,
                                   targetPath: String, keys: Seq[String],
-                                  updatedAt: String): Unit = {
+                                  updatedAt: String): MergeStats = {
     val fresh = fresh0.withColumn("ym", date_format(col(updatedAt), "yyyy-MM"))
     readTargetIfExists(spark, targetPath) match {
       case Some(t) =>
         val freshKeys = fresh.select(keys.map(col): _*).distinct()
-        val affected = fresh.select("ym")
+        // Collect the affected months EAGERLY (months are few even at
+        // 100 TB) so (a) the target restriction below becomes a literal
+        // IN-filter the scan partition-prunes on, instead of a semi-join
+        // over the whole table, and (b) the list survives the overwrite
+        // — we must not re-derive it from files the write replaced.
+        val affectedYms = fresh.select("ym")
           .union(t.join(freshKeys, keys, "left_semi").select("ym"))
-          .distinct()
+          .distinct().collect().map(_.getString(0)).toSeq
         // Restrict the target to affected months BEFORE merging: rows of
         // unaffected months can never change (their keys are disjoint
-        // from fresh by construction of `affected`), so the merge only
-        // ever reads/shuffles O(changed months), not the whole table.
-        val tAffected = t.join(affected, Seq("ym"), "left_semi")
+        // from fresh by construction of `affectedYms`), so the merge
+        // only ever reads/shuffles O(changed months), not the whole table.
+        val tAffected = t.filter(col("ym").isInCollection(affectedYms))
+        // Keep-latest must be GLOBAL across target ∪ staging, not
+        // staging-wins: the batch EtlPipeline only feeds rows newer than
+        // the watermark (where the two are equivalent), but the streaming
+        // mergeSink can receive an OLDER version of a key in a LATER
+        // micro-batch, and staging-wins would silently regress the
+        // target row. Ties go to staging (`__src` desc), preserving the
+        // reference's WHEN MATCHED UPDATE on equal timestamps
+        // (stats.py:896). One shuffle on the key, same as before.
+        val cols = tAffected.columns.map(col)
+        val tagged = tAffected.withColumn("__src", lit(0))
+          .unionByName(fresh.select(cols: _*).withColumn("__src", lit(1)))
         // materialize before writing: the write must never consume the
         // files it is replacing (a table format's snapshot isolation
         // plays this role at warehouse scale)
-        val touched = merge(tAffected, fresh, keys, updatedAt)
+        val touched = dedupLatest(tagged, keys, updatedAt, tiebreak = Seq("__src"))
+          .drop("__src")
           .localCheckpoint(eager = true)
         touched.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ym").parquet(targetPath)
+        // Dynamic overwrite only rewrites partitions that RECEIVE rows.
+        // A month whose every row migrated out (all its keys got fresh
+        // versions dated into other months) produces zero output rows,
+        // so its stale files would survive and duplicate the moved keys.
+        // Delete those emptied partitions explicitly (a table format's
+        // delete-partition metadata op at warehouse scale).
+        val touchedYms = touched.select("ym").distinct()
+          .collect().map(_.getString(0)).toSet
+        val emptiedYms = affectedYms.filterNot(touchedYms)
+        if (emptiedYms.nonEmpty) {
+          val base = new org.apache.hadoop.fs.Path(targetPath)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptiedYms.foreach { ym =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"ym=$ym"), true)
+          }
+        }
+        // touched is localCheckpoint'ed: this count reads cached blocks,
+        // never the files just written.
+        MergeStats(touched.count(), touchedYms.toSeq.sorted, emptiedYms.sorted)
       case None =>
+        // Observation piggybacks the row count onto the write job itself
+        // — no second pass over what could be the full initial load.
+        val obs = org.apache.spark.sql.Observation()
         dedupLatest(fresh, keys, updatedAt)
+          .observe(obs, count(lit(1)).as("rows"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "static")
           .partitionBy("ym").parquet(targetPath)
+        MergeStats(obs.get("rows").asInstanceOf[Long],
+          listMonths(spark, targetPath), Nil)
     }
+  }
+
+  /** Partition (`ym=`) directory names of a target — a pure metadata op. */
+  def listMonths(spark: SparkSession, targetPath: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ym="))
+      .map(_.getPath.getName.stripPrefix("ym=")).sorted
   }
 }

@@ -75,11 +75,18 @@ object Multimodal {
     * transform with NO shuffle, whatever the codec does inside.
     */
   def resizeStub(media: DataFrame, targetWidth: Int): DataFrame = {
-    val scale = col("width").cast("double") / lit(targetWidth).cast("double")
+    require(targetWidth > 0, "targetWidth must be positive")
+    // width = 0 or NULL would make the scale divisor 0/NULL (Infinity or
+    // a null payload through the int cast) — clamp to 1, the same
+    // edge-guarding discipline as sampleFrames. greatest() skips nulls,
+    // so NULL width also lands on 1.
+    val safeWidth = greatest(col("width"), lit(1)).cast("double")
+    val scale = safeWidth / lit(targetWidth).cast("double")
     media.select(
       col("doc_id"),
-      expr(s"substring(payload, 1, greatest(cast(length(payload) / " +
-        s"(cast(width as double) / $targetWidth) as int), 1))").as("payload"),
+      col("payload").substr(lit(1),
+        greatest((length(col("payload")).cast("double") / scale).cast("int"), lit(1)))
+        .as("payload"),
       lit(targetWidth).cast("int").as("width"),
       greatest((col("height").cast("double") / scale).cast("int"), lit(1)).as("height"),
       col("fmt"))

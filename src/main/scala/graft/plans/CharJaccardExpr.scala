@@ -7,12 +7,17 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static character-set Jaccard kernel: |chars(a) ∩ chars(b)| /
-  * |chars(a) ∪ chars(b)| over distinct codepoints, 0.0 when both
-  * strings are empty — the same value as the declarative
-  * `size(array_intersect(set_a, set_b)) / size(array_union(...))`
-  * formulation over `split(text, "")` (identical for all BMP text; the
-  * corpus is plain multilingual prose). Exact integer set sizes, so the
-  * double division is bit-identical across engines.
+  * |chars(a) ∪ chars(b)| over distinct codepoints. When both strings
+  * are empty (union = 0) the kernel returns 0.0 — the value of
+  * `TextFunctions.charJaccardDeclarative`, whose `when(union === 0, 0.0)`
+  * guard defines the repo's semantics for that edge (the UNguarded
+  * `size(intersect)/size(union)` would give 0/0 = NULL, and DuckDB's
+  * `jaccard()` rejects empty input outright, so no oracle constrains
+  * it; TextFunctionsSpec pins 0.0 explicitly). For non-empty input the
+  * kernel matches the declarative formulation over `split(text, "")`
+  * for all BMP text (the corpus is plain multilingual prose). Exact
+  * integer set sizes, so the double division is bit-identical across
+  * engines.
   */
 object CharJaccardImpl {
   def charJaccard(a: UTF8String, b: UTF8String): Double = {

@@ -28,9 +28,21 @@ object Warehouse {
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True iff the executed plan of `df` contains no shuffle exchange —
-    * the property bucketing buys. */
+    * the property bucketing buys. Walks the physical plan tree
+    * (descending through AQE wrappers and materialized query stages)
+    * rather than string-matching the rendered plan, which is brittle
+    * across Spark versions.
+    */
   def isShuffleFree(df: DataFrame): Boolean = {
-    df.queryExecution.executedPlan.toString() // force planning
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike  => true
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec        => hasShuffle(q.plan)
+      case other                    => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
   }
 }

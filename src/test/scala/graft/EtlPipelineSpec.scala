@@ -29,7 +29,7 @@ class EtlPipelineSpec extends SparkSpec {
     makeSource(oldSrc, Some("1996-01-01"))
     makeSource(newSrc, None)
 
-    val n1 = EtlPipeline.run(spark, oldSrc, target)
+    val n1 = EtlPipeline.run(spark, oldSrc, target).rowsWritten
     assert(n1 > 0)
     // o_orderdate is parquet TIMESTAMP_NTZ -> compare via string form
     val watermarkThen = spark.read.parquet(target)
@@ -46,8 +46,12 @@ class EtlPipelineSpec extends SparkSpec {
     }
     val filesBefore = partitionFiles()
 
-    val n2 = EtlPipeline.run(spark, newSrc, target)
-    assert(n2 > n1, "incremental run must add the newer orders")
+    val stats2 = EtlPipeline.run(spark, newSrc, target)
+    assert(stats2.rowsWritten > 0, "incremental run must write the newer orders")
+    assert(stats2.monthsWritten.nonEmpty)
+    // run() reports only what it wrote; the snapshot grew past run 1
+    assert(spark.read.parquet(target).count() > n1,
+      "incremental run must add the newer orders")
 
     // convergence: merged incremental state == full recompute
     val fullRecompute = EtlPipeline.transform(spark, newSrc)
@@ -92,12 +96,60 @@ class EtlPipelineSpec extends SparkSpec {
       "a failed read must never route into the overwrite branch")
   }
 
+  test("a month emptied by the merge is deleted, not left stale") {
+    import graft.operators.MergeUpsert
+    import spark.implicits._
+    val base = s"/tmp/graft_etlm_${System.nanoTime()}"
+    val target = s"$base/target"
+    val v1 = Seq((1L, "2024-01-15 00:00:00", "a"), (2L, "2024-02-10 00:00:00", "b"))
+      .toDF("id", "u", "payload").withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, v1, target, Seq("id"), "u")
+    assert(new java.io.File(s"$target/ym=2024-01").exists())
+    // key 1 — the ONLY row of 2024-01 — gets a fresh version in 2024-03:
+    // dynamic overwrite writes no rows into 2024-01, so the merge must
+    // delete that partition explicitly or the stale version survives
+    val v2 = Seq((1L, "2024-03-05 00:00:00", "a2")).toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, v2, target, Seq("id"), "u")
+    val got = spark.read.parquet(target)
+    assert(got.count() == 2)
+    assert(got.filter(col("id") === 1).count() == 1,
+      "the moved key must have exactly one surviving version")
+    assert(got.filter(col("id") === 1).select("payload").head().getString(0) == "a2")
+    assert(!new java.io.File(s"$target/ym=2024-01").exists(),
+      "emptied month partition must be deleted")
+  }
+
+  test("a later batch carrying an OLDER version must not regress the target") {
+    import graft.operators.MergeUpsert
+    import spark.implicits._
+    val base = s"/tmp/graft_etlo_${System.nanoTime()}"
+    val target = s"$base/target"
+    val newer = Seq((1L, "2024-02-10 00:00:00", "new")).toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, newer, target, Seq("id"), "u")
+    // out-of-order arrival: an older version of the same key in a later batch
+    val older = Seq((1L, "2024-01-05 00:00:00", "old")).toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, older, target, Seq("id"), "u")
+    val got = spark.read.parquet(target)
+    assert(got.count() == 1, "keep-latest must be global across target and staging")
+    assert(got.select("payload").head().getString(0) == "new",
+      "an older staged version must not replace a newer target row")
+    // equal timestamps: staging wins (the reference's WHEN MATCHED UPDATE)
+    val tie = Seq((1L, "2024-02-10 00:00:00", "tie")).toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, tie, target, Seq("id"), "u")
+    assert(spark.read.parquet(target).select("payload").head().getString(0) == "tie",
+      "on an updatedAt tie the staged row must win")
+  }
+
   test("--full mode reprocesses everything idempotently") {
     val base = s"/tmp/graft_etlf_${System.nanoTime()}"
     val src = s"$base/src"; val target = s"$base/target"
     makeSource(src, None)
-    val n1 = EtlPipeline.run(spark, src, target, full = true)
-    val n2 = EtlPipeline.run(spark, src, target, full = true)
-    assert(n1 == n2, "full reload must be idempotent")
+    val n1 = EtlPipeline.run(spark, src, target, full = true).rowsWritten
+    val n2 = EtlPipeline.run(spark, src, target, full = true).rowsWritten
+    assert(n1 > 0 && n1 == n2, "full reload must be idempotent")
   }
 }

@@ -387,6 +387,26 @@ class MultimodalSpec extends SparkSpec {
       "resize must not shuffle")
   }
 
+  test("resize stub guards width = 0 / NULL instead of emitting Infinity or null") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "payload-bytes-here".getBytes("UTF-8"), Some(0), 100, "png"),
+      (2L, "payload-bytes-here".getBytes("UTF-8"), Option.empty[Int], 100, "png"),
+      (3L, "payload-bytes-here".getBytes("UTF-8"), Some(128), 100, "png"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val rows = Multimodal.resizeStub(media, targetWidth = 64)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    // degenerate widths clamp to 1 -> upscale: payload kept, height >= 1
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload") != null &&
+        r.getAs[Array[Byte]]("payload").length >= 1,
+        "degenerate width must not null/empty the payload")
+      assert(r.getAs[Int]("width") == 64)
+      assert(r.getAs[Int]("height") >= 1)
+    }
+  }
+
   test("frame sampling explodes only every k-th frame, map-side") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf).filter(col("doc_id") < 20))
     val frames = Multimodal.sampleFrames(media, everyKth = 2)

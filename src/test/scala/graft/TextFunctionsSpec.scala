@@ -35,6 +35,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(charJaccard(lit("same"), lit("same"))) == 1.0)
   }
 
+  test("charJaccard empty/empty pins the guarded 0.0 semantics, kernel == declarative") {
+    // union = 0: the repo defines this edge as 0.0 (the unguarded
+    // size(∩)/size(∪) would be 0/0 = NULL; DuckDB's jaccard() rejects
+    // empty input outright, so no oracle constrains it)
+    assert(one(charJaccard(lit(""), lit(""))) == 0.0)
+    assert(one(charJaccardDeclarative(lit(""), lit(""))) == 0.0)
+    // one-sided empty: 0 intersection over non-zero union
+    assert(one(charJaccard(lit("abc"), lit(""))) == 0.0)
+    assert(one(charJaccardDeclarative(lit("abc"), lit(""))) == 0.0)
+  }
+
+  test("charShingles zip_with formulation == index formulation, incl. edges") {
+    // the O(len²) index formulation the implementation replaced — kept
+    // here as the cross-check
+    def indexForm(text: org.apache.spark.sql.Column, n: Int, maxChars: Int = 4096) = {
+      val t = substring(text, 1, maxChars)
+      val count = greatest(length(t) - (n - 1), lit(1))
+      transform(sequence(lit(1), count), i => substring(t, i, lit(n)))
+    }
+    // real corpus text
+    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+    val diff = docs.select(
+        charShingles(col("text"), 3).as("z"),
+        indexForm(col("text"), 3).as("i"))
+      .filter(not(col("z") <=> col("i")))
+    assert(diff.limit(1).count() == 0,
+      "zip_with charShingles diverged from the index formulation on corpus text")
+    // pinned edges: short text, exact-n text, empty, null, n=1, maxChars cap
+    assert(one(charShingles(lit("abcde"), 3)) == Seq("abc", "bcd", "cde"))
+    assert(one(charShingles(lit("abc"), 3)) == Seq("abc"))
+    assert(one(charShingles(lit("ab"), 3)) == Seq("ab"))
+    assert(one(charShingles(lit(""), 3)) == Seq(""))
+    assert(one(charShingles(lit(null).cast("string"), 3)) == Seq(null))
+    assert(one(charShingles(lit("abc"), 1)) == Seq("a", "b", "c"))
+    assert(one(charShingles(lit("abcdef"), 2, maxChars = 4)) == Seq("ab", "bc", "cd"))
+  }
+
   test("wordShingles produces n-grams with short-text floor") {
     assert(one(wordShingles(lit("a b c d"), 3)) == Seq("a b c", "b c d"))
     assert(one(wordShingles(lit("a"), 3)) == Seq("a"))
