@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.ConformedTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle entries for the eight-table conformed pipeline — the
+  * reference's complete output surface (`stats.py:775-798`) as checkable
+  * queries. `q58` hashes the 8-way conformed union row-for-row; `q59`
+  * hashes the changeset line metrics (stats.py:439-482) at full width.
+  * The MERGE lifecycle over the same builders is exercised end-to-end by
+  * `EtlPipelineSpec` (incremental == full recompute for all 8 targets).
+  */
+object PipelineQueries {
+
+  // q58: the 8-table load fan-out as one conformed union (reference:
+  // load_bigquery_tables + process(), stats.py:775,1094). Every row of
+  // every conformed table appears once with its table_name, key,
+  // timestamp, acting entity, and an integer detail measure — a full
+  // row-level hash over the entire pipeline output surface.
+  def q58(spark: SparkSession, dir: String): DataFrame =
+    ConformedTables.conformedUnion(spark, dir)
+      .orderBy("table_name", "id", "updated_sec")
+
+  val q58Sql: String =
+    """WITH incl AS (
+         SELECT *, CAST(l_orderkey*100 + row_number() OVER (
+             PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_partkey,
+             l_suppkey, l_quantity, l_extendedprice, l_discount) AS BIGINT) AS line_id
+         FROM lineitem WHERE l_returnflag <> 'R' AND l_suppkey % 10 <> 0
+       ), li_all AS (
+         SELECT *, CAST(l_orderkey*100 + row_number() OVER (
+             PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_partkey,
+             l_suppkey, l_quantity, l_extendedprice, l_discount) AS BIGINT) AS line_id
+         FROM lineitem
+       )
+       SELECT * FROM (
+         SELECT 'revisions' AS table_name, CAST(o_orderkey AS BIGINT) AS id,
+           CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) AS updated_sec,
+           c_name AS actor, CAST(round(o_totalprice*100) AS BIGINT) AS detail_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         UNION ALL
+         SELECT 'diffs', line_id,
+           CAST(floor(extract(epoch FROM l_shipdate)) AS BIGINT),
+           s_name, CAST(round(l_extendedprice*100) AS BIGINT)
+         FROM incl JOIN supplier ON l_suppkey = s_suppkey
+         UNION ALL
+         SELECT 'changesets', line_id,
+           CAST(floor(extract(epoch FROM l_shipdate)) AS BIGINT),
+           p_name,
+           CAST(round(l_quantity) AS BIGINT) + CAST(round(l_quantity*l_discount) AS BIGINT)
+         FROM incl JOIN part ON l_partkey = p_partkey
+         UNION ALL
+         SELECT 'comments', CAST(event_id AS BIGINT),
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT),
+           coalesce(c_name, 'unknown'),
+           CAST(round(value*100) AS BIGINT)
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         WHERE event_type IN ('click', 'view')
+         UNION ALL
+         SELECT 'review_requests', line_id,
+           CAST(floor(extract(epoch FROM l_shipdate)) AS BIGINT),
+           s_name,
+           CAST(CASE WHEN s_suppkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         FROM li_all JOIN supplier ON l_suppkey = s_suppkey
+         UNION ALL
+         SELECT 'transactions', CAST(event_id AS BIGINT),
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT),
+           coalesce(c_name, 'unknown'),
+           CAST(round(value*100) AS BIGINT)
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         WHERE event_type IN ('signup', 'purchase', 'error')
+         UNION ALL
+         SELECT 'review_groups', CAST(n_nationkey AS BIGINT),
+           CAST(floor(extract(epoch FROM TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT),
+           n_name,
+           CAST(count(DISTINCT c_custkey) AS BIGINT)
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE substr(n_name, 1, 8) <> 'NATION_1'
+         GROUP BY n_nationkey, n_name
+         UNION ALL
+         SELECT 'project_transactions', CAST(event_id AS BIGINT),
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT),
+           n_name, CAST(round(value*100) AS BIGINT)
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         WHERE event_type IN ('signup', 'view') AND substr(n_name, 1, 8) <> 'NATION_1'
+       )
+       ORDER BY table_name, id, updated_sec"""
+
+  // q59: changeset-level line metrics (reference get_diffs_changesets,
+  // stats.py:439-482 — added/removed/total per changeset of every
+  // included diff), full-width hash check.
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    ConformedTables.changesets(spark, dir)
+      .select(col("id"), col("revision_id"), col("path"),
+        col("lines_added"), col("lines_removed"), col("total_lines"),
+        date_format(col("updated_at"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("id")
+
+  val q59Sql: String =
+    """WITH incl AS (
+         SELECT *, CAST(l_orderkey*100 + row_number() OVER (
+             PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, l_partkey,
+             l_suppkey, l_quantity, l_extendedprice, l_discount) AS BIGINT) AS id
+         FROM lineitem WHERE l_returnflag <> 'R' AND l_suppkey % 10 <> 0
+       )
+       SELECT id,
+       CAST(l_orderkey AS BIGINT) AS revision_id,
+       p_name AS path,
+       CAST(round(l_quantity) AS BIGINT) AS lines_added,
+       CAST(round(l_quantity*l_discount) AS BIGINT) AS lines_removed,
+       CAST(round(l_quantity) AS BIGINT) + CAST(round(l_quantity*l_discount) AS BIGINT) AS total_lines,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+       FROM incl JOIN part ON l_partkey = p_partkey
+       ORDER BY id"""
+}

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.functions.JsonFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's EIGHT conformed output tables
+  * (`phabricator_etl/stats.py:775-798 load_bigquery_tables`: revisions,
+  * diffs, changesets, comments, review_requests, transactions,
+  * review_groups, project_transactions), re-expressed as set-based
+  * Spark plans over the mapped testdata (SURVEY §3: revisions→orders,
+  * diff/changeset activity→lineitem, users→customer, projects→nation,
+  * repos/reviewers→supplier+part, comment/transaction streams→events).
+  *
+  * Every table carries (`id` BIGINT, `updated_at` TIMESTAMP) so the
+  * shared month-partitioned MERGE lifecycle
+  * (`MergeUpsert.mergeIntoPartitionedParquet`) applies uniformly —
+  * the reference merges each of the eight per (year, month)
+  * (stats.py:876,969). All remaining columns follow the oracle-parity
+  * conventions of SURVEY §6 (integer cents, epoch seconds / date
+  * strings, identical aliases in the DuckDB rendering).
+  *
+  * Scale shape: each fact-backed table is ONE pass over its fact with
+  * dims broadcast (no per-row lookups — the reference issues ~6 ORM
+  * queries per revision); the only extra shuffle is review_groups'
+  * member collect, keyed by nation.
+  */
+object ConformedTables {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  private def propK(props: Column): Column =
+    get_json_object(props, "$.k").cast(LongType)
+
+  /** Ordered table names, as the reference lists them. */
+  val names: Seq[String] = Seq("revisions", "diffs", "changesets", "comments",
+    "review_requests", "transactions", "review_groups", "project_transactions")
+
+  /** All eight builders keyed by name. */
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revisions"            -> (revisions _),
+    "diffs"                -> (diffs _),
+    "changesets"           -> (changesets _),
+    "comments"             -> (comments _),
+    "review_requests"      -> (reviewRequests _),
+    "transactions"         -> (transactions _),
+    "review_groups"        -> (reviewGroups _),
+    "project_transactions" -> (projectTransactions _),
+  )
+
+  /** `get_revision` (stats.py:681): one enriched row per revision —
+    * author/repository lookups become broadcast dim joins; the bug-id
+    * custom field (stats.py:1122) maps to the priority digit. */
+  def revisions(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("o_orderkey").cast(LongType).as("id"),
+        col("o_orderdate").as("updated_at"),
+        col("o_orderstatus").as("status"),
+        col("c_name").as("author"),
+        col("n_name").as("repository"),
+        substring(col("o_orderpriority"), 1, 1).cast(LongType).as("bug_id"),
+        cents(col("o_totalprice")).as("total_c"))
+  }
+
+  /** `should_include_diff` (transforms.py:109): drop commit-method
+    * diffs (returnflag 'R') and robot authors (suppkey % 10 == 0 plays
+    * the PHID-RIDT- prefix); both predicates are row-local so they push
+    * into the scan. */
+  private def includedDiffLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") =!= "R" && col("l_suppkey") % 10 =!= 0)
+
+  /** Surrogate line id: (l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic generator, so id = orderkey*100 + row_number within the
+    * order. Two properties matter:
+    *
+    *   - DETERMINISTIC across engines: the ordering is a total order
+    *     over every column, so any remaining tie is a bit-identical
+    *     duplicate row and the assignment is interchangeable.
+    *   - STABLE across incremental extracts: `l_shipdate` (the table's
+    *     watermark column) orders FIRST, so a watermark-bounded fresh
+    *     batch (strictly newer shipdates) appends ranks at the end of
+    *     each order and never re-numbers rows the target already holds.
+    *
+    * The window partitions by the high-cardinality order key, so at
+    * scale it shuffles once on the same key the downstream MERGE uses. */
+  private def withLineId(lines: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    lines.withColumn("line_id",
+      (col("l_orderkey") * 100 + row_number().over(w)).cast(LongType))
+  }
+
+  /** `get_diffs_changesets` (stats.py:439): one row per included diff
+    * with author enrichment (user lookups → broadcast supplier join). */
+  def diffs(spark: SparkSession, dir: String): DataFrame = {
+    val s = broadcast(Tables.supplier(spark, dir))
+    withLineId(includedDiffLines(spark, dir))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .select(
+        col("line_id").as("id"),
+        col("l_orderkey").cast(LongType).as("revision_id"),
+        col("l_shipdate").as("updated_at"),
+        col("l_returnflag").as("creation_method"),
+        col("s_name").as("author_username"),
+        cents(col("l_extendedprice")).as("value_c"))
+  }
+
+  /** `get_changesets` + the per-changeset line metrics the reference
+    * derives (stats.py:439-482): added/removed/total per changeset of
+    * every included diff; the "file path" is the part name. */
+  def changesets(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir))
+    withLineId(includedDiffLines(spark, dir))
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .select(
+        col("line_id").as("id"),
+        col("l_orderkey").cast(LongType).as("revision_id"),
+        col("l_shipdate").as("updated_at"),
+        col("p_name").as("path"),
+        round(col("l_quantity")).cast(LongType).as("lines_added"),
+        round(col("l_quantity") * col("l_discount")).cast(LongType).as("lines_removed"))
+      .withColumn("total_lines", col("lines_added") + col("lines_removed"))
+  }
+
+  /** `get_comments` (stats.py:483): comment-typed events with author
+    * enrichment and the `is_suggestion` JSON flag (transforms.py:71);
+    * `character_count` is the derived scalar metric. */
+  def comments(spark: SparkSession, dir: String): DataFrame = {
+    val c = broadcast(Tables.customer(spark, dir))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .join(c, col("user_id") === c("c_custkey"), "left")
+      .select(
+        col("event_id").cast(LongType).as("id"),
+        col("user_id").cast(LongType).as("revision_id"),
+        col("ts").as("updated_at"),
+        coalesce(col("c_name"), lit("unknown")).as("author_username"),
+        (propK(col("props")) % 2 === 1).cast(LongType).as("is_suggestion"),
+        cents(col("value")).as("character_count"))
+  }
+
+  /** `get_review_requests` (stats.py:400): one row per reviewer of a
+    * revision; group reviewers (PHID-PROJ- prefix → suppkey % 5) get no
+    * email, mirroring the reference's is_reviewer_group branch. */
+  def reviewRequests(spark: SparkSession, dir: String): DataFrame = {
+    val s = broadcast(Tables.supplier(spark, dir))
+    withLineId(Tables.lineitem(spark, dir))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .select(
+        col("line_id").as("id"),
+        col("l_orderkey").cast(LongType).as("revision_id"),
+        col("l_shipdate").as("updated_at"),
+        col("s_name").as("reviewer_username"),
+        (col("s_suppkey") % 5 === 0).cast(LongType).as("is_group"),
+        when(col("s_suppkey") % 5 === 0, lit(null).cast(StringType))
+          .otherwise(concat(lower(col("s_name")), lit("@example.org")))
+          .as("reviewer_email"),
+        col("l_linestatus").as("status"))
+  }
+
+  /** `get_transactions` (stats.py:517): state-change-typed events with
+    * the reviewers-map old/new values resolved to string lists
+    * (`convert_json_to_string_list`, transforms.py:29). */
+  def transactions(spark: SparkSession, dir: String): DataFrame = {
+    val c = broadcast(Tables.customer(spark, dir))
+    val k = propK(col("props"))
+    def tri(v: Column): Column =
+      when(v % 3 === 0, lit("true"))
+        .when(v % 3 === 1, lit("false"))
+        .otherwise(v.cast(StringType))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .join(c, col("user_id") === c("c_custkey"), "left")
+      .select(
+        col("event_id").cast(LongType).as("id"),
+        col("user_id").cast(LongType).as("revision_id"),
+        col("ts").as("updated_at"),
+        col("event_type").as("transaction_type"),
+        coalesce(col("c_name"), lit("unknown")).as("author_username"),
+        array_join(JsonFunctions.valueToStringList(tri(k)), ",").as("old_value"),
+        array_join(JsonFunctions.valueToStringList(tri(k + 1)), ",").as("new_value"),
+        cents(col("value")).as("value_c"))
+  }
+
+  /** `get_review_groups` (stats.py:551): one row per non-`bmo-` project
+    * (NATION_1x plays the bmo- prefix) with sorted member usernames —
+    * the per-project member ORM loop becomes one collect aggregation. */
+  def reviewGroups(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).filter(!col("n_name").startsWith("NATION_1"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_name"))), ",").as("members"),
+        size(collect_set(col("c_custkey"))).cast(LongType).as("n_members"))
+      .select(
+        col("n_nationkey").cast(LongType).as("id"),
+        lit("2024-01-01 00:00:00").cast(TimestampType).as("updated_at"),
+        col("n_name").as("name"),
+        col("members"), col("n_members"))
+  }
+
+  /** `get_project_transactions` (stats.py:626): project-typed events
+    * attributed to their project (user_id % |projects|), restricted to
+    * non-`bmo-` projects like the reference's project query. */
+  def projectTransactions(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.nation(spark, dir)
+      .filter(!col("n_name").startsWith("NATION_1")))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "view"))
+      .join(n, col("user_id") % 25 === n("n_nationkey"))
+      .select(
+        col("event_id").cast(LongType).as("id"),
+        col("ts").as("updated_at"),
+        col("n_nationkey").cast(LongType).as("project_id"),
+        col("n_name").as("project_name"),
+        col("event_type").as("transaction_type"),
+        cents(col("value")).as("value_c"))
+  }
+
+  /** The 8-way conformed union (the shape `q58` oracles): every table
+    * projected to (table_name, id, updated_sec, actor, detail_c) and
+    * unioned — the reference's 8-table load fan-out as one frame. */
+  def conformedUnion(spark: SparkSession, dir: String): DataFrame = {
+    def conform(table: String, df: DataFrame, actor: Column, detail: Column): DataFrame =
+      df.select(lit(table).as("table_name"), col("id"),
+        unix_timestamp(col("updated_at")).as("updated_sec"),
+        actor.as("actor"), detail.cast(LongType).as("detail_c"))
+    conform("revisions", revisions(spark, dir), col("author"), col("total_c"))
+      .unionByName(conform("diffs", diffs(spark, dir),
+        col("author_username"), col("value_c")))
+      .unionByName(conform("changesets", changesets(spark, dir),
+        col("path"), col("total_lines")))
+      .unionByName(conform("comments", comments(spark, dir),
+        col("author_username"), col("character_count")))
+      .unionByName(conform("review_requests", reviewRequests(spark, dir),
+        col("reviewer_username"), col("is_group")))
+      .unionByName(conform("transactions", transactions(spark, dir),
+        col("author_username"), col("value_c")))
+      .unionByName(conform("review_groups", reviewGroups(spark, dir),
+        col("name"), col("n_members")))
+      .unionByName(conform("project_transactions", projectTransactions(spark, dir),
+        col("project_name"), col("value_c")))
+  }
+}

@@ -77,17 +77,34 @@ object EtlPipeline {
         MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, targetPath,
           Seq("o_orderkey"), "date_modified")
       case _ =>
-        // Observation rides the write job: counting the snapshot by
-        // re-reading the target it just wrote would double the IO.
-        val obs = org.apache.spark.sql.Observation()
-        val ymd = MergeUpsert.dedupLatest(facts, Seq("o_orderkey"), "date_modified")
-          .withColumn("ym", date_format(col("date_modified"), "yyyy-MM"))
-        ymd.observe(obs, count(lit(1)).as("rows"))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("ym").parquet(targetPath)
-        MergeStats(obs.get("rows").asInstanceOf[Long],
-          MergeUpsert.listMonths(spark, targetPath), Nil)
+        MergeUpsert.fullLoadPartitioned(spark, facts, targetPath,
+          Seq("o_orderkey"), "date_modified")
     }
   }
+
+  /** The COMPLETE reference run: all eight conformed tables
+    * (`stats.py:775-798`) extracted, transformed, and MERGEd
+    * month-partitioned in one incremental pass — `process()`
+    * (stats.py:1094) end-to-end, but set-based. Each table gets its own
+    * watermark (MAX(updated_at) of its current target), its own
+    * incremental extract, and its own dynamic-partition-overwrite MERGE
+    * under `targetRoot/<table>`; unaffected months of every table keep
+    * their files byte-identical. Returns per-table [[MergeStats]].
+    */
+  def runConformed(spark: SparkSession, sourceDir: String, targetRoot: String,
+                   full: Boolean = false): Map[String, MergeStats] =
+    ConformedTables.names.map { name =>
+      val targetPath = s"$targetRoot/$name"
+      val facts = ConformedTables.all(name)(spark, sourceDir)
+      val stats = MergeUpsert.readTargetIfExists(spark, targetPath) match {
+        case Some(t) if !full =>
+          val fresh = Watermark.newerThanSnapshot(facts, t, "updated_at")
+          MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, targetPath,
+            Seq("id"), "updated_at")
+        case _ =>
+          MergeUpsert.fullLoadPartitioned(spark, facts, targetPath,
+            Seq("id"), "updated_at")
+      }
+      name -> stats
+    }.toMap
 }

@@ -91,6 +91,7 @@ object MergeUpsert {
         val affectedYms = fresh.select("ym")
           .union(t.join(freshKeys, keys, "left_semi").select("ym"))
           .distinct().collect().map(_.getString(0)).toSeq
+        if (affectedYms.isEmpty) return MergeStats(0L, Nil, Nil) // no fresh rows: no-op
         // Restrict the target to affected months BEFORE merging: rows of
         // unaffected months can never change (their keys are disjoint
         // from fresh by construction of `affectedYms`), so the merge
@@ -136,17 +137,29 @@ object MergeUpsert {
         // never the files just written.
         MergeStats(touched.count(), touchedYms.toSeq.sorted, emptiedYms.sorted)
       case None =>
-        // Observation piggybacks the row count onto the write job itself
-        // — no second pass over what could be the full initial load.
-        val obs = org.apache.spark.sql.Observation()
-        dedupLatest(fresh, keys, updatedAt)
-          .observe(obs, count(lit(1)).as("rows"))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("ym").parquet(targetPath)
-        MergeStats(obs.get("rows").asInstanceOf[Long],
-          listMonths(spark, targetPath), Nil)
+        fullLoadPartitioned(spark, fresh, targetPath, keys, updatedAt)
     }
+  }
+
+  /** Full (static-overwrite) load of a month-partitioned target: dedup
+    * keep-latest, stamp `ym`, write. The row count piggybacks on the
+    * write job via `Observation` — no second pass over what could be
+    * the full initial load — and the month list is FS metadata.
+    */
+  def fullLoadPartitioned(spark: SparkSession, fresh0: DataFrame,
+                          targetPath: String, keys: Seq[String],
+                          updatedAt: String): MergeStats = {
+    val fresh =
+      if (fresh0.columns.contains("ym")) fresh0
+      else fresh0.withColumn("ym", date_format(col(updatedAt), "yyyy-MM"))
+    val obs = org.apache.spark.sql.Observation()
+    dedupLatest(fresh, keys, updatedAt)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("ym").parquet(targetPath)
+    MergeStats(obs.get("rows").asInstanceOf[Long],
+      listMonths(spark, targetPath), Nil)
   }
 
   /** Partition (`ym=`) directory names of a target — a pure metadata op. */

@@ -22,6 +22,16 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  /** Per-partition (ym=) parquet file listing: name + mtime. */
+  private def partitionFiles(target: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(target)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ym="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+  }
+
   test("incremental run converges to the full-recompute state") {
     val base = s"/tmp/graft_etl_${System.nanoTime()}"
     val oldSrc = s"$base/src_old"; val newSrc = s"$base/src_new"
@@ -35,16 +45,7 @@ class EtlPipelineSpec extends SparkSpec {
     val watermarkThen = spark.read.parquet(target)
       .agg(max(col("date_modified")).cast("string")).collect()(0).getString(0)
 
-    // snapshot the per-partition file listing before the incremental run
-    def partitionFiles(): Map[String, Set[(String, Long)]] = {
-      val root = new java.io.File(target)
-      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ym="))
-        .map(d => d.getName ->
-          d.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(f => (f.getName, f.lastModified())).toSet)
-        .toMap
-    }
-    val filesBefore = partitionFiles()
+    val filesBefore = partitionFiles(target)
 
     val stats2 = EtlPipeline.run(spark, newSrc, target)
     assert(stats2.rowsWritten > 0, "incremental run must write the newer orders")
@@ -67,7 +68,7 @@ class EtlPipelineSpec extends SparkSpec {
 
     // partition-level incrementality: months fully before the watermark
     // keep their exact files (name + mtime); fresh months were written
-    val filesAfter = partitionFiles()
+    val filesAfter = partitionFiles(target)
     val watermarkYm = watermarkThen.substring(0, 7)
     val oldPartitions = filesBefore.keys.filter(_.stripPrefix("ym=") < watermarkYm)
     assert(oldPartitions.nonEmpty, "fixture must have untouched months")
@@ -94,6 +95,61 @@ class EtlPipelineSpec extends SparkSpec {
     // the corrupt target must still be there, untouched
     assert(new java.io.File(s"$target/part-junk.parquet").exists(),
       "a failed read must never route into the overwrite branch")
+  }
+
+  /** Source dir carrying every table the conformed pipeline reads, with
+    * independent cutoffs for the order-dated and event-dated facts. */
+  private def makeConformedSource(dir: String, orderCut: Option[String],
+                                  eventCut: Option[String]): Unit = {
+    val o = Tables.orders(spark, sf)
+    orderCut.fold(o)(d => o.filter(col("o_orderdate") < lit(d).cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val l = Tables.lineitem(spark, sf)
+    orderCut.fold(l)(d => l.filter(col("l_shipdate") < lit(d).cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = Tables.events(spark, sf)
+    eventCut.fold(e)(d => e.filter(col("ts") < lit(d).cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    for (t <- Seq("customer", "nation", "supplier", "part", "region")) {
+      spark.read.parquet(s"$sf/$t.parquet").write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+  }
+
+  test("conformed eight-table pipeline: incremental run converges per table") {
+    import graft.operators.ConformedTables
+    val base = s"/tmp/graft_etl8_${System.nanoTime()}"
+    val oldSrc = s"$base/src_old"; val newSrc = s"$base/src_new"
+    val root = s"$base/conformed"
+    makeConformedSource(oldSrc, Some("1996-01-01"), Some("2024-01-15"))
+    makeConformedSource(newSrc, None, None)
+
+    val s1 = EtlPipeline.runConformed(spark, oldSrc, root)
+    assert(s1.keySet == ConformedTables.names.toSet)
+    assert(s1.values.forall(_.rowsWritten > 0), s"initial load must fill all 8: $s1")
+
+    val revisionsBefore = partitionFiles(s"$root/revisions")
+    val s2 = EtlPipeline.runConformed(spark, newSrc, root)
+    assert(s2("revisions").rowsWritten > 0, "newer orders must merge")
+    assert(s2("diffs").rowsWritten > 0, "newer lineitems must merge")
+    assert(s2("comments").rowsWritten > 0, "newer events must merge")
+    // review_groups has a constant updated_at: second run is a no-op
+    assert(s2("review_groups").rowsWritten == 0)
+
+    for (name <- ConformedTables.names) {
+      val got = spark.read.parquet(s"$root/$name").drop("ym")
+      val want = ConformedTables.all(name)(spark, newSrc)
+        .select(got.columns.map(col): _*)
+      assert(got.count() == want.count(), s"$name row count")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$name incremental target must equal full recompute")
+    }
+
+    // months fully before the order cutoff keep their exact files
+    val revisionsAfter = partitionFiles(s"$root/revisions")
+    val untouched = revisionsBefore.keys.filter(_.stripPrefix("ym=") < "1995-12")
+    assert(untouched.nonEmpty, "fixture must have untouched months")
+    for (p <- untouched)
+      assert(revisionsAfter(p) == revisionsBefore(p), s"untouched partition $p rewritten")
   }
 
   test("a month emptied by the merge is deleted, not left stale") {
