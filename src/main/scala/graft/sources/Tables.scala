@@ -30,6 +30,42 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** JDBC extraction — the reference's actual E of ETL: four MySQL
+    * engines, one per Phabricator schema (`stats.py:126-216
+    * create_engine/create_engines`, `prepare_bases`). Here a source
+    * database is one `url` and each table is read as a partitioned
+    * parallel scan: `numPartitions` executors each issue a bounded
+    * range query on `partitionColumn` (the JDBC twin of a parquet
+    * split), and Catalyst pushes filters/projections into the remote
+    * SQL (`PushedFilters` on the JDBC scan node), so an incremental
+    * watermark read (`Watermark.newerThanSnapshot`) ships its predicate
+    * to the database instead of extracting the full table. At 100 TB
+    * the bounded ranges are what keeps a single executor from OOMing on
+    * an unsplit result set — never read a big table unpartitioned.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .options(options)
+      .load()
+
+  /** Unpartitioned JDBC read — for small dimension tables only (the
+    * reference's user/project lookups); big tables use the bounded
+    * variant above. */
+  def jdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .load()
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
     * reads via the nanos-as-long legacy path. Normalize to a proper
     * TimestampType column (microsecond precision, UTC) regardless of how
