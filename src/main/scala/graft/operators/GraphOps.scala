@@ -54,8 +54,8 @@ object GraphOps {
     // latency on a small working set is task scheduling, not data volume):
     // local[32] tests run at 8, a cluster session configured for 100 TB
     // (shuffle.partitions in the thousands) iterates wide automatically.
-    val iterParts = math.max(4,
-      edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt / 4)
+    val iterParts = math.max(2,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt / 16)
 
     // Every node that appears anywhere — needed at the end because roots
     // and isolated nodes have no outgoing edge in the converged forest.
@@ -66,10 +66,11 @@ object GraphOps {
 
     // Canonical working set: (u, v) with u > v, self-loops dropped.
     // Both star operations preserve this orientation invariant.
-    var e = e0.filter(col("src") =!= col("dst"))
+    // (Checkpointed below with the round-0 fingerprint observed on the
+    // same materializing pass.)
+    val eInit = e0.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
 
     // large-star: for each node u, every larger neighbor v attaches to
     // m = min(Γ(u) ∪ {u}). `cur` is canonically oriented, so the
@@ -101,26 +102,36 @@ object GraphOps {
         .distinct()
     }
 
-    // Cheap change fingerprint: one tiny aggregate per round. A
+    // Cheap change fingerprint: count + order-insensitive hash sum. A
     // fingerprint match triggers the exact exceptAll confirm below, so
     // hash collisions can delay detection by a round but never produce a
-    // false "converged".
-    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(
-        count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).collect()(0)
-      (r.getLong(0), r.getDecimal(1))
+    // false "converged". The fingerprint is FUSED into the round's
+    // checkpoint job via `observe` (CollectMetrics rides the pass that
+    // materializes the round), so each round is exactly ONE job — the
+    // previous standalone fingerprint aggregate doubled the per-round
+    // job count, and at toy scale round-trip latency, not data volume,
+    // is the entire cost of the fixpoint.
+    def fingerprintCols = Seq(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("h"))
+    def observed(df: DataFrame): (DataFrame, () => (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*)
+        .localCheckpoint(eager = true)
+      (out, () => (obs.get("n").asInstanceOf[Long],
+        obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
     def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
       a != null && b != null && a._1 == b._1 &&
         ((a._2 == null && b._2 == null) || (a._2 != null && a._2.compareTo(b._2) == 0))
 
-    var prev: (Long, java.math.BigDecimal) = fingerprint(e)
+    var (e, fp0) = observed(eInit)
+    var prev: (Long, java.math.BigDecimal) = fp0()
     var iter = 0
     var converged = prev._1 == 0L // no non-self-loop edges at all
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
-      val fp = fingerprint(next)
+      val (next, fpf) = observed(smallStar(largeStar(e)))
+      val fp = fpf()
       if (same(fp, prev)) {
         // equal distinct counts + one-sided emptiness => equal sets
         converged = next.exceptAll(e).limit(1).count() == 0
