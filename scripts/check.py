@@ -56,5 +56,25 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {type(e).__name__}: {e}")
 
 rows_only = [n for n in json.load(open(f"{OUT}/oracle_sql.json")) if False]
+
+# Hard property gates for rows-only queries that have no exact SQL
+# rendering but DO have a checkable bound.
+# q51: every HLL estimate must sit within 5% of the exact distinct count.
+q51_path = f"{OUT}/q51_hll_distinct"
+if os.path.isdir(q51_path):
+    approx = con.sql(
+        f"SELECT o_orderstatus, approx_customers FROM read_parquet('{q51_path}/*.parquet')").df()
+    exact = con.sql(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers "
+        "FROM orders GROUP BY 1").df()
+    merged = approx.merge(exact, on="o_orderstatus")
+    err = (merged.approx_customers - merged.exact_customers).abs() / merged.exact_customers
+    if len(merged) != len(approx) or (err > 0.05).any():
+        fails.append("q51_hll_distinct")
+        print(f"FAIL q51_hll_distinct: HLL estimate off by >5%: "
+              f"{merged.assign(rel_err=err).to_dict('records')}")
+    else:
+        print(f"ok   q51_hll_distinct [property: max rel err {err.max():.4f} <= 0.05]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

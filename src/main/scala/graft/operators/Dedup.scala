@@ -99,6 +99,26 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** MinHash-LSH dedup with EXACT verification: LSH candidate pairs are
+    * re-checked with the true n-gram Jaccard and only exactly-verified
+    * duplicates are dropped — the production near-dup layout (block
+    * approximately, verify exactly; Broder '97). Unlike [[minhashDedup]]
+    * the survivor set depends on the signature only through candidate
+    * RECALL, so when the banding catches every >= `threshold` pair the
+    * result equals the all-pairs exact dedup — which is what the q21
+    * DuckDB oracle asserts corpus-wide.
+    */
+  def minhashDedupVerified(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, shingleN: Int = 3,
+                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .select("id_a", "id_b")
+    val dupes = verifyJaccard(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash signature (native Catalyst expression, codegen'd). */
@@ -148,6 +168,23 @@ object Dedup {
     val dupes = simhashCandidates(docs, idCol, textCol, maxHamming)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash-blocked near-dup pairs with EXACT n-gram-Jaccard
+    * verification (Manku et al., WWW'07: Hamming-banded candidates,
+    * exact verify). Returns only pairs whose TRUE Jaccard clears
+    * `threshold` — the signature affects the result only through
+    * candidate recall, so when every >= `threshold` pair sits within
+    * `maxHamming` the pair list equals the exact all-pairs answer
+    * (the q22 DuckDB oracle asserts exactly that corpus-wide).
+    */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 7, threshold: Double = 0.5,
+                           shingleN: Int = 3): DataFrame = {
+    val cands = simhashCandidates(docs, idCol, textCol, maxHamming)
+      .select("id_a", "id_b")
+    verifyJaccard(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- Embedding-cosine near-dup ----------------------------------------
