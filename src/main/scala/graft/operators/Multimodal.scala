@@ -39,19 +39,38 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("webp").as("fmt"))
 
-  /** STUB decode: a real pipeline would invoke an image/audio codec
-    * here (per-partition init, e.g. `Iterator -> Iterator` like
-    * mapInPandas). The stand-in computes deterministic byte statistics
-    * so specs can assert exact values end-to-end.
+  /** Decode: PNG payloads go through a REAL codec (`javax.imageio`,
+    * in the JDK — no external deps), so `width`/`height` in the output
+    * come from the decoded image, not the metadata columns; payloads
+    * that aren't valid PNG bytes (the synthetic corpus ships text
+    * bytes) and every other format fall back to the deterministic stub
+    * (jpeg/webp/audio codecs aren't in this container — the schema,
+    * partitioning, and batch shape around them are the real, tested
+    * part).
     */
   private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
-    // ??? <- real codec goes here; deterministic fake below.
-    val len = m.payload.length.toLong
+    if (m.fmt == "png") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: java.io.IOException => null }
+      if (img != null)
+        return MediaFeatures(m.doc_id, m.payload.length.toLong,
+          byteMean(m.payload), 1, img.getWidth, img.getHeight, m.fmt)
+    }
+    // ??? <- real jpeg/webp/audio codec goes here; deterministic fake below.
+    stubDecode(m)
+  }
+
+  private def byteMean(payload: Array[Byte]): Double = {
     var sum = 0L
     var i = 0
-    while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
-    val mean = if (len == 0) 0.0 else sum.toDouble / len.toDouble
-    MediaFeatures(m.doc_id, len, mean, (len / 1024L + 1L).toInt,
+    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+    if (payload.length == 0) 0.0 else sum.toDouble / payload.length.toDouble
+  }
+
+  private def stubDecode(m: MediaRow): MediaFeatures = {
+    val len = m.payload.length.toLong
+    MediaFeatures(m.doc_id, len, byteMean(m.payload), (len / 1024L + 1L).toInt,
       m.width, m.height, m.fmt)
   }
 

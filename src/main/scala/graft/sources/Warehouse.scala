@@ -27,6 +27,26 @@ object Warehouse {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** The staging→target MERGE over BUCKETED tables — the SURVEY §5
+    * claim made executable: when both sides are bucketed (and sorted)
+    * by the merge key with the same bucket count, the whole MERGE plan
+    * — keep-latest window over staging, target⟕̸staging anti-join,
+    * union — runs with ZERO shuffle exchanges. The bucketed scan
+    * reports hash partitioning on the key, the window and the
+    * sort-merge anti-join both reuse it, and the only added work is a
+    * per-bucket sort. At 100 TB this is the difference between a MERGE
+    * that shuffles the full target every run and one that only streams
+    * co-located buckets. (`WarehouseMergeSpec` plan-asserts the zero-
+    * exchange property via [[isShuffleFree]] and row-equality vs the
+    * unbucketed merge.)
+    */
+  def mergeBucketed(spark: SparkSession, targetTable: String, stagingTable: String,
+                    keys: Seq[String], updatedAt: String,
+                    tiebreak: Seq[String] = Nil): DataFrame =
+    graft.operators.MergeUpsert.merge(
+      readTable(spark, targetTable), readTable(spark, stagingTable),
+      keys, updatedAt, tiebreak)
+
   /** True iff the executed plan of `df` contains no shuffle exchange —
     * the property bucketing buys. Walks the physical plan tree
     * (descending through AQE wrappers and materialized query stages)

@@ -95,6 +95,61 @@ object EventStream {
       }
   }
 
+  /** Gap-based sessionization with EVENT-time timeouts — the
+    * deterministic twin of [[sessionize]]. The open session's flush is
+    * keyed to the WATERMARK passing (session end + gap), not to
+    * wall-clock silence, so replaying the same input (recovery, redeploy,
+    * reprocessing) emits byte-identical sessions — the ProcessingTime
+    * variant's flushes depend on how long the source stalls between
+    * batches. The trade: sessions newer than (max event time −
+    * watermark delay − gap) stay open in state until later input
+    * advances the watermark; a drained replay therefore emits exactly
+    * the sessions the batch recompute closes, and holds the tail ones.
+    */
+  def sessionizeEventTime(events: Dataset[RawEvent], gapSec: Long = 1800L,
+                          watermarkDelay: String = "10 seconds"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[RawEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session end + gap: the session can never
+            // extend again — flush, deterministically
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              cur match {
+                case Some(s) if sec - s.endSec <= gapSec =>
+                  cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
+                case Some(s) =>
+                  closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
+                  cur = Some(SessionState(sec, sec, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // events inside the watermark have endSec >= watermark at
+                // batch start, so end+gap is strictly ahead of it
+                state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup (the streaming twin of `Dedup.exact` /
     * MERGE-dedup): drop events whose `event_id` was already seen, with
     * the watermark bounding how long ids are kept in state — at 100 TB

@@ -71,6 +71,37 @@ class WarehouseSpec extends SparkSpec {
   }
 }
 
+class WarehouseMergeSpec extends SparkSpec {
+
+  test("bucketed staging->target MERGE runs with zero shuffle exchanges") {
+    import graft.operators.MergeUpsert
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      val o = Tables.orders(spark, sf)
+      val target = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val staging = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      Warehouse.writeBucketed(target, "merge_target_b", "o_orderkey", 4)
+      Warehouse.writeBucketed(staging, "merge_staging_b", "o_orderkey", 4)
+
+      val merged = Warehouse.mergeBucketed(spark, "merge_target_b", "merge_staging_b",
+        Seq("o_orderkey"), "o_orderdate")
+      // the full MERGE plan — keep-latest window + anti-join + union —
+      // reuses the bucketed layout end-to-end: no exchange anywhere
+      assert(Warehouse.isShuffleFree(merged),
+        s"bucketed MERGE still shuffles:\n${merged.queryExecution.executedPlan}")
+      // and it is row-identical to the unbucketed merge (q33 semantics)
+      val want = MergeUpsert.merge(target, staging, Seq("o_orderkey"), "o_orderdate")
+      assert(merged.count() == want.count())
+      assert(merged.exceptAll(want).isEmpty && want.exceptAll(merged).isEmpty,
+        "bucketed MERGE must equal the unbucketed result")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS merge_target_b")
+      spark.sql("DROP TABLE IF EXISTS merge_staging_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
+
 class MergeSinkSpec extends SparkSpec {
 
   test("streaming merge sink converges to the batch MERGE state across micro-batches") {

@@ -373,6 +373,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r0.getAs[Int]("frame_count") == (r0.getAs[Long]("byte_len") / 1024L + 1L).toInt)
   }
 
+  test("png payloads decode through the real javax.imageio codec") {
+    import spark.implicits._
+    // a genuine 2x2 PNG, generated by the JDK encoder
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val pngBytes = baos.toByteArray
+    val media = Seq(
+      // metadata LIES (640x480): the codec must win for real PNG bytes
+      (1L, pngBytes, 640, 480, "png"),
+      // non-PNG bytes under fmt=png: falls back to the stub (metadata dims)
+      (2L, "not a png".getBytes("UTF-8"), 320, 240, "png"),
+      // other formats stay stubbed
+      (3L, pngBytes, 111, 222, "jpeg"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("width") == 2 && got(0).getAs[Int]("height") == 2,
+      "decoded PNG dimensions must come from the codec, not metadata")
+    assert(got(0).getAs[Int]("frame_count") == 1)
+    assert(got(1).getAs[Int]("width") == 320 && got(1).getAs[Int]("height") == 240)
+    assert(got(2).getAs[Int]("width") == 111 && got(2).getAs[Int]("height") == 222)
+  }
+
   test("resize stub rescales metadata and payload map-side") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(20))
     val resized = Multimodal.resizeStub(media, targetWidth = 64)

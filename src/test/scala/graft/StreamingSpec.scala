@@ -65,6 +65,48 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"stream emitted sessions absent from batch: ${missing.take(3)}")
   }
 
+  test("EventTime sessionization: deterministic flushes equal to batch q31, replay-stable") {
+    import spark.implicits._
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // one sentinel event per user, 3 gaps past the corpus end: advances
+    // the watermark so every REAL session's timeout fires; the sentinel
+    // sessions themselves stay open in state and are never emitted
+    val maxTs = base.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelSec = maxTs.getTime / 1000L + 3 * 1800L
+    val sentinels = base.select(col("user_id")).distinct()
+      .select((-col("user_id") - 1).as("event_id"),
+        to_timestamp(lit(sentinelSec)).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    val dir = s"/tmp/graft_sess_et_${System.nanoTime()}"
+    base.unionByName(sentinels).write.mode("overwrite").parquet(dir)
+
+    def runOnce(): Set[(Long, Long, Long, Long)] = {
+      val schema = spark.read.parquet(dir).schema
+      val streaming = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches: watermark advances between them
+        .parquet(dir).as[RawEvent]
+      val qname = s"sess_et_${System.nanoTime()}"
+      val q = EventStream.sessionizeEventTime(streaming, gapSec = 1800L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(qname)
+        .select("user_id", "session_start_sec", "session_end_sec", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+
+    val got = runOnce()
+    val batch = LlmQueries.q31(spark, sf)
+      .select("user_id", "start_sec", "end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch,
+      s"event-time flushes must equal batch exactly: only-stream=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+    // determinism: a full replay emits the identical session set — the
+    // property the ProcessingTime variant cannot promise
+    assert(runOnce() == got, "replay must be byte-identical")
+  }
+
   test("Spark's native session_window agrees with the hand-rolled q31 sessionization") {
     // Three independent implementations of the same semantics now agree:
     // the lag/cumsum window (q31, oracle-verified vs DuckDB), the
