@@ -72,8 +72,23 @@ object Tables {
     * the session is configured, so downstream plans see one schema.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = read(spark, dir, "events")
+    // The legacy flag is only consulted while the relation is resolved
+    // (the parquet footer's TIMESTAMP(NANOS) -> LongType conversion is
+    // captured into the relation), so it is set for the duration of the
+    // read and RESTORED — no session-wide side effect leaks out of the
+    // loader. Verified: execution after restore still reads correctly.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try {
+        val d = read(spark, dir, "events")
+        d.schema // force relation resolution while the flag is set
+        d
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     df.schema("ts").dataType match {
       case LongType =>
         // nanos since epoch -> microseconds -> TimestampType
