@@ -229,6 +229,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("combination blocking is exhaustive for hamming 8..14 (beyond single-band reach)") {
+    // Ground truth by exhaustive pairwise hamming; the 2-of-16-blocks
+    // combination tables must reproduce it exactly at maxHamming=12 —
+    // a bound single-band blocking cannot reach without 16-bucket keys.
+    val docsCorpus = Tables.documents(spark, sf).limit(120)
+    val sigs = docsCorpus.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxH = 12
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= maxH
+    } yield (a, b)).toSet
+    assert(truth.exists { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) > 7 },
+      "fixture must contain a pair at hamming 8..12 (beyond the 8-band guarantee)")
+    val got = Dedup.simhashCandidatesCombination(docsCorpus, "doc_id", "text",
+        maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"combination candidates diverged: only-got=${(got -- truth).take(3)} " +
+      s"only-truth=${(truth -- got).take(3)}")
+  }
+
+  test("combination blocking rejects bounds beyond its guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidatesCombination(docs, "doc_id", "text",
+        maxHamming = 15, blocks = 16, agreeBlocks = 2)
+    }
+  }
+
   test("embedding dedup: LSH scale path equals the exact baseline; known survivors") {
     import spark.implicits._
     // 4 clusters on disjoint axes: same-cluster cosine ~1, cross-cluster
