@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import java.sql.Timestamp
 
 case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
@@ -12,6 +12,39 @@ case class SessionUpdate(user_id: Long, session_start_sec: Long,
                          session_end_sec: Long, n_events: Long, value_sum: Double)
 
 private case class SessionState(startSec: Long, endSec: Long, n: Long, valueSum: Double)
+
+case class TopEntry(value: Double, event_id: Long)
+private case class TopKState(nSeen: Long, items: List[TopEntry])
+case class TopKUpdate(user_id: Long, n_seen: Long, top_ids: Seq[Long], top_values: Seq[Double])
+
+/** Arbitrary-state v2 (`transformWithState`) processor: bounded top-k
+  * per key. State is exactly k entries per key regardless of how many
+  * events stream through — the streaming twin of the batch
+  * `graft.plans.TopKPerKey` partial-aggregate shape (≤ k rows per key
+  * survive, everything else is folded away on arrival). `n_seen` makes
+  * each update monotone so a consumer (or spec) can identify the final
+  * one per key without relying on sink ordering.
+  */
+private class StreamingTopK(k: Int)
+    extends StatefulProcessor[Long, RawEvent, TopKUpdate] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[TopKState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TopKState]("topk",
+      Encoders.product[TopKState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RawEvent],
+                               timerValues: TimerValues): Iterator[TopKUpdate] = {
+    val prev = Option(state.get()).getOrElse(TopKState(0L, Nil))
+    val incoming = rows.toList
+    val merged = (prev.items ++ incoming.map(e => TopEntry(e.value, e.event_id)))
+      .sortBy(t => (-t.value, t.event_id)).take(k)
+    val next = TopKState(prev.nSeen + incoming.size, merged)
+    state.update(next)
+    Iterator.single(TopKUpdate(key, next.nSeen,
+      merged.map(_.event_id), merged.map(_.value)))
+  }
+}
 
 /** Structured-Streaming twins of the batch event queries: the same
   * tumbling-window aggregation and gap-based sessionization, expressed
@@ -148,6 +181,24 @@ object EventStream {
             closed.result().iterator
           }
       }
+  }
+
+  /** Running top-k per user via the arbitrary-state v2 API
+    * (`transformWithState`, RocksDB-backed): every micro-batch folds its
+    * events into a k-entry state and emits the key's refreshed top-k in
+    * Update mode. At 100 TB ingest this is the bounded-state version of
+    * "who are the biggest spenders right now" — state size is
+    * O(keys · k), independent of stream length, and the fold is
+    * order-insensitive so out-of-order arrival cannot change the final
+    * answer (spec: final update per key == batch window top-k).
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def runningTopK(events: Dataset[RawEvent], k: Int = 5): Dataset[TopKUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamingTopK(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact dedup (the streaming twin of `Dedup.exact` /

@@ -107,6 +107,62 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() == got, "replay must be byte-identical")
   }
 
+  test("transformWithState running top-k: final update per key == batch top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val dir = s"/tmp/graft_topk_tws_${System.nanoTime()}"
+      base.repartition(4).write.mode("overwrite").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val streaming = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // state folds across micro-batches
+        .parquet(dir).as[RawEvent]
+      val qname = s"topk_tws_${System.nanoTime()}"
+      val q = EventStream.runningTopK(streaming, k = 3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(qname).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+
+      // final update per key = the one carrying the full event count
+      val updates = spark.table(qname)
+      val finalW = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
+      val got = updates.withColumn("rn", row_number().over(finalW))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_seen"), col("top_ids")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+
+      val batchW = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      val want = base.withColumn("rn", row_number().over(batchW))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("rn"), col("event_id"))).as("top"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getInt(0)).map(_.getLong(1)).toList)
+        .toMap
+      val counts = base.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      assert(got.keySet == want.keySet)
+      got.foreach { case (user, (nSeen, ids)) =>
+        assert(nSeen == counts(user), s"user $user: state saw $nSeen of ${counts(user)} events")
+        assert(ids == want(user), s"user $user: stream top-k $ids != batch ${want(user)}")
+      }
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("Spark's native session_window agrees with the hand-rolled q31 sessionization") {
     // Three independent implementations of the same semantics now agree:
     // the lag/cumsum window (q31, oracle-verified vs DuckDB), the
