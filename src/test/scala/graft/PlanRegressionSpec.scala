@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Plan-shape regression guards: the properties PLANS.md documents,
+  * pinned as assertions so a refactor cannot silently lose pushdown, a
+  * broadcast, or reintroduce a nested-loop join. Checked on the static
+  * physical plan (`sparkPlan`, pre-AQE) — the planner's choice, stable
+  * across data sizes.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+
+  test("q01: filter is pushed into the parquet scan and columns are pruned") {
+    val scan = plan(Queries.q01(spark, sf)).collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate"), s"shipdate filter not pushed: $pushed")
+    assert(scan.requiredSchema.fields.length == 5,
+      s"scan must read exactly the 5 projected columns, got ${scan.requiredSchema.catalogString}")
+  }
+
+  test("q03/q19: dimension joins broadcast, never shuffle the dims") {
+    val bhj3 = plan(Queries.q03(spark, sf)).collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj3.size >= 2, s"q03 expected broadcast dim joins, got ${bhj3.size}")
+    val bhj19 = plan(Queries.q19(spark, sf)).collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj19.size >= 2, s"q19 expected broadcast dim joins, got ${bhj19.size}")
+  }
+
+  test("q52: the interval join never plans a nested-loop join") {
+    val bnlj = plan(AnalyticsQueries.q52(spark, sf))
+      .collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.isEmpty,
+      "banded interval join must stay an equi-join; BroadcastNestedLoopJoin found")
+  }
+
+  test("q56: the bloom prefilter probes below the join") {
+    val s = plan(AnalyticsQueries.q56(spark, sf)).toString
+    assert(s.contains("might_contain"),
+      "bloom runtime filter (might_contain) missing from the q56 plan")
+  }
+
+  test("q58: the conformed union keeps every dim join broadcast") {
+    val p = plan(PipelineQueries.q58(spark, sf))
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 8, s"q58 expected >= 8 broadcast dim joins, got ${bhj.size}")
+    val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.isEmpty, "q58 must not contain nested-loop joins")
+  }
+}
