@@ -62,6 +62,15 @@ object MergeUpsert {
       case e: org.apache.spark.sql.AnalysisException
         if e.getErrorClass == "PATH_NOT_FOUND" || e.getMessage.contains("Path does not exist") =>
         None
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" =>
+        // A successfully-written EMPTY load leaves only _SUCCESS behind:
+        // the target exists but holds no data files, so schema inference
+        // fails. That is "no data yet", not corruption (a corrupt file
+        // fails at read time with a footer error, which still rethrows)
+        // — an empty first extract must not wedge the incremental
+        // lifecycle forever.
+        None
     }
 
   /** MERGE `fresh` into a month-partitioned (`ym=yyyy-MM` of

@@ -152,6 +152,22 @@ class EtlPipelineSpec extends SparkSpec {
       assert(revisionsAfter(p) == revisionsBefore(p), s"untouched partition $p rewritten")
   }
 
+  test("an empty initial load does not wedge the incremental lifecycle") {
+    import graft.operators.MergeUpsert
+    import spark.implicits._
+    val base = s"/tmp/graft_etle_${System.nanoTime()}"
+    val target = s"$base/target"
+    // first extract finds nothing: only _SUCCESS lands on disk
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.fullLoadPartitioned(spark, empty, target, Seq("id"), "u")
+    // the next run carries data — must load, not abort on schema inference
+    val v1 = Seq((1L, "2024-01-15 00:00:00", "a")).toDF("id", "u", "payload")
+      .withColumn("u", col("u").cast("timestamp"))
+    MergeUpsert.mergeIntoPartitionedParquet(spark, v1, target, Seq("id"), "u")
+    assert(spark.read.parquet(target).count() == 1)
+  }
+
   test("a month emptied by the merge is deleted, not left stale") {
     import graft.operators.MergeUpsert
     import spark.implicits._
