@@ -157,8 +157,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // hamming is a function of the pair, so filtering BEFORE the
+      // cross-band distinct is equivalent — and the bucket-collision
+      // majority that fails the bound never rides the dedup exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash candidates via COMBINATION blocking — the Manku WWW'07
@@ -202,8 +205,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before the dedup exchange, as above
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash dedup: survivors after dropping the larger id of every
