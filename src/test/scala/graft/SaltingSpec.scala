@@ -15,6 +15,24 @@ class SaltingSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salting bounds the max shuffle partition: quantitative skew evidence") {
+    import spark.implicits._
+    // one pathological key: unsalted, every row hashes to ONE partition —
+    // the straggler task that stalls a 1000-executor join
+    val hot = (1 to 8000).map(i => (42L, i.toLong)).toDF("k", "v")
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).head().getLong(0)
+    val unsaltedMax = maxPartitionRows(hot.repartition(8, col("k")))
+    assert(unsaltedMax == 8000L, "a single hot key must collapse into one partition unsalted")
+    // salted on (k, salt): the same rows spread across partitions, so the
+    // worst task shrinks by ~saltFactor (modulo salt->partition collisions)
+    val salted = hot.withColumn("salt", pmod(hash(col("k"), col("v")), lit(8)))
+    val saltedMax = maxPartitionRows(salted.repartition(8, col("k"), col("salt")))
+    assert(saltedMax <= 8000L / 2,
+      s"salting must at least halve the worst partition, got $saltedMax of 8000")
+  }
+
   test("salt spreads a hot key across multiple partitions' sub-keys") {
     import spark.implicits._
     // one pathological key with 1000 rows
