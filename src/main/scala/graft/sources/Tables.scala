@@ -17,8 +17,17 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * read so that swap is one-line.
   */
 object Tables {
+  /** Every loader accepts either a parquet directory or a `jdbc:` URL as
+    * its `dir` — the one-line source swap the reference's four-engine
+    * layout needs: the SAME query code runs over warehouse files or a
+    * live database (SourcesSpec proves q05 over Derby == q05 over
+    * parquet). The JDBC branch is an unpartitioned read; size-bounded
+    * extraction of big tables uses [[jdbc]] with explicit ranges.
+    */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (dir.startsWith("jdbc:"))
+      spark.read.format("jdbc").option("url", dir).option("dbtable", name).load()
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -74,6 +74,21 @@ class SourcesSpec extends SparkSpec {
     assert(fresh.count() == expected.count(), "JDBC watermark extract must match")
   }
 
+  test("the whole query surface is source-agnostic: q05 over JDBC == q05 over parquet") {
+    // `dir` can be a jdbc: URL — the same query code runs over a live
+    // database (the reference's deployment) or warehouse files
+    val url = s"jdbc:derby:/tmp/graft_derby_q_${System.nanoTime()}/db;create=true"
+    Tables.events(spark, sf).write.format("jdbc")
+      .option("url", url).option("dbtable", "events")
+      .option("createTableColumnTypes", "event_type VARCHAR(20), props VARCHAR(200)")
+      .mode("overwrite").save()
+    val overJdbc = Queries.q05(spark, url)
+    val overParquet = Queries.q05(spark, sf)
+    assert(overJdbc.count() == overParquet.count())
+    assert(overJdbc.exceptAll(overParquet).isEmpty && overParquet.exceptAll(overJdbc).isEmpty,
+      "q05 must be bit-identical across JDBC and parquet sources")
+  }
+
   test("schema drift: missing columns arrive as nulls, never silently dropped") {
     val dir = s"/tmp/graft_drift_${System.nanoTime()}"
     Tables.customer(spark, sf).select("c_custkey", "c_name").write.mode("overwrite").json(dir)
