@@ -172,10 +172,18 @@ object EventStream {
             }
             cur match {
               case Some(s) =>
-                state.update(s)
-                // events inside the watermark have endSec >= watermark at
-                // batch start, so end+gap is strictly ahead of it
-                state.setTimeoutTimestamp((s.endSec + gapSec) * 1000L)
+                val timeoutMs = (s.endSec + gapSec) * 1000L
+                if (state.getCurrentWatermarkMs() >= timeoutMs) {
+                  // the watermark already passed end + gap (late/replayed
+                  // input after a watermark jump): the session can never
+                  // extend, and registering a timeout in the past is
+                  // illegal — flush it NOW instead
+                  closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
+                  state.remove()
+                } else {
+                  state.update(s)
+                  state.setTimeoutTimestamp(timeoutMs)
+                }
               case None => state.remove()
             }
             closed.result().iterator

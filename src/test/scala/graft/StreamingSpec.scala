@@ -78,8 +78,23 @@ class StreamingSpec extends SparkSpec {
       .select((-col("user_id") - 1).as("event_id"),
         to_timestamp(lit(sentinelSec)).as("ts"),
         col("user_id"), lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    // The file source feeds batches in modification-time order, so write
+    // time-ordered quartile files SEQUENTIALLY (then the sentinels last):
+    // micro-batches advance event time monotonically, the in-order
+    // delivery the operator's determinism contract assumes. (A file
+    // holding newer events processed first would jump the watermark and
+    // legitimately flush sessions early — robustness covered by the
+    // operator's flush-on-passed-watermark branch, but not the exact
+    // batch-equality this spec pins.)
     val dir = s"/tmp/graft_sess_et_${System.nanoTime()}"
-    base.unionByName(sentinels).write.mode("overwrite").parquet(dir)
+    import org.apache.spark.sql.expressions.{Window => W}
+    val withQ = base.withColumn("q", ntile(4).over(W.orderBy("ts")))
+    for (i <- 1 to 4) {
+      withQ.filter(col("q") === i).drop("q")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    sentinels.coalesce(1).write.mode("append").parquet(dir)
 
     def runOnce(): Set[(Long, Long, Long, Long)] = {
       val schema = spark.read.parquet(dir).schema
