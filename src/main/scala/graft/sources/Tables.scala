@@ -25,9 +25,40 @@ object Tables {
     * extraction of big tables uses [[jdbc]] with explicit ranges.
     */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (dir.startsWith("jdbc:"))
+    if (dir.startsWith("engines:")) read(spark, engineFor(dir, name), name)
+    else if (dir.startsWith("jdbc:"))
       spark.read.format("jdbc").option("url", dir).option("dbtable", name).load()
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The reference's FOUR-schema deployment (`stats.py:126-216
+    * create_engines` / `prepare_bases`: user, project, repository,
+    * differential databases) as a routed source string:
+    *
+    *   engines:user=<src>|project=<src>|repository=<src>|differential=<src>
+    *
+    * where each <src> is itself any valid source (a parquet dir or a
+    * jdbc: URL — mixed deployments are fine; '|' separates because JDBC
+    * URLs carry ';'). Tables route by their reference schema: customer →
+    * user; nation/region → project; supplier/part → repository;
+    * everything else (orders, lineitem, events, documents, embeddings) →
+    * differential. Every query and the conformed pipeline work over a
+    * routed source unchanged.
+    */
+  private[sources] def engineFor(engines: String, table: String): String = {
+    val m = engines.stripPrefix("engines:").split('|').map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"bad engine entry '$kv' (want schema=source)")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+    val schema = table match {
+      case "customer"            => "user"
+      case "nation" | "region"   => "project"
+      case "supplier" | "part"   => "repository"
+      case _                     => "differential"
+    }
+    m.getOrElse(schema,
+      throw new IllegalArgumentException(s"engines source missing schema '$schema': $engines"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

@@ -89,6 +89,31 @@ class SourcesSpec extends SparkSpec {
       "q05 must be bit-identical across JDBC and parquet sources")
   }
 
+  test("four-engine routed source: q03 over mixed JDBC+parquet engines == parquet") {
+    // the reference's deployment: one engine per schema (stats.py:126-216)
+    // — users live in one database, revisions in another, projects on
+    // the warehouse. Same query code, routed source string.
+    val userUrl = s"jdbc:derby:/tmp/graft_derby_u_${System.nanoTime()}/db;create=true"
+    val diffUrl = s"jdbc:derby:/tmp/graft_derby_d_${System.nanoTime()}/db;create=true"
+    Tables.customer(spark, sf).write.format("jdbc")
+      .option("url", userUrl).option("dbtable", "customer")
+      .option("createTableColumnTypes", "c_name VARCHAR(32), c_mktsegment VARCHAR(16)")
+      .mode("overwrite").save()
+    Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.format("jdbc")
+      .option("url", diffUrl).option("dbtable", "orders")
+      .option("createTableColumnTypes",
+        "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(20)")
+      .mode("overwrite").save()
+    val routed = s"engines:user=$userUrl|project=$sf|repository=$sf|differential=$diffUrl"
+    val overRouted = Queries.q03(spark, routed)
+    val overParquet = Queries.q03(spark, sf)
+    assert(overRouted.count() == overParquet.count())
+    assert(overRouted.exceptAll(overParquet).isEmpty && overParquet.exceptAll(overRouted).isEmpty,
+      "q03 must be bit-identical across the routed 4-engine source and parquet")
+  }
+
   test("schema drift: missing columns arrive as nulls, never silently dropped") {
     val dir = s"/tmp/graft_drift_${System.nanoTime()}"
     Tables.customer(spark, sf).select("c_custkey", "c_name").write.mode("overwrite").json(dir)
