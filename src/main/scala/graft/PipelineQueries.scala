@@ -98,6 +98,68 @@ object PipelineQueries {
         date_format(col("updated_at"), "yyyy-MM-dd").as("ship_date"))
       .orderBy("id")
 
+  // q60: the reference's get_stack_size EXACTLY (stats.py:310): the
+  // size of each revision's dependency stack — connected components over
+  // DEPENDS_ON edges CONSTRAINED to the same bug_id — with isolated
+  // revisions at stack size 1. Orders sharing a high-quantity part play
+  // the dependency edges; the priority digit plays the bug id. The
+  // reference runs one BFS per revision (one SQL query per frontier
+  // hop); here the whole graph resolves in O(log² n) large-star/
+  // small-star rounds and every order's stack size falls out of one
+  // join.
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphOps
+    import graft.sources.Tables
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("bug_id"))
+    val hi = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"), col("bug_id"))
+    val edges = hi.as("a").join(hi.as("b"),
+        col("a.pk") === col("b.pk") && col("a.bug_id") === col("b.bug_id") &&
+          col("a.ok") < col("b.ok"))
+      .select(col("a.ok").as("src"), col("b.ok").as("dst"))
+      .distinct()
+    val sizes = GraphOps.componentSizes(edges)
+      .select(col("node").as("o_orderkey"), col("component_size"))
+    o.join(sizes, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("bug_id"),
+        coalesce(col("component_size"), lit(1L)).as("stack_size"))
+      .orderBy("o_orderkey")
+  }
+
+  val q60Sql: String =
+    """WITH RECURSIVE hi AS (
+         SELECT l.l_orderkey AS ok, l.l_partkey AS pk,
+                CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS bug_id
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_quantity >= 49
+       ), e AS (
+         SELECT DISTINCT a.ok AS u, b.ok AS v
+         FROM hi a JOIN hi b ON a.pk = b.pk AND a.bug_id = b.bug_id AND a.ok < b.ok
+       ), ee AS (
+         SELECT u, v FROM e UNION SELECT v, u FROM e
+         UNION SELECT u, u FROM e UNION SELECT v, v FROM e
+       ), reach(n, m) AS (
+         SELECT u, v FROM ee
+         UNION
+         SELECT r.n, ee.v FROM reach r JOIN ee ON r.m = ee.u
+       ), comp AS (
+         SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+       ), sizes AS (
+         SELECT component, count(*) AS component_size FROM comp GROUP BY component
+       ), nodesize AS (
+         SELECT comp.node, sizes.component_size FROM comp JOIN sizes USING (component)
+       )
+       SELECT o.o_orderkey,
+         CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS bug_id,
+         CAST(coalesce(ns.component_size, 1) AS BIGINT) AS stack_size
+       FROM orders o LEFT JOIN nodesize ns ON ns.node = o.o_orderkey
+       ORDER BY o_orderkey"""
+
   val q59Sql: String =
     """WITH incl AS (
          SELECT *, CAST(l_orderkey*100 + row_number() OVER (
