@@ -50,6 +50,13 @@ object ConformedTables {
     "project_transactions" -> (projectTransactions _),
   )
 
+  /** Tables the reference re-extracts IN FULL every run instead of
+    * windowing by a modification timestamp (`get_review_groups`,
+    * stats.py:551, merged unconditionally by stats.py:969): group
+    * membership has no per-row timestamp, so incremental runs must
+    * merge the whole extract or membership changes never propagate. */
+  val snapshotNames: Set[String] = Set("review_groups")
+
   /** `get_revision` (stats.py:681): one enriched row per revision —
     * author/repository lookups become broadcast dim joins; the bug-id
     * custom field (stats.py:1122) maps to the priority digit. */

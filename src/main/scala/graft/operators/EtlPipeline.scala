@@ -98,7 +98,16 @@ object EtlPipeline {
       val facts = ConformedTables.all(name)(spark, sourceDir)
       val stats = MergeUpsert.readTargetIfExists(spark, targetPath) match {
         case Some(t) if !full =>
-          val fresh = Watermark.newerThanSnapshot(facts, t, "updated_at")
+          // Snapshot-style tables have no per-row modification timestamp
+          // in the source: the reference re-extracts ALL review groups
+          // every run (`get_review_groups`, stats.py:551) and merges them
+          // unconditionally (stats.py:969). A watermark there would make
+          // every post-initial extract empty and silently drop membership
+          // changes — so snapshot tables merge the full extract each run
+          // (keys=id, ties to staging), and only dated tables are bounded.
+          val fresh =
+            if (ConformedTables.snapshotNames(name)) facts
+            else Watermark.newerThanSnapshot(facts, t, "updated_at")
           MergeUpsert.mergeIntoPartitionedParquet(spark, fresh, targetPath,
             Seq("id"), "updated_at")
         case _ =>

@@ -109,7 +109,13 @@ object EventStream {
               val sec = e.ts.getTime / 1000L
               cur match {
                 case Some(s) if sec - s.endSec <= gapSec =>
-                  cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
+                  // min/max, not assignment: an out-of-order but
+                  // within-watermark event from a later micro-batch must
+                  // widen the session bounds, never regress them — the
+                  // fold stays order-insensitive, matching the sorted
+                  // batch recompute (q31) exactly.
+                  cur = Some(SessionState(math.min(s.startSec, sec),
+                    math.max(s.endSec, sec), s.n + 1, s.valueSum + e.value))
                 case Some(s) =>
                   closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
                   cur = Some(SessionState(sec, sec, 1L, e.value))
@@ -162,7 +168,13 @@ object EventStream {
               val sec = e.ts.getTime / 1000L
               cur match {
                 case Some(s) if sec - s.endSec <= gapSec =>
-                  cur = Some(SessionState(s.startSec, sec, s.n + 1, s.valueSum + e.value))
+                  // min/max, not assignment: an out-of-order but
+                  // within-watermark event from a later micro-batch must
+                  // widen the session bounds, never regress them — the
+                  // fold stays order-insensitive, matching the sorted
+                  // batch recompute (q31) exactly.
+                  cur = Some(SessionState(math.min(s.startSec, sec),
+                    math.max(s.endSec, sec), s.n + 1, s.valueSum + e.value))
                 case Some(s) =>
                   closed += SessionUpdate(userId, s.startSec, s.endSec, s.n, s.valueSum)
                   cur = Some(SessionState(sec, sec, 1L, e.value))

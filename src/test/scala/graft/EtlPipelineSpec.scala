@@ -132,8 +132,10 @@ class EtlPipelineSpec extends SparkSpec {
     assert(s2("revisions").rowsWritten > 0, "newer orders must merge")
     assert(s2("diffs").rowsWritten > 0, "newer lineitems must merge")
     assert(s2("comments").rowsWritten > 0, "newer events must merge")
-    // review_groups has a constant updated_at: second run is a no-op
-    assert(s2("review_groups").rowsWritten == 0)
+    // review_groups is snapshot-style: every run re-merges the full
+    // extract (reference stats.py:551/969 — no watermark), so the
+    // second run writes the groups again rather than no-op'ing
+    assert(s2("review_groups").rowsWritten > 0)
 
     for (name <- ConformedTables.names) {
       val got = spark.read.parquet(s"$root/$name").drop("ym")
@@ -150,6 +152,39 @@ class EtlPipelineSpec extends SparkSpec {
     assert(untouched.nonEmpty, "fixture must have untouched months")
     for (p <- untouched)
       assert(revisionsAfter(p) == revisionsBefore(p), s"untouched partition $p rewritten")
+  }
+
+  test("a review-group membership change propagates in an incremental run") {
+    import graft.operators.ConformedTables
+    val base = s"/tmp/graft_etlg_${System.nanoTime()}"
+    val oldSrc = s"$base/src_old"; val newSrc = s"$base/src_new"
+    val root = s"$base/conformed"
+    makeConformedSource(oldSrc, None, None)
+    EtlPipeline.runConformed(spark, oldSrc, root)
+
+    // membership change with NO new timestamps anywhere: rename one
+    // customer belonging to a kept (non-NATION_1x) nation. The reference
+    // picks this up because it re-extracts all groups every run; a
+    // watermarked extract would be empty and silently drop it.
+    val keptNationKey = spark.read.parquet(s"$oldSrc/nation.parquet")
+      .filter(!col("n_name").startsWith("NATION_1"))
+      .select("n_nationkey").head().getInt(0)
+    makeConformedSource(newSrc, None, None)
+    val c = spark.read.parquet(s"$oldSrc/customer.parquet")
+    val victim = c.filter(col("c_nationkey") === keptNationKey)
+      .select("c_custkey").head().getLong(0)
+    c.withColumn("c_name",
+        when(col("c_custkey") === victim, lit("RENAMED_MEMBER")).otherwise(col("c_name")))
+      .write.mode("overwrite").parquet(s"$newSrc/customer.parquet")
+
+    val s2 = EtlPipeline.runConformed(spark, newSrc, root) // incremental, NOT full
+    assert(s2("review_groups").rowsWritten > 0,
+      "snapshot table must re-merge every run")
+    val members = spark.read.parquet(s"$root/review_groups")
+      .filter(col("id") === keptNationKey)
+      .select("members").head().getString(0)
+    assert(members.contains("RENAMED_MEMBER"),
+      "membership change must land without full=true")
   }
 
   test("an empty initial load does not wedge the incremental lifecycle") {

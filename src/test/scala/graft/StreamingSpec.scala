@@ -122,6 +122,45 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() == got, "replay must be byte-identical")
   }
 
+  test("EventTime sessionization: out-of-order cross-batch events widen, never regress") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, sec: Long, user: Long) =
+      RawEvent(id, new java.sql.Timestamp(sec * 1000L), user, "e", 1.0)
+
+    val input = MemoryStream[RawEvent]
+    val qname = s"sess_ooo_${System.nanoTime()}"
+    // watermarkDelay 2000s: batch-2 events at sec 1000/1500 are within
+    // watermark (wm after batch 1 = 2000 - 2000 = 0) yet OLDER than the
+    // session bounds already in state — the regression scenario.
+    val q = EventStream.sessionizeEventTime(input.toDS(), gapSec = 1800L,
+        watermarkDelay = "2000 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // batch 1, in order: user 1 spans [1000, 2000]; user 2 starts at 2000
+      input.addData(ev(1, 1000, 1), ev(2, 2000, 1), ev(3, 2000, 2))
+      q.processAllAvailable()
+      // batch 2, out of order but within watermark: user 1 gets an event
+      // INSIDE its span (end must stay 2000), user 2 one BEFORE its start
+      // (start must drop to 1000)
+      input.addData(ev(4, 1500, 1), ev(5, 1000, 2))
+      q.processAllAvailable()
+      // two sentinel batches: first jumps the watermark past end+gap,
+      // second gives the EventTimeTimeout a batch to fire in
+      input.addData(ev(100, 1000000, 99)); q.processAllAvailable()
+      input.addData(ev(101, 1000001, 99)); q.processAllAvailable()
+
+      val got = spark.table(qname)
+        .filter(col("user_id") =!= 99)
+        .select("user_id", "session_start_sec", "session_end_sec", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // the order-insensitive batch fold over the same events
+      assert(got == Set((1L, 1000L, 2000L, 3L), (2L, 1000L, 2000L, 2L)),
+        s"bounds must be order-insensitive, got $got")
+    } finally q.stop()
+  }
+
   test("transformWithState running top-k: final update per key == batch top-k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
