@@ -118,11 +118,13 @@ object PipelineQueries {
       .select(col("l_orderkey"), col("l_partkey"))
       .join(o, col("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"), col("bug_id"))
-    val edges = hi.as("a").join(hi.as("b"),
-        col("a.pk") === col("b.pk") && col("a.bug_id") === col("b.bug_id") &&
-          col("a.ok") < col("b.ok"))
-      .select(col("a.ok").as("src"), col("b.ok").as("dst"))
-      .distinct()
+    // Every member of a (pk, bug_id) block is mutually connected, so
+    // star edges to each block's min-ok representative give the SAME
+    // components as the oracle's pairwise clique with O(n) edges per
+    // block instead of O(n²) — a hot blocking key can never blow up
+    // the pair expansion (GraphOpsSpec pins star == clique on a
+    // deliberately hot block).
+    val edges = GraphOps.cliqueStarEdges(hi, Seq("pk", "bug_id"), "ok")
     val sizes = GraphOps.componentSizes(edges)
       .select(col("node").as("o_orderkey"), col("component_size"))
     o.join(sizes, Seq("o_orderkey"), "left")

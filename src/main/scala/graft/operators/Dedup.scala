@@ -306,13 +306,23 @@ object Dedup {
     * re-tokenize a doc once for every candidate it appears in (HOF
     * lambdas are interpreted: at sf0.1 the 37k simhash candidates cost
     * 35 s that way vs 4 s with per-doc precompute, same 220 survivors).
+    * The sets are compared as 64-bit `xxhash64` fingerprints of the
+    * shingles, not the shingle strings themselves: set cardinalities —
+    * and hence the Jaccard — are unchanged as long as distinct shingles
+    * map to distinct hashes (for a corpus of billions of distinct
+    * shingles the collision odds are ~n²/2⁶⁵ — vanishing; the DuckDB
+    * oracle computes the STRING-exact Jaccard corpus-wide, so a
+    * collision that changed any verdict would fail the gate), while the
+    * pair join now shuffles 8-byte longs instead of ~30-byte strings
+    * and `array_intersect`/`array_union` compare longs instead of
+    * hashing strings twice per side.
     * Identical semantics to `ngramJaccard` including the 0.0 guard for
     * an empty union.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val sh = docs.select(col(idCol),
-      array_distinct(wordShingles(col(textCol), n)).as("__sh"))
+      array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"))
     val union = size(array_union(col("__sh_a"), col("__sh_b")))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")

@@ -165,4 +165,25 @@ object GraphOps {
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("component_size"))
     cc.join(sizes, "component").select("node", "component", "component_size")
   }
+
+  /** Star edges for blocking-defined cliques: rows sharing `blockCols`
+    * values are mutually connected (a clique), so connecting every
+    * member to its block's MIN-`nodeCol` representative generates the
+    * SAME connected components with O(n) edges per block instead of the
+    * O(n²) a pairwise self-join materializes. This is how any
+    * blocking-based graph (same-bug dependency stacks, dedup clusters)
+    * must be built at scale: a hot blocking key costs a groupBy + join,
+    * never a quadratic pair expansion. Output: (src=rep, dst=member),
+    * singleton blocks contribute no edges (matching the empty
+    * `a < b` self-join).
+    */
+  def cliqueStarEdges(df: DataFrame, blockCols: Seq[String],
+                      nodeCol: String): DataFrame = {
+    val reps = df.groupBy(blockCols.map(col): _*)
+      .agg(min(col(nodeCol)).as("__rep"))
+    df.join(reps, blockCols)
+      .filter(col(nodeCol) =!= col("__rep"))
+      .select(col("__rep").as("src"), col(nodeCol).as("dst"))
+      .distinct()
+  }
 }

@@ -39,17 +39,18 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("webp").as("fmt"))
 
-  /** Decode: PNG payloads go through a REAL codec (`javax.imageio`,
-    * in the JDK — no external deps), so `width`/`height` in the output
-    * come from the decoded image, not the metadata columns; payloads
-    * that aren't valid PNG bytes (the synthetic corpus ships text
-    * bytes) and every other format fall back to the deterministic stub
-    * (jpeg/webp/audio codecs aren't in this container — the schema,
-    * partitioning, and batch shape around them are the real, tested
-    * part).
+  /** Decode: PNG and JPEG payloads go through a REAL codec
+    * (`javax.imageio`, in the JDK — no external deps; the reader
+    * auto-detects the container from the bytes), so `width`/`height` in
+    * the output come from the decoded image, not the metadata columns.
+    * Payloads that aren't valid image bytes (the synthetic corpus ships
+    * text bytes) and formats the JDK has no reader for fall back to the
+    * deterministic stub (webp/audio codecs aren't in this container —
+    * the schema, partitioning, and batch shape around them are the
+    * real, tested part).
     */
   private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
-    if (m.fmt == "png") {
+    if (m.fmt == "png" || m.fmt == "jpeg") {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         catch { case _: java.io.IOException => null }
@@ -57,7 +58,7 @@ object Multimodal {
         return MediaFeatures(m.doc_id, m.payload.length.toLong,
           byteMean(m.payload), 1, img.getWidth, img.getHeight, m.fmt)
     }
-    // ??? <- real jpeg/webp/audio codec goes here; deterministic fake below.
+    // ??? <- real webp/audio codec goes here; deterministic fake below.
     stubDecode(m)
   }
 

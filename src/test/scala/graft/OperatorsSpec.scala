@@ -72,6 +72,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("cliqueStarEdges == pairwise clique components, even with a hot block") {
+    // one HOT block: 2000 members sharing (pk=1, bug=1) — the pairwise
+    // clique would materialize ~2M edges; the star emits 1999. Plus two
+    // normal blocks, a node in TWO blocks (bridges them), a singleton.
+    val hot = (1L to 2000L).map(ok => (ok, 1L, 1L))
+    val rest = Seq((3000L, 2L, 1L), (3001L, 2L, 1L), // block (2,1)
+      (3001L, 3L, 1L), (3002L, 3L, 1L),              // 3001 bridges (2,1)-(3,1)
+      (4000L, 9L, 9L))                               // singleton block
+    val hi = (hot ++ rest).toDF("ok", "pk", "bug_id")
+    val star = GraphOps.cliqueStarEdges(hi, Seq("pk", "bug_id"), "ok")
+    assert(star.count() == 1999L + 2L, "star must be linear in block size")
+    val clique = hi.as("a").join(hi.as("b"),
+        col("a.pk") === col("b.pk") && col("a.bug_id") === col("b.bug_id") &&
+          col("a.ok") < col("b.ok"))
+      .select(col("a.ok").as("src"), col("b.ok").as("dst")).distinct()
+    def sizesOf(edges: org.apache.spark.sql.DataFrame) =
+      GraphOps.componentSizes(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = sizesOf(star)
+    assert(got == sizesOf(clique), "star components must equal the clique's")
+    assert(got(1L) == 2000L && got(3000L) == 3L && !got.contains(4000L))
+  }
+
   test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
     // The adversarial case for label propagation: diameter = n. The
     // alternating large-star/small-star fixpoint must converge in
@@ -402,29 +425,41 @@ class MultimodalSpec extends SparkSpec {
     assert(r0.getAs[Int]("frame_count") == (r0.getAs[Long]("byte_len") / 1024L + 1L).toInt)
   }
 
-  test("png payloads decode through the real javax.imageio codec") {
+  test("png and jpeg payloads decode through the real javax.imageio codec") {
     import spark.implicits._
-    // a genuine 2x2 PNG, generated by the JDK encoder
+    // a genuine 2x2 PNG and a 3x5 JPEG, generated by the JDK encoder
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
     img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     val pngBytes = baos.toByteArray
+    val jimg = new java.awt.image.BufferedImage(3, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpeg", jbaos)
+    val jpegBytes = jbaos.toByteArray
     val media = Seq(
       // metadata LIES (640x480): the codec must win for real PNG bytes
       (1L, pngBytes, 640, 480, "png"),
-      // non-PNG bytes under fmt=png: falls back to the stub (metadata dims)
+      // non-image bytes under fmt=png: falls back to the stub (metadata dims)
       (2L, "not a png".getBytes("UTF-8"), 320, 240, "png"),
-      // other formats stay stubbed
-      (3L, pngBytes, 111, 222, "jpeg"))
+      // real JPEG with lying metadata: the codec must win too
+      (3L, jpegBytes, 111, 222, "jpeg"),
+      // the reader sniffs the container from the BYTES, so PNG bytes
+      // mislabeled as jpeg still decode to their true dimensions
+      (4L, pngBytes, 111, 222, "jpeg"),
+      // formats the JDK has no reader for stay stubbed
+      (5L, jpegBytes, 77, 88, "webp"))
       .toDF("doc_id", "payload", "width", "height", "fmt")
     val got = Multimodal.decodeStub(media).orderBy("doc_id").collect()
     assert(got(0).getAs[Int]("width") == 2 && got(0).getAs[Int]("height") == 2,
       "decoded PNG dimensions must come from the codec, not metadata")
     assert(got(0).getAs[Int]("frame_count") == 1)
     assert(got(1).getAs[Int]("width") == 320 && got(1).getAs[Int]("height") == 240)
-    assert(got(2).getAs[Int]("width") == 111 && got(2).getAs[Int]("height") == 222)
+    assert(got(2).getAs[Int]("width") == 3 && got(2).getAs[Int]("height") == 5,
+      "decoded JPEG dimensions must come from the codec, not metadata")
+    assert(got(3).getAs[Int]("width") == 2 && got(3).getAs[Int]("height") == 2)
+    assert(got(4).getAs[Int]("width") == 77 && got(4).getAs[Int]("height") == 88)
   }
 
   test("resize stub rescales metadata and payload map-side") {
