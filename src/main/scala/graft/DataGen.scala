@@ -1,0 +1,117 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver-generated test tables, for
+  * local scale evidence beyond the largest shipped fixture (sf0.1).
+  *
+  *   runMain graft.DataGen scale <srcDir> <outDir> [factor]
+  *   runMain graft.DataGen skew  <srcDir> <outDir> [hotPct]
+  *
+  * `scale` replicates every table `factor`× with disjoint key ranges:
+  * replica r offsets each surrogate key by r·(max+1), foreign keys
+  * offset in lockstep so referential integrity and per-key fan-outs
+  * (lines per order, events per user) are preserved exactly — the
+  * workload shape scales by volume, not by densifying joins. Dates are
+  * left untouched so time-partition counts stay realistic (10× rows
+  * per month, not 10× months). Documents/embeddings replicate as exact
+  * copies under fresh ids — the mirrored-corpus shape a web-scale
+  * dedup pass actually faces.
+  *
+  * `skew` rewrites lineitem so one order key owns ~`hotPct`% of all
+  * rows (hash-deterministic row selection, never rand(): retries must
+  * re-derive the same fixture) and copies orders unchanged — the
+  * orders⋈lineitem A/B fixture for `graft.SkewBench`.
+  */
+object DataGen {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: DataGen scale|skew <srcDir> <outDir> [factor|hotPct]")
+    val (mode, src, out) = (args(0), args(1), args(2))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "scale" => scaleUp(spark, src, out, if (args.length > 3) args(3).toInt else 10)
+      case "skew"  => skew(spark, src, out, if (args.length > 3) args(3).toInt else 30)
+      case other   => sys.error(s"unknown mode '$other' (want scale|skew)")
+    }
+    spark.stop()
+  }
+
+  private def write(df: DataFrame, out: String, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+
+  /** max(key)+1 of the SOURCE table — the per-replica key stride. */
+  private def stride(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  /** Union of `factor` replicas, replica r transformed by `remap`. */
+  private def replicate(df: DataFrame, factor: Int)(remap: (DataFrame, Long) => DataFrame): DataFrame =
+    (0 until factor).map(r => remap(df, r.toLong)).reduce(_ unionByName _)
+
+  def scaleUp(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val cust = Tables.customer(spark, src)
+    val supp = Tables.supplier(spark, src)
+    val part = Tables.part(spark, src)
+    val ord  = Tables.orders(spark, src)
+    val li   = Tables.lineitem(spark, src)
+    val ev   = Tables.events(spark, src)
+    val docs = Tables.documents(spark, src)
+    val emb  = Tables.embeddings(spark, src)
+    val (cS, sS, pS, oS) = (stride(cust, "c_custkey"), stride(supp, "s_suppkey"),
+      stride(part, "p_partkey"), stride(ord, "o_orderkey"))
+    val eS = stride(ev, "event_id")
+    val uS = stride(ev, "user_id")
+    val dS = stride(docs, "doc_id")
+    val vS = stride(emb, "vec_id")
+
+    // region/nation are fixed-cardinality dims at every TPC-H scale
+    write(Tables.region(spark, src), out, "region")
+    write(Tables.nation(spark, src), out, "nation")
+    write(replicate(cust, factor)((d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(r * cS))), out, "customer")
+    write(replicate(supp, factor)((d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * sS))), out, "supplier")
+    write(replicate(part, factor)((d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(r * pS))), out, "part")
+    write(replicate(ord, factor)((d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(r * oS))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * cS))), out, "orders")
+    write(replicate(li, factor)((d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * oS))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * pS))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * sS))), out, "lineitem")
+    write(replicate(ev, factor)((d, r) =>
+      d.withColumn("event_id", col("event_id") + lit(r * eS))
+        .withColumn("user_id", col("user_id") + lit(r * uS))), out, "events")
+    write(replicate(docs, factor)((d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * dS))), out, "documents")
+    write(replicate(emb, factor)((d, r) =>
+      d.withColumn("vec_id", col("vec_id") + lit(r * vS))), out, "embeddings")
+    println(s"""{"datagen":"scale","factor":$factor,"out":"$out"}""")
+  }
+
+  /** The hot key every skewed-join benchmark needs: `hotPct`% of all
+    * lineitem rows (hash-selected, deterministic) get l_orderkey = 1.
+    */
+  def skew(spark: SparkSession, src: String, out: String, hotPct: Int): Unit = {
+    val li = Tables.lineitem(spark, src)
+    val skewed = li.withColumn("l_orderkey",
+      when(pmod(hash(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber")), lit(100)) < lit(hotPct), lit(1L))
+        .otherwise(col("l_orderkey")))
+    write(skewed, out, "lineitem")
+    write(Tables.orders(spark, src), out, "orders")
+    val hot = spark.read.parquet(s"$out/lineitem.parquet")
+      .filter(col("l_orderkey") === 1L).count()
+    val total = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(s"""{"datagen":"skew","hot_rows":$hot,"total":$total,"out":"$out"}""")
+  }
+}

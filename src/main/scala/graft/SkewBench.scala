@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Salting
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B evidence for the skew-mitigation story: the same orders⋈lineitem
+  * join over a fixture where one order key owns ~30% of lineitem
+  * (`graft.DataGen skew`), run three ways:
+  *
+  *   plain       — sort-merge join, AQE skew-join handling DISABLED:
+  *                 the hot key's rows collapse into one reducer, the
+  *                 straggler task that stalls a 1000-executor cluster
+  *   aqe_skew    — the same plan with AQE skew-join ON (Spark splits
+  *                 the oversized partition at runtime)
+  *   salted      — `Salting.saltedJoin`: explicit deterministic salting
+  *                 for when the skew is known ahead of time or the join
+  *                 shape isn't AQE-splittable
+  *
+  * Broadcast is forced OFF for all three: at 100 TB neither side of a
+  * fact⋈fact join broadcasts, and a local[32] run that silently
+  * broadcast the orders side would measure nothing.
+  *
+  * Prints one JSON line with min-of-N seconds per variant plus the
+  * output row count of each (equality asserted — a fast wrong join is
+  * not a result).
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
+      sys.error("set SPARK_GRAFT_SKEW_DIR to a 'DataGen skew' output dir"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // fact⋈fact: no broadcast, the shuffle join is the thing under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderdate"))
+
+    def plainJoin(): DataFrame = li.join(ord, "l_orderkey")
+    def saltedJoin(): DataFrame = Salting.saltedJoin(li, ord, "l_orderkey", saltFactor = cpus.toInt)
+
+    def timed(skewJoin: Boolean)(mk: () => DataFrame): (Double, Long) = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      // the skew split must not be skipped just because it adds a shuffle
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", skewJoin.toString)
+      val rows = mk().count()
+      val times = (1 to runs).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, rows)
+    }
+
+    val (tPlain, nPlain)   = timed(skewJoin = false)(plainJoin)
+    val (tAqe, nAqe)       = timed(skewJoin = true)(plainJoin)
+    val (tSalted, nSalted) = timed(skewJoin = false)(saltedJoin)
+    require(nPlain == nAqe && nPlain == nSalted,
+      s"variant row counts diverged: plain=$nPlain aqe=$nAqe salted=$nSalted")
+    println(f"""{"metric":"skew_ab","unit":"sec","rows":$nPlain,"plain":$tPlain%.3f,"aqe_skew":$tAqe%.3f,"salted":$tSalted%.3f,"runs":$runs,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -232,6 +232,35 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: match each left event to
+    * the right events of the same key that land within `rangeSec` AFTER
+    * it (`leftTs <= rightTs <= leftTs + rangeSec`) — the streaming twin
+    * of the batch `IntervalJoin`/q52 shape, and the canonical
+    * impression→click attribution join. Both sides carry a watermark
+    * and the join condition bounds the time skew, so Spark can prove
+    * when a buffered row can never match again and evict it: state is
+    * O(rate · (watermark + range)), not O(stream length) — the property
+    * that keeps a 100 TB ingest join alive. Equi-key first, time-range
+    * second: the join shuffles on `key` like any hash join; the range
+    * is a post-filter within the key's state bucket.
+    *
+    * Column names must be disjoint across the two inputs except for
+    * nothing — both key and ts columns are named per side.
+    */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               leftKey: String, rightKey: String,
+                               leftTs: String, rightTs: String,
+                               rangeSec: Long,
+                               watermarkDelay: String = "1 hour"): DataFrame = {
+    require(rangeSec >= 0, "rangeSec must be non-negative")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $rangeSec SECONDS"))
+  }
+
   /** Streaming MERGE sink: the reference's staging→MERGE load lifecycle
     * (stats.py:896,969) as a continuous ingest. Every micro-batch
     * upserts keep-latest-by-`updatedAt` into a month-partitioned

@@ -217,6 +217,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark dedup stream == batch distinct") {
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // two identical files, fed as separate micro-batches: every row of
+    // the second batch is a cross-batch duplicate the state must drop
+    val dir = s"/tmp/graft_dedup_${System.nanoTime()}"
+    base.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // distinct mtimes -> file 1 is batch 1
+    base.coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val streaming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val qname = s"dedup_${System.nanoTime()}"
+    val q = EventStream.dedupStream(streaming)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table(qname).select("event_id").collect().map(_.getLong(0))
+    val want = base.select("event_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.length == got.distinct.length, "stream emitted a duplicate event_id")
+    assert(got.toSet == want,
+      s"stream ids != batch distinct: missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
+  test("stream-stream interval join == batch interval join") {
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    // split one corpus into two streams: even event_ids are the "left"
+    // (impression-like) side, odd the "right" (click-like) side
+    val left = base.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"), col("user_id").as("l_user"))
+    val right = base.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"), col("user_id").as("r_user"))
+    val (lDir, rDir) = (s"/tmp/graft_ssj_l_${System.nanoTime()}", s"/tmp/graft_ssj_r_${System.nanoTime()}")
+    left.repartition(3).write.mode("overwrite").parquet(lDir)
+    right.repartition(3).write.mode("overwrite").parquet(rDir)
+
+    def stream(dir: String) = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    }
+    // watermark far past the corpus span: files arrive in arbitrary
+    // time order across micro-batches, nothing may be dropped as late —
+    // the spec pins exact batch equality, state-eviction is exercised
+    // by the operator's default tighter watermark in production
+    val joined = EventStream.streamStreamIntervalJoin(
+      stream(lDir), stream(rDir), "l_user", "r_user", "l_ts", "r_ts",
+      rangeSec = 1800L, watermarkDelay = "365 days")
+    val qname = s"ssj_${System.nanoTime()}"
+    val q = joined.select("l_id", "r_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = left.join(right,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1800 SECONDS"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture produced no batch matches — spec is vacuous")
+    assert(got == want,
+      s"stream join != batch: only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("Spark's native session_window agrees with the hand-rolled q31 sessionization") {
     // Three independent implementations of the same semantics now agree:
     // the lag/cumsum window (q31, oracle-verified vs DuckDB), the
