@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   *                 straggler task that stalls a 1000-executor cluster
   *   aqe_skew    — the same plan with AQE skew-join ON (Spark splits
   *                 the oversized partition at runtime)
-  *   salted      — `Salting.saltedJoin`: explicit deterministic salting
-  *                 for when the skew is known ahead of time or the join
-  *                 shape isn't AQE-splittable
+  *   salted      — `Salting.saltedJoin`: blanket salting (right side
+  *                 replicated saltFactor×) for when the skew is known
+  *                 ahead of time or the join shape isn't AQE-splittable
+  *   salted_hot  — `Salting.hotKeys` detection + `Salting.saltedJoinHot`:
+  *                 only the detected hot keys are salted, so the right
+  *                 side replicates only its hot-key rows (the 100 TB-safe
+  *                 variant; detection time is included in the measurement)
   *
   * Broadcast is forced OFF for all three: at 100 TB neither side of a
   * fact⋈fact join broadcasts, and a local[32] run that silently
@@ -42,6 +46,15 @@ object SkewBench {
     // fact⋈fact: no broadcast, the shuffle join is the thing under test
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // Local fixtures are GBs, not TBs: scale AQE's skew thresholds down
+    // so a partition that is 30% of the local shuffle trips the same
+    // split a 30%-of-100 TB partition trips against the 256m default —
+    // the A/B compares plan shapes, and the shapes must be the ones a
+    // cluster would actually pick at the same relative skew.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_THRESHOLD", "16m"))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_SKEW_ADVISORY", "8m"))
 
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val ord = spark.read.parquet(s"$dir/orders.parquet")
@@ -49,6 +62,10 @@ object SkewBench {
 
     def plainJoin(): DataFrame = li.join(ord, "l_orderkey")
     def saltedJoin(): DataFrame = Salting.saltedJoin(li, ord, "l_orderkey", saltFactor = cpus.toInt)
+    def saltedHotJoin(): DataFrame = {
+      val hot = Salting.hotKeys(li, "l_orderkey", threshold = 0.05)
+      Salting.saltedJoinHot(li, ord, "l_orderkey", saltFactor = cpus.toInt, hotKeys = hot)
+    }
 
     def timed(skewJoin: Boolean)(mk: () => DataFrame): (Double, Long) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
@@ -67,9 +84,10 @@ object SkewBench {
     val (tPlain, nPlain)   = timed(skewJoin = false)(plainJoin)
     val (tAqe, nAqe)       = timed(skewJoin = true)(plainJoin)
     val (tSalted, nSalted) = timed(skewJoin = false)(saltedJoin)
-    require(nPlain == nAqe && nPlain == nSalted,
-      s"variant row counts diverged: plain=$nPlain aqe=$nAqe salted=$nSalted")
-    println(f"""{"metric":"skew_ab","unit":"sec","rows":$nPlain,"plain":$tPlain%.3f,"aqe_skew":$tAqe%.3f,"salted":$tSalted%.3f,"runs":$runs,"dir":"$dir"}""")
+    val (tHot, nHot)       = timed(skewJoin = false)(saltedHotJoin)
+    require(nPlain == nAqe && nPlain == nSalted && nPlain == nHot,
+      s"variant row counts diverged: plain=$nPlain aqe=$nAqe salted=$nSalted salted_hot=$nHot")
+    println(f"""{"metric":"skew_ab","unit":"sec","rows":$nPlain,"plain":$tPlain%.3f,"aqe_skew":$tAqe%.3f,"salted":$tSalted%.3f,"salted_hot":$tHot%.3f,"runs":$runs,"dir":"$dir"}""")
     spark.stop()
   }
 }

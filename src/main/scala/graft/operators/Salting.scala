@@ -33,4 +33,45 @@ object Salting {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Targeted variant: only rows whose key is in `hotKeys` are salted;
+    * every other key keeps salt 0 and the right side replicates ONLY its
+    * hot-key rows. At scale this is the difference between duplicating a
+    * multi-TB dimension `saltFactor`× (blanket [[saltedJoin]]) and
+    * duplicating a handful of rows: the blanket variant's replication
+    * cost grows with the whole right side, the targeted one's with the
+    * hot-key row count alone. Still one shuffle join on `(key, salt)`.
+    *
+    * `hotKeys` is driver-side and must stay small — pair with
+    * [[hotKeys]], which can return at most `1/threshold` keys.
+    */
+  def saltedJoinHot(left: DataFrame, right: DataFrame, key: String,
+                    saltFactor: Int, hotKeys: Seq[Any]): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    require(hotKeys.nonEmpty, "hotKeys must be non-empty (use saltedJoin for blanket salting)")
+    val hot = col(key).isin(hotKeys: _*)
+    val l = left.withColumn("__salt",
+      when(hot, pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+        .otherwise(lit(0)))
+    val r = right.withColumn("__salt",
+      explode(when(hot, sequence(lit(0), lit(saltFactor - 1)))
+        .otherwise(array(lit(0)))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Keys owning more than `threshold` (fraction, 0<t<1) of `df`'s rows.
+    * One map-side-combinable aggregation; the collected result is bounded
+    * by construction — at most `1/threshold` keys can each exceed a
+    * `threshold` share — so the driver never holds more than that many
+    * values regardless of input size. At 100 TB run it on a sample
+    * (`df.sample(0.01)`) if even one full agg pass is too expensive.
+    */
+  def hotKeys(df: DataFrame, key: String, threshold: Double): Seq[Any] = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val total = df.count()
+    df.groupBy(col(key)).count()
+      .filter(col("count") > lit(threshold * total))
+      .select(col(key))
+      .collect().map(_.get(0)).toSeq
+  }
 }

@@ -33,6 +33,30 @@ class SaltingSpec extends SparkSpec {
       s"salting must at least halve the worst partition, got $saltedMax of 8000")
   }
 
+  test("hotKeys detects exactly the keys above the threshold share") {
+    import spark.implicits._
+    // key 42 owns 60% of rows, key 7 owns 30%, the rest spread thin
+    val df = ((1 to 600).map(i => (42L, i)) ++ (1 to 300).map(i => (7L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1000L, i))).toDF("k", "v")
+    assert(Salting.hotKeys(df, "k", 0.25).toSet == Set(42L, 7L))
+    assert(Salting.hotKeys(df, "k", 0.5).toSet == Set(42L))
+  }
+
+  test("targeted salted join matches the plain join and replicates only hot rows") {
+    import spark.implicits._
+    val hot = ((1 to 1000).map(i => (42L, s"row$i")) ++
+      (1 to 200).map(i => (i.toLong, s"cold$i"))).toDF("k", "payload")
+    val dim = (1L to 200L).map(k => (k, s"dim$k")).toDF("k", "dimv")
+    val plain  = hot.join(dim, "k")
+    val salted = Salting.saltedJoinHot(hot, dim, "k", saltFactor = 8, hotKeys = Seq(42L))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the build side only fans out on the hot key: 1 hot row × 8 salts
+    // + 199 cold rows × 1 salt — not 200 × 8 as blanket salting would
+    val rExploded = dim.withColumn("__salt",
+      explode(when(col("k").isin(42L), sequence(lit(0), lit(7))).otherwise(array(lit(0)))))
+    assert(rExploded.count() == 199L + 8L)
+  }
+
   test("salt spreads a hot key across multiple partitions' sub-keys") {
     import spark.implicits._
     // one pathological key with 1000 rows
