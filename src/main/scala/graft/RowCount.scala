@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-analysis helper: counts the output rows of named SparkEntry
+  * queries against a fixture dir. Used to separate time growth caused
+  * by OUTPUT growth (a fixture that densifies joins or duplicate
+  * blocks quadratically) from genuine operator superlinearity when
+  * reading an sf0.1-vs-sf1 A/B.
+  *
+  *   runMain graft.RowCount <sfDir> <q1,q2,...>
+  */
+object RowCount {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: RowCount <sfDir> <q1,q2,...>")
+    val (dir, names) = (args(0), args(1).split(",").toSeq)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = names.map { n => s""""$n":${SparkEntry.queries(n)(spark, dir).count()}""" }
+    println(counts.mkString(s"""{"metric":"rowcount","dir":"$dir",""", ",", "}"))
+    spark.stop()
+  }
+}
