@@ -1,0 +1,150 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.CorpusOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2b corpus-preparation queries (q61–q66) — the training-data steps
+  * downstream of dedup/quality: splits, scrubbing, repetition signals,
+  * decontamination, packing, mixture reweighting. Library internals in
+  * [[graft.operators.CorpusOps]]; every heuristic is mirrored verbatim
+  * in the DuckDB oracle SQL (SURVEY §6 conventions).
+  */
+object TrainingQueries {
+
+  /** Shared DuckDB rendering of the whitespace tokenizer
+    * (TextFunctions.tokens). */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  // q61: deterministic hash split — every doc gets a stable
+  // train/val/test label from md5(doc_id); no RNG, no shuffle.
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        CorpusOps.splitLabel(col("doc_id"), CorpusOps.DefaultCuts).as("split"))
+      .orderBy("doc_id")
+
+  val q61Sql: String =
+    """SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd0' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e8' THEN 'val'
+            ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id"""
+
+  // q62: PII scrub — email/IPv4/phone redaction as a codegen'd
+  // regexp_replace chain, plus the hit count on the raw text.
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        CorpusOps.redactPii(col("text")).as("clean_text"),
+        CorpusOps.piiCount(col("text")).as("n_pii"))
+      .orderBy("doc_id")
+
+  val q62Sql: String = {
+    val (e, i, p) = (CorpusOps.EmailRe, CorpusOps.Ipv4Re, CorpusOps.PhoneRe)
+    s"""SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$e', '[EMAIL]', 'g'), '$i', '[IP]', 'g'), '$p', '[PHONE]', 'g') AS clean_text,
+        CAST(len(regexp_extract_all(text, '$e'))
+           + len(regexp_extract_all(text, '$i'))
+           + len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_pii
+        FROM documents ORDER BY doc_id"""
+  }
+
+  // q63: repetition-based quality signals (Gopher-style duplicate
+  // token / bigram fractions) — exact integer counts, bit-identical
+  // double ratios.
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val toks = TextFunctions.tokens(text)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        CorpusOps.dupTokenRatio(text).as("dup_token_ratio"),
+        CorpusOps.dupBigramRatio(text).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), b AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END AS bi
+          FROM t
+        )
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          CASE WHEN len(toks) > 0
+            THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS dup_token_ratio,
+          CASE WHEN len(bi) > 0
+            THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_ratio
+        FROM b ORDER BY doc_id"""
+
+  // q64: benchmark decontamination — docs with doc_id % 10 == 0 stand
+  // in for the held-out benchmark; the rest is the training corpus and
+  // loses every doc whose normalized content collides. Broadcast
+  // anti-join: the training side never shuffles.
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    CorpusOps.decontaminate(train, bench, "text")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+       WHERE doc_id % 10 <> 0
+         AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
+           SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           FROM documents WHERE doc_id % 10 = 0)
+       ORDER BY doc_id"""
+
+  // q65: first-fit sequence packing into 2048-token windows, streamed
+  // per language in doc_id order — one window shuffle on `lang`.
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val withTokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.wordCount(col("text")).cast(LongType).as("n_tok"))
+    CorpusOps.packSequences(withTokens, Seq("lang"), "doc_id", col("n_tok"), capacity = 2048)
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents
+        )
+        SELECT doc_id, lang, n_tok,
+          CAST(floor(CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS DOUBLE)
+               / 2048) AS BIGINT) AS pack_id
+        FROM t ORDER BY doc_id"""
+
+  // q66: domain-mixture reweighting toward a uniform (lang, source)
+  // target — one groupBy shuffle, then a k-row window.
+  def q66(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixtureWeights(Tables.documents(spark, dir), Seq("lang", "source"))
+      .orderBy("lang", "source")
+
+  val q66Sql: String =
+    """WITH c AS (
+         SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
+       )
+       SELECT lang, source, n_docs,
+         CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share,
+         (1.0 / CAST(COUNT(*) OVER () AS DOUBLE))
+           / (CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS samp_weight
+       FROM c ORDER BY lang, source"""
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators for large-scale training-data pipelines —
+  * the steps between "raw documents" and "training shards" that the
+  * reference ETL (a per-revision stats pipeline) never needed but any
+  * 100 TB text corpus does: deterministic splits, PII scrubbing,
+  * repetition-based quality signals (Rae et al., "Scaling Language
+  * Models: ... Gopher", 2021, §A.1.1), benchmark decontamination
+  * (Brown et al., "Language Models are Few-Shot Learners", 2020, §C),
+  * sequence packing, and domain-mixture reweighting.
+  *
+  * Every operator is a pure Column/window composition — no UDFs, no
+  * driver-side state — so Catalyst sees through all of it (pushdown,
+  * pruning, whole-stage codegen) and each one scales as its underlying
+  * shuffle does.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test assignment from the MD5 of the id.
+    *
+    * `cuts` are (label, upperBoundExclusive) pairs over the first two
+    * hex chars of `md5(cast(id as string))` — 256 lexicographic
+    * buckets; e.g. ("train","d0") :: ("val","e8") :: ("test","zz")
+    * gives 208/24/24 parts in 256ths. Hash-of-id (not random()) makes
+    * the split stable across runs, machines, and engine versions, and
+    * membership is decidable per-row with no shuffle — the property a
+    * reproducible 100 TB pipeline needs (re-running assigns every doc
+    * the same way; downstream incremental jobs never see a doc migrate
+    * between splits).
+    */
+  def splitLabel(id: Column, cuts: Seq[(String, String)]): Column = {
+    require(cuts.nonEmpty, "need at least one cut")
+    val bucket = substring(md5(id.cast(StringType).cast(BinaryType)), 1, 2)
+    val init = cuts.init.foldLeft(Option.empty[Column]) { case (acc, (label, ub)) =>
+      val branch = bucket < lit(ub)
+      Some(acc.fold(when(branch, label))(_.when(branch, label)))
+    }
+    init.fold(lit(cuts.last._1))(_.otherwise(cuts.last._1))
+  }
+
+  /** Standard 81.25 / 9.375 / 9.375 split (208/24/24 of 256). */
+  val DefaultCuts: Seq[(String, String)] =
+    Seq(("train", "d0"), ("val", "e8"), ("test", "zz"))
+
+  // ------------------------------------------------------------------ PII
+
+  /** Conservative ASCII patterns, valid in both Java regex and RE2 so
+    * the DuckDB oracle can mirror them verbatim. Order of application:
+    * email first (may contain dots/digits), then IPv4 (dotted quads
+    * would otherwise half-match the phone pattern), then phone.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Text with emails/IPv4s/phone numbers replaced by typed tags.
+    * Pure `regexp_replace` chain: codegen'd, no UDF, scan-parallel. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Re, "[IP]")
+    regexp_replace(i, PhoneRe, "[PHONE]")
+  }
+
+  /** Count of PII hits in the ORIGINAL text (per-category counts on the
+    * raw input sum consistently across engines; counting after
+    * replacement would make categories order-dependent). */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailRe)) +
+      regexp_count(text, lit(Ipv4Re)) +
+      regexp_count(text, lit(PhoneRe))).cast(LongType)
+
+  // ----------------------------------------------------------- repetition
+
+  /** Duplicate-token fraction: 1 - |distinct tokens| / |tokens|.
+    * The Gopher-style "fraction of duplicate n-grams" quality signal at
+    * n=1; ratios derive from exact integer counts so the doubles are
+    * bit-identical across engines. Null-safe: empty docs score 0. */
+  def dupTokenRatio(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    when(n > 0,
+      lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(0.0)
+  }
+
+  /** Duplicate word-bigram fraction (Gopher §A.1.1 at n=2). Documents
+    * shorter than 2 tokens score 0 (their single degenerate shingle is
+    * trivially distinct). */
+  def dupBigramRatio(text: Column): Column = {
+    val sh = TextFunctions.wordShingles(text, 2)
+    val n = size(sh)
+    when(n > 0,
+      lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(0.0)
+  }
+
+  // -------------------------------------------------------- decontaminate
+
+  /** Drop training docs whose normalized content exactly matches any
+    * benchmark doc (Brown et al. 2020 §C exact-overlap pass).
+    *
+    * Benchmark corpora are tiny next to training corpora (MBs vs TBs),
+    * so the hash set is broadcast — the 100 TB side streams through a
+    * broadcast anti-join with no shuffle of the training data at all.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String): DataFrame = {
+    val benchHashes = bench
+      .select(TextFunctions.contentHash(col(textCol)).as("_bench_hash")).distinct()
+    train.join(broadcast(benchHashes),
+      TextFunctions.contentHash(col(textCol)) === col("_bench_hash"), "left_anti")
+  }
+
+  /** N-gram-overlap decontamination (Brown et al. 2020 §C uses 13-gram
+    * collision): drop a training doc if ANY of its word n-grams occurs
+    * in the benchmark corpus. The benchmark shingle set is exploded,
+    * hashed to 64 bits, deduped, and broadcast; training docs explode
+    * their shingles once, semi-join the broadcast set for contaminated
+    * ids, and anti-join back — ids-only through every shuffle-free
+    * probe, one wide pass over the training text.
+    */
+  def decontaminateNgram(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("_g"))
+      .join(broadcast(benchGrams), xxhash64(col("_g")) === col("_gh"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- packing
+
+  /** First-fit sequence packing: stream docs in `orderCol` order within
+    * each `partCols` group, chunk the concatenated token stream into
+    * `capacity`-token windows, and label each doc with the window its
+    * first token lands in. `pack_id = floor(cumsum_exclusive / capacity)`
+    * — the standard "concatenate then chunk" pretraining layout, as one
+    * window function.
+    *
+    * Scale: the window shuffles once on `partCols` and each group packs
+    * independently — partition by (domain, shard) at 100 TB so no group
+    * exceeds an executor. A global single-sequence pack (empty
+    * partCols) is the documented non-scalable corner: every row lands
+    * in one reducer.
+    */
+  def packSequences(df: DataFrame, partCols: Seq[String], orderCol: String,
+                    tokenCol: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(tokenCol).over(w)
+    df.withColumn("pack_id",
+      floor((cum - tokenCol).cast(DoubleType) / capacity).cast(LongType))
+  }
+
+  // -------------------------------------------------------------- mixture
+
+  /** Per-domain resampling weights toward a UNIFORM target mixture:
+    * weight = (1/k) / share where share = n_docs/total over k domains.
+    * One tiny post-aggregation window (k rows); the heavy work is the
+    * single groupBy shuffle on the domain key.
+    */
+  def mixtureWeights(df: DataFrame, domainCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(domainCols.map(col): _*).agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    val share = col("n_docs").cast(DoubleType) / sum("n_docs").over(all).cast(DoubleType)
+    counts
+      .withColumn("share", share)
+      .withColumn("samp_weight", (lit(1.0) / count(lit(1)).over(all).cast(DoubleType)) / share)
+  }
+}

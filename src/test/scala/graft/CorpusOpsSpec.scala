@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.CorpusOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("splitLabel: deterministic, covers every row, and hits the cut proportions") {
+    val docs = Tables.documents(spark, sf)
+    val a = TrainingQueries.q61(spark, sf).collect()
+    val b = TrainingQueries.q61(spark, sf).collect()
+    assert(a.sameElements(b), "split must be stable across runs")
+    val counts = a.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    val n = a.length.toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 208/24/24 of 256 — allow a wide band at sf0.001 (500 docs)
+    assert(counts("train") / n > 0.70 && counts("train") / n < 0.92)
+    // membership is a pure function of doc_id: re-deriving one row agrees
+    val row = a.head
+    val relabeled = Seq(row.getLong(0)).toDF("doc_id")
+      .select(CorpusOps.splitLabel(col("doc_id"), CorpusOps.DefaultCuts)).head().getString(0)
+    assert(relabeled == row.getString(2))
+  }
+
+  test("redactPii scrubs emails, phones, and IPs; piiCount counts them") {
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example-corp.io or 555-867-5309 today"),
+      (2L, "server at 192.168.0.1 responded; also 10.0.0.255."),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.co c@d.org and a dotted phone 123.456.7890")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        CorpusOps.redactPii(col("text")).as("clean"),
+        CorpusOps.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "contact [EMAIL] or [PHONE] today")
+    assert(out(0).getLong(2) == 2)
+    assert(out(1).getString(1) == "server at [IP] responded; also [IP].")
+    assert(out(1).getLong(2) == 2)
+    assert(out(2).getString(1) == "no pii here at all" && out(2).getLong(2) == 0)
+    assert(out(3).getString(1) == "two mails [EMAIL] [EMAIL] and a dotted phone [PHONE]")
+    assert(out(3).getLong(2) == 3)
+  }
+
+  test("repetition ratios: exact values on known docs, zero on degenerate docs") {
+    val rows = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct -> 0.75; bigrams: 3 of 1 distinct -> 2/3
+      (2L, "a b c d"),          // all distinct -> 0.0; bigrams distinct -> 0.0
+      (3L, "x"),                // single token -> 0.0; degenerate single shingle -> 0.0
+      (4L, "")                  // empty -> 0.0 / 0.0
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        CorpusOps.dupTokenRatio(col("text")).as("t"),
+        CorpusOps.dupBigramRatio(col("text")).as("b"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 0.75 && math.abs(out(0).getDouble(2) - 2.0 / 3.0) < 1e-15)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
+    assert(out(3).getDouble(1) == 0.0 && out(3).getDouble(2) == 0.0)
+  }
+
+  test("decontaminate removes exact benchmark collisions and nothing else") {
+    val train = Seq((1L, "the quick brown fox"), (2L, "unique training doc"),
+      (3L, "  THE   quick brown FOX ")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    // doc 3 normalizes to the benchmark text -> both 1 and 3 are dropped
+    val kept = CorpusOps.decontaminate(train, bench, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("decontaminateNgram drops docs sharing any n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then alpha beta gamma more words"), // shares the 3-gram
+      (2L, "totally disjoint vocabulary here"),
+      (3L, "beta gamma delta inside this one too")
+    ).toDF("doc_id", "text")
+    val kept = CorpusOps.decontaminateNgram(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("packSequences: packs are capacity-bounded and first-fit in order") {
+    val docs = Seq(
+      (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 100L),
+      (4L, "en", 2000L), (5L, "de", 2047L), (6L, "de", 1L), (7L, "de", 5L)
+    ).toDF("doc_id", "lang", "n_tok")
+    val out = CorpusOps.packSequences(docs, Seq("lang"), "doc_id", col("n_tok"), 2048)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // en stream offsets: 0, 1000, 2000, 2100 -> packs 0,0,0,1
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 1)
+    // de stream offsets: 0, 2047, 2048 -> packs 0,0,1
+    assert(out(5L) == 0 && out(6L) == 0 && out(7L) == 1)
+  }
+
+  test("mixtureWeights: shares sum to 1, weighted counts equalize domains") {
+    val docs = Seq.fill(60)(("en", "a")) ++ Seq.fill(30)(("en", "b")) ++ Seq.fill(10)(("de", "c"))
+    val df = docs.toDF("lang", "source")
+    val w = CorpusOps.mixtureWeights(df, Seq("lang", "source")).collect()
+    assert(w.length == 3)
+    val shareSum = w.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12)
+    // n_docs * weight is the same for every domain (uniform target)
+    val weighted = w.map(r => r.getAs[Long]("n_docs") * r.getAs[Double]("samp_weight"))
+    assert(weighted.forall(x => math.abs(x - weighted.head) < 1e-9))
+  }
+
+  test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
+    val n = Tables.documents(spark, sf).count()
+    assert(TrainingQueries.q61(spark, sf).count() == n)
+    assert(TrainingQueries.q62(spark, sf).count() == n)
+    assert(TrainingQueries.q63(spark, sf).count() == n)
+    val deconCount = TrainingQueries.q64(spark, sf).count()
+    assert(deconCount > 0 && deconCount <= n)
+    val packs = TrainingQueries.q65(spark, sf)
+    assert(packs.count() == n)
+    assert(packs.agg(min("pack_id")).head().getLong(0) == 0L)
+    val mix = TrainingQueries.q66(spark, sf)
+    assert(mix.count() > 0)
+  }
+}
