@@ -261,6 +261,35 @@ object EventStream {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $rangeSec SECONDS"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every left event is
+    * emitted exactly once — joined to each in-range right event, or
+    * once with nulls when the watermark proves no match can still
+    * arrive (impression→click attribution where the un-clicked
+    * impressions matter as much as the clicked ones).
+    *
+    * Same state bound as the inner variant — the time-range condition
+    * plus both watermarks let Spark evict left rows once
+    * `watermark > leftTs + rangeSec`; the null-padded row is emitted at
+    * EVICTION time, so unmatched results trail the data by
+    * watermarkDelay + rangeSec (an inherent outer-join latency, not a
+    * correctness gap: the final result set equals the batch left join,
+    * which the spec replays cross-batch to prove).
+    */
+  def streamStreamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                        leftKey: String, rightKey: String,
+                                        leftTs: String, rightTs: String,
+                                        rangeSec: Long,
+                                        watermarkDelay: String = "1 hour"): DataFrame = {
+    require(rangeSec >= 0, "rangeSec must be non-negative")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $rangeSec SECONDS"),
+      "leftOuter")
+  }
+
   /** Streaming MERGE sink: the reference's staging→MERGE load lifecycle
     * (stats.py:896,969) as a continuous ingest. Every micro-batch
     * upserts keep-latest-by-`updatedAt` into a month-partitioned

@@ -45,4 +45,56 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == exp, s"stream-stream join diverged: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("left-outer stream-stream interval join emits unmatched rows on watermark, == batch left join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)] // (l_id, l_user, l_ts)
+    val rIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def lDf(s: org.apache.spark.sql.DataFrame) = s.toDF("l_id", "l_user", "l_ts")
+    def rDf(s: org.apache.spark.sql.DataFrame) = s.toDF("r_id", "r_user", "r_ts")
+
+    val joined = graft.streaming.EventStream.streamStreamIntervalJoinLeftOuter(
+      lDf(lIn.toDF()), rDf(rIn.toDF()),
+      "l_user", "r_user", "l_ts", "r_ts", rangeSec = 600, watermarkDelay = "100 seconds")
+    val qname = s"ssj_lo_${System.nanoTime()}"
+    val q = joined.select("l_id", "r_id").writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // batch 1: two impressions, one click in range for user 1
+      lIn.addData((1L, 1L, ts(1000)), (2L, 2L, ts(1000)))
+      rIn.addData((10L, 1L, ts(1200)))
+      q.processAllAvailable()
+      // batch 2: user 3 pair arrives later; user 2's click is OUT of range
+      // (700s > 600s) so impression 2 must surface null-padded
+      lIn.addData((3L, 3L, ts(5000)))
+      rIn.addData((11L, 3L, ts(5400)), (12L, 2L, ts(1700)))
+      q.processAllAvailable()
+      // sentinel batches on BOTH sides (global watermark = min of sides)
+      // jump the watermark far past every left_ts + range + delay, then
+      // give the eviction a batch to emit in
+      lIn.addData((100L, 99L, ts(1000000))); rIn.addData((110L, 99L, ts(1000000)))
+      q.processAllAvailable()
+      lIn.addData((101L, 99L, ts(1000001))); rIn.addData((111L, 99L, ts(1000001)))
+      q.processAllAvailable()
+
+      val got = spark.table(qname).filter(col("l_id") < 100)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the batch left-join twin over the same (non-sentinel) data
+      val lb = Seq((1L, 1L, ts(1000)), (2L, 2L, ts(1000)), (3L, 3L, ts(5000)))
+        .toDF("l_id", "l_user", "l_ts")
+      val rb = Seq((10L, 1L, ts(1200)), (11L, 3L, ts(5400)), (12L, 2L, ts(1700)))
+        .toDF("r_id", "r_user", "r_ts")
+      val exp = lb.join(rb,
+          col("l_user") === col("r_user") && col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 600 SECONDS"), "leftOuter")
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(exp == Set((1L, 10L), (2L, -1L), (3L, 11L)), s"batch twin sanity: $exp")
+      assert(got == exp, s"left-outer stream join diverged: missing=${exp -- got} extra=${got -- exp}")
+    } finally q.stop()
+  }
 }
