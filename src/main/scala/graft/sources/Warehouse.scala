@@ -47,6 +47,30 @@ object Warehouse {
       readTable(spark, targetTable), readTable(spark, stagingTable),
       keys, updatedAt, tiebreak)
 
+  /** ANALYZE TABLE wrapper — collects table-level stats (row count,
+    * size) and, when `cols` is given, per-column NDV/min/max/null
+    * histograms into the session catalog. With `spark.sql.cbo.enabled`
+    * these feed Catalyst's FilterEstimation/JoinEstimation: a
+    * selective predicate on an analyzed column shrinks the plan's size
+    * estimate by its actual selectivity, which flips borderline joins
+    * to broadcast and lets `spark.sql.cbo.joinReorder.enabled` order
+    * multi-way joins by real cardinalities instead of file sizes. At
+    * 100 TB stats collection is a scheduled maintenance scan, not a
+    * per-query cost — the classic warehouse trade. (WarehouseStatsSpec
+    * proves the flip: the same filtered join plans as sort-merge
+    * without stats and as broadcast-hash with them, and the catalog
+    * rowCount matches the actual count exactly.)
+    */
+  def analyze(spark: SparkSession, table: String, cols: Seq[String] = Nil): Unit =
+    if (cols.isEmpty) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    else spark.sql(
+      s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+
+  /** Catalyst's row-count estimate for `df`'s optimized plan (None
+    * when no stats are available — i.e. before [[analyze]]). */
+  def estimatedRowCount(df: DataFrame): Option[BigInt] =
+    df.queryExecution.optimizedPlan.stats.rowCount
+
   /** True iff the executed plan of `df` contains no shuffle exchange —
     * the property bucketing buys. Walks the physical plan tree
     * (descending through AQE wrappers and materialized query stages)

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.{Tables, Warehouse}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Table statistics + CBO: the catalog-stats layer a 100 TB warehouse
+  * runs on. The load-bearing assertion is the broadcast flip — the
+  * SAME filtered dim⋈fact join plans as sort-merge when the dim's size
+  * estimate is its raw bytes, and as broadcast-hash once column stats
+  * let FilterEstimation scale the estimate by the predicate's actual
+  * selectivity. On a cluster that flip is the difference between
+  * shuffling a fact table and not.
+  */
+class WarehouseStatsSpec extends SparkSpec {
+
+  private def find(p: SparkPlan)(pred: SparkPlan => Boolean): Boolean =
+    pred(p) || p.children.exists(find(_)(pred))
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("column stats flip a borderline filtered join from sort-merge to broadcast") {
+    val dimTable = "stats_orders_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $dimTable")
+    Tables.orders(spark, sf).write.format("parquet").saveAsTable(dimTable)
+    try {
+      // no stats yet: the filter's size estimate falls back to the full
+      // table bytes; pick a broadcast threshold strictly below that so
+      // the planner must choose sort-merge
+      val rawBytes = spark.table(dimTable)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val threshold = (rawBytes / 4).max(BigInt(1024))
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false", // isolate CBO from AQE's runtime flip
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+
+        def joined = Tables.lineitem(spark, sf)
+          .join(spark.table(dimTable).filter(col("o_orderkey") < 30),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_quantity", "o_totalprice")
+
+        assert(find(joined.queryExecution.sparkPlan)(_.isInstanceOf[SortMergeJoinExec]),
+          "without stats the filtered dim must NOT look broadcastable")
+
+        Warehouse.analyze(spark, dimTable, Seq("o_orderkey"))
+
+        // catalog row count is exact after ANALYZE
+        assert(Warehouse.estimatedRowCount(spark.table(dimTable))
+          .contains(BigInt(spark.table(dimTable).count())))
+        // FilterEstimation now scales by true selectivity (~2% of keys),
+        // pulling the estimate under the threshold -> broadcast-hash
+        assert(find(joined.queryExecution.sparkPlan)(_.isInstanceOf[BroadcastHashJoinExec]),
+          "with column stats the selective filter must broadcast")
+        // and the flip is row-invisible
+        assert(joined.count() ==
+          Tables.lineitem(spark, sf).join(
+            Tables.orders(spark, sf).filter(col("o_orderkey") < 30),
+            col("l_orderkey") === col("o_orderkey")).count())
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $dimTable")
+  }
+
+  test("filter row estimate tracks actual selectivity once stats exist") {
+    val t = "stats_cust"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables.customer(spark, sf).write.format("parquet").saveAsTable(t)
+    try {
+      withConfs("spark.sql.cbo.enabled" -> "true") {
+        Warehouse.analyze(spark, t, Seq("c_nationkey"))
+        val filtered = spark.table(t).filter(col("c_nationkey") === 3)
+        val est = Warehouse.estimatedRowCount(filtered)
+        val actual = filtered.count()
+        assert(est.isDefined, "column stats must yield a row estimate")
+        // equality on an analyzed column estimates count/ndv — demand
+        // the estimate is within 3x of truth (vs the no-stats fallback,
+        // which would be the full table)
+        val full = spark.table(t).count()
+        assert(est.get < BigInt(full), "estimate must shrink below full scan")
+        assert(est.get <= BigInt(actual * 3 + 1) && est.get * 3 + 1 >= BigInt(actual),
+          s"estimate ${est.get} should track actual $actual")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
