@@ -156,12 +156,18 @@ object LlmQueries {
 
   // q53: IVF ANN (coarse-quantizer scale path; rows-only — probe-limited
   // recall depends on where Lloyd's centroids land, verified in the
-  // spec against brute force).
+  // spec against brute force). nlist grows as ~sqrt(N) so per-query
+  // probe cost is O(nprobe·sqrt(N)) and the one-pass list assignment
+  // O(N·sqrt(N)) — at a FIXED nlist both the lists and the query set
+  // grow linearly and total probe work grows quadratically (measured
+  // at sf10: 570.6 s at nlist=16 vs 26.6 s with this sizing, §8aaa).
   def q53(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
     val queries = emb.filter(col("vec_id") % 25 === 0)
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nlist = 16, nprobe = 4)
+        nlist = nlist, nprobe = math.min(nlist, 8))
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }

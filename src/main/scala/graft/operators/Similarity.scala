@@ -127,7 +127,16 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val cos = cosineOf(corpus, vecCol) _
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    // Lloyd converges on a sample: cap the training set at 256·nlist
+    // vectors (the standard IVF heuristic) with a deterministic hash
+    // pick, so training cost is O(nlist²·iters) regardless of corpus
+    // size — only the final one-pass list assignment sees all of it.
+    // The sf10 A/B that motivated this is in SURVEY §8aaa.
+    val n = full.count()
+    val cap = 256L * nlist
+    val c = if (n <= cap) full
+    else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
     val init = c.withColumn("__h", xxhash64(col("nid"), lit(seed)))
       .orderBy("__h").limit(nlist) // TakeOrdered: nlist rows, scale-safe
     var centroids = init
