@@ -132,6 +132,40 @@ object TrainingQueries {
                / 2048) AS BIGINT) AS pack_id
         FROM t ORDER BY doc_id"""
 
+  // q67: exact stratified sample — 30 docs per language, membership a
+  // pure function of (lang, md5(doc_id)): reproducible class-balanced
+  // subsets with hard counts.
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedTake(Tables.documents(spark, dir), Seq("lang"), "doc_id", n = 30)
+      .select(col("doc_id"), col("lang"), col("sample_rank").cast(LongType).as("sample_rank"))
+      .orderBy("doc_id")
+
+  val q67Sql: String =
+    """SELECT doc_id, lang, sample_rank FROM (
+         SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sample_rank
+         FROM documents)
+       WHERE sample_rank <= 30 ORDER BY doc_id"""
+
+  // q68: shard-shuffle for data loaders — a deterministic pseudo-random
+  // permutation expressed as (shard, position-within-shard).
+  def q68(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.shardAssign(Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "shard_pos")
+      .orderBy("doc_id")
+
+  val q68Sql: String =
+    """WITH h AS (
+         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+       )
+       SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8 AS BIGINT) AS shard,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+           ORDER BY hx) AS BIGINT) AS shard_pos
+       FROM h ORDER BY doc_id"""
+
   // q66: domain-mixture reweighting toward a uniform (lang, source)
   // target — one groupBy shuffle, then a k-row window.
   def q66(spark: SparkSession, dir: String): DataFrame =

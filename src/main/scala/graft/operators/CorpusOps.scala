@@ -163,6 +163,47 @@ object CorpusOps {
       floor((cum - tokenCol).cast(DoubleType) / capacity).cast(LongType))
   }
 
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic Bernoulli sample: keep a row iff the first 4 hex
+    * chars of `md5(id)` fall below `keep65536/65536`. A pure filter —
+    * no shuffle, no RNG state — so it pushes into the scan and samples
+    * a 100 TB table at scan speed; repeated runs keep the identical
+    * subset (and supersets nest: keep65536=1000 ⊂ keep65536=2000). */
+  def hashSample(id: Column, keep65536: Int): Column = {
+    require(keep65536 >= 0 && keep65536 <= 65536, "keep65536 out of range")
+    substring(md5(id.cast(StringType).cast(BinaryType)), 1, 4) < lit(f"$keep65536%04x")
+  }
+
+  /** Exactly min(n, |stratum|) rows per stratum, chosen by md5(id)
+    * order — a deterministic engine-portable "random" sample with hard
+    * per-group counts (class-balanced eval sets, per-domain caps).
+    * One window shuffle on the strata key; for fraction-based sampling
+    * at scale prefer [[hashSample]], which needs no shuffle at all.
+    */
+  def stratifiedTake(df: DataFrame, strata: Seq[String], idCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)))
+    df.withColumn("sample_rank", row_number().over(w)).filter(col("sample_rank") <= n)
+  }
+
+  /** Training-shard assignment: `n_shards` output files (≤16 here —
+    * one hex digit of md5 keeps the bucketing portable to the SQL
+    * oracle) plus the row's position within its shard. The window
+    * mirrors what a shard writer does anyway (cluster by shard, order
+    * within); at 100 TB this is `write.partitionBy(shard)` with the
+    * position assigned per output task. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16, "nShards must be in [1,16]")
+    val h = md5(col(idCol).cast(StringType).cast(BinaryType))
+    val shard = pmod(instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1, lit(nShards))
+      .cast(LongType)
+    val w = Window.partitionBy(col("shard")).orderBy(h)
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w).cast(LongType))
+  }
+
   // -------------------------------------------------------------- mixture
 
   /** Per-domain resampling weights toward a UNIFORM target mixture:

@@ -109,6 +109,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(weighted.forall(x => math.abs(x - weighted.head) < 1e-9))
   }
 
+  test("hashSample: deterministic, nested supersets, fraction tracks keep65536") {
+    val docs = Tables.documents(spark, sf)
+    val small = docs.filter(CorpusOps.hashSample(col("doc_id"), 6554))  // ~10%
+    val big = docs.filter(CorpusOps.hashSample(col("doc_id"), 32768))   // ~50%
+    val n = docs.count().toDouble
+    val (s, b) = (small.count(), big.count())
+    assert(s / n > 0.04 && s / n < 0.18, s"~10% expected, got ${s / n}")
+    assert(b / n > 0.40 && b / n < 0.60, s"~50% expected, got ${b / n}")
+    // nesting: every row of the 10% sample is in the 50% sample
+    assert(small.join(big, Seq("doc_id"), "left_anti").count() == 0)
+    // determinism
+    assert(small.agg(sum("doc_id")).head().getLong(0) ==
+      docs.filter(CorpusOps.hashSample(col("doc_id"), 6554)).agg(sum("doc_id")).head().getLong(0))
+  }
+
+  test("stratifiedTake: exact per-stratum counts, deterministic membership") {
+    val docs = Tables.documents(spark, sf)
+    val sample = CorpusOps.stratifiedTake(docs, Seq("lang"), "doc_id", n = 10)
+    val counts = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, total) =>
+      assert(counts(lang) == math.min(10L, total), s"stratum $lang: ${counts(lang)}")
+    }
+    val a = sample.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusOps.stratifiedTake(docs, Seq("lang"), "doc_id", n = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample membership must be deterministic")
+  }
+
+  test("shardAssign: partition of the corpus, positions dense per shard") {
+    val docs = Tables.documents(spark, sf)
+    val sharded = CorpusOps.shardAssign(docs, "doc_id", nShards = 8)
+    assert(sharded.count() == docs.count())
+    assert(sharded.agg(min("shard"), max("shard")).head() match {
+      case r => r.getLong(0) >= 0L && r.getLong(1) <= 7L
+    })
+    // positions within each shard are exactly 1..|shard|
+    val bad = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"),
+        countDistinct("shard_pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    assert(bad.isEmpty, "shard positions must be a dense 1..n permutation")
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)
