@@ -39,7 +39,7 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("webp").as("fmt"))
 
-  /** Decode: PNG and JPEG payloads go through a REAL codec
+  /** Decode: PNG/JPEG/GIF/BMP payloads go through a REAL codec
     * (`javax.imageio`, in the JDK — no external deps; the reader
     * auto-detects the container from the bytes), so `width`/`height` in
     * the output come from the decoded image, not the metadata columns.
@@ -50,7 +50,7 @@ object Multimodal {
     * real, tested part).
     */
   private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
-    if (m.fmt == "png" || m.fmt == "jpeg") {
+    if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp") {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
         catch { case _: java.io.IOException => null }

@@ -69,6 +69,20 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Watermarked SLIDING window (size/slide) per event_type — each
+    * event lands in size/slide overlapping windows (Spark expands them
+    * map-side before the one aggregation shuffle; state is
+    * size/slide × the tumbling row count, retired by the watermark).
+    */
+  def slidingWindowAgg(events: DataFrame, size: String = "1 hour",
+                       slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
   /** Gap-based sessionization with explicit keyed state (streaming twin
     * of q31). A session closes when a later event for the same user
     * arrives more than `gapSec` past it (event-time gap, emitted

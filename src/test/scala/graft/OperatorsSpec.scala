@@ -462,6 +462,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4).getAs[Int]("width") == 77 && got(4).getAs[Int]("height") == 88)
   }
 
+  test("gif and bmp payloads decode through the real javax.imageio codec") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gbaos)
+    val bbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bbaos)
+    val media = Seq(
+      (1L, gbaos.toByteArray, 640, 480, "gif"),
+      (2L, bbaos.toByteArray, 640, 480, "bmp"),
+      (3L, "junk".getBytes("UTF-8"), 320, 240, "gif"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("width") == 4 && got(0).getAs[Int]("height") == 6,
+      "decoded GIF dimensions must come from the codec, not metadata")
+    assert(got(1).getAs[Int]("width") == 4 && got(1).getAs[Int]("height") == 6,
+      "decoded BMP dimensions must come from the codec, not metadata")
+    assert(got(2).getAs[Int]("width") == 320 && got(2).getAs[Int]("height") == 240,
+      "junk bytes fall back to the metadata stub")
+  }
+
   test("resize stub rescales metadata and payload map-side") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(20))
     val resized = Multimodal.resizeStub(media, targetWidth = 64)

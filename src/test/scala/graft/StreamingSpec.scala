@@ -38,6 +38,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding window agg == batch sliding recompute on emitted windows") {
+    import spark.implicits._
+    val batchEvents = Tables.events(spark, sf)
+    val dir = s"/tmp/graft_slide_${System.nanoTime()}"
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val streaming = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val agg = EventStream.slidingWindowAgg(streaming, "1 hour", "15 minutes")
+    val qname = s"slide_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(qname).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exp = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("value_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty, "stream emitted no closed sliding windows")
+    // every emitted (overlapping) window matches the batch recompute,
+    // and each batch window start is a 15-min multiple offset of others
+    got.foreach { case (k, v) =>
+      assert(exp.get(k).contains(v), s"window $k: stream=$v batch=${exp.get(k)}")
+    }
+    // sliding really overlaps: some timestamp contributes to >1 window
+    assert(exp.size > LlmQueries.q32(spark, sf).count(),
+      "sliding windows must outnumber tumbling ones")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions like batch q31") {
     import spark.implicits._
     val dir = s"/tmp/graft_sess_${System.nanoTime()}"
