@@ -4,6 +4,7 @@ import graft.functions.TextFunctions
 import graft.operators.CorpusOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -165,6 +166,65 @@ object TrainingQueries {
            PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
            ORDER BY hx) AS BIGINT) AS shard_pos
        FROM h ORDER BY doc_id"""
+
+  // q69: tf-idf keyword extraction — top-3 terms per doc. The score is
+  // a ratio of exact integers (tf·(N+1)/(df+1), no ln) so the doubles
+  // are bit-identical across engines; ordering ties break on the term.
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast(DoubleType) * lit((nDocs + 1).toDouble)
+          / (col("df").cast(DoubleType) + lit(1.0)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= 3)
+      .select("doc_id", "term_rank", "term", "tf", "df")
+      .orderBy("doc_id", "term_rank")
+  }
+
+  val q69Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term_rank, term, tf, df FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+                       / (CAST(df.df AS DOUBLE) + 1.0) DESC, tf.term ASC) AS BIGINT) AS term_rank
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""
+
+  // q70: length-outlier trim — keep docs inside the [5%, 95%]
+  // percent_rank band of n_chars within their language (the standard
+  // "drop pathological lengths" cleanup, per-stratum so short
+  // languages aren't judged on long languages' scale).
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q70Sql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS pr
+         FROM documents)
+       WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"""
 
   // q66: domain-mixture reweighting toward a uniform (lang, source)
   // target — one groupBy shuffle, then a k-row window.

@@ -155,6 +155,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.isEmpty, "shard positions must be a dense 1..n permutation")
   }
 
+  test("q69 tf-idf: known answer on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "apple apple banana", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry cherry cherry", "en", "s", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"/tmp/graft_tfidf_${System.nanoTime()}"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingQueries.q69(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // doc 1: apple tf=2 df=1 -> 2*4/2=4.0 beats banana 1*4/3=1.33
+    // doc 3: cherry tf=3 df=2 -> 3*4/3=4.0
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)) == Seq((1L, "apple"), (2L, "banana")))
+    // doc 2: banana and cherry tie at 1*4/3 — term-asc tiebreak wins
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)) == Seq((1L, "banana"), (2L, "cherry")))
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)) == Seq((1L, "cherry")))
+  }
+
+  test("q70 length trim keeps the inner percent-rank band per language") {
+    val full = Tables.documents(spark, sf)
+    val kept = TrainingQueries.q70(spark, sf)
+    assert(kept.count() < full.count())
+    // per lang: the min and max n_chars rows must be gone (n >= 21 docs
+    // per lang at sf0.001 makes the 5% tails non-empty)
+    val extremes = full.groupBy("lang")
+      .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val joined = kept.join(extremes, "lang")
+      .filter(col("n_chars") === col("mn") || col("n_chars") === col("mx"))
+    assert(joined.isEmpty, "extreme-length docs must be trimmed")
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)
