@@ -145,11 +145,20 @@ object LlmQueries {
 
   // q25: LSH-bucketed ANN (scale path; rows-only — candidate recall
   // depends on the bucketing, verified in the spec against brute force).
+  // Bucket bits grow as log2(N/64) so the expected bucket occupancy
+  // stays ~constant (≈64 vectors) as the corpus grows — at FIXED bits
+  // both the buckets and the query set grow linearly and candidate
+  // work grows quadratically (measured at sf10: 291 s at bits=6 before
+  // this sizing). Extra tables compensate the per-table recall loss
+  // from longer signatures.
   def q25(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val bits = math.max(6, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+    val tables = 12 + 2 * (bits - 6)
     val queries = emb.filter(col("vec_id") % 25 === 0)
     Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
-        dim = 64, bits = 6, tables = 12)
+        dim = 64, bits = bits, tables = tables)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
