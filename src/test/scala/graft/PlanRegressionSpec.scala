@@ -43,6 +43,29 @@ class PlanRegressionSpec extends SparkSpec {
       "bloom runtime filter (might_contain) missing from the q56 plan")
   }
 
+  test("q64: decontamination is a broadcast anti-join; the training side never shuffles") {
+    val p = plan(TrainingQueries.q64(spark, sf))
+    val bhj = p.collect { case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT ANTI" => b }
+    assert(bhj.nonEmpty, "decontaminate must plan a broadcast LEFT ANTI join")
+    // the only exchange allowed is the final presentation sort — the
+    // probe (training) side must stream into the anti-join unshuffled
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shufflesBelowJoin(n: SparkPlan): Int = n match {
+      case b: BroadcastHashJoinExec => b.left.collect { case s: ShuffleExchangeLike => s }.size
+      case other => other.children.map(shufflesBelowJoin).sum
+    }
+    assert(shufflesBelowJoin(p) == 0, "training side of the anti-join must not shuffle")
+  }
+
+  test("q61/q62: per-row corpus transforms stay exchange-free except the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    Seq(TrainingQueries.q61(spark, sf), TrainingQueries.q62(spark, sf)).foreach { df =>
+      val shuffles = plan(df).collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 1,
+        s"map-only transform must carry at most the presentation-sort exchange, got ${shuffles.size}")
+    }
+  }
+
   test("q58: the conformed union keeps every dim join broadcast") {
     val p = plan(PipelineQueries.q58(spark, sf))
     val bhj = p.collect { case b: BroadcastHashJoinExec => b }
