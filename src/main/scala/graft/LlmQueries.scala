@@ -181,6 +181,23 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // q71: PQ-compressed ANN (rows-only — ADC ranks depend on where the
+  // per-subspace Lloyd centroids land; recall gated in SimilaritySpec).
+  // The corpus side of the search reads 8 byte-codes per vector instead
+  // of 64 floats — the 32x memory path that makes billion-vector
+  // search fit a cluster's RAM.
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // fixed probe set (ANN serving shape: bounded queries, growing
+    // corpus) — ADC scoring is |Q|·|C| in pair-evaluations, so a query
+    // set that grew with the corpus would be quadratic by construction
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
+    Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        dim = 64, m = 16, ksub = 16, rerank = 20)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   // q26: heuristic language ID — stopword-profile argmax, deterministic
   // tiebreak, mirrored verbatim in SQL.
   def q26(spark: SparkSession, dir: String): DataFrame =

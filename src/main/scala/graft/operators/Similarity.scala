@@ -198,4 +198,141 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  // ---- Product quantization (Jégou et al., TPAMI 2011) ------------------
+
+  /** Squared L2 over float subvectors, accumulated in double. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v.cast("double"))
+
+  /** (id, subspace, subvector) — each `dim`-vector sliced into `m`
+    * contiguous `dim/m`-subvectors, exploded map-side (ids + short
+    * slices through the shuffle, never the full vector). */
+  private def subvectors(df: DataFrame, id: String, vec: String,
+                         dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    val slices = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        slice(col(vec), s * dsub + 1, dsub).as("sv"))
+    }
+    df.select(col(id), explode(array(slices: _*)).as("e"))
+      .select(col(id), col("e.subspace").as("subspace"), col("e.sv").as("sv"))
+  }
+
+  /** PQ codebook training: an independent `ksub`-centroid Lloyd run per
+    * subspace, all `m` trained in ONE set of jobs (the subspace id is
+    * just another grouping key). Deterministic hash-picked init and the
+    * same 256·ksub-per-subspace training-sample cap as IVF. Returns
+    * (subspace, centroid_id, cvec[dim/m]).
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val n = full.count()
+    val cap = 256L * ksub
+    val sampled = if (n <= cap) full
+    else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
+    val sub = subvectors(sampled, "nid", "cv", dim, m).localCheckpoint(eager = true)
+    val wInit = Window.partitionBy("subspace")
+      .orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
+    var codebooks = sub.withColumn("__r", row_number().over(wInit))
+      .filter(col("__r") <= ksub)
+      .select(col("subspace"), (col("__r") - 1).cast("int").as("centroid_id"),
+        col("sv").cast(ArrayType(FloatType)).as("cvec"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(codebooks), "subspace")
+        .withColumn("__d", l2sq(col("sv"), col("cvec")))
+        .groupBy("nid", "subspace")
+        .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
+      val updated = assigned.join(sub, Seq("nid", "subspace"))
+        .groupBy("subspace", "centroid_id")
+        .agg(Summarizer.mean(array_to_vector(col("sv"))).as("__m"))
+        .select(col("subspace"), col("centroid_id"),
+          vector_to_array(col("__m")).cast(ArrayType(FloatType)).as("ncvec"))
+      codebooks = codebooks.join(updated, Seq("subspace", "centroid_id"), "left")
+        .select(col("subspace"), col("centroid_id"),
+          coalesce(col("ncvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(eager = true)
+    }
+    codebooks
+  }
+
+  /** Exploded PQ codes: (id, subspace, code) — one byte-sized int per
+    * subspace instead of dim/m floats (the 32× memory story). */
+  private def pqEncodeExploded(vecs: DataFrame, codebooks: DataFrame,
+                               id: String, vec: String, dim: Int, m: Int): DataFrame =
+    subvectors(vecs, id, vec, dim, m)
+      .join(broadcast(codebooks), "subspace")
+      .withColumn("__d", l2sq(col("sv"), col("cvec")))
+      .groupBy(col(id), col("subspace"))
+      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("code"))
+
+  /** (id, codes[m]) — the compressed representation a PQ index stores. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+               vecCol: String, dim: Int, m: Int = 8): DataFrame =
+    pqEncodeExploded(corpus, codebooks, idCol, vecCol, dim, m)
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** PQ ANN via asymmetric distance (ADC): the query stays exact, every
+    * corpus vector is its m codes, and distance is a sum of m
+    * table lookups — `sum_s dtable[s][code_s]` where dtable is the
+    * |Q|·m·ksub per-query-per-centroid L2 table (tiny, broadcast). The
+    * scan side therefore reads CODES only — at 100 TB the index is
+    * dim/(m·4)× smaller than the raw vectors (32× at dim 64, m 8,
+    * float32) and the heavy join carries (id, subspace, code) rows into
+    * a partially-aggregated sum. Top-k by smallest ADC distance,
+    * deterministic id tiebreak.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+             iters: Int = 3, seed: Long = 42L, rerank: Int = 0): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed)
+    val enc = pqEncodeExploded(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      codebooks, "neighbor_id", "cv", dim, m)
+    val dtable = subvectors(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id", "qv", dim, m)
+      .join(broadcast(codebooks), "subspace")
+      .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
+        l2sq(col("sv"), col("cvec")).as("__d"))
+    val scored = enc.join(broadcast(dtable), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__d").as("adc_dist"), count(lit(1)).as("__n"))
+      // a neighbor scores only with all m subspaces present (guards
+      // against a code missing from a stale codebook frame)
+      .filter(col("__n") === m)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val adcTop = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      adcTop.select("query_id", "rank", "neighbor_id", "adc_dist")
+    else {
+      // production shape: ADC shortlists `rerank` candidates from codes
+      // alone, then the shortlist (ids only) joins the raw vectors ONCE
+      // for an exact L2 re-rank — recall of the shortlist, precision of
+      // the exact metric, and the full-vector read is |Q|·rerank rows,
+      // not the corpus.
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val exact = adcTop.select("query_id", "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("l2_dist", l2sq(col("qv"), col("cv")))
+      val w2 = Window.partitionBy("query_id").orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "l2_dist")
+    }
+  }
 }

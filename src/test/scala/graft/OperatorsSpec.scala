@@ -397,6 +397,67 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("PQ codebooks and codes have the contracted shapes") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+    assert(cb.count() == 8 * 16)
+    assert(cb.select(size(col("cvec"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(8),
+      "every codebook centroid must be a dim/m = 8 float subvector")
+    val enc = Similarity.pqEncode(emb, cb, "vec_id", "embedding", dim = 64, m = 8)
+    assert(enc.count() == emb.count())
+    val bad = enc.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16))
+    assert(bad.isEmpty, "codes must be m entries in [0, ksub)")
+  }
+
+  test("PQ ADC search keeps every neighbor inside the query's cluster") {
+    import spark.implicits._
+    val vecs = for {
+      cluster <- 0 until 4
+      member <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 10.0f
+      v(cluster * 2 + 1) = 0.01f * member
+      ((cluster * 5 + member).toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 5 === 0)
+    val got = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k = 3,
+        dim = 8, m = 4, ksub = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length == 4 * 3)
+    // quantization may reorder WITHIN a cluster (members can share a
+    // code), but must never jump clusters on this well-separated fixture
+    got.foreach { case (q, n) =>
+      assert(q / 5 == n / 5, s"neighbor $n not in query $q's cluster")
+    }
+  }
+
+  test("PQ ADC recall >= 40% of exact-L2 top-5 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // exact L2 baseline (PQ quantizes L2, so cosine would be the wrong
+    // yardstick unless vectors are unit-norm — don't assume it)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v.cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, m = 16, ksub = 16, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ ADC+rerank recall too low: $recall")
+  }
+
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 0)
