@@ -70,6 +70,46 @@ class WarehouseStatsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $dimTable")
   }
 
+  test("CBO join reorder: with stats, the selective dim joins before the big fact-fact join") {
+    val (li, ord, cust) = ("stats_li", "stats_ord", "stats_cust_jr")
+    Seq(li, ord, cust).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Tables.lineitem(spark, sf).write.format("parquet").saveAsTable(li)
+    Tables.orders(spark, sf).write.format("parquet").saveAsTable(ord)
+    Tables.customer(spark, sf).write.format("parquet").saveAsTable(cust)
+    try {
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        Seq(li, ord, cust).foreach(t =>
+          Warehouse.analyze(spark, t, spark.table(t).columns.toSeq))
+        // written in the WORST order: the two big facts joined first,
+        // the tiny filtered dim last — a cost-based reorder should
+        // restructure so the selective customer filter prunes orders
+        // BEFORE the expensive lineitem join
+        def joined = spark.table(li)
+          .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(spark.table(cust).filter(col("c_custkey") < 20),
+            col("o_custkey") === col("c_custkey"))
+          .select("l_orderkey", "l_quantity", "c_name")
+        import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+        def leavesUnderFirstJoin(p: LogicalPlan): Seq[String] = {
+          val topJoin = p.collectFirst { case j: Join => j }.get
+          def deepestJoin(j: Join): Join =
+            (j.left.collectFirst { case c: Join => c } orElse
+              j.right.collectFirst { case c: Join => c }).map(deepestJoin).getOrElse(j)
+          deepestJoin(topJoin).collectLeaves().map(_.toString)
+        }
+        val innermost = leavesUnderFirstJoin(joined.queryExecution.optimizedPlan)
+        assert(innermost.exists(_.contains("stats_cust")),
+          s"cost-based reorder should join the filtered dim innermost, got: $innermost")
+        // and the reorder is row-invisible
+        assert(joined.count() > 0)
+      }
+    } finally Seq(li, ord, cust).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("filter row estimate tracks actual selectivity once stats exist") {
     val t = "stats_cust"
     spark.sql(s"DROP TABLE IF EXISTS $t")
