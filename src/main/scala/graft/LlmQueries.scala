@@ -98,6 +98,45 @@ object LlmQueries {
                / len(list_distinct(a.sh || b.sh)) >= 0.5
        ORDER BY id_a, id_b"""
 
+  // q72: near-dup CLUSTER assignment — minhash-LSH candidates, exact
+  // 3-gram-Jaccard verification, connected components over the verified
+  // duplicate edges (Dedup.nearDupClusters). Transitive chains A~B~C
+  // land in one cluster even when A!~C directly — the semantics the
+  // pairwise drop-larger-id rule (q21) cannot express. Oracle = the
+  // ALL-PAIRS exact edge set closed transitively with a recursive CTE:
+  // parity holds for the same reason as q21 (the banding catches every
+  // >= 0.5 pair on this corpus; LSH prunes, never decides).
+  def q72(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_rep"))
+      .orderBy("doc_id")
+
+  val q72Sql: String =
+    s"""WITH RECURSIVE $shingleCte, e AS (
+         SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) >= 0.5
+       ), ee AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ), reach(n, m) AS (
+         SELECT a, b FROM ee
+         UNION
+         SELECT r.n, ee.b FROM reach r JOIN ee ON r.m = ee.a
+       ), comp AS (
+         SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+       ), lab AS (
+         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+       ), sizes AS (
+         SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+       )
+       SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+         lab.doc_id = lab.cluster_id AS is_rep
+       FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id"""
+
   // q23: character-set Jaccard between consecutive docs of each source —
   // matches DuckDB's jaccard() exactly (integer set sizes -> exact
   // double division).

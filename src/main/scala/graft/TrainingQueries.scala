@@ -226,6 +226,96 @@ object TrainingQueries {
          FROM documents)
        WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"""
 
+  // q73: cross-source shingle-overlap matrix — the corpus-level leakage
+  // audit (how much of source A's distinct 3-gram mass also appears in
+  // source B) that decides which sources need doc-level decontamination
+  // (q64) before mixing. Shape: per-source DISTINCT shingle sets via one
+  // aggregation, then an equi-join keyed on the shingle — pairs per
+  // shingle are bounded by C(s,2) where s = #sources containing it, so
+  // with a bounded source catalog the join is linear in the corpus
+  // (with millions of sources a hot shingle would need a df cap — the
+  // same stop-shingle prune CCNet applies). Shingles cross the shuffle
+  // as xxhash64 fingerprints, not strings (collision odds ~n²/2⁶⁵ —
+  // the string-exact DuckDB oracle would catch one that mattered).
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("source").as("source_a"), col("n_sh").as("n_a")), "source_a")
+      .join(counts.select(col("source").as("source_b"), col("n_sh").as("n_b")), "source_b")
+      .withColumn("overlap_jaccard",
+        round(col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType), 4))
+      .select("source_a", "source_b", "n_common", "n_a", "n_b", "overlap_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  val q73Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, source, $toksSql AS toks FROM documents
+        ), sdoc AS (
+          SELECT doc_id, source, CASE WHEN len(toks) >= 3
+            THEN list_distinct(list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+          FROM t
+        ), ss AS (
+          SELECT DISTINCT source, unnest(sh) AS sh FROM sdoc
+        ), cnt AS (
+          SELECT source, count(*) AS n_sh FROM ss GROUP BY 1
+        ), common AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+          FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+          round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 4) AS overlap_jaccard
+        FROM common
+        JOIN cnt ca ON ca.source = common.source_a
+        JOIN cnt cb ON cb.source = common.source_b
+        ORDER BY source_a, source_b"""
+
+  // q74: rare-token quality score — the exact-integer analog of CCNet's
+  // LM-perplexity filter: a doc whose token instances have low mean
+  // corpus document-frequency is "rare-token heavy" (jargon, noise, or
+  // genuinely novel text) and gets routed to different quality buckets.
+  // Two shuffles (df aggregation, per-doc regroup); the only double is
+  // ONE division of exact longs, rounded — bit-identical across engines.
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("df").as("df_sum"),
+        min("df").as("min_df"))
+      .withColumn("mean_df",
+        round(col("df_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType), 4))
+      .select("doc_id", "n_tokens", "df_sum", "min_df", "mean_df")
+      .orderBy("doc_id")
+  }
+
+  val q74Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, unnest($toksSql) AS term FROM documents
+        ), df AS (
+          SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+          CAST(SUM(df.df) AS BIGINT) AS df_sum, MIN(df.df) AS min_df,
+          round(CAST(SUM(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_df
+        FROM t JOIN df USING (term)
+        GROUP BY t.doc_id ORDER BY doc_id"""
+
   // q66: domain-mixture reweighting toward a uniform (lang, source)
   // target — one groupBy shuffle, then a k-row window.
   def q66(spark: SparkSession, dir: String): DataFrame =

@@ -298,6 +298,41 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup CLUSTER assignment — the full production fuzzy-dedup
+    * shape (SlimPajama / BigCode style): MinHash-LSH candidate pairs,
+    * exact n-gram-Jaccard verification, then connected components over
+    * the verified duplicate edges so transitive chains (A~B~C with
+    * A!~C) land in ONE cluster instead of the pairwise drop-larger-id
+    * rule's order-dependent survivors. Returns every input row with
+    * `cluster_id` (= min id in its component; singletons self-cluster)
+    * and `cluster_size` — downstream keeps one representative per
+    * cluster or reweights by size.
+    *
+    * Scale shape: candidates and verification are [[minhashCandidates]]
+    * / [[verifyJaccard]] (bucket-keyed id-only shuffles, never
+    * all-pairs); the component fixpoint is the O(log² n)
+    * large-star/small-star of [[GraphOps.connectedComponents]] over the
+    * verified EDGE list only — docs with no duplicate edge never enter
+    * the iteration, so the fixpoint works on the (tiny at any scale)
+    * duplicate subgraph, not the corpus.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleN: Int = 3,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .select("id_a", "id_b")
+    val edges = verifyJaccard(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val cc = GraphOps.connectedComponents(edges)
+    val labeled = docs
+      .join(cc.select(col("node").as(idCol), col("component").as("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+  }
+
   /** Exact n-gram Jaccard between given candidate pairs (verification
     * stage after any LSH pass). `pairs` has (id_a, id_b).
     *

@@ -186,6 +186,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(joined.isEmpty, "extreme-length docs must be trimmed")
   }
 
+  test("q73 source-overlap: known-answer on a planted three-source fixture") {
+    // srcA and srcB share exactly one 3-gram ("x y z"); srcC is disjoint.
+    val docs = Seq(
+      (1L, "x y z p q r", "en", "srcA", 11L),
+      (2L, "x y z u v w", "en", "srcB", 11L),
+      (3L, "m n o m n o", "en", "srcC", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"/tmp/graft_overlap_${System.nanoTime()}"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingQueries.q73(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc1 shingles: {x y z, y z p, z p q, p q r} (4); doc2: 4; common: {x y z}
+    assert(got.keySet == Set(("srcA", "srcB")),
+      s"only the sharing pair may appear: ${got.keySet}")
+    // jaccard = 1 / (4 + 4 - 1) = 0.142857... -> 0.1429
+    assert(got(("srcA", "srcB")) == ((1L, 4L, 4L, 0.1429)),
+      s"overlap changed: ${got(("srcA", "srcB"))}")
+  }
+
+  test("q73/q74 invariants hold on the real corpus") {
+    val overlaps = TrainingQueries.q73(spark, sf).collect()
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { r =>
+      val (a, b, common, na, nb, j) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, "pairs must be canonically ordered")
+      assert(common >= 1 && common <= math.min(na, nb), s"impossible overlap $r")
+      assert(j > 0.0 && j <= 1.0)
+    }
+    val scores = TrainingQueries.q74(spark, sf)
+    assert(scores.count() == Tables.documents(spark, sf).count())
+    scores.collect().foreach { r =>
+      val (n, sum, mn, mean) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(mn >= 1L && sum >= n * mn && sum >= n, s"df bookkeeping broke: $r")
+      assert(mean >= mn.toDouble - 1e-9, s"mean below min: $r")
+    }
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)

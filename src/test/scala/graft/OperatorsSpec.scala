@@ -206,6 +206,52 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L), s"survivors changed: $survivors")
   }
 
+  test("nearDupClusters: transitive chain lands in ONE cluster; singletons self-cluster") {
+    // Chain built by token-window shifts: J(1,2) = J(2,3) ≈ 0.44 (over
+    // threshold), J(1,3) ≈ 0.125 (under) — so {1,2,3} is one cluster
+    // ONLY through transitive closure, which the pairwise q21 rule
+    // cannot express. Doc 4 shares no shingle with anyone.
+    val ts = (1 to 40).map(i => s"tok$i")
+    def span(from: Int, n: Int) = ts.slice(from - 1, from - 1 + n).mkString(" ")
+    val chain = Seq(
+      (1L, span(1, 20)),
+      (2L, span(8, 20)),
+      (3L, span(15, 20)),
+      (4L, (1 to 20).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // rowsPerBand=1 => a candidate needs only ONE agreeing minhash of
+    // 64: recall at J=0.44 is 1-(1-J)^64 ≈ 1 — the exact verify decides.
+    val got = Dedup.nearDupClusters(chain, "doc_id", "text",
+        threshold = 0.3, shingleN = 3, bands = 64, rowsPerBand = 1)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L), 4L -> (4L, 1L)),
+      s"clusters changed: $got")
+    // fixture sanity: 1~3 is genuinely below threshold (transitivity is
+    // doing the work, not a direct edge)
+    val direct = Dedup.verifyJaccard(
+      Seq((1L, 3L)).toDF("id_a", "id_b"), chain, "doc_id", "text", 3)
+      .collect().head.getAs[Double]("jaccard")
+    assert(direct < 0.3, s"fixture broke: J(1,3)=$direct should be under threshold")
+  }
+
+  test("nearDupClusters output covers every input row exactly once") {
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+    assert(out.select("doc_id").distinct().count() == 5L && out.count() == 5L)
+    // cluster sizes partition the corpus
+    val total = out.select("cluster_id", "cluster_size").distinct()
+      .agg(sum("cluster_size")).collect().head.getLong(0)
+    assert(total == 5L)
+    // the normalization-identical trio (1,2,5) + near-dup 3 share a
+    // cluster rooted at 1; doc 4 is a singleton
+    val byDoc = out.select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) == 1L && byDoc(2L) == 1L && byDoc(5L) == 1L && byDoc(3L) == 1L)
+    assert(byDoc(4L) == 4L)
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, distinct far") {
     val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
