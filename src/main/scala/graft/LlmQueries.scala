@@ -237,6 +237,23 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // q75: IVF-PQ ANN (rows-only — recall gated in SimilaritySpec). The
+  // production billion-vector layout: coarse lists prune WHICH codes a
+  // query scores (|C|·nprobe/nlist instead of |C|), residual PQ shrinks
+  // WHAT it reads (m bytes/vector); nlist scales like q53's, the probe
+  // set is fixed like q71's.
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
+    Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        dim = 64, nlist = nlist, nprobe = math.min(nlist, 8),
+        m = 16, ksub = 16, rerank = 20)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   // q26: heuristic language ID — stopword-profile argmax, deterministic
   // tiebreak, mirrored verbatim in SQL.
   def q26(spark: SparkSession, dir: String): DataFrame =

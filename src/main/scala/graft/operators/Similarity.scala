@@ -281,6 +281,91 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         e => e.getField("code")).as("codes"))
 
+  /** IVF-PQ ANN (IVFADC, Jégou et al. TPAMI'11 §IV): the coarse
+    * quantizer routes vectors into `nlist` inverted lists, and PQ
+    * encodes each vector's RESIDUAL (vector − its centroid) — residuals
+    * concentrate near the origin, so the same `m`·`ksub` code budget
+    * quantizes them far more accurately than raw vectors. Search probes
+    * the query's `nprobe` closest lists and scores ONLY those lists'
+    * codes by ADC with a per-(query, probed-centroid) distance table
+    * built from the query's residual against that centroid.
+    *
+    * Cost vs flat [[pqTopK]]: the ADC join is list-pruned — work is
+    * Σ_lists (queries probing the list × codes in it) ≈
+    * |Q|·|C|·nprobe/nlist pair-evaluations instead of |Q|·|C| — while
+    * the scan side still reads m byte-codes per vector. Everything
+    * heavy shuffles ids+codes; vectors ride only the (broadcast)
+    * centroid/dtable frames and the optional |Q|·rerank exact re-rank.
+    * Coarse assignment and probing use L2 (consistent with the ADC
+    * metric and the exact-L2 ground truth, per the paper), not the
+    * cosine the standalone IVF uses.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nlist: Int = 16,
+                nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                seed: Long = 42L, rerank: Int = 0): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // L2 nearest-centroid assignment; only (id, centroid_id) survives
+    // the partial aggregate
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col("cv"), col("cvec")))
+      .groupBy("neighbor_id")
+      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
+    // residual = vector − its centroid (map-side after one id-keyed join
+    // with the corpus and a broadcast join with the centroid frame)
+    val resid = assigned.join(c, "neighbor_id").join(broadcast(centroids), "centroid_id")
+      .select(col("neighbor_id"), col("centroid_id"),
+        zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
+    val codebooks = trainPqCodebooks(
+      resid.select(col("neighbor_id"), col("rv")), "neighbor_id", "rv",
+      dim, m, ksub, iters, seed)
+    // (neighbor_id, centroid_id, subspace, code): the whole index is
+    // m bytes + a list id per vector
+    val enc = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
+        codebooks, "neighbor_id", "rv", dim, m)
+      .join(assigned, "neighbor_id")
+    // probe the nprobe closest lists; the query residual is PER PROBED
+    // CENTROID (that's what "asymmetric vs the residual space" means)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("__d").asc, col("centroid_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col("qv"), col("cvec")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select(struct(col("query_id"), col("centroid_id")).as("qc"),
+        zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("qrv"))
+    // per-(query, centroid) distance table: |Q|·nprobe·m·ksub rows — tiny
+    val dtable = subvectors(probes, "qc", "qrv", dim, m)
+      .join(broadcast(codebooks), "subspace")
+      .select(col("qc.query_id").as("query_id"), col("qc.centroid_id").as("centroid_id"),
+        col("subspace"), col("centroid_id").as("code"),
+        l2sq(col("sv"), col("cvec")).as("__d"))
+    val scored = enc.join(broadcast(dtable), Seq("centroid_id", "subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__d").as("adc_dist"), count(lit(1)).as("__n"))
+      .filter(col("__n") === m)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val adcTop = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, rerank))
+    if (rerank <= 0)
+      adcTop.select("query_id", "rank", "neighbor_id", "adc_dist")
+    else {
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val cvf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val exact = adcTop.select("query_id", "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .join(cvf, "neighbor_id")
+        .withColumn("l2_dist", l2sq(col("qv"), col("cv")))
+      val w2 = Window.partitionBy("query_id").orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "l2_dist")
+    }
+  }
+
   /** PQ ANN via asymmetric distance (ADC): the query stays exact, every
     * corpus vector is its m codes, and distance is a sum of m
     * table lookups — `sum_s dtable[s][code_s]` where dtable is the

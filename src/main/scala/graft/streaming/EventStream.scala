@@ -17,6 +17,14 @@ case class TopEntry(value: Double, event_id: Long)
 private case class TopKState(nSeen: Long, items: List[TopEntry])
 case class TopKUpdate(user_id: Long, n_seen: Long, top_ids: Seq[Long], top_values: Seq[Double])
 
+case class AsOfProbe(key: Long, ts: Timestamp, probe_id: Long)
+case class AsOfQuote(key: Long, ts: Timestamp, quote_value: Double)
+case class AsOfResult(key: Long, probe_id: Long, probe_ts_sec: Long,
+                      quote_ts_sec: Option[Long], quote_value: Option[Double])
+private case class AsOfEvent(key: Long, ts: Timestamp, is_probe: Boolean,
+                             probe_id: Long, quote_value: Double)
+private case class AsOfState(quotes: List[(Long, Double)], probes: List[(Long, Long)])
+
 /** Arbitrary-state v2 (`transformWithState`) processor: bounded top-k
   * per key. State is exactly k entries per key regardless of how many
   * events stream through — the streaming twin of the batch
@@ -302,6 +310,86 @@ object EventStream {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $rangeSec SECONDS"),
       "leftOuter")
+  }
+
+  /** Streaming AS-OF join: attach to every probe the LATEST quote of
+    * the same key at-or-before the probe's event time (within
+    * `lookbackSec`) — the streaming twin of [[graft.operators.AsOfJoin]]
+    * and the shape every "enrich the event with the dimension state
+    * that was current then" ingest needs. Spark has no streaming ASOF;
+    * the naive interval-join + argmax is unavailable too (no stateful
+    * agg after a stream-stream join in append mode). Same cure as the
+    * batch operator: UNION both sides into one keyed stream and fold in
+    * event-time order — here with explicit keyed state instead of a
+    * window.
+    *
+    * Correctness protocol: a probe is emitted only once the watermark
+    * passes its timestamp — by then every quote at-or-before it has
+    * arrived (that is the watermark contract), so out-of-order and
+    * cross-micro-batch arrival cannot change the match; a drained
+    * replay equals the batch as-of join exactly (spec'd). Unmatched
+    * probes surface with null quote columns (left semantics).
+    *
+    * State bound: pending probes live until the watermark passes them
+    * (≤ rate·delay rows); quotes are pruned once they fall `lookbackSec`
+    * behind the watermark — no future probe can reach them, so state is
+    * O(rate · (delay + lookback)) per key, independent of stream length.
+    * `lookbackSec` is the state-bounding knob the unbounded batch
+    * operator doesn't need; size it like the interval join's range.
+    *
+    * Ties on (key, quote ts) follow the batch contract: pre-deduplicate
+    * upstream (internally the larger value wins, deterministically).
+    */
+  def asofJoinStream(probes: Dataset[AsOfProbe], quotes: Dataset[AsOfQuote],
+                     lookbackSec: Long,
+                     watermarkDelay: String = "10 seconds"): Dataset[AsOfResult] = {
+    import probes.sparkSession.implicits._
+    require(lookbackSec >= 0, "lookbackSec must be non-negative")
+    val unioned = probes
+      .map(p => AsOfEvent(p.key, p.ts, is_probe = true, p.probe_id, 0.0))
+      .unionByName(quotes.map(q => AsOfEvent(q.key, q.ts, is_probe = false, 0L, q.quote_value)))
+      .withWatermark("ts", watermarkDelay)
+
+    unioned
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val incoming = rows.toSeq
+          val allQuotes = st.quotes ++ incoming.filterNot(_.is_probe)
+            .map(e => (e.ts.getTime / 1000L, e.quote_value))
+          val allProbes = st.probes ++ incoming.filter(_.is_probe)
+            .map(e => (e.ts.getTime / 1000L, e.probe_id))
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+
+          // probes at-or-behind the watermark can never gain another
+          // quote: resolve and emit them now, deterministically ordered
+          val (mature, pending) = allProbes.partition(_._1 <= wmSec)
+          val out = mature.sorted.map { case (psec, pid) =>
+            val m = allQuotes
+              .filter(q => q._1 <= psec && q._1 >= psec - lookbackSec)
+              .sorted.lastOption // latest ts; ties resolve to max value
+            AsOfResult(key, pid, psec, m.map(_._1), m.map(_._2))
+          }
+
+          // every future probe has ts > wmSec, so quotes older than
+          // wmSec - lookback are unreachable — prune them
+          val keptQuotes = allQuotes.filter(_._1 >= wmSec - lookbackSec)
+          if (pending.isEmpty && keptQuotes.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(keptQuotes.toList, pending.toList))
+            // wake when the earliest pending probe matures; with no
+            // pending probes, wake when the remaining quotes expire so
+            // idle keys cannot leak state. Timers must sit strictly
+            // past the current watermark.
+            val nextSec =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else wmSec + lookbackSec + 1
+            state.setTimeoutTimestamp(math.max(nextSec, wmSec + 1) * 1000L)
+          }
+          out.iterator
+      }
   }
 
   /** Streaming MERGE sink: the reference's staging→MERGE load lifecycle

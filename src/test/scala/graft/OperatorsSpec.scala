@@ -504,6 +504,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ ADC+rerank recall too low: $recall")
   }
 
+  test("IVF-PQ keeps neighbors inside the query's cluster on a separable fixture") {
+    import spark.implicits._
+    val vecs = for {
+      cluster <- 0 until 4
+      member <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 2) = 10.0f
+      v(cluster * 2 + 1) = 0.01f * member
+      ((cluster * 5 + member).toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 5 === 0)
+    // nprobe = nlist: every list is scored, so the only approximation is
+    // the residual quantization — ksub=16 over a 20-vector corpus gives
+    // the residual codebook enough resolution that a cross-cluster jump
+    // is impossible even when Lloyd's hash-picked init merges two
+    // clusters into one coarse list
+    val got = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", k = 3,
+        dim = 8, nlist = 4, nprobe = 4, m = 4, ksub = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length == 4 * 3)
+    got.foreach { case (q, n) =>
+      assert(q / 5 == n / 5, s"neighbor $n not in query $q's cluster")
+    }
+  }
+
+  test("IVF-PQ recall >= 50% of exact-L2 top-5 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v.cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, nlist = 8, nprobe = 4, m = 16, ksub = 16, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+  }
+
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 0)

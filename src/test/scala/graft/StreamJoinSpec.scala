@@ -97,4 +97,56 @@ class StreamJoinSpec extends SparkSpec {
       assert(got == exp, s"left-outer stream join diverged: missing=${exp -- got} extra=${got -- exp}")
     } finally q.stop()
   }
+
+  test("streaming as-of join == batch AsOfJoin on an out-of-order cross-batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{AsOfProbe, AsOfQuote, EventStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val pIn = MemoryStream[AsOfProbe]
+    val qIn = MemoryStream[AsOfQuote]
+    val joined = EventStream.asofJoinStream(pIn.toDS(), qIn.toDS(),
+      lookbackSec = 10000L, watermarkDelay = "250 seconds")
+    val qname = s"asof_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // quotes and probes arrive OUT of event-time order, split across
+      // micro-batches; the watermark (max ts - 250s) stays behind every
+      // event until its quotes have all arrived
+      qIn.addData(AsOfQuote(1L, ts(100), 1.0)); pIn.addData(AsOfProbe(1L, ts(90), 3L))
+      q.processAllAvailable()
+      qIn.addData(AsOfQuote(1L, ts(200), 2.0)); pIn.addData(AsOfProbe(1L, ts(150), 1L))
+      q.processAllAvailable()
+      pIn.addData(AsOfProbe(1L, ts(200), 2L)); qIn.addData(AsOfQuote(1L, ts(500), 5.0))
+      q.processAllAvailable()
+      pIn.addData(AsOfProbe(1L, ts(1000), 4L))
+      q.processAllAvailable()
+      // sentinels: advance the watermark past probe 4 + delay, then give
+      // the timeout a batch to fire in
+      qIn.addData(AsOfQuote(99L, ts(100000), 0.0)); q.processAllAvailable()
+      qIn.addData(AsOfQuote(99L, ts(100001), 0.0)); q.processAllAvailable()
+
+      val got = spark.table(qname).as[graft.streaming.AsOfResult].collect()
+        .map(r => (r.probe_id, r.quote_ts_sec.getOrElse(-1L), r.quote_value.getOrElse(-1.0)))
+        .toSet
+      // batch as-of twin over the same (non-sentinel) data
+      val lb = Seq((1L, ts(90), 3L), (1L, ts(150), 1L), (1L, ts(200), 2L), (1L, ts(1000), 4L))
+        .toDF("key", "p_ts", "probe_id")
+      val rb = Seq((1L, ts(100), 1.0), (1L, ts(200), 2.0), (1L, ts(500), 5.0))
+        .toDF("key", "q_ts", "quote_value")
+      val exp = graft.operators.AsOfJoin.asOf(lb, rb, Seq("key"), "p_ts", "q_ts", "left")
+        .collect().map { r =>
+          val i = r.fieldIndex("q_ts")
+          (r.getAs[Long]("probe_id"),
+            if (r.isNullAt(i)) -1L else r.getAs[java.sql.Timestamp](i).getTime / 1000L,
+            if (r.isNullAt(r.fieldIndex("quote_value"))) -1.0 else r.getAs[Double]("quote_value"))
+        }.toSet
+      assert(exp == Set((3L, -1L, -1.0), (1L, 100L, 1.0), (2L, 200L, 2.0), (4L, 500L, 5.0)),
+        s"batch twin sanity: $exp")
+      assert(got == exp, s"streaming as-of diverged: missing=${exp -- got} extra=${got -- exp}")
+    } finally q.stop()
+  }
 }
