@@ -66,6 +66,30 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q73/q74: corpus joins stay equi-joins — no nested loop, no cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    Seq(TrainingQueries.q73(spark, sf), TrainingQueries.q74(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty &&
+        p.collect { case c: CartesianProductExec => c }.isEmpty,
+        "corpus self-joins must stay hash equi-joins")
+    }
+  }
+
+  test("q73: the shingle self-join shuffles 8-byte hashes, not shingle strings") {
+    // the join keys feeding the source-pair exchange must be the
+    // xxhash64 fingerprints — a refactor that joins on raw shingle
+    // strings would triple the exchange bytes at corpus scale
+    val keyTypes = plan(TrainingQueries.q73(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.map(_.dataType)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.map(_.dataType)
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.dataType)
+    }.flatten
+    assert(keyTypes.nonEmpty, "expected an equi-join on the shingle hash")
+    assert(keyTypes.contains(org.apache.spark.sql.types.LongType),
+      s"shingle join key should be the 64-bit hash, got $keyTypes")
+  }
+
   test("q58: the conformed union keeps every dim join broadcast") {
     val p = plan(PipelineQueries.q58(spark, sf))
     val bhj = p.collect { case b: BroadcastHashJoinExec => b }
