@@ -254,6 +254,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // q76: random-projection ANN (rows-only — ranks depend on the seeded
+  // projection; distance-preservation and recall gated in
+  // SimilaritySpec). Johnson-Lindenstrauss 64→16: every downstream
+  // consumer reads a quarter of the bytes; the projection itself is one
+  // map-side codegen'd mat-vec pass, no shuffle.
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
+    Similarity.projectedTopK(emb, queries, "vec_id", "embedding", k = 5,
+        dimIn = 64, dimOut = 16, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   // q26: heuristic language ID — stopword-profile argmax, deterministic
   // tiebreak, mirrored verbatim in SQL.
   def q26(spark: SparkSession, dir: String): DataFrame =

@@ -199,6 +199,111 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ---- Random projection / rotation (Johnson-Lindenstrauss; OPQ-ish) ----
+
+  /** Deterministic random orthonormal `dim x dim` matrix: seeded
+    * Gaussian rows (java.util.Random is algorithm-pinned by spec, so
+    * the matrix is identical on every JVM) orthonormalized by
+    * Gram-Schmidt. dim² doubles on the driver — microscopic next to any
+    * data; the DATA never leaves the executors.
+    */
+  def randomOrthogonal(dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += m(i)(k) * m(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { m(i)(k) -= d * m(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var k = 0
+      while (k < dim) { n += m(i)(k) * m(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      k = 0
+      while (k < dim) { m(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    m
+  }
+
+  private def flatF32(rows: Array[Array[Double]]): Array[Float] =
+    rows.flatMap(_.map(_.toFloat))
+
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    * project every `dimIn`-vector onto the first `dimOut` rows of a
+    * seeded random orthonormal basis, scaled by sqrt(dimIn/dimOut) so
+    * expected pairwise L2 distances are preserved. One map-side
+    * codegen'd mat-vec per row — the pass that lets everything
+    * downstream (ANN, dedup, clustering) read dimOut/dimIn of the bytes.
+    */
+  def projectEmbeddings(df: DataFrame, vecCol: String, outCol: String,
+                        dimIn: Int, dimOut: Int, seed: Long = 42L): DataFrame = {
+    require(dimOut <= dimIn, s"dimOut $dimOut must be <= dimIn $dimIn")
+    val scale = math.sqrt(dimIn.toDouble / dimOut.toDouble)
+    val proj = randomOrthogonal(dimIn, seed).take(dimOut).map(_.map(_ * scale))
+    df.withColumn(outCol,
+      graft.plans.MatVecF32.matVecF32(lit(flatF32(proj)), col(vecCol)))
+  }
+
+  /** Projected-space ANN: brute-force top-`shortlist` in the reduced
+    * space (reads dimOut/dimIn of the bytes), then exact cosine re-rank
+    * of the ids-only shortlist on the full vectors. A 64→16 projection
+    * cannot RANK fine-grained neighbors (JL preserves distances to ±ε,
+    * and at small dimOut ε swamps the gap between the 1st and 20th
+    * neighbor — measured: direct top-5 in 16d has recall ~0.1 on the
+    * test embeddings), so the production role of random projection is
+    * candidate GENERATION — recall comes from the shortlist width, the
+    * final metric is exact, full-width reads are |Q|·shortlist rows.
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dimIn: Int, dimOut: Int,
+                    shortlist: Int = 50, seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    def proj(df: DataFrame): DataFrame =
+      projectEmbeddings(df, vecCol, "__p", dimIn, dimOut, seed)
+        .select(col(idCol), col("__p").as(vecCol))
+    val cands = bruteForceTopK(proj(corpus), proj(queries), idCol, vecCol, shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cos = cosineOf(corpus, vecCol) _
+    val exact = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cosine", cos(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** OPQ-style rotated product quantization: apply a seeded random
+    * orthonormal rotation to corpus AND queries, then PQ in the rotated
+    * space. Rotation spreads variance across the m subspaces (the
+    * failure mode of plain PQ is energy concentrated in few dims —
+    * Ge et al. CVPR'13 train the rotation; the seeded random rotation
+    * is the training-free variant with most of the benefit), and since
+    * it is L2-isometric the returned `l2_dist` values ARE original-space
+    * distances — the recall spec judges it against the UNROTATED exact
+    * ground truth.
+    */
+  def pqTopKRotated(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int, m: Int = 8,
+                    ksub: Int = 16, iters: Int = 3, seed: Long = 42L,
+                    rerank: Int = 0): DataFrame = {
+    val rot = lit(flatF32(randomOrthogonal(dim, seed)))
+    def rotate(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, graft.plans.MatVecF32.matVecF32(rot, col(vecCol)))
+    pqTopK(rotate(corpus), rotate(queries), idCol, vecCol, k, dim, m, ksub,
+      iters, seed, rerank)
+  }
+
   // ---- Product quantization (Jégou et al., TPAMI 2011) ------------------
 
   /** Squared L2 over float subvectors, accumulated in double. */

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Static dense mat-vec kernel shared by interpreted eval and codegen.
+  *
+  * The matrix arrives FLAT, row-major, `dimOut x dimIn`, as an
+  * `array<float>` literal — Catalyst embeds it once per task as a
+  * reference, so the per-row cost is exactly the dimOut·dimIn fused
+  * multiply-adds and one output allocation. Accumulation is double,
+  * output float32 — same precision contract as the other vector
+  * kernels.
+  */
+object MatVecKernel {
+  def matVecF32(m: ArrayData, v: ArrayData): ArrayData = {
+    val dimIn = v.numElements()
+    val dimOut = m.numElements() / dimIn
+    val out = new Array[Float](dimOut)
+    var r = 0
+    while (r < dimOut) {
+      val base = r * dimIn
+      var acc = 0.0
+      var j = 0
+      while (j < dimIn) {
+        acc += m.getFloat(base + j).toDouble * v.getFloat(j).toDouble
+        j += 1
+      }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native `mat_vec_f32(array<float> flat-matrix, array<float> vec) ->
+  * array<float>`.
+  *
+  * The projection/rotation hot kernel: random-projection dimensionality
+  * reduction and OPQ-style rotated quantization apply a dense matrix to
+  * EVERY corpus vector — at 100 TB that's the map-side pass that decides
+  * whether the operator is a tight primitive loop in whole-stage codegen
+  * or dim² interpreted lambda dispatches per row (the
+  * `transform`+`aggregate` HOF formulation). dim 768: ~590k FMAs/row —
+  * only viable generated.
+  */
+case class MatVecF32(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"mat_vec_f32 requires two array<float>, got $other")
+    }
+
+  override def nullSafeEval(m: Any, v: Any): Any =
+    MatVecKernel.matVecF32(m.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (m, v) => s"graft.plans.MatVecKernel.matVecF32($m, $v)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MatVecF32 =
+    copy(left = l, right = r)
+}
+
+object MatVecF32 {
+  def matVecF32(flatMatrix: Column, vec: Column): Column =
+    ColumnBridge.column(MatVecF32(ColumnBridge.expression(flatMatrix), ColumnBridge.expression(vec)))
+}

@@ -553,6 +553,85 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
   }
 
+  test("mat-vec kernel: identity and permutation known answers") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val ident = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f)
+    val perm = Array(0f, 0f, 1f, 1f, 0f, 0f, 0f, 1f, 0f) // rows pick v(2), v(0), v(1)
+    val got = df.select(
+        graft.plans.MatVecF32.matVecF32(lit(ident), col("v")).as("i"),
+        graft.plans.MatVecF32.matVecF32(lit(perm), col("v")).as("p"))
+      .collect().head
+    assert(got.getSeq[Float](0) == Seq(1.0f, 2.0f, 3.0f))
+    assert(got.getSeq[Float](1) == Seq(3.0f, 1.0f, 2.0f))
+  }
+
+  test("random rotation is an L2 isometry; JL projection preserves distances approximately") {
+    val emb = Tables.embeddings(spark, sf).limit(60)
+    val rot = lit(Similarity.randomOrthogonal(64).flatMap(_.map(_.toFloat)))
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      graft.plans.MatVecF32.matVecF32(rot, col("embedding")).as("ra"))
+    val b = a.select(col("ia").as("ib"), col("va").as("vb"), col("ra").as("rb"))
+    def l2(x: String, y: String) = aggregate(zip_with(col(x), col(y),
+      (p, q) => (p - q) * (p - q)), lit(0.0d), (acc, v) => acc + v.cast("double"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(l2("va", "vb").as("orig"), l2("ra", "rb").as("rotated"))
+      .collect()
+    pairs.foreach { r =>
+      val (o, rr) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(o - rr) <= 1e-3 * math.max(o, 1.0),
+        s"rotation must preserve L2: $o vs $rr")
+    }
+    // JL 64->16 is approximate: distances stay within a bounded band
+    val proj = Similarity.projectEmbeddings(emb, "embedding", "p", 64, 16)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"), col("p").as("pa"))
+    val projB = proj.select(col("ia").as("ib"), col("va").as("vb"), col("pa").as("pb"))
+    val ratios = proj.join(projB, col("ia") < col("ib"))
+      .select((sqrt(l2("pa", "pb")) / sqrt(l2("va", "vb"))).as("ratio"))
+      .collect().map(_.getDouble(0)).sorted
+    val (p05, p50, p95) = (ratios((ratios.length * 0.05).toInt),
+      ratios(ratios.length / 2), ratios((ratios.length * 0.95).toInt))
+    assert(p50 > 0.8 && p50 < 1.25, s"median distortion off: $p50")
+    assert(p05 > 0.5 && p95 < 1.6, s"distortion band too wide: [$p05, $p95]")
+  }
+
+  test("projected shortlist + exact re-rank keeps recall vs full-space exact top-5") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.projectedTopK(emb, queries, "vec_id", "embedding", 5,
+        dimIn = 64, dimOut = 16, shortlist = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"projected shortlist recall too low: $recall")
+  }
+
+  test("rotated PQ recall >= 50% of exact-L2 top-5 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v.cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rotation is L2-isometric, so the UNROTATED exact set is the
+    // legitimate ground truth for the rotated search
+    val approx = Similarity.pqTopKRotated(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, m = 16, ksub = 16, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"rotated PQ recall too low: $recall")
+  }
+
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 0)
