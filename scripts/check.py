@@ -76,5 +76,28 @@ if os.path.isdir(q51_path):
     else:
         print(f"ok   q51_hll_distinct [property: max rel err {err.max():.4f} <= 0.05]")
 
+# q77: every approximate quantile must land within 2% RANK error of its
+# target percentile (the Greenwald-Khanna accuracy contract, checked
+# against the raw data, not against a value tolerance that would depend
+# on the price distribution).
+q77_path = f"{OUT}/q77_approx_quantiles"
+if os.path.isdir(q77_path):
+    approx = con.sql(
+        f"SELECT l_returnflag, p, approx_val FROM read_parquet('{q77_path}/*.parquet')").df()
+    bad = []
+    for _, row in approx.iterrows():
+        r = con.sql(
+            "SELECT count(*) FILTER (WHERE l_extendedprice <= {v}) AS le_cnt, count(*) AS n_cnt "
+            "FROM lineitem WHERE l_returnflag = '{f}'".format(
+                v=row.approx_val, f=row.l_returnflag)).df()
+        frac = r["le_cnt"][0] / r["n_cnt"][0]
+        if abs(frac - row.p) > 0.02:
+            bad.append(f"(flag={row.l_returnflag}, p={row.p}, rank_frac={frac:.4f})")
+    if len(approx) == 0 or bad:
+        fails.append("q77_approx_quantiles")
+        print(f"FAIL q77_approx_quantiles: rank error >2%: {bad}")
+    else:
+        print(f"ok   q77_approx_quantiles [property: {len(approx)} quantiles within 2% rank error]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -455,4 +455,24 @@ object AnalyticsQueries {
         expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("approx_customers"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
+
+  // q77: mergeable approximate quantiles (rows-only; hard rank-error
+  // gate in scripts/check.py). Exact per-group percentiles (q38/q57)
+  // sort every group's values; `percentile_approx` is a
+  // Greenwald-Khanna sketch — pre-aggregated per partition and merged
+  // associatively like the q51 HLL, so a 100 TB percentile costs one
+  // map-side pass + a tiny merge instead of a full sort. accuracy=10000
+  // bounds rank error at 1/10000; the gate allows 2%.
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(ps.map(lit): _*), lit(10000)).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")))
+      .select(col("l_returnflag"),
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        col("col").as("approx_val"))
+      .orderBy("l_returnflag", "p")
+  }
 }

@@ -307,6 +307,58 @@ object Queries {
        FROM comp JOIN sizes USING (component)
        ORDER BY node"""
 
+  // q78: PageRank over the same order—part graph as q13 (both edge
+  // orientations), in integer micro-units so an ITERATIVE graph
+  // algorithm gets a hash-exact oracle: floor division and long sums
+  // are reduction-order-independent, unlike the double arithmetic
+  // textbook PageRank hash-compares can't survive. The oracle UNROLLS
+  // the same 10 iterations as chained CTEs (recursive CTEs can't
+  // aggregate in the recursive term) — generated, not hand-written.
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 48)
+      .select((col("l_orderkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+    val edges = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    def decode(c: Column): Column =
+      when(c % 2 === 0, concat(lit("O"), (c / 2).cast(LongType)))
+        .otherwise(concat(lit("P"), ((c - 1) / 2).cast(LongType)))
+    GraphOps.pageRankInt(edges, iters = 10)
+      .select(decode(col("node")).as("node"), col("r").as("rank_micro"))
+      .orderBy("node")
+  }
+
+  val q78Sql: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, SUM(p.r // d.deg) AS s
+           FROM pr${i - 1} p JOIN e ON e.src = p.node JOIN deg d ON d.src = p.node
+           GROUP BY e.dst
+         ) c ON c.node = n.node
+       )"""
+    }.mkString(", ")
+    s"""WITH e0 AS (
+         SELECT DISTINCT l_orderkey*2 AS src, l_partkey*2+1 AS dst
+         FROM lineitem WHERE l_quantity >= 48
+       ), e AS (
+         SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+       ), deg AS (
+         SELECT src, count(*) AS deg FROM e GROUP BY src
+       ), nodes AS (
+         SELECT DISTINCT src AS node FROM e
+       ), pr0 AS (
+         SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       ), $steps
+       SELECT
+         CASE WHEN node % 2 = 0 THEN 'O' || CAST(node // 2 AS VARCHAR)
+              ELSE 'P' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+         r AS rank_micro
+       FROM pr$iters ORDER BY node"""
+  }
+
   // q14: calendar bucketing (reference: revision_year_month,
   // stats.py:876 — the per-month staging/merge loop).
   def q14(spark: SparkSession, dir: String): DataFrame =

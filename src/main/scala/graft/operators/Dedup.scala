@@ -333,6 +333,74 @@ object Dedup {
     labeled.join(sizes, "cluster_id")
   }
 
+  // ---- Incremental (index-backed) near-dup dedup -------------------------
+
+  /** The persistent near-dup index: one row per SEEN doc with its
+    * k-minhash signature and hashed distinct shingle set — everything
+    * [[dedupIncrement]] needs to block AND exactly verify a new batch
+    * without re-reading any historical text. The index must hold every
+    * doc ever seen (survivors AND dropped duplicates): a new doc that
+    * matches only a dropped near-dup D — not D's surviving
+    * representative — must still be dropped, exactly as the full-corpus
+    * recompute would (Jaccard is not transitive, so the seen-set, not
+    * the survivor-set, is what preserves equivalence).
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"),
+      array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("__sh"))
+
+  /** Incremental near-dup dedup: dedupe `newDocs` against the seen-set
+    * `index` (and against each other) WITHOUT touching historical text
+    * — the production ingest shape, where today's crawl is a sliver of
+    * the corpus and re-running the full pairwise pass daily would be
+    * O(corpus) per day. Cost: O(|new| + collisions) — only the banded
+    * index keys of colliding buckets and the matched rows' shingle sets
+    * move.
+    *
+    * Contract: history ids precede new ids (monotone ingest), so
+    * "drop the larger id of a verified pair" keeps history stable and
+    * resolves new-vs-new ties identically to the batch pipeline.
+    * Returns (surviving new docs, index rows for ALL new docs) — append
+    * the second frame to the index regardless of survival, preserving
+    * the seen-set property above. Spec: chained increments ==
+    * `minhashDedupVerified` over the whole corpus, exactly.
+    */
+  def dedupIncrement(index: DataFrame, newDocs: DataFrame, idCol: String,
+                     textCol: String, threshold: Double = 0.5, shingleN: Int = 3,
+                     bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val newIdx = minhashIndex(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .localCheckpoint(eager = true)
+    val all = index.select("id", "sig", "__sh").unionByName(newIdx)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_sig")
+    // ids only through the bucket join and distinct; the probe side is
+    // the NEW batch, so bucket collisions against history are the only
+    // part of the index that moves
+    val cands = banded(all).select(col("band"), col("band_sig"), col("id").as("id_a"))
+      .join(banded(newIdx).select(col("band"), col("band_sig"), col("id").as("id_b")),
+        Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val union = size(array_union(col("__sh_a"), col("__sh_b")))
+    val dupes = cands
+      .join(all.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(newIdx.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard",
+        when(union === 0, lit(0d))
+          .otherwise(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType)
+            / union.cast(DoubleType)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    (newDocs.join(dupes, Seq(idCol), "left_anti"), newIdx)
+  }
+
   /** Exact n-gram Jaccard between given candidate pairs (verification
     * stage after any LSH pass). `pairs` has (id_a, id_b).
     *

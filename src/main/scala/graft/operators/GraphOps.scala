@@ -166,6 +166,48 @@ object GraphOps {
     cc.join(sizes, "component").select("node", "component", "component_size")
   }
 
+  /** PageRank in INTEGER micro-units — engine-exact iterative graph
+    * scoring (the URL/domain-quality signal web-scale corpus filters
+    * rank sources by). Floating-point PageRank cannot be hash-compared
+    * across engines (per-node contribution sums reduce in
+    * partition-dependent order), so every quantity here is a long:
+    * ranks start at `unit` (1e6) per node, a node's contribution is
+    * `rank div out_degree` (floor division), and the damping update is
+    * `0.15·unit + (85·Σcontrib) div 100` — deterministic on any engine,
+    * any partitioning, any reduction order. The deliberate cost: each
+    * iteration floors away sub-micro-unit mass (bounded by
+    * out_degree·iters per node — irrelevant at unit=1e6 for ranking).
+    *
+    * Edges are treated as directed; callers wanting the undirected
+    * variant pass both orientations. Nodes with no in-edges settle at
+    * 0.15·unit; dangling nodes contribute nothing (their mass decays —
+    * the "remove dangling mass" convention). Each round is one
+    * edge-join + one sum shuffle; `localCheckpoint` truncates lineage
+    * exactly like the CC fixpoint. Fixed `iters`, no convergence test —
+    * the oracle unrolls the same count.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 10,
+                  unit: Long = 1000000L): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(eager = true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    val base = (unit * 15L) / 100L
+    var rank = nodes.withColumn("r", lit(unit))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(eager = true)
+    }
+    rank
+  }
+
   /** Star edges for blocking-defined cliques: rows sharing `blockCols`
     * values are mutually connected (a clique), so connecting every
     * member to its block's MIN-`nodeCol` representative generates the

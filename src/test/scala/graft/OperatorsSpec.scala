@@ -95,6 +95,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 2000L && got(3000L) == 3L && !got.contains(4000L))
   }
 
+  test("pageRankInt: exact hand-computed ranks on a 3-node star") {
+    import spark.implicits._
+    // undirected star A(1)-B(2), A(1)-C(3): both orientations passed in
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r2 = GraphOps.pageRankInt(e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0 = 1e6 each; r1: A=150000+85%·(1e6+1e6)=1850000, B=C=150000+85%·500000=575000
+    // r2: A=150000+(85·(575000+575000)) div 100 = 1127500,
+    //     B=C=150000+(85·(1850000 div 2)) div 100 = 936250
+    assert(r2 == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L), s"ranks: $r2")
+    // integer arithmetic => bit-stable across partitionings
+    val r2b = GraphOps.pageRankInt(e.repartition(7), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2b == r2)
+  }
+
   test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
     // The adversarial case for label propagation: diameter = n. The
     // alternating large-star/small-star fixpoint must converge in
@@ -250,6 +266,46 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDoc(1L) == 1L && byDoc(2L) == 1L && byDoc(5L) == 1L && byDoc(3L) == 1L)
     assert(byDoc(4L) == 4L)
+  }
+
+  test("chained incremental dedup == full-corpus recompute, and drops via dropped history dups") {
+    import spark.implicits._
+    val ts = (1 to 60).map(i => s"w$i")
+    def span(from: Int) = ts.slice(from - 1, from - 1 + 20).mkString(" ")
+    // 1 and 2 are near-dups (2 drops in batch 1). 3 matches ONLY the
+    // DROPPED doc 2 (shifted one further) — the seen-set index must
+    // still drop it. 4 is novel; 5 dups 4 across the batch boundary.
+    // shift-5 spans: J(1,2) = J(2,3) = 13/23 ≈ 0.565 (over 0.3),
+    // J(1,3) = 8/28 ≈ 0.286 (under)
+    val corpus = Seq(
+      (1L, span(1)), (2L, span(6)),             // batch 1
+      (3L, span(11)), (4L, (1 to 20).map(i => s"x$i").mkString(" ")), // batch 2
+      (5L, (1 to 20).map(i => s"x$i").mkString(" "))                 // batch 3
+    ).toDF("doc_id", "text")
+    val (b1, b2, b3) = (corpus.filter(col("doc_id") <= 2),
+      corpus.filter(col("doc_id") === 3L || col("doc_id") === 4L),
+      corpus.filter(col("doc_id") === 5L))
+    val full = Dedup.minhashDedupVerified(corpus, "doc_id", "text",
+        threshold = 0.3, bands = 64, rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    var index = Dedup.minhashIndex(spark.emptyDataset[(Long, String)]
+      .toDF("doc_id", "text"), "doc_id", "text", bands = 64, rowsPerBand = 1)
+    var survivors = Set.empty[Long]
+    Seq(b1, b2, b3).foreach { batch =>
+      val (kept, idx) = Dedup.dedupIncrement(index, batch, "doc_id", "text",
+        threshold = 0.3, bands = 64, rowsPerBand = 1)
+      survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+      index = index.unionByName(idx).localCheckpoint(eager = true)
+    }
+    assert(survivors == full, s"incremental $survivors != full $full")
+    // fixture sanity: 3 is a dup of DROPPED 2 but not of surviving 1
+    val j = Dedup.verifyJaccard(Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b"),
+        corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Double]("jaccard"))).toMap
+    assert(j(1L) < 0.3 && j(2L) >= 0.3,
+      s"fixture broke: J(1,3)=${j(1L)} J(2,3)=${j(2L)}")
+    assert(!survivors.contains(3L), "3 must drop via the dropped doc 2")
   }
 
   test("simhash: identical docs at hamming 0, near dups close, distinct far") {

@@ -49,4 +49,19 @@ class QueriesSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("q77 approximate quantiles land within 2% rank error of their targets") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice")
+    val groups = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    AnalyticsQueries.q77(spark, sf).collect().foreach { r =>
+      val (flag, p, v) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val le = li.filter(col("l_returnflag") === flag && col("l_extendedprice") <= v).count()
+      val frac = le.toDouble / groups(flag)
+      assert(math.abs(frac - p) <= 0.02,
+        s"approx quantile (flag=$flag p=$p) sits at rank fraction $frac")
+    }
+  }
 }
