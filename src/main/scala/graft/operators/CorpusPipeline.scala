@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The end-to-end INCREMENTAL training-corpus ingest — the LLM-data
+  * counterpart of `EtlPipeline.runConformed`: each call takes one new
+  * batch of raw documents plus the persisted near-dup index, and
+  * produces the conformed corpus delta. Every stage is an existing
+  * operator; what this adds is the production composition and its
+  * equivalence contract.
+  *
+  * Stages, in the order web-scale pipelines run them (cheap map-side
+  * filters before the only shuffling stage):
+  *
+  *  1. PII scrub ([[CorpusOps.redactPii]]) — map-side rewrite.
+  *  2. Quality gate — Gopher-style repetition bound
+  *     ([[CorpusOps.dupTokenRatio]] ≤ maxDupTokenRatio) and a minimum
+  *     token count, both map-side on the SCRUBBED text.
+  *  3. Near-dup dedup against the seen-set index
+  *     ([[Dedup.dedupIncrement]]) — exact dedup is subsumed (an exact
+  *     copy has Jaccard 1.0). The only stage that shuffles, and it
+  *     moves ids + colliding bucket keys, never historical text.
+  *  4. Annotation — predicted language, token count, quality signals:
+  *     map-side columns on the survivors.
+  *
+  * Returns (delta, indexRows): `delta` is the conformed batch output;
+  * `indexRows` are the index entries for every doc that REACHED the
+  * dedup stage (quality-rejected docs never enter the index — rerunning
+  * them later must re-judge, not silently "already seen" them).
+  * Append `indexRows` to the index before the next batch.
+  *
+  * Equivalence contract (spec'd): chaining N batches produces exactly
+  * the docs a single-batch run over the concatenated input produces —
+  * the pipeline can be re-sharded, replayed, or parallelized across
+  * ingest days without changing the corpus, as long as id order follows
+  * ingest order (the same monotone-id contract as [[Dedup.dedupIncrement]]).
+  */
+object CorpusPipeline {
+
+  def ingest(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+             minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
+             dedupThreshold: Double = 0.5, shingleN: Int = 3,
+             bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val scrubbed = batch.withColumn(textCol, CorpusOps.redactPii(col(textCol)))
+    val judged = scrubbed
+      .filter(size(TextFunctions.tokens(col(textCol))) >= minTokens &&
+        CorpusOps.dupTokenRatio(col(textCol)) <= maxDupTokenRatio)
+    val (kept, indexRows) = Dedup.dedupIncrement(index, judged, idCol, textCol,
+      dedupThreshold, shingleN, bands, rowsPerBand)
+    val delta = kept
+      .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
+      .withColumn("n_tok", TextFunctions.wordCount(col(textCol)).cast(LongType))
+      .withColumn("dup_token_ratio", CorpusOps.dupTokenRatio(col(textCol)))
+      .withColumn("n_pii", CorpusOps.piiCount(col(textCol)))
+    (delta, indexRows)
+  }
+
+  /** Convenience: run `ingest` over pre-split batches in order, starting
+    * from an empty index, and return (full delta union, final index).
+    * Mainly the spec's single-call twin for the equivalence contract.
+    */
+  def ingestAll(batches: Seq[DataFrame], idCol: String, textCol: String,
+                minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
+                dedupThreshold: Double = 0.5, shingleN: Int = 3,
+                bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    import spark.implicits._
+    var index = Dedup.minhashIndex(
+      Seq.empty[(Long, String)].toDF(idCol, textCol), idCol, textCol,
+      shingleN, bands, rowsPerBand)
+    var delta: Option[DataFrame] = None
+    batches.foreach { b =>
+      val (d, idx) = ingest(index, b, idCol, textCol, minTokens,
+        maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand)
+      index = index.unionByName(idx).localCheckpoint(eager = true)
+      delta = Some(delta.map(_.unionByName(d)).getOrElse(d))
+    }
+    (delta.get, index)
+  }
+}

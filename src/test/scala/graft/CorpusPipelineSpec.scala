@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{CorpusPipeline, Dedup}
+import org.apache.spark.sql.functions._
+
+/** The incremental-corpus-ingest contract: batching must be invisible.
+  * A pipeline that produces a different corpus depending on how the
+  * crawl was sharded into ingest days cannot be reasoned about at
+  * 100 TB — this spec replays the same documents as one batch and as
+  * three and requires identical output.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (1 to 60).map(i => s"w$i")
+  private def span(from: Int) = ts.slice(from - 1, from - 1 + 20).mkString(" ")
+
+  // 1 and 2 near-dup (J≈0.565); 3 matches only 2 (J(1,3)≈0.286);
+  // 4 is PII-laden but novel; 5 exactly dups 4 post-scrub; 6 is
+  // degenerate (fails the repetition gate); 7 is too short.
+  private val corpus = Seq(
+    (1L, span(1)),
+    (2L, span(6)),
+    (3L, span(11)),
+    (4L, "contact me at bob@example.com about " + (1 to 14).map(i => s"x$i").mkString(" ")),
+    (5L, "contact me at eve@sample.org about " + (1 to 14).map(i => s"x$i").mkString(" ")),
+    (6L, Array.fill(30)("spam").mkString(" ")),
+    (7L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("batched ingest == single-batch ingest, exactly") {
+    val one = CorpusPipeline.ingestAll(Seq(corpus), "doc_id", "text")._1
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val three = CorpusPipeline.ingestAll(Seq(
+        corpus.filter(col("doc_id") <= 2),
+        corpus.filter(col("doc_id") >= 3 && col("doc_id") <= 5),
+        corpus.filter(col("doc_id") >= 6)), "doc_id", "text")._1
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(one == three, s"batching changed the corpus:\none=$one\nthree=$three")
+  }
+
+  test("each stage rejects what it should; annotations land on survivors") {
+    val (delta, indexRows) = CorpusPipeline.ingestAll(Seq(corpus), "doc_id", "text")
+    val byId = delta.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // dedup: 2 drops via 1, 3 drops via (dropped) 2, 5 exact-dups 4 post-scrub
+    // quality: 6 (all-duplicate tokens) and 7 (too short) never reach dedup
+    assert(byId.keySet == Set(1L, 4L), s"survivors: ${byId.keySet}")
+    // scrub happened BEFORE dedup: 4 and 5 differ only in the redacted
+    // email, so they collide exactly — and the kept text carries [EMAIL]
+    assert(byId(4L).getAs[String]("text").contains("[EMAIL]"))
+    assert(byId(4L).getAs[Long]("n_tok") > 0)
+    assert(byId(4L).getAs[Double]("dup_token_ratio") <= 0.6)
+    // n_pii counts hits on the scrubbed text — the raw address is gone
+    assert(byId(4L).getAs[Long]("n_pii") == 0L)
+    // the index holds every doc that REACHED dedup (1-5), not the
+    // quality rejects (6, 7)
+    val indexed = indexRows.select("id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 3L, 4L, 5L), s"index: $indexed")
+  }
+
+  test("a later batch cannot resurrect a near-dup of an earlier batch") {
+    val b1 = corpus.filter(col("doc_id") === 1L)
+    val replay = Seq((100L, span(2))).toDF("doc_id", "text") // J(1,100) ≈ 0.77
+    val (_, idx1) = CorpusPipeline.ingest(
+      Dedup.minhashIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"),
+      b1, "doc_id", "text")
+    val (d2, _) = CorpusPipeline.ingest(idx1, replay, "doc_id", "text")
+    assert(d2.isEmpty, "near-dup of an already-ingested doc must drop")
+  }
+}
