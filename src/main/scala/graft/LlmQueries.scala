@@ -100,14 +100,16 @@ object LlmQueries {
 
   // q72: near-dup CLUSTER assignment — minhash-LSH candidates, exact
   // 3-gram-Jaccard verification, connected components over the verified
-  // duplicate edges (Dedup.nearDupClusters). Transitive chains A~B~C
-  // land in one cluster even when A!~C directly — the semantics the
-  // pairwise drop-larger-id rule (q21) cannot express. Oracle = the
-  // ALL-PAIRS exact edge set closed transitively with a recursive CTE:
-  // parity holds for the same reason as q21 (the banding catches every
-  // >= 0.5 pair on this corpus; LSH prunes, never decides).
+  // duplicate edges. Transitive chains A~B~C land in one cluster even
+  // when A!~C directly — the semantics the pairwise drop-larger-id rule
+  // (q21) cannot express. Runs the LAYERED form (exact clones collapse
+  // to representatives before the near-dup machinery — spec'd equal to
+  // the direct form; 267→~8 s on the clone-heavy sf10 fixture). Oracle
+  // = the ALL-PAIRS exact edge set closed transitively with a recursive
+  // CTE: parity holds for the same reason as q21 (the banding catches
+  // every >= 0.5 pair on this corpus; LSH prunes, never decides).
   def q72(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClusters(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.nearDupClustersLayered(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_rep"))

@@ -268,6 +268,30 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(4L) == 4L)
   }
 
+  test("layered clustering == direct clustering on a clone-heavy corpus") {
+    import spark.implicits._
+    val ts = (1 to 40).map(i => s"tok$i")
+    def span(from: Int) = ts.slice(from - 1, from - 1 + 20).mkString(" ")
+    // near-dup pair {1, 2} with exact clones of both (3..6 clone 1,
+    // 7..8 clone 2 modulo normalization), plus a singleton with clones
+    val docs = Seq(
+      (1L, span(1)), (2L, span(4)),
+      (3L, span(1)), (4L, "  " + span(1) + " "), (5L, span(1).toUpperCase),
+      (6L, span(1)), (7L, span(4)), (8L, span(4)),
+      (9L, (1 to 20).map(i => s"z$i").mkString(" ")), (10L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Double, Int, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", 0.3, 3, 64, 1)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = run(Dedup.nearDupClusters(_, _, _, _, _, _, _))
+    val layered = run(Dedup.nearDupClustersLayered(_, _, _, _, _, _, _))
+    assert(direct == layered, s"layered diverged:\ndirect=$direct\nlayered=$layered")
+    // fixture sanity: one big mixed cluster {1..8}, one clone pair {9,10}
+    assert(layered.count(_._2 == 1L) == 8 && layered.count(_._2 == 9L) == 2,
+      s"unexpected cluster shape: $layered")
+  }
+
   test("chained incremental dedup == full-corpus recompute, and drops via dropped history dups") {
     import spark.implicits._
     val ts = (1 to 60).map(i => s"w$i")
