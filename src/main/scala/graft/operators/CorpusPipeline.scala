@@ -58,6 +58,44 @@ object CorpusPipeline {
     (delta, indexRows)
   }
 
+  /** The ingest as a CONTINUOUS stream: every micro-batch runs
+    * [[ingest]] against the index persisted at `indexPath`, appends the
+    * conformed delta to `deltaPath` and the batch's index rows to
+    * `indexPath` — so the seen-set survives restarts and the corpus
+    * builds incrementally forever. The batching-invisibility contract
+    * carries over verbatim: however the source splits the documents
+    * into triggers, the delta set equals the one-batch run (spec
+    * replays a 3-file stream against [[ingestAll]]).
+    *
+    * Id order must follow ingest order across triggers (the
+    * [[Dedup.dedupIncrement]] monotone-id contract). Replayed triggers
+    * (failure before the sink checkpoint commits) re-append their
+    * delta; run the output through the MERGE sink or dedup on `idCol`
+    * downstream if the source cannot guarantee exactly-once.
+    */
+  def ingestSink(docs: DataFrame, indexPath: String, deltaPath: String,
+                 idCol: String, textCol: String,
+                 minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
+                 dedupThreshold: Double = 0.5, shingleN: Int = 3,
+                 bands: Int = 16, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val spark = batch.sparkSession
+        val index =
+          if (new java.io.File(indexPath).exists()) spark.read.parquet(indexPath)
+          else Dedup.minhashIndex(batch.toDF().limit(0), idCol, textCol,
+            shingleN, bands, rowsPerBand)
+        val (delta, idx) = ingest(index, batch.toDF(), idCol, textCol,
+          minTokens, maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand)
+        // materialize the delta BEFORE the index append below changes
+        // what `index` lazily reads
+        delta.write.mode("append").parquet(deltaPath)
+        idx.write.mode("append").parquet(indexPath)
+      }
+    docs.writeStream.foreachBatch(step)
+  }
+
   /** Convenience: run `ingest` over pre-split batches in order, starting
     * from an empty index, and return (full delta union, final index).
     * Mainly the spec's single-call twin for the equivalence contract.

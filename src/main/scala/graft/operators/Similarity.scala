@@ -304,6 +304,111 @@ object Similarity {
       iters, seed, rerank)
   }
 
+  // ---- OPQ: trained rotation (Ge et al., CVPR'13, non-parametric) -------
+
+  /** Train the OPQ rotation by alternating minimization on a BOUNDED
+    * sample: rotate → per-subspace k-means → reconstruct → orthogonal
+    * Procrustes (R = U·Vᵀ of svd(Ŷ·Xᵀ)). The sample is the same
+    * deterministic 256·ksub hash pick the distributed Lloyd passes use,
+    * COLLECTED — ≤4096 vectors ≈ 1 MB at dim 64: rotation training is
+    * O(sample·dim²) driver work independent of corpus size (the
+    * bounded-driver-result precedent of `Salting.hotKeys`), while code
+    * TRAINING and ENCODING stay distributed on the full corpus. Returns
+    * the dim×dim rotation, row-major.
+    */
+  def trainOpqRotation(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, ksub: Int, opqIters: Int = 3,
+                       seed: Long = 42L): Array[Array[Double]] = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val n = full.count()
+    val cap = 256L * ksub
+    val sampled = if (n <= cap) full
+    else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
+    // deterministic order so the k-means inits are reproducible
+    val xRows = sampled.orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
+      .select("cv").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val ns = xRows.length
+    // X: dim x ns, column-per-vector
+    val x = DenseMatrix.tabulate(dim, ns)((i, j) => xRows(j)(i))
+    var r = DenseMatrix.eye[Double](dim)
+
+    // tiny deterministic Lloyd on ns points in dsub dims
+    def kmeans(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+      var cents = points.take(math.min(k, points.length)).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val cnts = new Array[Int](cents.length)
+        points.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val dd = p(t) - cents(c)(t); d += dd * dd; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnts(c) == 0) old else sums(c).map(_ / cnts(c))
+        }
+      }
+      cents
+    }
+
+    for (_ <- 1 to opqIters) {
+      val y = r * x
+      // per-subspace quantization of Y, reconstruction into yHat
+      val yHat = DenseMatrix.zeros[Double](dim, ns)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        val pts = Array.tabulate(ns)(j => Array.tabulate(dsub)(t => y(off + t, j)))
+        val cents = kmeans(pts, ksub, iters = 5)
+        var j = 0
+        while (j < ns) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val dd = pts(j)(t) - cents(c)(t); d += dd * dd; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { yHat(off + t, j) = cents(best)(t); t += 1 }
+          j += 1
+        }
+        s += 1
+      }
+      // Procrustes: argmin_R ||R·X − Ŷ|| with RᵀR = I  →  R = U·Vᵀ of Ŷ·Xᵀ
+      val svd.SVD(u, _, vt) = svd(yHat * x.t)
+      r = u * vt
+    }
+    Array.tabulate(dim)(i => Array.tabulate(dim)(j => r(i, j)))
+  }
+
+  /** PQ top-k under the TRAINED OPQ rotation — [[pqTopKRotated]] with
+    * `trainOpqRotation`'s data-adapted R instead of the seeded random
+    * one. Same isometry argument: the unrotated exact set stays the
+    * ground truth.
+    */
+  def pqTopKOpq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, m: Int = 8,
+                ksub: Int = 16, iters: Int = 3, opqIters: Int = 3,
+                seed: Long = 42L, rerank: Int = 0): DataFrame = {
+    val rot = lit(flatF32(trainOpqRotation(corpus, idCol, vecCol, dim, m, ksub, opqIters, seed)))
+    def rotate(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, graft.plans.MatVecF32.matVecF32(rot, col(vecCol)))
+    pqTopK(rotate(corpus), rotate(queries), idCol, vecCol, k, dim, m, ksub,
+      iters, seed, rerank)
+  }
+
   // ---- Product quantization (Jégou et al., TPAMI 2011) ------------------
 
   /** Squared L2 over float subvectors, accumulated in double. */

@@ -58,6 +58,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 3L, 4L, 5L), s"index: $indexed")
   }
 
+  test("streaming ingest sink over three micro-batches == single-batch ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = s"/tmp/graft_cpsink_${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.ingestSink(in.toDF().toDF("doc_id", "text"),
+        s"$base/index", s"$base/delta", "doc_id", "text")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.filter(_._1 <= 2).toSeq: _*); q.processAllAvailable()
+      in.addData(rows.filter(t => t._1 >= 3 && t._1 <= 5).toSeq: _*); q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 6).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/delta")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    val batch = CorpusPipeline.ingestAll(Seq(corpus), "doc_id", "text")._1
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the persisted index holds exactly the docs that reached dedup
+    val indexed = spark.read.parquet(s"$base/index")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 3L, 4L, 5L), s"index: $indexed")
+  }
+
   test("a later batch cannot resurrect a near-dup of an earlier batch") {
     val b1 = corpus.filter(col("doc_id") === 1L)
     val replay = Seq((100L, span(2))).toDF("doc_id", "text") // J(1,100) ≈ 0.77

@@ -712,6 +712,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"rotated PQ recall too low: $recall")
   }
 
+  test("OPQ rotation is orthogonal; OPQ PQ keeps recall >= 50% of exact-L2 top-5") {
+    val emb = Tables.embeddings(spark, sf)
+    // orthogonality: R·Rᵀ == I within numeric noise
+    val r = Similarity.trainOpqRotation(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 16, opqIters = 2)
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dot = (0 until 64).map(t => r(i)(t) * r(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v.cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopKOpq(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, m = 16, ksub = 16, opqIters = 2, rerank = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"OPQ recall too low: $recall")
+  }
+
   test("LSH ANN recall >= 50% of brute-force top-5 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 0)
