@@ -166,6 +166,48 @@ object GraphOps {
     cc.join(sizes, "component").select("node", "component", "component_size")
   }
 
+  /** Incremental connected components: given the labeling of an
+    * existing graph G (node → min-id component, i.e. this module's own
+    * output) and a DELTA edge set, produce the labeling of G ∪ ΔE
+    * WITHOUT touching G's edges — new review stacks arrive daily; a
+    * 100 TB dependency graph cannot re-run its fixpoint from scratch
+    * per ingest.
+    *
+    * Contraction argument: within an existing component every node is
+    * already connected, so mapping each delta endpoint to its component
+    * root (new nodes map to themselves) preserves exactly the
+    * connectivity the delta can add. The fixpoint then runs on the
+    * CONTRACTED graph — O(|ΔE|) nodes, not O(|G|) — and since an old
+    * root is the min id of its members, the contracted min-id root IS
+    * the global min-id root. Members re-label through one join against
+    * the (≤ 2|ΔE|-row) relabel map; untouched components keep their
+    * rows byte-identical. Spec: == full recompute on G ∪ ΔE exactly.
+    */
+  def connectedComponentsIncrement(labels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val lab = labels.toDF("node", "component").localCheckpoint(eager = true)
+    val e0 = deltaEdges.toDF("src", "dst")
+    val mapped = e0
+      .join(lab.select(col("node").as("src"), col("component").as("csrc")), Seq("src"), "left")
+      .join(lab.select(col("node").as("dst"), col("component").as("cdst")), Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+    // fixpoint over the contracted delta subgraph only
+    val contracted = connectedComponents(mapped) // (node = old root | new node, component = new root)
+    val relabel = contracted
+      .select(col("node").as("component"), col("component").as("new_comp"))
+      .filter(col("component") =!= col("new_comp"))
+    val existing = lab
+      .join(relabel, Seq("component"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("component")).as("component"))
+    // nodes appearing only in the delta take their contracted label
+    val newNodes = contracted
+      .join(lab.select(col("node")), Seq("node"), "left_anti")
+      // old roots appear in `contracted` too but are already members of
+      // `lab`; only genuinely new ids survive this anti-join
+      .select(col("node"), col("component"))
+    existing.unionByName(newNodes)
+  }
+
   /** PageRank in INTEGER micro-units — engine-exact iterative graph
     * scoring (the URL/domain-quality signal web-scale corpus filters
     * rank sources by). Floating-point PageRank cannot be hash-compared

@@ -95,6 +95,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L) == 2000L && got(3000L) == 3L && !got.contains(4000L))
   }
 
+  test("incremental CC == full recompute across merge/extend/new-component deltas") {
+    import spark.implicits._
+    // G: components {1,2,3}, {10,11}, {20}; ΔE merges the first two,
+    // hangs a new node off 20, adds a brand-new pair {30,31}, and adds
+    // a redundant edge inside an existing component
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    val delta = Seq((3L, 10L), (20L, 21L), (30L, 31L), (1L, 3L)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(g)
+    val inc = GraphOps.connectedComponentsIncrement(labels, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = GraphOps.connectedComponents(g.unionByName(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full, s"incremental diverged:\ninc=$inc\nfull=$full")
+    assert(inc.contains((11L, 1L)) && inc.contains((21L, 20L)) && inc.contains((31L, 30L)),
+      s"expected merged/extended/new components: $inc")
+    // untouched components stay untouched: {20,21} root is still 20
+    assert(inc.count(_._2 == 1L) == 5, s"merged component must have 5 members: $inc")
+  }
+
   test("pageRankInt: exact hand-computed ranks on a 3-node star") {
     import spark.implicits._
     // undirected star A(1)-B(2), A(1)-C(3): both orientations passed in
