@@ -82,8 +82,10 @@ object CorpusPipeline {
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          if (new java.io.File(indexPath).exists()) spark.read.parquet(indexPath)
+          if (fs.exists(idxPath)) spark.read.parquet(indexPath)
           else Dedup.minhashIndex(batch.toDF().limit(0), idCol, textCol,
             shingleN, bands, rowsPerBand)
         val (delta, idx) = ingest(index, batch.toDF(), idCol, textCol,
