@@ -316,6 +316,43 @@ object TrainingQueries {
         FROM t JOIN df USING (term)
         GROUP BY t.doc_id ORDER BY doc_id"""
 
+  // q79: document chunking — fixed 64-token windows at stride 48 (the
+  // op that turns documents into training sequences; q65 packs whole
+  // docs, this splits long ones, with overlap so no span is ever cut
+  // across a boundary without context). Chunk count is exact integer
+  // arithmetic ((max(n−w,0)+s−1) div s + 1) and the chunk content is
+  // compared as md5 so the oracle stays tight; everything is one
+  // map-side explode — no shuffle except the presentation sort.
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val (window, stride) = (64, 48)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+    val k = expr(s"(greatest(n_tok - $window, 0L) + ${stride - 1}) div $stride + 1")
+    docs
+      .withColumn("chunk", explode(transform(sequence(lit(0L), k - 1),
+        i => struct(i.as("chunk_id"),
+          slice(col("toks"), (i * stride + 1).cast("int"), lit(window)).as("ctoks")))))
+      .select(col("doc_id"), col("chunk.chunk_id").as("chunk_id"),
+        size(col("chunk.ctoks")).cast(LongType).as("n_chunk_tok"),
+        md5(concat_ws(" ", col("chunk.ctoks")).cast(BinaryType)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q79Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), n AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+            (greatest(CAST(len(toks) AS BIGINT) - 64, 0) + 47) // 48 + 1 AS k
+          FROM t
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT) AS n_chunk_tok,
+          md5(array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')) AS chunk_md5
+        FROM n, UNNEST(range(0, k)) AS u(i)
+        ORDER BY doc_id, chunk_id"""
+
   // q66: domain-mixture reweighting toward a uniform (lang, source)
   // target — one groupBy shuffle, then a k-row window.
   def q66(spark: SparkSession, dir: String): DataFrame =

@@ -225,6 +225,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q79 chunking: known chunk layout, full coverage, stride overlap") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" "), "en", "s", 100L),
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"/tmp/graft_chunk_${System.nanoTime()}"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingQueries.q79(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 100 tokens, window 64, stride 48: chunks [1..64] and [49..100]
+    // (16-token overlap keeps context across the cut); 10 tokens: one
+    // short chunk
+    assert(got.toSeq == Seq((1L, 0L, 64L), (1L, 1L, 52L), (2L, 0L, 10L)),
+      s"chunk layout changed: ${got.toSeq}")
+    // coverage: chunk windows tile the token range with no gap
+    // (start_i+window >= start_{i+1}+1 by stride < window)
+    assert(48 < 64, "stride must stay under the window for overlap")
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)
