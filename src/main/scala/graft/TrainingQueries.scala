@@ -353,6 +353,58 @@ object TrainingQueries {
         FROM n, UNNEST(range(0, k)) AS u(i)
         ORDER BY doc_id, chunk_id"""
 
+  // q80: cross-document repeated-span removal — the fixed-span analog
+  // of RefinedWeb/CCNet paragraph dedup (this corpus has no newlines,
+  // so "paragraph" = non-overlapping 8-token span). A span survives
+  // only at its FIRST corpus occurrence (min (doc_id, span_id));
+  // boilerplate repeated across documents disappears everywhere else
+  // and each doc is rebuilt from its surviving spans in order. One
+  // window shuffle keyed on the span's md5; rebuild is one groupBy.
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val span = 8
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+    val k = expr(s"(n_tok + ${span - 1}) div $span")
+    val spans = docs
+      .withColumn("s", explode(transform(sequence(lit(0L), k - 1),
+        i => struct(i.as("span_id"),
+          concat_ws(" ", slice(col("toks"), (i * span + 1).cast("int"), lit(span))).as("stext")))))
+      .select(col("doc_id"), col("s.span_id").as("span_id"),
+        col("s.stext").as("stext"),
+        md5(col("s.stext").cast(BinaryType)).as("shash"))
+    val w = Window.partitionBy("shash").orderBy("doc_id", "span_id")
+    spans
+      .withColumn("first", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("first"), 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(when(col("first"),
+            struct(col("span_id"), col("stext"))))),
+            x => x.getField("stext"))).cast(BinaryType)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), n AS (
+          SELECT doc_id, toks, (CAST(len(toks) AS BIGINT) + 7) // 8 AS k FROM t
+        ), spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS span_id,
+            array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS stext
+          FROM n, UNNEST(range(0, k)) AS u(i)
+        ), ranked AS (
+          SELECT doc_id, span_id, stext,
+            ROW_NUMBER() OVER (PARTITION BY md5(stext) ORDER BY doc_id, span_id) = 1 AS first
+          FROM spans
+        )
+        SELECT doc_id, count(*) AS n_spans,
+          count(*) FILTER (WHERE first) AS n_kept,
+          md5(coalesce(string_agg(stext, ' ' ORDER BY span_id) FILTER (WHERE first), '')) AS clean_md5
+        FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
   // q66: domain-mixture reweighting toward a uniform (lang, source)
   // target — one groupBy shuffle, then a k-row window.
   def q66(spark: SparkSession, dir: String): DataFrame =

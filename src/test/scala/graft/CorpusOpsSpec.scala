@@ -244,6 +244,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(48 < 64, "stride must stay under the window for overlap")
   }
 
+  test("q80 span dedup: repeated boilerplate survives only at its first corpus occurrence") {
+    // doc 1: spans A B; doc 2: spans A C (A is cross-doc boilerplate);
+    // doc 3: two identical spans D D (intra-doc repeat)
+    def sp(prefix: String) = (1 to 8).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, sp("a") + " " + sp("b"), "en", "s", 1L),
+      (2L, sp("a") + " " + sp("c"), "en", "s", 1L),
+      (3L, sp("d") + " " + sp("d"), "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"/tmp/graft_spandedup_${System.nanoTime()}"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingQueries.q80(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 keeps both spans; doc 2 loses A (seen in doc 1); doc 3
+    // keeps only the first D
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 1L)),
+      s"span-dedup counts changed: $got")
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)
