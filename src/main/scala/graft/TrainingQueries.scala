@@ -358,8 +358,13 @@ object TrainingQueries {
   // so "paragraph" = non-overlapping 8-token span). A span survives
   // only at its FIRST corpus occurrence (min (doc_id, span_id));
   // boilerplate repeated across documents disappears everywhere else
-  // and each doc is rebuilt from its surviving spans in order. One
-  // window shuffle keyed on the span's md5; rebuild is one groupBy.
+  // and each doc is rebuilt from its surviving spans in order.
+  // First-occurrence is computed with a partial-aggregatable
+  // min(struct) groupBy, NOT a row_number window: a window keyed on the
+  // span hash sorts EVERY occurrence of a span on one reducer, so a
+  // mega-boilerplate span (millions of occurrences at web scale) is a
+  // straggler by construction — map-side combine collapses it before
+  // the shuffle instead.
   def q80(spark: SparkSession, dir: String): DataFrame = {
     val span = 8
     val docs = Tables.documents(spark, dir)
@@ -373,9 +378,11 @@ object TrainingQueries {
       .select(col("doc_id"), col("s.span_id").as("span_id"),
         col("s.stext").as("stext"),
         md5(col("s.stext").cast(BinaryType)).as("shash"))
-    val w = Window.partitionBy("shash").orderBy("doc_id", "span_id")
-    spans
-      .withColumn("first", row_number().over(w) === 1)
+    val firsts = spans.groupBy("shash")
+      .agg(min(struct(col("doc_id"), col("span_id"))).as("f"))
+    spans.join(firsts, "shash")
+      .withColumn("first",
+        col("doc_id") === col("f.doc_id") && col("span_id") === col("f.span_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("first"), 1)).as("n_kept"),
