@@ -231,12 +231,27 @@ object GraphOps {
   def pageRankInt(edges: DataFrame, iters: Int = 10,
                   unit: Long = 1000000L): DataFrame = {
     val e = edges.toDF("src", "dst").distinct().localCheckpoint(eager = true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = true)
+    pageRankIntFrom(nodes.withColumn("r", lit(unit)), e, iters, unit)
+  }
+
+  /** Continue integer PageRank from a previous run's (node, r) state —
+    * the integer update is a pure function of the prior ranks, so
+    * splitting the iteration budget across runs (6 rounds today, 4 in
+    * tomorrow's job) is bit-identical to running them straight through
+    * (spec'd). This is what lets a daily pipeline refine ranks
+    * incrementally instead of re-paying the full iteration count.
+    */
+  def pageRankIntFrom(state: DataFrame, edges: DataFrame, iters: Int,
+                      unit: Long = 1000000L): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(eager = true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = state.toDF("node", "r").select("node")
+      .localCheckpoint(eager = true)
     val base = (unit * 15L) / 100L
-    var rank = nodes.withColumn("r", lit(unit))
+    var rank = state.toDF("node", "r")
     for (_ <- 1 to iters) {
       val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")

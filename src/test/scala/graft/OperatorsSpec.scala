@@ -130,6 +130,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(r2b == r2)
   }
 
+  test("pageRankInt split across runs == straight-through (6+4 == 10)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val straight = GraphOps.pageRankInt(e, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resumed = GraphOps.pageRankIntFrom(GraphOps.pageRankInt(e, iters = 6), e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(straight == resumed, s"iteration split changed ranks:\n$straight\n$resumed")
+  }
+
   test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
     // The adversarial case for label propagation: diameter = n. The
     // alternating large-star/small-star fixpoint must converge in
