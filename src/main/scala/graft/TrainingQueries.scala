@@ -371,7 +371,13 @@ object TrainingQueries {
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
     val k = expr(s"(n_tok + ${span - 1}) div $span")
+    // n_tok = 0 makes k = 0 and sequence(0, -1) auto-DESCENDS to
+    // [0, -1] — two phantom empty spans the oracle's range(0, 0) never
+    // produces, and whose empty-string shash would steal
+    // first-occurrence across every empty doc. Empty docs have no
+    // spans on either engine: drop them before the explode.
     val spans = docs
+      .filter(col("n_tok") > 0)
       .withColumn("s", explode(transform(sequence(lit(0L), k - 1),
         i => struct(i.as("span_id"),
           concat_ws(" ", slice(col("toks"), (i * span + 1).cast("int"), lit(span))).as("stext")))))

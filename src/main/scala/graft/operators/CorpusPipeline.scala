@@ -107,10 +107,9 @@ object CorpusPipeline {
                 dedupThreshold: Double = 0.5, shingleN: Int = 3,
                 bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     require(batches.nonEmpty, "need at least one batch")
-    val spark = batches.head.sparkSession
-    import spark.implicits._
-    var index = Dedup.minhashIndex(
-      Seq.empty[(Long, String)].toDF(idCol, textCol), idCol, textCol,
+    // seed the empty index from the caller's own schema (as ingestSink
+    // does) so non-Long ids / extra columns don't break unionByName
+    var index = Dedup.minhashIndex(batches.head.limit(0), idCol, textCol,
       shingleN, bands, rowsPerBand)
     var delta: Option[DataFrame] = None
     batches.foreach { b =>

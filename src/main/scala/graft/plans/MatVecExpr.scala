@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
 object MatVecKernel {
   def matVecF32(m: ArrayData, v: ArrayData): ArrayData = {
     val dimIn = v.numElements()
+    // fail loudly on shape bugs: a zero-dim vector would divide by
+    // zero, a non-multiple flat matrix would silently truncate rows
+    require(dimIn > 0, "mat_vec_f32: input vector must be non-empty")
+    require(m.numElements() % dimIn == 0,
+      s"mat_vec_f32: flat matrix length ${m.numElements()} is not a multiple of input dim $dimIn")
     val dimOut = m.numElements() / dimIn
     val out = new Array[Float](dimOut)
     var r = 0

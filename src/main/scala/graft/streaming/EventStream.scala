@@ -361,11 +361,18 @@ object EventStream {
             .map(e => (e.ts.getTime / 1000L, e.quote_value))
           val allProbes = st.probes ++ incoming.filter(_.is_probe)
             .map(e => (e.ts.getTime / 1000L, e.probe_id))
-          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmSec = wmMs / 1000L
 
-          // probes at-or-behind the watermark can never gain another
-          // quote: resolve and emit them now, deterministically ordered
-          val (mature, pending) = allProbes.partition(_._1 <= wmSec)
+          // probes strictly behind the watermark can never gain another
+          // quote: resolve and emit them now, deterministically ordered.
+          // Strictly: if the late-record filter admits rows with event
+          // time EQUAL to the watermark, a quote at the same second as
+          // an at-watermark probe may still arrive — maturing at
+          // equality would emit before seeing it and diverge from the
+          // batch as-of join. (`<` on full ms also avoids the
+          // second-truncation edge.)
+          val (mature, pending) = allProbes.partition(_._1 * 1000L < wmMs)
           val out = mature.sorted.map { case (psec, pid) =>
             val m = allQuotes
               .filter(q => q._1 <= psec && q._1 >= psec - lookbackSec)

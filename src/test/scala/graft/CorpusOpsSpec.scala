@@ -248,17 +248,23 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 1: spans A B; doc 2: spans A C (A is cross-doc boilerplate);
     // doc 3: two identical spans D D (intra-doc repeat)
     def sp(prefix: String) = (1 to 8).map(i => s"$prefix$i").mkString(" ")
+    // docs 4/5 are empty / whitespace-only: zero tokens means zero
+    // spans on both engines (sequence(0,-1) would otherwise fabricate
+    // phantom empty spans that steal first-occurrence corpus-wide)
     val docs = Seq(
       (1L, sp("a") + " " + sp("b"), "en", "s", 1L),
       (2L, sp("a") + " " + sp("c"), "en", "s", 1L),
-      (3L, sp("d") + " " + sp("d"), "en", "s", 1L)
+      (3L, sp("d") + " " + sp("d"), "en", "s", 1L),
+      (4L, "", "en", "s", 0L),
+      (5L, "   ", "en", "s", 3L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = s"/tmp/graft_spandedup_${System.nanoTime()}"
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TrainingQueries.q80(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // doc 1 keeps both spans; doc 2 loses A (seen in doc 1); doc 3
-    // keeps only the first D
+    // keeps only the first D; empty docs 4/5 have no spans and are
+    // absent — and their absence must not perturb docs 1-3
     assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 1L)),
       s"span-dedup counts changed: $got")
   }

@@ -39,6 +39,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(one == three, s"batching changed the corpus:\none=$one\nthree=$three")
   }
 
+  test("ingestAll takes its index schema from the caller: string ids work") {
+    // ids are strings (lexicographically monotone) — the seed index must
+    // derive its schema from the batch, not pin id to LongType
+    val named = corpus.select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val one = CorpusPipeline.ingestAll(Seq(named), "doc_id", "text")._1
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val two = CorpusPipeline.ingestAll(Seq(
+        named.filter(col("doc_id") <= "doc-3"),
+        named.filter(col("doc_id") > "doc-3")), "doc_id", "text")._1
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(one == two, s"string-id batching changed the corpus:\none=$one\ntwo=$two")
+    val survivors = one.map(_.head).toSet
+    assert(survivors == Set("doc-1", "doc-4"), s"survivors: $survivors")
+  }
+
   test("each stage rejects what it should; annotations land on survivors") {
     val (delta, indexRows) = CorpusPipeline.ingestAll(Seq(corpus), "doc_id", "text")
     val byId = delta.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

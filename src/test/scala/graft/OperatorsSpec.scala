@@ -676,6 +676,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getSeq[Float](1) == Seq(3.0f, 1.0f, 2.0f))
   }
 
+  test("mat-vec kernel fails loudly on shape bugs instead of truncating") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    // flat matrix of length 8 is not a multiple of dim 3
+    val ragged = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val e1 = intercept[Exception] {
+      df.select(graft.plans.MatVecF32.matVecF32(lit(ragged), col("v"))).collect()
+    }
+    assert(e1.toString.contains("not a multiple") ||
+      Option(e1.getCause).exists(_.toString.contains("not a multiple")), s"got: $e1")
+    val empty = Seq((1L, Array.empty[Float])).toDF("id", "v")
+    val e2 = intercept[Exception] {
+      empty.select(graft.plans.MatVecF32.matVecF32(lit(Array(1f)), col("v"))).collect()
+    }
+    assert(e2.toString.contains("non-empty") ||
+      Option(e2.getCause).exists(_.toString.contains("non-empty")), s"got: $e2")
+  }
+
   test("random rotation is an L2 isometry; JL projection preserves distances approximately") {
     val emb = Tables.embeddings(spark, sf).limit(60)
     val rot = lit(Similarity.randomOrthogonal(64).flatMap(_.map(_.toFloat)))

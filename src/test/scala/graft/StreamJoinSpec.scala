@@ -149,4 +149,53 @@ class StreamJoinSpec extends SparkSpec {
       assert(got == exp, s"streaming as-of diverged: missing=${exp -- got} extra=${got -- exp}")
     } finally q.stop()
   }
+
+  test("as-of probe exactly AT the watermark is not matured early (equality boundary)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{AsOfProbe, AsOfQuote, EventStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    val pIn = MemoryStream[AsOfProbe]
+    val qIn = MemoryStream[AsOfQuote]
+    val joined = EventStream.asofJoinStream(pIn.toDS(), qIn.toDS(),
+      lookbackSec = 10000L, watermarkDelay = "250 seconds")
+    val qname = s"asof_b_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // batch 1 pins the watermark EXACTLY on the probe's timestamp:
+      // max event ts 1250s - 250s delay = 1000s = probe ts. Maturing at
+      // equality would emit probe 1 unmatched before its quote arrives.
+      pIn.addData(AsOfProbe(1L, ts(1000), 1L))
+      qIn.addData(AsOfQuote(99L, ts(1250), 0.0))
+      q.processAllAvailable()
+      // batch 2: a quote at the same second as the probe, arriving with
+      // event time EXACTLY equal to the watermark. Verified empirically
+      // (this spec): Spark's late-record filter DROPS rows at equality,
+      // so the quote is late data by the streaming contract and the
+      // probe must surface unmatched. Maturing probes strictly below
+      // the watermark keeps that outcome convention-independent: were
+      // the filter ever to admit equal-time rows, the still-pending
+      // probe would match the quote instead of silently missing it.
+      qIn.addData(AsOfQuote(1L, ts(1000), 7.0))
+      q.processAllAvailable()
+      // sentinels advance the watermark strictly past 1000s and flush
+      qIn.addData(AsOfQuote(99L, ts(100000), 0.0)); q.processAllAvailable()
+      qIn.addData(AsOfQuote(99L, ts(100001), 0.0)); q.processAllAvailable()
+
+      val got = spark.table(qname).as[graft.streaming.AsOfResult].collect()
+        .filter(_.probe_id == 1L)
+        .map(r => (r.probe_id, r.quote_ts_sec.getOrElse(-1L), r.quote_value.getOrElse(-1.0)))
+        .toSet
+      // pin the observed convention so a Spark upgrade that changes the
+      // late filter surfaces here rather than as production divergence.
+      // (If equal-time rows were admitted, strict maturity would yield
+      // (1, 1000, 7.0) — also batch-consistent; what must NEVER happen
+      // is the quote being admitted AND the probe already emitted.)
+      assert(got == Set((1L, -1L, -1.0)),
+        s"equality-boundary convention changed: $got")
+    } finally q.stop()
+  }
 }
