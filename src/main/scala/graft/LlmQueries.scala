@@ -194,7 +194,8 @@ object LlmQueries {
   // from longer signatures.
   def q25(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
+    // sizing from parquet footers — metadata only, no scan job
+    val n = Tables.rowCount(spark, dir, "embeddings")
     val bits = math.max(6, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
     val tables = 12 + 2 * (bits - 6)
     val queries = emb.filter(col("vec_id") % 25 === 0)
@@ -213,7 +214,8 @@ object LlmQueries {
   // at sf10: 570.6 s at nlist=16 vs 26.6 s with this sizing, §8aaa).
   def q53(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
+    // sizing from parquet footers — metadata only, no scan job
+    val n = Tables.rowCount(spark, dir, "embeddings")
     val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
     val queries = emb.filter(col("vec_id") % 25 === 0)
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
@@ -243,15 +245,22 @@ object LlmQueries {
   // production billion-vector layout: coarse lists prune WHICH codes a
   // query scores (|C|·nprobe/nlist instead of |C|), residual PQ shrinks
   // WHAT it reads (m bytes/vector); nlist scales like q53's, the probe
-  // set is fixed like q71's.
+  // set is fixed like q71's. Runs through the PERSISTED index artifact
+  // (build → write → read → probe) so the train-once/probe-many path —
+  // the 100 TB serving shape — is what the correctness gate exercises;
+  // sizing comes from parquet footers, not a count() scan.
   def q75(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
+    val n = Tables.rowCount(spark, dir, "embeddings")
     val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
     val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
-    Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
-        dim = 64, nlist = nlist, nprobe = math.min(nlist, 8),
-        m = 16, ksub = 16, rerank = 20)
+    val indexDir = s"/tmp/graft_ivfpq_index_${Integer.toHexString(dir.hashCode)}"
+    val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = nlist, m = 16, ksub = 16, knownN = Some(n))
+    Similarity.writeIvfPqIndex(index, indexDir)
+    val loaded = Similarity.readIvfPqIndex(spark, indexDir)
+    Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding", k = 5,
+        nprobe = math.min(nlist, 8), rerank = 20, corpus = Some(emb))
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }

@@ -178,4 +178,66 @@ object PipelineQueries {
        strftime(l_shipdate, '%Y-%m-%d') AS ship_date
        FROM incl JOIN part ON l_partkey = p_partkey
        ORDER BY id"""
+
+  // q81: the END-TO-END incremental corpus ingest (CorpusPipeline.
+  // ingest: PII scrub → quality gate → index-backed near-dup dedup →
+  // annotate) as an oracle-checked query. Documents replay as TWO
+  // batches split at the median id (exercising the persisted-index
+  // incremental path the batching-invisibility specs cover), and the
+  // result must hash-match a ONE-SHOT SQL rendering. The dedup stage is
+  // SQL-expressible without recursion because dropped docs STAY in the
+  // index: doc b drops iff SOME earlier gated doc a has J(a,b) >= 0.5 —
+  // plain pairwise EXISTS, not a greedy chain. Exact parity holds for
+  // the q21 reason: 16x4 banding catches every >= 0.5 pair on this
+  // corpus, so LSH prunes, never decides.
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val mid = graft.sources.Tables.rowCount(spark, dir, "documents") / 2
+    val (delta, _) = graft.operators.CorpusPipeline.ingestAll(
+      Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid)),
+      "doc_id", "text")
+    delta.select(col("doc_id"), col("text"), col("n_tok"),
+        col("dup_token_ratio"), col("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  val q81Sql: String = {
+    val (e, i, p) = (graft.operators.CorpusOps.EmailRe,
+      graft.operators.CorpusOps.Ipv4Re, graft.operators.CorpusOps.PhoneRe)
+    s"""WITH scrub AS (
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$e', '[EMAIL]', 'g'), '$i', '[IP]', 'g'), '$p', '[PHONE]', 'g') AS text
+         FROM documents
+       ), t AS (
+         SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         FROM scrub
+       ), rated AS (
+         SELECT doc_id, text, toks,
+           CASE WHEN len(toks) > 0
+             THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS dup_token_ratio
+         FROM t
+       ), gated AS (
+         SELECT * FROM rated WHERE len(toks) >= 5 AND dup_token_ratio <= 0.6
+       ), sh AS (
+         SELECT doc_id, text, toks, dup_token_ratio, CASE WHEN len(toks) >= 3
+           THEN list_distinct(list_transform(range(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+         FROM gated
+       )
+       SELECT d.doc_id, d.text, CAST(len(d.toks) AS BIGINT) AS n_tok,
+         d.dup_token_ratio,
+         CAST(len(regexp_extract_all(d.text, '$e'))
+            + len(regexp_extract_all(d.text, '$i'))
+            + len(regexp_extract_all(d.text, '$p')) AS BIGINT) AS n_pii
+       FROM sh d
+       WHERE NOT EXISTS (
+         SELECT 1 FROM sh a JOIN sh b ON b.doc_id = d.doc_id AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) >= 0.5)
+       ORDER BY doc_id"""
+  }
 }

@@ -35,19 +35,42 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraphOps {
 
+  /** Lineage truncation for the iterative loops. Default:
+    * `localCheckpoint` — fast (blocks stay in executor storage), but an
+    * executor LOSS makes those blocks unrecoverable and fails the job.
+    * With `checkpointDir` set, rounds checkpoint RELIABLY into that
+    * directory instead: at 1000-executor scale a multi-round fixpoint
+    * WILL see preemption, and the reliable variant resumes from the
+    * checkpoint store rather than dying. The dir initializes the
+    * context's checkpoint location if none is set (a SparkContext has
+    * one global checkpoint dir; an already-configured one is respected).
+    */
+  private def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint(eager = true)
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+    }
+
   /** Connected components over an undirected edge list.
     *
     * @param edges first two columns are treated as `src`, `dst`
+    * @param checkpointDir when set, per-round state checkpoints reliably
+    *        there (see [[truncate]]) so the fixpoint survives executor loss
     * @return DataFrame(node, component) where component = min node id in
     *         the component (lexicographic for strings)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 100): DataFrame =
-    connectedComponentsWithStats(edges, maxIter)._1
+  def connectedComponents(edges: DataFrame, maxIter: Int = 100,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithStats(edges, maxIter, checkpointDir)._1
 
   /** Same as [[connectedComponents]] but also returns the number of
     * large-star+small-star rounds run until the fixpoint — the spec
     * asserts the O(log² n) bound on a 10k-node path graph. */
-  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 100): (DataFrame, Int) = {
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 100,
+                                   checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val e0 = edges.toDF("src", "dst")
     // Partition count for the fixpoint follows spark.sql.shuffle.partitions
     // (divided down because the iterated frames shrink fast and per-round
@@ -59,10 +82,9 @@ object GraphOps {
 
     // Every node that appears anywhere — needed at the end because roots
     // and isolated nodes have no outgoing edge in the converged forest.
-    val nodes = e0.select(col("src").as("node"))
+    val nodes = truncate(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct(), checkpointDir)
 
     // Canonical working set: (u, v) with u > v, self-loops dropped.
     // Both star operations preserve this orientation invariant.
@@ -116,8 +138,8 @@ object GraphOps {
       sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("h"))
     def observed(df: DataFrame): (DataFrame, () => (Long, java.math.BigDecimal)) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*)
-        .localCheckpoint(eager = true)
+      val out = truncate(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*),
+        checkpointDir)
       (out, () => (obs.get("n").asInstanceOf[Long],
         obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
@@ -183,8 +205,9 @@ object GraphOps {
     * the (≤ 2|ΔE|-row) relabel map; untouched components keep their
     * rows byte-identical. Spec: == full recompute on G ∪ ΔE exactly.
     */
-  def connectedComponentsIncrement(labels: DataFrame, deltaEdges: DataFrame): DataFrame = {
-    val lab = labels.toDF("node", "component").localCheckpoint(eager = true)
+  def connectedComponentsIncrement(labels: DataFrame, deltaEdges: DataFrame,
+                                   checkpointDir: Option[String] = None): DataFrame = {
+    val lab = truncate(labels.toDF("node", "component"), checkpointDir)
     val e0 = deltaEdges.toDF("src", "dst")
     val mapped = e0
       .join(lab.select(col("node").as("src"), col("component").as("csrc")), Seq("src"), "left")
@@ -192,7 +215,7 @@ object GraphOps {
       .select(coalesce(col("csrc"), col("src")).as("src"),
         coalesce(col("cdst"), col("dst")).as("dst"))
     // fixpoint over the contracted delta subgraph only
-    val contracted = connectedComponents(mapped) // (node = old root | new node, component = new root)
+    val contracted = connectedComponents(mapped, checkpointDir = checkpointDir) // (node = old root | new node, component = new root)
     val relabel = contracted
       .select(col("node").as("component"), col("component").as("new_comp"))
       .filter(col("component") =!= col("new_comp"))
@@ -229,12 +252,13 @@ object GraphOps {
     * the oracle unrolls the same count.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 10,
-                  unit: Long = 1000000L): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("node"))
+                  unit: Long = 1000000L,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
+    val nodes = truncate(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(eager = true)
-    pageRankIntFrom(nodes.withColumn("r", lit(unit)), e, iters, unit)
+      .distinct(), checkpointDir)
+    pageRankIntFrom(nodes.withColumn("r", lit(unit)), e, iters, unit, checkpointDir)
   }
 
   /** Continue integer PageRank from a previous run's (node, r) state —
@@ -244,25 +268,159 @@ object GraphOps {
     * (spec'd). This is what lets a daily pipeline refine ranks
     * incrementally instead of re-paying the full iteration count.
     */
+  /** One integer-PageRank round — shared by the fixed-budget and
+    * converging loops, and plan-pinned by PlanRegressionSpec: an
+    * edge-keyed join, a partially-aggregated contribution sum, and the
+    * node-keyed update join; no nested loop, no cartesian, nothing
+    * carrying more than (id, long) rows through an exchange. */
+  private[graft] def pageRankRound(nodes: DataFrame, e: DataFrame, deg: DataFrame,
+                                   rank: DataFrame, base: Long): DataFrame = {
+    val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("node"), expr("r div deg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+  }
+
   def pageRankIntFrom(state: DataFrame, edges: DataFrame, iters: Int,
-                      unit: Long = 1000000L): DataFrame = {
-    val e = edges.toDF("src", "dst").distinct().localCheckpoint(eager = true)
+                      unit: Long = 1000000L,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = state.toDF("node", "r").select("node")
-      .localCheckpoint(eager = true)
+    val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val base = (unit * 15L) / 100L
     var rank = state.toDF("node", "r")
-    for (_ <- 1 to iters) {
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(eager = true)
-    }
+    for (_ <- 1 to iters)
+      rank = truncate(pageRankRound(nodes, e, deg, rank, base), checkpointDir)
     rank
+  }
+
+  /** Integer PageRank run to its EXACT least fixed point. Iterating the
+    * integer update from an arbitrary start does NOT settle — the floor
+    * operations break the contraction at the ±1 level and the
+    * trajectory enters a small limit cycle (observed empirically). What
+    * IS provable: the update is MONOTONE (raising any rank weakly
+    * raises every rank it feeds), so by Kleene/Tarski a rank vector
+    * `r` with `r <= update(r)` that also sits below the least fixed
+    * point ascends — each round weakly increases every coordinate — and
+    * an increasing, mass-bounded integer sequence must terminate
+    * EXACTLY, no epsilon, no cycle. [[pageRankIntLfp]] starts that
+    * ascent from the base vector (0.15·unit everywhere, always a valid
+    * pre-fixpoint below the lfp), which makes the converged result
+    * canonical: any engine, any partitioning, any start satisfying the
+    * precondition lands on the SAME vector — the property the q78-style
+    * hash-exact oracles need, extended from "same after k rounds" to
+    * "same at convergence".
+    *
+    * `state` must satisfy the ascent precondition
+    * (`state <= update(state)` elementwise and `state <= lfp`); callers
+    * are [[pageRankIntLfp]] (base vector) and [[pageRankIntWarmStart]]
+    * (previous lfp + growth-only deltas, precondition proved there).
+    * Convergence detection reuses the CC fixpoint's fused
+    * count+hash-sum fingerprint with an exact `exceptAll` confirm.
+    * Returns (ranks, rounds); throws past `maxIters` like the CC
+    * fixpoint.
+    */
+  def pageRankIntAscend(state: DataFrame, edges: DataFrame,
+                        maxIters: Int = 300, unit: Long = 1000000L,
+                        checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
+    val base = (unit * 15L) / 100L
+    def fingerprintCols = Seq(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("node"), col("r")).cast(DecimalType(38, 0))).as("h"))
+    def observed(df: DataFrame): (DataFrame, () => (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = truncate(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*),
+        checkpointDir)
+      (out, () => (obs.get("n").asInstanceOf[Long],
+        obs.get("h").asInstanceOf[java.math.BigDecimal]))
+    }
+    def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)): Boolean =
+      a != null && b != null && a._1 == b._1 &&
+        ((a._2 == null && b._2 == null) || (a._2 != null && a._2.compareTo(b._2) == 0))
+
+    var (rank, fp0) = observed(state.toDF("node", "r"))
+    var prev = fp0()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val (next, fpf) = observed(pageRankRound(nodes, e, deg, rank, base))
+      val fp = fpf()
+      if (same(fp, prev))
+        converged = next.exceptAll(rank).limit(1).count() == 0
+      prev = fp
+      rank = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"integer PageRank did not reach its fixpoint within $maxIters rounds " +
+          "(was the ascent precondition violated?)")
+    (rank, iter)
+  }
+
+  /** The canonical converged integer PageRank: Kleene ascent from the
+    * base vector (see [[pageRankIntAscend]]). Damping contracts the
+    * gap to the fixed point ~0.85× per round, so convergence takes
+    * O(log(unit)/log(1/0.85)) rounds (~57 at unit=1e4, ~85 at 1e6)
+    * regardless of graph size. Returns (ranks, rounds).
+    */
+  def pageRankIntLfp(edges: DataFrame, maxIters: Int = 300,
+                     unit: Long = 1000000L,
+                     checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val base = (unit * 15L) / 100L
+    pageRankIntAscend(nodes.withColumn("r", lit(base)), e, maxIters, unit, checkpointDir)
+  }
+
+  /** PageRank WARM START over GROWTH deltas — the rank twin of
+    * [[connectedComponentsIncrement]]: when a crawl batch lands (new
+    * documents plus their outlinks), re-converge from yesterday's rank
+    * vector instead of from scratch. The delta must be growth-only:
+    * every delta-edge SOURCE is a NEW node (absent from `prevRanks`) —
+    * new pages cite anything, but existing pages' outlink sets are
+    * unchanged, so no existing out-degree changes. That restriction is
+    * what makes warm exact: extend G with the new nodes isolated — its
+    * lfp is exactly (prevRanks, base on new nodes), the warm start r0.
+    * Adding the delta edges only ADDS in-contributions (divisors of old
+    * sources untouched), so the new update f' dominates the old one
+    * pointwise, giving both ascent legs: r0 = lfp(f) <= f'(r0), and
+    * lfp(f') = lim f'^k(0) >= lim f^k(0) = r0. By [[pageRankIntAscend]]
+    * the warm ascent therefore lands on lfp(G ∪ ΔE) EXACTLY — the
+    * hash-identical answer a cold [[pageRankIntLfp]] computes, in the
+    * fewer rounds the locality of the delta buys (spec'd). A delta that
+    * rewires an existing page's outlinks invalidates the argument:
+    * detected (one anti-join) and rejected loudly — rerun cold.
+    */
+  def pageRankIntWarmStart(prevRanks: DataFrame, edges: DataFrame,
+                           deltaEdges: DataFrame, maxIters: Int = 300,
+                           unit: Long = 1000000L,
+                           checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val prev = prevRanks.toDF("node", "r")
+    val dE = deltaEdges.toDF("src", "dst")
+    val oldSources = dE.select(col("src").as("node")).distinct()
+      .join(prev, Seq("node"), "left_semi")
+    require(oldSources.isEmpty,
+      "warm start needs growth-only deltas (every delta-edge source a new node); " +
+        s"existing nodes gained out-edges: ${oldSources.limit(5).collect().map(_.get(0)).mkString(", ")} — " +
+        "their out-degrees changed, run pageRankIntLfp cold instead")
+    val all = edges.toDF("src", "dst").unionByName(dE)
+    val e = truncate(all.distinct(), checkpointDir)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val base = (unit * 15L) / 100L
+    val state = nodes.join(prev, Seq("node"), "left")
+      .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
+    pageRankIntAscend(state, e, maxIters, unit, checkpointDir)
   }
 
   /** Star edges for blocking-defined cliques: rows sharing `blockCols`

@@ -123,7 +123,8 @@ object Similarity {
     * their previous position. Returns (centroid_id, cvec).
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        nlist: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+                        nlist: Int, iters: Int = 3, seed: Long = 42L,
+                        knownN: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val cos = cosineOf(corpus, vecCol) _
@@ -132,8 +133,10 @@ object Similarity {
     // vectors (the standard IVF heuristic) with a deterministic hash
     // pick, so training cost is O(nlist²·iters) regardless of corpus
     // size — only the final one-pass list assignment sees all of it.
-    // The sf10 A/B that motivated this is in SURVEY §8aaa.
-    val n = full.count()
+    // The sf10 A/B that motivated this is in SURVEY §8aaa. Callers that
+    // already know the corpus size (parquet footers, catalog stats)
+    // pass it via `knownN` and skip the sizing scan.
+    val n = knownN.getOrElse(full.count())
     val cap = 256L * nlist
     val c = if (n <= cap) full
     else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
@@ -438,12 +441,13 @@ object Similarity {
     */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int = 8, ksub: Int = 16,
-                       iters: Int = 3, seed: Long = 42L): DataFrame = {
+                       iters: Int = 3, seed: Long = 42L,
+                       knownN: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
-    val n = full.count()
+    val n = knownN.getOrElse(full.count())
     val cap = 256L * ksub
     val sampled = if (n <= cap) full
     else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
@@ -514,7 +518,40 @@ object Similarity {
                 vecCol: String, k: Int, dim: Int, nlist: Int = 16,
                 nprobe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 3,
                 seed: Long = 42L, rerank: Int = 0): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val index = buildIvfPqIndex(corpus, idCol, vecCol, dim, nlist, m, ksub, iters, seed)
+    probeIvfPqIndex(index, queries, idCol, vecCol, k, nprobe, rerank,
+      corpus = if (rerank > 0) Some(corpus) else None)
+  }
+
+  // ---- Persisted IVF-PQ index (train once / probe many) -----------------
+
+  /** A trained IVF-PQ index: the coarse quantizer (`centroids`), the
+    * per-subspace residual `codebooks`, and the encoded corpus (`codes`:
+    * (id, centroid_id, subspace, code) — m byte-sized codes plus a list
+    * id per vector; the raw vectors are NOT stored, that's the 32×
+    * memory point). At 100 TB the build is the expensive offline job
+    * (several full corpus passes) and probes are the hot path, so the
+    * index must outlive the call: [[writeIvfPqIndex]] persists these
+    * three frames to parquet and [[readIvfPqIndex]] probes the loaded
+    * artifact without touching corpus vectors except the optional
+    * re-rank rejoin. Mirrors `Dedup.minhashIndex`, the repo's
+    * incremental-dedup precedent.
+    */
+  case class IvfPqIndex(dim: Int, m: Int, ksub: Int, nlist: Int,
+                        centroids: DataFrame, codebooks: DataFrame,
+                        codes: DataFrame)
+
+  /** Train the IVF-PQ index (IVFADC, Jégou et al. TPAMI'11 §IV): coarse
+    * Lloyd for `nlist` lists, residual = vector − its centroid,
+    * per-subspace codebooks over residuals, corpus encoded to
+    * (id, centroid_id, subspace, code). `knownN` (parquet footers,
+    * catalog stats) skips the sampling-cap sizing scans.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 3, seed: Long = 42L,
+                      knownN: Option[Long] = None): IvfPqIndex = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed, knownN)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // L2 nearest-centroid assignment; only (id, centroid_id) survives
     // the partial aggregate
@@ -529,12 +566,61 @@ object Similarity {
         zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
     val codebooks = trainPqCodebooks(
       resid.select(col("neighbor_id"), col("rv")), "neighbor_id", "rv",
-      dim, m, ksub, iters, seed)
+      dim, m, ksub, iters, seed, knownN)
     // (neighbor_id, centroid_id, subspace, code): the whole index is
     // m bytes + a list id per vector
-    val enc = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
+    val codes = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
         codebooks, "neighbor_id", "rv", dim, m)
       .join(assigned, "neighbor_id")
+    IvfPqIndex(dim, m, ksub, nlist, centroids, codebooks, codes)
+  }
+
+  /** Persist the index: codes PARTITIONED BY centroid_id so a probe of
+    * `nprobe` lists prunes to nprobe/nlist of the files (dynamic
+    * partition pruning through the broadcast distance-table join);
+    * centroids + codebooks are the tiny broadcast-side frames; one-row
+    * meta pins (dim, m, ksub, nlist) so probing needs no out-of-band
+    * parameters.
+    */
+  def writeIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    index.codes.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+    Seq((index.dim, index.m, index.ksub, index.nlist))
+      .toDF("dim", "m", "ksub", "nlist")
+      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Load a persisted index for probing. The one-row meta collect is the
+    * only driver round-trip. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta.parquet").collect().head
+    IvfPqIndex(meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("ksub"), meta.getAs[Int]("nlist"),
+      spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+  }
+
+  /** Search a (built or loaded) IVF-PQ index. Identical semantics to the
+    * search half of [[ivfPqTopK]] — which delegates here, so "loaded
+    * probes == inline results exactly" is structural, not coincidental.
+    * `corpus` supplies raw vectors ONLY for the optional exact re-rank
+    * of the |Q|·rerank ids-only shortlist; pure-ADC probes (rerank=0)
+    * never touch a corpus vector.
+    */
+  def probeIvfPqIndex(index: IvfPqIndex, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nprobe: Int = 4,
+                      rerank: Int = 0, corpus: Option[DataFrame] = None): DataFrame = {
+    require(rerank <= 0 || corpus.nonEmpty,
+      "rerank > 0 re-ranks against raw vectors: pass corpus=Some(...)")
+    val (dim, m) = (index.dim, index.m)
+    val centroids = index.centroids
+    val codebooks = index.codebooks
+    val enc = index.codes
     // probe the nprobe closest lists; the query residual is PER PROBED
     // CENTROID (that's what "asymmetric vs the residual space" means)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -564,7 +650,7 @@ object Similarity {
       adcTop.select("query_id", "rank", "neighbor_id", "adc_dist")
     else {
       val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      val cvf = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val cvf = corpus.get.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       val exact = adcTop.select("query_id", "neighbor_id")
         .join(broadcast(qv), "query_id")
         .join(cvf, "neighbor_id")

@@ -60,6 +60,37 @@ object Tables {
       throw new IllegalArgumentException(s"engines source missing schema '$schema': $engines"))
   }
 
+  /** Table row count from parquet FOOTERS — a driver-side metadata read
+    * (O(#files), no Spark job, no data bytes): the right way to SIZE an
+    * operator (IVF nlist, LSH bits) before any executor spins up. A
+    * `df.count()` for the same number is a full scan-and-agg job that
+    * at 100 TB costs more than the operator it sizes. Non-parquet
+    * sources (`jdbc:`, or an `engines:` route resolving to one) fall
+    * back to a count() job — a real database answers COUNT(*) from its
+    * own metadata anyway.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    if (dir.startsWith("engines:")) rowCount(spark, engineFor(dir, name), name)
+    else if (dir.startsWith("jdbc:")) read(spark, dir, name).count()
+    else {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val base = f.getPath.getName
+        if (base.endsWith(".parquet") && !base.startsWith("_") && !base.startsWith(".")) {
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+          try n += r.getRecordCount finally r.close()
+        }
+      }
+      n
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

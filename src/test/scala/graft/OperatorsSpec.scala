@@ -141,6 +141,61 @@ class GraphOpsSpec extends SparkSpec {
     assert(straight == resumed, s"iteration split changed ranks:\n$straight\n$resumed")
   }
 
+  test("reliable-checkpoint opt-in: CC and PageRank results identical to localCheckpoint") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_ckpt_${System.nanoTime()}"
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("src", "dst")
+    val ccLocal = GraphOps.connectedComponents(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ccReliable = GraphOps.connectedComponents(e, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ccLocal == ccReliable, s"checkpoint mode changed CC: $ccReliable")
+    val pe = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val prLocal = GraphOps.pageRankInt(pe, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prReliable = GraphOps.pageRankInt(pe, iters = 3, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prLocal == prReliable, s"checkpoint mode changed ranks: $prReliable")
+    // the reliable run actually wrote checkpoint state to the store
+    def rddFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(rddFiles).sum
+      else if (f.getName.startsWith("part-")) 1 else 0
+    assert(rddFiles(new java.io.File(dir)) > 0, "no reliable checkpoint data written")
+  }
+
+  test("PageRank warm start on growth deltas == cold lfp on G+dE, hash-exactly") {
+    import spark.implicits._
+    // micro-unit 1e4 keeps the ascent to ~60 rounds; the least fixed
+    // point is exact either way (integer floor + monotone ascent)
+    val unit = 10000L
+    // G: a directed 6-node core with asymmetric degrees
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 1L), (6L, 1L)).toDF("src", "dst")
+    // dE: a crawl batch — NEW pages 7 and 8 appear with outlinks into
+    // the existing graph (and to each other); no existing page's
+    // outlink set changes
+    val dE = Seq((7L, 1L), (7L, 6L), (8L, 7L), (8L, 3L)).toDF("src", "dst")
+    val (prev, _) = GraphOps.pageRankIntLfp(g, unit = unit)
+    val (warm, warmRounds) = GraphOps.pageRankIntWarmStart(prev, g, dE, unit = unit)
+    val (cold, coldRounds) = GraphOps.pageRankIntLfp(g.unionByName(dE), unit = unit)
+    val warmMap = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coldMap = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmMap == coldMap,
+      s"warm start diverged from cold lfp:\nwarm=$warmMap\ncold=$coldMap")
+    assert(warmRounds < coldRounds,
+      s"warm start must re-converge in fewer rounds: warm=$warmRounds cold=$coldRounds")
+    // ranks actually moved: page 1 gains a new in-link from page 7
+    assert(coldMap(1L) > prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(1L),
+      "the delta must raise page 1's rank")
+    // a delta that rewires an EXISTING page's outlinks breaks the
+    // monotone-ascent precondition and must be rejected loudly
+    val bad = Seq((2L, 6L)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.pageRankIntWarmStart(prev, g, bad, unit = unit)
+    }
+    assert(err.getMessage.contains("growth-only"))
+  }
+
   test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
     // The adversarial case for label propagation: diameter = n. The
     // alternating large-star/small-star fixpoint must converge in
@@ -661,6 +716,47 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+  }
+
+  test("persisted IVF-PQ index: loaded probes == inline ivfPqTopK exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("l2_dist"))).toSeq
+    val inline = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, nlist = 8, nprobe = 4, m = 16, ksub = 16, rerank = 20))
+    val dir = s"/tmp/graft_ivfpq_art_${System.nanoTime()}"
+    val built = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 16, ksub = 16)
+    Similarity.writeIvfPqIndex(built, dir)
+    val loaded = Similarity.readIvfPqIndex(spark, dir)
+    assert((loaded.dim, loaded.m, loaded.ksub, loaded.nlist) == (64, 16, 16, 8))
+    val probed = rows(Similarity.probeIvfPqIndex(loaded, queries, "vec_id",
+      "embedding", 5, nprobe = 4, rerank = 20, corpus = Some(emb)))
+    assert(probed == inline,
+      s"artifact roundtrip changed results: ${probed.diff(inline).take(3)}")
+    // the codes live partitioned by coarse list so probes prune files
+    val fs = new java.io.File(s"$dir/codes.parquet")
+    assert(fs.listFiles().exists(_.getName.startsWith("centroid_id=")),
+      "codes must be partitioned by centroid_id")
+    // pure-ADC probes need no corpus frame at all
+    val adcOnly = Similarity.probeIvfPqIndex(loaded, queries, "vec_id",
+      "embedding", 5, nprobe = 4)
+    assert(adcOnly.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding", 5,
+        nprobe = 4, rerank = 20)
+    }
+    assert(e.getMessage.contains("corpus"))
+  }
+
+  test("footer row count == full count, with no scan job") {
+    val n = graft.sources.Tables.rowCount(spark, sf, "embeddings")
+    assert(n == Tables.embeddings(spark, sf).count(), s"footer count $n wrong")
+    assert(graft.sources.Tables.rowCount(spark, sf, "documents") ==
+      Tables.documents(spark, sf).count())
   }
 
   test("mat-vec kernel: identity and permutation known answers") {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
@@ -88,6 +89,74 @@ class PlanRegressionSpec extends SparkSpec {
     assert(keyTypes.nonEmpty, "expected an equi-join on the shingle hash")
     assert(keyTypes.contains(org.apache.spark.sql.types.LongType),
       s"shingle join key should be the 64-bit hash, got $keyTypes")
+  }
+
+  test("q72: near-dup clustering never plans a cartesian, and no exchange carries raw text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(LlmQueries.q72(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q72 candidate generation must stay equi-joins")
+    // shuffle hygiene: candidate/cluster exchanges move ids + hashes,
+    // never document text — at corpus scale text through an exchange is
+    // the whole job's bytes
+    val textThroughShuffle = p.collect { case s: ShuffleExchangeLike => s }
+      .flatMap(_.output).filter(_.name == "text")
+    assert(textThroughShuffle.isEmpty,
+      s"q72 shuffles the raw text column: ${textThroughShuffle.map(_.name)}")
+  }
+
+  test("q71/q75: ADC scoring is a broadcast equi-join on (list,) subspace + code") {
+    // the scan side of PQ search reads byte codes and joins the tiny
+    // distance table BROADCAST on integer keys — a refactor that turns
+    // this into a shuffled or non-equi join loses the 32x read story
+    def adcJoin(df: DataFrame): Seq[BroadcastHashJoinExec] =
+      plan(df).collect {
+        case b: BroadcastHashJoinExec
+          if b.leftKeys.size >= 2 &&
+            b.leftKeys.forall(_.dataType == org.apache.spark.sql.types.IntegerType) => b
+      }
+    assert(adcJoin(LlmQueries.q71(spark, sf)).nonEmpty,
+      "q71 must score codes via a broadcast equi-join on (subspace, code)")
+    assert(adcJoin(LlmQueries.q75(spark, sf)).nonEmpty,
+      "q75 must score codes via a broadcast equi-join on (centroid_id, subspace, code)")
+  }
+
+  test("q78: one PageRank round = edge join + partial-agg contribution sum, no nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = e.select(col("src").as("node")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val rank = nodes.withColumn("r", lit(1000000L))
+    val p = plan(graft.operators.GraphOps.pageRankRound(nodes, e, deg, rank, 150000L))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "PageRank round must stay equi-joins")
+    // the contribution sum must partially aggregate (map-side combine
+    // collapses hot in-degree nodes before the exchange)
+    val s = p.toString
+    assert(s.contains("partial_sum"), s"contribution sum lost its partial aggregation:\n$s")
+    // per-round exchanges are bounded: edge/update joins + the agg —
+    // a regression that re-shuffles the full rank vector per join side
+    // shows up as extra exchanges here
+    val exchanges = p.collect { case x: ShuffleExchangeLike => x }.size
+    assert(exchanges <= 6, s"PageRank round grew to $exchanges exchanges")
+  }
+
+  test("q79/q80: chunking is map-side; span dedup partially aggregates, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val chunks = plan(TrainingQueries.q79(spark, sf))
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(chunks.size <= 1,
+      s"q79 must only shuffle for the presentation sort, got ${chunks.size}")
+    val p80 = plan(TrainingQueries.q80(spark, sf)).toString
+    assert(p80.contains("partial_min"),
+      "q80 first-occurrence must stay a map-side-combinable min(struct) aggregate")
+    assert(!p80.contains("Window"),
+      "q80 must not use a window over the span hash (hot-span straggler)")
   }
 
   test("q58: the conformed union keeps every dim join broadcast") {
