@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Train-once / probe-many evidence for the persisted IVF-PQ index:
+  * times the offline BUILD (train + encode + write) once, then PROBE
+  * rounds against the loaded artifact — the serving split q75's
+  * inline-per-call shape hides. Prints one JSON line.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.IndexBench [probes]`
+  */
+object IndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val probeRounds = if (args.nonEmpty) args(0).toInt else 5
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
+    val dir = s"/tmp/graft_ivfpq_bench_${Integer.toHexString(sfDir.hashCode)}"
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val buildSec = time {
+      val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        dim = 64, nlist = nlist, m = 16, ksub = 16, knownN = Some(n))
+      Similarity.writeIvfPqIndex(idx, dir)
+    }
+    val loaded = Similarity.readIvfPqIndex(spark, dir)
+    val probeSecs = (1 to probeRounds).map { _ =>
+      time {
+        Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding",
+            k = 5, nprobe = math.min(nlist, 8), rerank = 20, corpus = Some(emb))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    println(f"""{"metric":"ivfpq_index","build_sec":$buildSec%.3f,"probe_sec_min":${probeSecs.min}%.3f,"probe_sec_all":[${probeSecs.map(s => f"$s%.3f").mkString(",")}],"nlist":$nlist,"n":$n,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

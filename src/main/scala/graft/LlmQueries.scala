@@ -219,7 +219,7 @@ object LlmQueries {
     val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
     val queries = emb.filter(col("vec_id") % 25 === 0)
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nlist = nlist, nprobe = math.min(nlist, 8))
+        nlist = nlist, nprobe = math.min(nlist, 8), knownN = Some(n))
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
@@ -236,7 +236,8 @@ object LlmQueries {
     // set that grew with the corpus would be quadratic by construction
     val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
     Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
-        dim = 64, m = 16, ksub = 16, rerank = 20)
+        dim = 64, m = 16, ksub = 16, rerank = 20,
+        knownN = Some(Tables.rowCount(spark, dir, "embeddings")))
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }

@@ -367,20 +367,24 @@ object Dedup {
   // ---- Incremental (index-backed) near-dup dedup -------------------------
 
   /** The persistent near-dup index: one row per SEEN doc with its
-    * k-minhash signature and hashed distinct shingle set — everything
-    * [[dedupIncrement]] needs to block AND exactly verify a new batch
-    * without re-reading any historical text. The index must hold every
-    * doc ever seen (survivors AND dropped duplicates): a new doc that
-    * matches only a dropped near-dup D — not D's surviving
-    * representative — must still be dropped, exactly as the full-corpus
-    * recompute would (Jaccard is not transitive, so the seen-set, not
-    * the survivor-set, is what preserves equivalence).
+    * k-minhash signature, hashed distinct shingle set, and normalized
+    * content hash — everything [[dedupIncrement]] needs to block AND
+    * exactly verify a new batch without re-reading any historical text.
+    * The index must hold every doc ever seen (survivors AND dropped
+    * duplicates): a new doc that matches only a dropped near-dup D —
+    * not D's surviving representative — must still be dropped, exactly
+    * as the full-corpus recompute would (Jaccard is not transitive, so
+    * the seen-set, not the survivor-set, is what preserves
+    * equivalence). The content hash (`__ch`) is the exact-layer key
+    * that lets [[dedupIncrement]] keep clone families OUT of the banded
+    * index (see there).
     */
   def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
     docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"),
-      array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("__sh"))
+      array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("__sh"),
+      contentHash(col(textCol)).as("__ch"))
 
   /** Incremental near-dup dedup: dedupe `newDocs` against the seen-set
     * `index` (and against each other) WITHOUT touching historical text
@@ -398,12 +402,34 @@ object Dedup {
     * the seen-set property above. Spec: chained increments ==
     * `minhashDedupVerified` over the whole corpus, exactly.
     */
+  /** LAYERED: the banded LSH index holds one representative per
+    * DISTINCT normalized content, never clone families. Equal content
+    * hash ⇒ equal token sequence ⇒ equal shingle set ⇒ equal Jaccard
+    * against everything, so (a) a new doc whose content was already
+    * seen drops immediately via the exact layer (J = 1.0 ≥ threshold),
+    * and (b) near-dup blocking loses nothing by keeping only each
+    * family's MIN id (the id the `a < b` drop rule needs). Without the
+    * layer a clone-heavy corpus (the production web shape, and the
+    * mirrored sf10 fixture by construction) puts g-member families into
+    * shared buckets for g² candidate pairs per batch — measured 70× at
+    * 100× data on q81 before this change; the same structural fix as
+    * `nearDupClustersLayered`.
+    */
   def dedupIncrement(index: DataFrame, newDocs: DataFrame, idCol: String,
                      textCol: String, threshold: Double = 0.5, shingleN: Int = 3,
                      bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    require(threshold <= 1.0, "an exact clone has Jaccard 1.0; threshold > 1.0 would drop nothing")
     val newIdx = minhashIndex(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
       .localCheckpoint(eager = true)
-    val all = index.select("id", "sig", "__sh").unionByName(newIdx)
+    val all = index.select("id", "sig", "__sh", "__ch").unionByName(newIdx)
+    // exact layer: each content family collapses to its min id
+    val famMin = all.select("id", "__ch").groupBy("__ch").agg(min(col("id")).as("__rep"))
+    val exactDropped = newIdx.join(famMin, "__ch")
+      .filter(col("id") =!= col("__rep"))
+      .select("id")
+    val repIds = famMin.select(col("__rep").as("id"))
+    val reps = all.join(repIds, Seq("id"), "left_semi")
+    val newReps = newIdx.join(repIds, Seq("id"), "left_semi")
     def banded(df: DataFrame): DataFrame =
       df.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -411,25 +437,27 @@ object Dedup {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_sig")
     // ids only through the bucket join and distinct; the probe side is
-    // the NEW batch, so bucket collisions against history are the only
-    // part of the index that moves
-    val cands = banded(all).select(col("band"), col("band_sig"), col("id").as("id_a"))
-      .join(banded(newIdx).select(col("band"), col("band_sig"), col("id").as("id_b")),
+    // the NEW batch's representatives, so bucket collisions against
+    // history representatives are the only part of the index that moves
+    val cands = banded(reps).select(col("band"), col("band_sig"), col("id").as("id_a"))
+      .join(banded(newReps).select(col("band"), col("band_sig"), col("id").as("id_b")),
         Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
     val union = size(array_union(col("__sh_a"), col("__sh_b")))
-    val dupes = cands
-      .join(all.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(newIdx.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+    val lshDropped = cands
+      .join(reps.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(newReps.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard",
         when(union === 0, lit(0d))
           .otherwise(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType)
             / union.cast(DoubleType)))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    (newDocs.join(dupes, Seq(idCol), "left_anti"), newIdx)
+      .select(col("id_b").as("id"))
+    val dropped = exactDropped.unionByName(lshDropped).distinct()
+      .withColumnRenamed("id", idCol)
+    (newDocs.join(dropped, Seq(idCol), "left_anti"), newIdx)
   }
 
   /** Exact n-gram Jaccard between given candidate pairs (verification

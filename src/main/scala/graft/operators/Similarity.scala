@@ -172,9 +172,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
+              iters: Int = 3, seed: Long = 42L,
+              knownN: Option[Long] = None): DataFrame = {
     val cos = cosineOf(corpus, vecCol) _
-    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed, knownN)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val lists = assign(c.select(col("neighbor_id"), col("cv").as("v")),
@@ -674,8 +675,9 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
-             iters: Int = 3, seed: Long = 42L, rerank: Int = 0): DataFrame = {
-    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed)
+             iters: Int = 3, seed: Long = 42L, rerank: Int = 0,
+             knownN: Option[Long] = None): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, seed, knownN)
     val enc = pqEncodeExploded(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       codebooks, "neighbor_id", "cv", dim, m)
