@@ -268,15 +268,25 @@ object GraphOps {
     * (spec'd). This is what lets a daily pipeline refine ranks
     * incrementally instead of re-paying the full iteration count.
     */
+  /** Degree-annotated edges (src, dst, deg) — the loop-INVARIANT half
+    * of the PageRank update, joined and materialized ONCE before the
+    * iteration instead of re-joined every round. */
+  private def degreeEdges(edges: DataFrame,
+                          checkpointDir: Option[String]): DataFrame = {
+    val e = edges.toDF("src", "dst").distinct()
+    truncate(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
+      checkpointDir)
+  }
+
   /** One integer-PageRank round — shared by the fixed-budget and
-    * converging loops, and plan-pinned by PlanRegressionSpec: an
-    * edge-keyed join, a partially-aggregated contribution sum, and the
-    * node-keyed update join; no nested loop, no cartesian, nothing
-    * carrying more than (id, long) rows through an exchange. */
-  private[graft] def pageRankRound(nodes: DataFrame, e: DataFrame, deg: DataFrame,
+    * converging loops, and plan-pinned by PlanRegressionSpec: ONE
+    * edge-keyed rank join (degrees pre-joined, loop-invariant), a
+    * partially-aggregated contribution sum, and the node-keyed update
+    * join; no nested loop, no cartesian, nothing carrying more than
+    * (id, long) rows through an exchange. */
+  private[graft] def pageRankRound(nodes: DataFrame, edeg: DataFrame,
                                    rank: DataFrame, base: Long): DataFrame = {
-    val contrib = e.join(rank.withColumnRenamed("node", "src"), "src")
-      .join(deg, "src")
+    val contrib = edeg.join(rank.withColumnRenamed("node", "src"), "src")
       .select(col("dst").as("node"), expr("r div deg").as("c"))
       .groupBy("node").agg(sum(col("c")).as("s"))
     nodes.join(contrib, Seq("node"), "left")
@@ -287,13 +297,12 @@ object GraphOps {
   def pageRankIntFrom(state: DataFrame, edges: DataFrame, iters: Int,
                       unit: Long = 1000000L,
                       checkpointDir: Option[String] = None): DataFrame = {
-    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edeg = degreeEdges(edges, checkpointDir)
     val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val base = (unit * 15L) / 100L
     var rank = state.toDF("node", "r")
     for (_ <- 1 to iters)
-      rank = truncate(pageRankRound(nodes, e, deg, rank, base), checkpointDir)
+      rank = truncate(pageRankRound(nodes, edeg, rank, base), checkpointDir)
     rank
   }
 
@@ -326,8 +335,7 @@ object GraphOps {
   def pageRankIntAscend(state: DataFrame, edges: DataFrame,
                         maxIters: Int = 300, unit: Long = 1000000L,
                         checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val e = truncate(edges.toDF("src", "dst").distinct(), checkpointDir)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edeg = degreeEdges(edges, checkpointDir)
     val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val base = (unit * 15L) / 100L
     def fingerprintCols = Seq(
@@ -349,7 +357,7 @@ object GraphOps {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val (next, fpf) = observed(pageRankRound(nodes, e, deg, rank, base))
+      val (next, fpf) = observed(pageRankRound(nodes, edeg, rank, base))
       val fp = fpf()
       if (same(fp, prev))
         converged = next.exceptAll(rank).limit(1).count() == 0

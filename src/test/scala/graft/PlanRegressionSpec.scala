@@ -129,9 +129,11 @@ class PlanRegressionSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = e.select(col("src").as("node")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degrees ride pre-joined on the edges (loop-invariant, materialized
+    // once outside the iteration) — the round joins rank exactly once
+    val edeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     val rank = nodes.withColumn("r", lit(1000000L))
-    val p = plan(graft.operators.GraphOps.pageRankRound(nodes, e, deg, rank, 150000L))
+    val p = plan(graft.operators.GraphOps.pageRankRound(nodes, edeg, rank, 150000L))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
       p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       "PageRank round must stay equi-joins")
