@@ -177,7 +177,7 @@ object TrainingQueries {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = docs.count()
+    val nDocs = Tables.rowCount(spark, dir, "documents") // footers, no scan job
     val scored = tf.join(df, "term")
       .withColumn("score",
         col("tf").cast(DoubleType) * lit((nDocs + 1).toDouble)

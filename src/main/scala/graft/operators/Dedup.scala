@@ -419,6 +419,8 @@ object Dedup {
                      textCol: String, threshold: Double = 0.5, shingleN: Int = 3,
                      bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     require(threshold <= 1.0, "an exact clone has Jaccard 1.0; threshold > 1.0 would drop nothing")
+    require(index.columns.contains("__ch"),
+      "index has no __ch column (built by a pre-exact-layer version): rebuild it with minhashIndex")
     val newIdx = minhashIndex(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
       .localCheckpoint(eager = true)
     val all = index.select("id", "sig", "__sh", "__ch").unionByName(newIdx)
