@@ -196,6 +196,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("growth-only"))
   }
 
+  test("randomized graphs: warm-start lfp == cold lfp across growth deltas (3 seeded trials)") {
+    import spark.implicits._
+    // the monotone-ascent argument is subtle — back it with randomized
+    // evidence: arbitrary directed base graphs, arbitrary growth-only
+    // deltas (new nodes linking anywhere), warm must equal cold
+    // hash-exactly every time. unit=1000 keeps each ascent to ~45
+    // rounds; seeds fixed, so trials are deterministic.
+    val unit = 1000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31 + 5)
+      val nBase = 8 + rnd.nextInt(6)
+      val base = (0 until nBase * 2).map { _ =>
+        (rnd.nextInt(nBase).toLong, rnd.nextInt(nBase).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val nNew = 2 + rnd.nextInt(3)
+      val delta = (0 until nNew * 2).map { i =>
+        val src = (nBase + i % nNew).toLong // sources are strictly NEW nodes
+        val dst = if (rnd.nextBoolean()) rnd.nextInt(nBase).toLong
+                  else (nBase + rnd.nextInt(nNew)).toLong
+        (src, dst)
+      }.filter(e => e._1 != e._2).distinct
+      val g = base.toDF("src", "dst")
+      val dE = delta.toDF("src", "dst")
+      val (prev, _) = GraphOps.pageRankIntLfp(g, unit = unit)
+      val (warm, warmRounds) = GraphOps.pageRankIntWarmStart(prev, g, dE, unit = unit)
+      val (cold, coldRounds) = GraphOps.pageRankIntLfp(g.unionByName(dE), unit = unit)
+      val wm = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cm = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(wm == cm, s"seed $seed: warm != cold\nwarm=$wm\ncold=$cm")
+      assert(warmRounds <= coldRounds,
+        s"seed $seed: warm ($warmRounds) should not need more rounds than cold ($coldRounds)")
+    }
+  }
+
   test("10k-node path graph converges in O(log² n) rounds (diameter-robust)") {
     // The adversarial case for label propagation: diameter = n. The
     // alternating large-star/small-star fixpoint must converge in
@@ -415,6 +449,56 @@ class DedupSpec extends SparkSpec {
     assert(j(1L) < 0.3 && j(2L) >= 0.3,
       s"fixture broke: J(1,3)=${j(1L)} J(2,3)=${j(2L)}")
     assert(!survivors.contains(3L), "3 must drop via the dropped doc 2")
+  }
+
+  test("randomized corpora: chained layered increments == whole-corpus recompute (5 seeded trials)") {
+    import spark.implicits._
+    // the property the exact-first layering must preserve: for ANY
+    // corpus — clone families (with case/whitespace noise exercising
+    // normalization), strong near-dups, unrelated docs — two-batch
+    // incremental dedup equals the one-shot recompute, banding and
+    // all. Seeds are fixed, so each trial is deterministic.
+    val vocab = (1 to 40).map(i => s"tok$i")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 1000 + 7)
+      def freshDoc(): String =
+        Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      def noisyClone(t: String): String = {
+        // same normalized content: case flips + whitespace runs
+        val spaced = t.split(" ").map(w =>
+          if (rnd.nextBoolean()) w.toUpperCase else w).mkString("  ")
+        if (rnd.nextBoolean()) s"  $spaced " else spaced
+      }
+      def nearDup(t: String): String = {
+        // substitute ~10% of tokens: expected Jaccard stays >= ~0.7,
+        // far from the 0.5 threshold so banding recall is not in play
+        t.split(" ").map(w =>
+          if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w).mkString(" ")
+      }
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      (0 until 40).foreach { i =>
+        val text =
+          if (i < 4 || rnd.nextInt(10) < 4) freshDoc()
+          else {
+            val prior = docs(rnd.nextInt(docs.size))._2
+            if (rnd.nextBoolean()) noisyClone(prior) else nearDup(prior)
+          }
+        docs += ((i.toLong, text))
+      }
+      val corpus = docs.toSeq.toDF("doc_id", "text")
+      val full = Dedup.minhashDedupVerified(corpus, "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      var index = Dedup.minhashIndex(corpus.limit(0), "doc_id", "text")
+      var survivors = Set.empty[Long]
+      Seq(corpus.filter(col("doc_id") < 20), corpus.filter(col("doc_id") >= 20)).foreach { b =>
+        val (kept, idx) = Dedup.dedupIncrement(index, b, "doc_id", "text", threshold = 0.5)
+        survivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+        index = index.unionByName(idx).localCheckpoint(eager = true)
+      }
+      assert(survivors == full,
+        s"seed $seed: incremental $survivors != full $full\n" +
+          s"extra=${survivors -- full} missing=${full -- survivors}")
+    }
   }
 
   test("simhash: identical docs at hamming 0, near dups close, distinct far") {
