@@ -112,6 +112,56 @@ object Multimodal {
       col("fmt"))
   }
 
+  /** REAL image resize for the JDK-decodable formats: decode
+    * (javax.imageio, container sniffed from bytes), scale with a
+    * hand-rolled NEAREST-NEIGHBOR kernel — integer source-pixel picks
+    * `sx = x·w/W`, no Java2D filtering pipeline, so the output pixels
+    * are deterministic on any JVM — and re-encode LOSSLESS PNG (the
+    * spec re-decodes and asserts the exact pixel grid). Aspect ratio is
+    * preserved: height scales with width. Payloads the JDK cannot
+    * decode (webp/audio — the declared stub boundary, or corrupt bytes)
+    * fall back to [[resizeStub]]'s metadata rescale. Partition-batched
+    * map-side like the decoder: resize is a per-row binary transform
+    * with NO shuffle at any scale.
+    */
+  def resizeImage(media: DataFrame, targetWidth: Int): DataFrame = {
+    require(targetWidth > 0, "targetWidth must be positive")
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions(_.map(m => resizeOne(m, targetWidth))).toDF()
+  }
+
+  private[operators] def resizeOne(m: MediaRow, targetWidth: Int): MediaRow = {
+    if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: java.io.IOException => null }
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val h = math.max(1, (img.getHeight.toLong * targetWidth / img.getWidth).toInt)
+        val out = new java.awt.image.BufferedImage(targetWidth, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * img.getHeight / h).toInt
+          var x = 0
+          while (x < targetWidth) {
+            val sx = (x.toLong * img.getWidth / targetWidth).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        return MediaRow(m.doc_id, bos.toByteArray, targetWidth, h, "png")
+      }
+    }
+    // undecodable: the resizeStub metadata-rescale semantics, row-level
+    val scale = math.max(m.width, 1).toDouble / targetWidth.toDouble
+    val newLen = math.max((m.payload.length.toDouble / scale).toInt, 1)
+    MediaRow(m.doc_id, m.payload.take(newLen), targetWidth,
+      math.max((m.height.toDouble / scale).toInt, 1), m.fmt)
+  }
+
   /** Frame sampling: one output row per k-th frame of each asset —
     * the video-at-scale shape (a 2-hour clip explodes to thousands of
     * frame rows; sampling must happen AT explode time so unsampled

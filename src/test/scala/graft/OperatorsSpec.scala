@@ -829,6 +829,13 @@ class SimilaritySpec extends SparkSpec {
     val adcOnly = Similarity.probeIvfPqIndex(loaded, queries, "vec_id",
       "embedding", 5, nprobe = 4)
     assert(adcOnly.count() > 0)
+    // ...and dynamic partition pruning engages on the codes scan: the
+    // broadcast distance-table join carries centroid_id, so a probe of
+    // nprobe lists reads nprobe/nlist of the files, not the index
+    val codesScan = adcOnly.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("codes.parquet"))
+    assert(codesScan.exists(_.toLowerCase.contains("dynamicpruningexpression")),
+      s"probe lost partition pruning on the codes scan:\n${codesScan.mkString("\n")}")
     val e = intercept[IllegalArgumentException] {
       Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding", 5,
         nprobe = 4, rerank = 20)
@@ -1042,6 +1049,39 @@ class MultimodalSpec extends SparkSpec {
     val mean = r0.getAs[Double]("mean_byte")
     assert(mean > 32.0 && mean < 127.0, s"ASCII-ish payload mean expected, got $mean")
     assert(r0.getAs[Int]("frame_count") == (r0.getAs[Long]("byte_len") / 1024L + 1L).toInt)
+  }
+
+  test("resizeImage: real nearest-neighbor resize with exact pixels; stub fallback for webp") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(
+      (1L, baos.toByteArray, 2, 2, "png"),
+      (2L, "opaque webp bytes!!!".getBytes("UTF-8"), 8, 6, "webp")
+    ).toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.resizeImage(media, targetWidth = 4)
+      .orderBy("doc_id").collect()
+    // real path: 2x2 -> 4x4 (aspect preserved), payload is a NEW png
+    val r1 = got(0)
+    assert(r1.getAs[Int]("width") == 4 && r1.getAs[Int]("height") == 4)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.getAs[Array[Byte]]("payload")))
+    assert(out.getWidth == 4 && out.getHeight == 4)
+    // nearest-neighbor: each source pixel becomes an exact 2x2 block
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val expected = img.getRGB(x / 2, y / 2) & 0xFFFFFF
+      assert((out.getRGB(x, y) & 0xFFFFFF) == expected,
+        s"pixel ($x,$y): got ${(out.getRGB(x, y) & 0xFFFFFF).toHexString}, want ${expected.toHexString}")
+    }
+    // stub path: undecodable payload rescales metadata (8 -> 4 halves
+    // the payload and height), format passes through
+    val r2 = got(1)
+    assert(r2.getAs[String]("fmt") == "webp")
+    assert(r2.getAs[Int]("width") == 4 && r2.getAs[Int]("height") == 3)
+    assert(r2.getAs[Array[Byte]]("payload").length == 10)
   }
 
   test("png and jpeg payloads decode through the real javax.imageio codec") {
