@@ -475,4 +475,88 @@ object AnalyticsQueries {
         col("col").as("approx_val"))
       .orderBy("l_returnflag", "p")
   }
+
+  // q82: 2-D SKYLINE (Pareto frontier) — orders no other order
+  // dominates on (price, date), the multi-criteria "best offers"
+  // query (Börzsönyi et al., ICDE'01). The naive form is an all-pairs
+  // NOT EXISTS (the oracle); the engine form NEVER materializes pairs:
+  // (1) one groupBy shuffle → max price per date, (2) a strict-suffix
+  // max over the DATE frame — a window over |distinct dates| rows
+  // (bounded: years × 365, never the fact table), (3) one broadcast
+  // join back. A row survives iff it carries its date's max price AND
+  // beats every strictly-later date's max. Ties survive together
+  // (dominance needs one strict inequality) — both engines agree by
+  // construction.
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType).as("order_day"),
+      cents(col("o_totalprice")).as("total_c"))
+    val mp = o.groupBy("order_day").agg(max("total_c").as("day_max"))
+    // strictly-later-date suffix max over the tiny per-date frame
+    val w = Window.orderBy(col("order_day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suffix = mp.withColumn("later_max", max(col("day_max")).over(w))
+    o.join(broadcast(suffix), "order_day")
+      .filter(col("total_c") === col("day_max") &&
+        (col("later_max").isNull || col("total_c") > col("later_max")))
+      .select("o_orderkey", "order_day", "total_c")
+      .orderBy("o_orderkey")
+  }
+
+  val q82Sql: String =
+    """WITH o AS (
+         SELECT o_orderkey,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+           CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+         FROM orders
+       )
+       SELECT o_orderkey, order_day, total_c FROM o
+       WHERE NOT EXISTS (
+         SELECT 1 FROM o x
+         WHERE x.total_c >= o.total_c AND x.order_day >= o.order_day
+           AND (x.total_c > o.total_c OR x.order_day > o.order_day))
+       ORDER BY o_orderkey"""
+
+  // q83: edit-distance-1 self-join (record linkage / spell-correction
+  // neighborhood) — customer-name pairs one SUBSTITUTION apart. The
+  // oracle is the all-pairs levenshtein filter; the engine form blocks
+  // by DELETION NEIGHBORHOOD (emit the name with position i masked,
+  // for every i): two same-length names at hamming distance 1 collide
+  // on exactly the masked differing position, so candidate generation
+  // is an equi-join on (position, masked-string) — |rows|·len keys,
+  // never all-pairs — and exact levenshtein == 1 decides. (On
+  // equal-length strings levenshtein 1 ⟺ exactly one substitution,
+  // so the blocking is EXHAUSTIVE, not approximate.)
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val masked = c
+      .select(col("c_custkey"), col("c_name"),
+        posexplode(split(col("c_name"), "(?!^)")))
+      .select(col("c_custkey"), col("c_name"), col("pos"),
+        concat(
+          expr("substring(c_name, 1, pos)"),
+          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"))
+      .select(col("c_custkey"), col("c_name"), col("pos"), col("masked"),
+        length(col("c_name")).as("len"))
+    val a = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("pos", "masked", "len"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b")
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .orderBy("key_a", "key_b")
+  }
+
+  val q83Sql: String =
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         a.c_name AS name_a, b.c_name AS name_b
+       FROM customer a JOIN customer b
+         ON a.c_custkey < b.c_custkey AND len(a.c_name) = len(b.c_name)
+       WHERE levenshtein(a.c_name, b.c_name) = 1
+       ORDER BY key_a, key_b"""
 }

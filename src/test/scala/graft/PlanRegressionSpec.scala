@@ -161,6 +161,26 @@ class PlanRegressionSpec extends SparkSpec {
       "q80 must not use a window over the span hash (hot-span straggler)")
   }
 
+  test("q82/q83: pair-free plans — no cartesian, no nested loop, skyline window stays off the fact table") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    Seq(AnalyticsQueries.q82(spark, sf), AnalyticsQueries.q83(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+        p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        "skyline/edit-distance must never plan the all-pairs form their oracles use")
+    }
+    // the skyline's suffix-max window runs over the per-date aggregate:
+    // a HashAggregate must sit below the Window, not a raw file scan
+    val p82 = plan(AnalyticsQueries.q82(spark, sf))
+    val windows = p82.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "q82 lost its suffix-max window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+        case a if a.getClass.getSimpleName.contains("HashAggregate") => a
+      }.nonEmpty, "q82's window must consume the per-date aggregate, not fact rows")
+    }
+  }
+
   test("q58: the conformed union keeps every dim join broadcast") {
     val p = plan(PipelineQueries.q58(spark, sf))
     val bhj = p.collect { case b: BroadcastHashJoinExec => b }
