@@ -559,4 +559,70 @@ object AnalyticsQueries {
          ON a.c_custkey < b.c_custkey AND len(a.c_name) = len(b.c_name)
        WHERE levenshtein(a.c_name, b.c_name) = 1
        ORDER BY key_a, key_b"""
+
+  // q84: FUNNEL analysis — per user, the earliest strict
+  // view → click → purchase progression with each step within one day
+  // of the previous (the product-analytics staple). Strict ordering
+  // (ts_b > ts_a, never >=) makes the greedy chain independent of
+  // same-second event order — the tie case where engines would
+  // otherwise diverge. The engine form is ONE shuffle: per-user sorted
+  // event arrays folded through a 3-slot (t_view, t_click, t_purchase)
+  // state with `aggregate()` — no per-stage join chain, no window; the
+  // oracle is the naive 3-CTE min()-chain the fold provably equals
+  // (sorted ascending ⇒ first qualifying event IS the min qualifying
+  // event at each stage).
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val win = 86400L
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts").cast(LongType).as("ts_sec"))
+    val nullT = lit(null).cast(LongType)
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_sec"), col("event_type")))).as("evs"))
+      .select(col("user_id"), aggregate(col("evs"),
+        struct(nullT.as("ta"), nullT.as("tb"), nullT.as("tc")),
+        (acc, e) => {
+          val (ts, ty) = (e.getField("ts_sec"), e.getField("event_type"))
+          val ta = when(acc.getField("ta").isNull && ty === "view", ts)
+            .otherwise(acc.getField("ta"))
+          val tb = when(acc.getField("tb").isNull && ty === "click" &&
+              acc.getField("ta").isNotNull && ts > acc.getField("ta") &&
+              ts <= acc.getField("ta") + win, ts)
+            .otherwise(acc.getField("tb"))
+          val tc = when(acc.getField("tc").isNull && ty === "purchase" &&
+              acc.getField("tb").isNotNull && ts > acc.getField("tb") &&
+              ts <= acc.getField("tb") + win, ts)
+            .otherwise(acc.getField("tc"))
+          struct(ta.as("ta"), tb.as("tb"), tc.as("tc"))
+        }).as("f"))
+      .filter(col("f.ta").isNotNull)
+      .select(col("user_id"), col("f.ta").as("t_view"), col("f.tb").as("t_click"),
+        col("f.tc").as("t_purchase"),
+        when(col("f.tc").isNotNull, 3L).when(col("f.tb").isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val q84Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec
+         FROM events WHERE event_type IN ('view', 'click', 'purchase')
+       ), a AS (
+         SELECT user_id, min(ts_sec) AS t_view FROM ev
+         WHERE event_type = 'view' GROUP BY 1
+       ), b AS (
+         SELECT ev.user_id, min(ts_sec) AS t_click FROM ev JOIN a USING (user_id)
+         WHERE event_type = 'click' AND ts_sec > t_view AND ts_sec <= t_view + 86400
+         GROUP BY 1
+       ), c AS (
+         SELECT ev.user_id, min(ts_sec) AS t_purchase FROM ev JOIN b USING (user_id)
+         WHERE event_type = 'purchase' AND ts_sec > t_click AND ts_sec <= t_click + 86400
+         GROUP BY 1
+       )
+       SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+         CAST(CASE WHEN c.t_purchase IS NOT NULL THEN 3
+                   WHEN b.t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+       FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+       ORDER BY user_id"""
 }
