@@ -625,4 +625,72 @@ object AnalyticsQueries {
                    WHEN b.t_click IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
        FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
        ORDER BY user_id"""
+
+  // q85: cohort RETENTION matrix — users bucketed by first-activity
+  // week, counted again k weeks later (the standard product-health
+  // triangle). Everything is exact integer arithmetic (epoch-day div
+  // 7): one distinct shuffle on (user, week), then min-week and the
+  // offset join reuse the SAME user key (co-partitioned — no new
+  // exchange shape), and the final (cohort, k) aggregate is tiny.
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .withColumn("day", datediff(col("ts").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType))
+      .select(col("user_id"), expr("day div 7").as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "k")
+  }
+
+  val q85Sql: String =
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+         FROM events
+       ), first AS (
+         SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+       )
+       SELECT cohort_week, week - cohort_week AS k, count(*) AS n_users
+       FROM uw JOIN first USING (user_id)
+       GROUP BY 1, 2 ORDER BY cohort_week, k"""
+
+  // q86: event-TRANSITION matrix (the Markov bigram counts sequence
+  // models train on): per user, consecutive event-type pairs in
+  // (ts, event_id) order — the deterministic tiebreak that makes an
+  // order-dependent window engine-exact. One window shuffle on user_id
+  // + a small (from, to) aggregate; share is an exact integer ratio.
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast(LongType).as("ts_sec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q86Sql: String =
+    """WITH t AS (
+         SELECT user_id, event_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           lag(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT) ASC, event_id ASC) AS prev_type
+         FROM events
+       ), trans AS (
+         SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+         FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       )
+       SELECT from_type, to_type, n,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+       FROM trans ORDER BY from_type, to_type"""
 }
