@@ -679,6 +679,64 @@ object AnalyticsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  // q87: per-node TRIANGLE counts on the co-purchase graph (two parts
+  // sharing an order). Degree-ordered orientation (Schank–Wagner
+  // "forward"): every edge points from its lower-(degree, id) endpoint
+  // to the higher, so a star of degree d generates wedges only at its
+  // SPOKES, never d² at the hub — total wedge work is O(m^1.5)
+  // regardless of skew, where id-ordered orientation degenerates on
+  // power-law hubs. Each triangle is found exactly once, from its
+  // lowest-rank vertex; the oracle's id-ordered 3-way join finds the
+  // same triangle set, so per-node counts match exactly.
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 44)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val e2 = edges
+      .join(deg.withColumnsRenamed(Map("n" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("n" -> "v", "d" -> "dv")), "v")
+    val uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = e2.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+      when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+      when(uFirst, struct(col("dv").as("d"), col("v").as("n")))
+        .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("hirank"))
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.lo") === col("y.lo") && col("x.hirank") < col("y.hirank"))
+      .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
+    val tri = wedges.join(o.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  val q87Sql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), e AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), t AS (
+         SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+       ), n AS (
+         SELECT a AS node FROM t
+         UNION ALL SELECT b FROM t
+         UNION ALL SELECT c FROM t
+       )
+       SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY node"""
+
   val q86Sql: String =
     """WITH t AS (
          SELECT user_id, event_id, event_type,

@@ -459,4 +459,46 @@ object LlmQueries {
            AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                       CAST(d.embedding AS DOUBLE[])) >= 0.45)
        ORDER BY vec_id"""
+
+  // q88: n-gram language-model table — corpus bigram counts plus the
+  // top-3 next tokens per context with deterministic (n desc, token)
+  // tiebreaks. Wordcount shape: the groupBy(w1, w2) is ONE shuffle
+  // with map-side partial aggregation (a 100 TB corpus arrives at the
+  // reduce side as pre-combined (gram, n) pairs, not raw tokens), and
+  // the top-3 rank runs on the aggregated vocabulary, never the
+  // corpus. sequence() is guarded for <2-token docs — Spark's
+  // sequence(1, 0) DESCENDS instead of returning empty (SURVEY §6
+  // r6 learning; same bug class as q80's phantom spans).
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ts"))
+      .select(col("ts"), size(col("ts")).as("k"))
+      .select(explode(when(col("k") >= 2,
+          expr("transform(sequence(1, k - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("w1").orderBy(col("n").desc, col("w2").asc)
+    grams.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .orderBy("w1", "rnk")
+  }
+
+  val q88Sql: String =
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0) AS ts
+         FROM documents
+       ), grams AS (
+         SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS g
+         FROM toks
+       ), c AS (
+         SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS n FROM grams GROUP BY 1, 2
+       )
+       SELECT w1, w2, n, rnk FROM (
+         SELECT w1, w2, n,
+           CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS BIGINT) AS rnk
+         FROM c)
+       WHERE rnk <= 3 ORDER BY w1, rnk"""
 }

@@ -181,6 +181,26 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q87/q88: triangle closure is an equi-semi-join; bigram counts partial-aggregate before the shuffle") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p87 = plan(AnalyticsQueries.q87(spark, sf))
+    assert(p87.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p87.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q87 must enumerate wedges/triangles via equi-joins, never an all-pairs plan")
+    assert(p87.toString.contains("LeftSemi"),
+      "q87's triangle-closure check must stay a left-semi join")
+    // q88: the (w1, w2) count must partially aggregate map-side — at
+    // 100 TB the reduce side sees pre-combined grams, not raw tokens —
+    // and the top-3 window must consume that aggregate, not token rows.
+    val p88 = plan(LlmQueries.q88(spark, sf))
+    assert(p88.toString.contains("partial_count"),
+      "q88 bigram count lost its map-side partial aggregation")
+    val w88 = p88.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(w88.nonEmpty && w88.forall(_.child.collectFirst {
+      case a if a.getClass.getSimpleName.contains("HashAggregate") => a
+    }.nonEmpty), "q88's rank window must consume the aggregated vocabulary")
+  }
+
   test("q58: the conformed union keeps every dim join broadcast") {
     val p = plan(PipelineQueries.q58(spark, sf))
     val bhj = p.collect { case b: BroadcastHashJoinExec => b }
