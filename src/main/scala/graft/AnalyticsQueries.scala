@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
+import graft.operators.GraphOps
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -688,15 +689,21 @@ object AnalyticsQueries {
   // power-law hubs. Each triangle is found exactly once, from its
   // lowest-rank vertex; the oracle's id-ordered 3-way join finds the
   // same triangle set, so per-node counts match exactly.
-  def q87(spark: SparkSession, dir: String): DataFrame = {
+  /** Co-purchase edges (u < v): parts sharing a high-quantity order.
+    * Shared by q87 (triangles) and q90 (BFS). */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 44)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = items.as("a").join(items.as("b"),
+    items.as("a").join(items.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+  }
+
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val e2 = edges
@@ -736,6 +743,41 @@ object AnalyticsQueries {
          UNION ALL SELECT c FROM t
        )
        SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY node"""
+
+  // q90: single-source BFS hop counts on the co-purchase graph
+  // (reachability radius from the best-connected region — "how far is
+  // every product from the seed"). GraphOps.bfsLevels expands the
+  // FRONTIER, never re-scans the visited set against the graph, so
+  // total work is O(m) across all rounds; exact integer distances give
+  // an engine-exact oracle (depth-capped recursive CTE with UNION
+  // dedup — polynomial, never path enumeration). The source is the
+  // minimum node id — a 1-row bounded aggregate collect, same class as
+  // Salting.hotKeys.
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    import spark.implicits._
+    val source = edges.agg(min(col("u"))).as[Long].head()
+    GraphOps.bfsLevels(edges, source, maxDepth = 8)
+      .select(col("node"), col("dist"))
+      .orderBy("node")
+  }
+
+  val q90Sql: String =
+    """WITH RECURSIVE items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), e0 AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), e AS (
+         SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0
+       ), r AS (
+         SELECT (SELECT min(s) FROM e) AS node, 0 AS dist
+         UNION
+         SELECT e.d, r.dist + 1 FROM r JOIN e ON e.s = r.node WHERE r.dist < 8
+       )
+       SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r
+       GROUP BY 1 ORDER BY node"""
 
   val q86Sql: String =
     """WITH t AS (

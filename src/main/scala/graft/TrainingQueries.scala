@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TypedAggs}
 import graft.operators.CorpusOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -433,4 +433,96 @@ object TrainingQueries {
          (1.0 / CAST(COUNT(*) OVER () AS DOUBLE))
            / (CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS samp_weight
        FROM c ORDER BY lang, source"""
+
+  /** q89's fixed query terms, in the fixed summation order. */
+  private val Q89Terms = Seq("join", "scan", "merge")
+
+  // q89: BM25 retrieval scoring (k1=1.2, b=0.75) with the raw-ratio
+  // idf (N - df + 0.5)/(df + 0.5) — q69's no-transcendental rule: IEEE
+  // +,-,*,/ are correctly rounded and therefore BIT-IDENTICAL across
+  // engines, while ln() is libm-dependent. The per-term scores sum in
+  // a FIXED textual order (three single-valued conditional aggregates
+  // added left-to-right), so the double result is deterministic — no
+  // rounding needed. Scale shape: the query-term filter prunes the
+  // token stream BEFORE the tf shuffle (only matching postings move —
+  // the inverted-probe shape), doc length is one map-side-combinable
+  // agg, df and corpus stats are broadcast ≤3-row frames, and the
+  // top-20 is TakeOrdered (distributed k-selection), never a
+  // single-partition rank window.
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+    val dl = toks.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
+    val stats = dl.agg(sum("dl").as("corpus_len"), count(lit(1)).as("n_docs"))
+    val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(Q89Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("corpus_len").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val tfd = col("tf").cast(DoubleType)
+    val s = idf * (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), s.as("s"))
+    val perTerm = Q89Terms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+    scored.groupBy("doc_id")
+      .agg(perTerm.reduceLeft(_ + _).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val q89Sql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, $toksSql AS ts FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+          SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len, COUNT(*) AS n_docs FROM dl
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(ts) AS term FROM toks)
+          WHERE term IN ('join', 'scan', 'merge') GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), s AS (
+          SELECT tf.doc_id, tf.term,
+            ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5))
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                 / (CAST(corpus_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+          FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+        )
+        SELECT doc_id,
+          COALESCE(MAX(CASE WHEN term = 'join'  THEN s END), 0.0)
+          + COALESCE(MAX(CASE WHEN term = 'scan'  THEN s END), 0.0)
+          + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0) AS bm25
+        FROM s GROUP BY 1
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
+  // q91: corpus heavy hitters via the mergeable Misra–Gries sketch
+  // (TypedAggs.FrequentItems, PODS'12 §3) — ≤k counters per partial
+  // buffer regardless of stream length, combined map-side, so the
+  // shuffle moves ≤k entries per partition while an exact top-k would
+  // shuffle the whole vocabulary. Rows-only BY NATURE (counter values
+  // are arrival-order-dependent; only the bound is invariant) with a
+  // HARD gate in check.py: every term with true frequency > n/(k+1)
+  // must appear, and every estimate must sit in
+  // [true - n/(k+1), true]. The ≤k-entry result map is a bounded
+  // driver collect (Salting.hotKeys class).
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 32
+    val terms = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term")).as[String]
+    val sketch = terms.select(new TypedAggs.FrequentItems(k).toColumn).head()
+    sketch.toSeq.toDF("term", "est")
+      .orderBy(col("est").desc, col("term").asc)
+  }
 }

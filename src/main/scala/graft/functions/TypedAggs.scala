@@ -48,4 +48,53 @@ object TypedAggs {
     override def bufferEncoder: Encoder[WeightedMeanBuf] = Encoders.product[WeightedMeanBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Misra–Gries heavy hitters: a MERGEABLE bounded-memory frequency
+    * sketch (Agarwal/Cormode/Huang/Phillips/Wei/Yi, "Mergeable
+    * Summaries", PODS'12 §3). The buffer holds at most `k` counters
+    * regardless of stream length — the q51-HLL story for frequency:
+    * partial sketches combine map-side, the shuffle moves ≤k entries
+    * per partition, never the raw stream.
+    *
+    * Guarantees (n = stream length): every item with true frequency
+    * > n/(k+1) is IN the summary, and each reported count undercounts
+    * its true frequency by at most n/(k+1). Counter VALUES depend on
+    * arrival/merge order (only the bound is order-invariant), so
+    * consumers gate on the bound, not exact equality.
+    */
+  class FrequentItems(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+      m.get(item) match {
+        case Some(c) => m.updated(item, c + 1L)
+        case None if m.size < k => m.updated(item, 1L)
+        // full and item absent: decrement all (the MG step) — drops at
+        // least one counter to zero, charging 1 to every live counter
+        // and to the incoming item.
+        case None => m.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        // subtract the (k+1)-th largest counter from everything and
+        // keep the positive survivors: ≤ k remain, and the subtracted
+        // offset obeys the same n/(k+1) charging argument as reduce.
+        val cut = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        summed.collect { case (t, c) if c > cut => t -> (c - cut) }
+      }
+    }
+
+    override def finish(m: Map[String, Long]): Map[String, Long] = m
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
 }

@@ -451,4 +451,46 @@ object GraphOps {
       .select(col("__rep").as("src"), col(nodeCol).as("dst"))
       .distinct()
   }
+
+  /** Single-source BFS hop counts over an undirected edge list.
+    *
+    * Frontier expansion: round i joins the CURRENT FRONTIER (not the
+    * visited set, not the graph) against the symmetrized adjacency —
+    * one shuffle on the node key — then anti-joins the visited set on
+    * the same key. Per-round work tracks the BFS wave, so total work is
+    * O(Σ frontier-adjacency) = O(m), independent of depth; the
+    * adjacency is materialized once before the loop and each round's
+    * state is lineage-truncated (see [[truncate]]). Distances are
+    * exact integers, so results are reduction-order-independent and an
+    * engine-exact oracle (depth-capped recursive CTE) exists.
+    *
+    * @param edges first two columns are `src`, `dst` (treated undirected)
+    * @param source BFS root
+    * @param maxDepth cap on hops; nodes further than this are omitted
+    * @return DataFrame(node, dist) for every node within maxDepth hops
+    */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst")
+    val adj = truncate(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    var visited = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = visited.select("node")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = truncate(
+        adj.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti"), checkpointDir)
+      visited = truncate(
+        visited.unionAll(next.select(col("node"), lit(depth.toLong).as("dist"))),
+        checkpointDir)
+      frontier = next
+    }
+    visited
+  }
 }

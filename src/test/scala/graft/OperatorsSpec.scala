@@ -72,6 +72,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("bfsLevels: exact hop counts, depth cap, direction-insensitive, disconnected excluded") {
+    // 0-1-2-3 path, a 1-4 branch, a 2-0 back-edge (cycle), and a
+    // disconnected 10-11 pair; edges deliberately mixed-direction.
+    val e = Seq((1L, 0L), (1L, 2L), (3L, 2L), (1L, 4L), (2L, 0L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsLevels(e, source = 0L, maxDepth = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L),
+      s"wrong BFS levels: $got")
+    // the cap truncates: depth 1 stops the wave at the direct neighbors
+    val capped = GraphOps.bfsLevels(e, source = 0L, maxDepth = 1).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(capped == Set(0L, 1L, 2L), s"depth cap ignored: $capped")
+  }
+
   test("cliqueStarEdges == pairwise clique components, even with a hot block") {
     // one HOT block: 2000 members sharing (pk=1, bug=1) — the pairwise
     // clique would materialize ~2M edges; the star emits 1999. Plus two
