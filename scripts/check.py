@@ -99,5 +99,31 @@ if os.path.isdir(q77_path):
     else:
         print(f"ok   q77_approx_quantiles [property: {len(approx)} quantiles within 2% rank error]")
 
+# q91: Misra-Gries heavy hitters (k=32 counters). Contract: every term
+# with true frequency > n/(k+1) appears, and every estimate sits in
+# [true - n/(k+1), true]. Counter values are arrival-order-dependent,
+# so only the bound is checked — never exact equality.
+q91_path = f"{OUT}/q91_frequent_terms"
+if os.path.isdir(q91_path):
+    got = con.sql(
+        f"SELECT term, est FROM read_parquet('{q91_path}/*.parquet')").df()
+    exact = con.sql(
+        "SELECT term, count(*) AS c FROM ("
+        "  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+        "                            x -> len(x) > 0)) AS term FROM documents"
+        ") GROUP BY 1").df()
+    n = int(exact.c.sum()); bound = n / 33.0
+    exact_map = dict(zip(exact.term, exact.c))
+    missing = [t for t, c in exact_map.items() if c > bound and t not in set(got.term)]
+    off = [(t, int(e), exact_map.get(t, 0)) for t, e in zip(got.term, got.est)
+           if not (e <= exact_map.get(t, 0) <= e + bound)]
+    if missing or off or len(got) == 0:
+        fails.append("q91_frequent_terms")
+        print(f"FAIL q91_frequent_terms: missing heavy hitters {missing[:5]}, "
+              f"out-of-bound estimates {off[:5]}")
+    else:
+        print(f"ok   q91_frequent_terms [property: {len(got)} counters, all "
+              f"heavy hitters present, est within n/(k+1)={bound:.0f}]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

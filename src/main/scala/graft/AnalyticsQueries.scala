@@ -779,6 +779,63 @@ object AnalyticsQueries {
        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r
        GROUP BY 1 ORDER BY node"""
 
+  // q92: item-item co-purchase similarity ("customers also bought"):
+  // cosine over order-occurrence vectors = co / (sqrt(n_u)·sqrt(n_v)),
+  // top-3 neighbors per item. Pair enumeration is per-order (order
+  // size is bounded — ≤7 lines — so pairs/order is bounded, never an
+  // item×item blowup); the rank window runs on the aggregated PAIR
+  // table, not order lines. All doubles derive from exact longs via
+  // IEEE /,*,sqrt (all correctly rounded) — bit-identical across
+  // engines, no rounding needed.
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 44)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.unionAll(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("co")))
+    val scored = sym
+      .join(nOrders.withColumnsRenamed(Map("pk" -> "u", "n" -> "nu")), "u")
+      .join(nOrders.withColumnsRenamed(Map("pk" -> "v", "n" -> "nv")), "v")
+      .withColumn("cos", col("co").cast(DoubleType) /
+        (sqrt(col("nu").cast(DoubleType)) * sqrt(col("nv").cast(DoubleType))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy(col("cos").desc, col("v").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("u").as("item"), col("rnk"), col("v").as("nbr"),
+        col("co"), col("cos"))
+      .orderBy("item", "rnk")
+  }
+
+  val q92Sql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), n AS (
+         SELECT pk, count(*) AS n FROM items GROUP BY 1
+       ), p AS (
+         SELECT a.pk AS u, b.pk AS v, count(*) AS co
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2
+       ), sym AS (
+         SELECT u, v, co FROM p UNION ALL SELECT v, u, co FROM p
+       ), scored AS (
+         SELECT sym.u, sym.v, sym.co,
+           CAST(co AS DOUBLE) / (sqrt(CAST(nu.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cos
+         FROM sym JOIN n nu ON nu.pk = sym.u JOIN n nv ON nv.pk = sym.v
+       )
+       SELECT item, rnk, nbr, co, cos FROM (
+         SELECT u AS item, v AS nbr, co, cos,
+           CAST(row_number() OVER (PARTITION BY u ORDER BY cos DESC, v ASC) AS BIGINT) AS rnk
+         FROM scored)
+       WHERE rnk <= 3 ORDER BY item, rnk"""
+
   val q86Sql: String =
     """WITH t AS (
          SELECT user_id, event_id, event_type,

@@ -201,6 +201,22 @@ class PlanRegressionSpec extends SparkSpec {
     }.nonEmpty), "q88's rank window must consume the aggregated vocabulary")
   }
 
+  test("q89/q92: BM25 top-k is TakeOrdered (never a 1-partition window); similarity window consumes the pair aggregate") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p89 = plan(TrainingQueries.q89(spark, sf))
+    assert(p89.toString.contains("TakeOrderedAndProject"),
+      "q89's top-20 must plan as distributed TakeOrdered")
+    assert(p89.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "q89 must not rank via a global window")
+    val p92 = plan(AnalyticsQueries.q92(spark, sf))
+    assert(p92.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q92 pair enumeration must stay per-order equi-joins")
+    val w92 = p92.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(w92.nonEmpty && w92.forall(_.child.collectFirst {
+      case a if a.getClass.getSimpleName.contains("HashAggregate") => a
+    }.nonEmpty), "q92's rank window must consume the aggregated pair table")
+  }
+
   test("q58: the conformed union keeps every dim join broadcast") {
     val p = plan(PipelineQueries.q58(spark, sf))
     val bhj = p.collect { case b: BroadcastHashJoinExec => b }

@@ -33,4 +33,35 @@ class TypedAggsSpec extends SparkSpec {
     val got = rows.groupByKey(_ => 1).agg(wm.toColumn).collect()(0)._2
     assert(got == (10.0 * 1 + 20.0 * 3) / 4.0)
   }
+
+  test("FrequentItems honors the Misra-Gries contract on a skewed stream, any partitioning") {
+    import spark.implicits._
+    // Zipf-ish stream: item i appears 2000/i times, i = 1..50;
+    // plus long-tail singletons. Seeded, deterministic.
+    val stream = (1 to 50).flatMap(i => Seq.fill(2000 / i)(s"hot$i")) ++
+      (1 to 3000).map(i => s"tail$i")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val k = 8
+    val bound = n.toDouble / (k + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = spream(stream, parts)
+      val got = ds.select(new TypedAggs.FrequentItems(k).toColumn).head()
+      assert(got.size <= k, s"sketch exceeded $k counters: ${got.size}")
+      // containment: every true heavy hitter is present
+      exact.foreach { case (t, c) =>
+        if (c > bound) assert(got.contains(t), s"heavy hitter $t (freq $c > $bound) missing @$parts parts")
+      }
+      // bound: est <= true <= est + n/(k+1)
+      got.foreach { case (t, e) =>
+        val c = exact(t)
+        assert(e <= c && c <= e + bound, s"$t: est $e vs true $c, bound $bound @$parts parts")
+      }
+    }
+  }
+
+  private def spream(items: Seq[String], parts: Int) = {
+    import spark.implicits._
+    spark.createDataset(items).repartition(parts)
+  }
 }
