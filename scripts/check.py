@@ -125,5 +125,34 @@ if os.path.isdir(q91_path):
         print(f"ok   q91_frequent_terms [property: {len(got)} counters, all "
               f"heavy hitters present, est within n/(k+1)={bound:.0f}]")
 
+# q100: per-source Count-Min term-frequency estimates (4x2048 grid).
+# Contract: one-sided error — est >= true ALWAYS (cells only
+# over-count), and est <= true + 2*n_source/width. Cells are
+# commutative exact sums, so for fixed seeds the estimates are
+# deterministic however the data is partitioned.
+q100_path = f"{OUT}/q100_countmin_freq"
+if os.path.isdir(q100_path):
+    got = con.sql(
+        f"SELECT source, term, est FROM read_parquet('{q100_path}/*.parquet')").df()
+    exact = con.sql(
+        "SELECT source, term, count(*) AS c FROM ("
+        "  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+        "                            x -> len(x) > 0)) AS term FROM documents"
+        ") GROUP BY 1, 2").df()
+    n_src = exact.groupby("source").c.sum().to_dict()
+    exact_map = {(s, t): c for s, t, c in zip(exact.source, exact.term, exact.c)}
+    bad = []
+    for s, t, e in zip(got.source, got.term, got.est):
+        true = exact_map.get((s, t), 0)
+        bound = 2.0 * n_src.get(s, 0) / 2048.0
+        if not (true <= e <= true + bound):
+            bad.append((s, t, int(e), true))
+    if bad or len(got) == 0:
+        fails.append("q100_countmin_freq")
+        print(f"FAIL q100_countmin_freq: out-of-bound estimates {bad[:5]}")
+    else:
+        print(f"ok   q100_countmin_freq [property: {len(got)} probes, "
+              f"true <= est <= true + 2n/w]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

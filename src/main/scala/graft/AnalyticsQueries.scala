@@ -850,4 +850,94 @@ object AnalyticsQueries {
        SELECT from_type, to_type, n,
          CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
        FROM trans ORDER BY from_type, to_type"""
+
+  // q95: per-group OLS regression (price-on-quantity slope/intercept
+  // per returnflag) from EXACT integer sums. The five sufficient
+  // statistics (n, Σx, Σy, Σx², Σxy) accumulate as decimal(38,0) —
+  // long sums overflow at ~sf1 (n·Σxy reaches 2·10²³ at sf10) and
+  // Spark's non-ANSI long sum wraps SILENTLY, so exactness here is a
+  // scale-correctness requirement, not pedantry. DuckDB's BIGINT sums
+  // widen to int128 and are exact the same way. Slope and intercept
+  // are then single IEEE divisions of exactly-represented integers —
+  // bit-identical across engines. ONE map-side-combinable shuffle,
+  // 3-row output: the canonical "regression at 100 TB" shape
+  // (sufficient statistics, never a solver over rows).
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val s = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast(LongType).as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val nD = col("n").cast(dec)
+    val slope = (nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+      (nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    s.select(col("l_returnflag"), col("n"), slope.as("slope"),
+        ((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType)).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  val q95Sql: String =
+    """WITH s AS (
+         SELECT l_returnflag,
+           count(*) AS n,
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+           SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+           SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+           SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy
+         FROM lineitem GROUP BY 1
+       )
+       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+            - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+       FROM s ORDER BY l_returnflag"""
+
+  // q98: k-CORE decomposition of the co-purchase graph (the maximal
+  // subgraph where every node keeps degree ≥ k — Seidman 1983, the
+  // standard community/robustness signal). GraphOps.kCore peels
+  // iteratively: degree groupBy + two left-semi joins per round, work
+  // SHRINKING with the peeled graph. Exact integer degrees make the
+  // fixpoint engine-exact, so the oracle is a generated UNROLLED
+  // peeling CTE (q78's convention): 24 rounds ≥ the 16 sf0.01 needs,
+  // and post-convergence rounds are provably no-ops.
+  def q98(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kCore(copurchaseEdges(spark, dir), k = 3)
+      .select(col("n").as("node"), col("d").as("deg"))
+      .orderBy("node")
+
+  // Every CTE is MATERIALIZED: DuckDB otherwise inlines each of the
+  // ~50 references back to the parquet scan and exhausts file
+  // descriptors before it exhausts the graph.
+  val q98Sql: String = {
+    val rounds = (0 until 24).map { i =>
+      s""", d$i AS MATERIALIZED (
+         SELECT n, count(*) AS d FROM (
+           SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY 1
+       ), e${i + 1} AS MATERIALIZED (
+         SELECT u, v FROM e$i
+         WHERE u IN (SELECT n FROM d$i WHERE d >= 3)
+           AND v IN (SELECT n FROM d$i WHERE d >= 3)
+       )"""
+    }.mkString
+    s"""WITH e0 AS MATERIALIZED (
+         WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem WHERE l_quantity >= 44
+         )
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       )$rounds, df AS (
+         SELECT n, count(*) AS d FROM (
+           SELECT u AS n FROM e24 UNION ALL SELECT v FROM e24) GROUP BY 1
+       )
+       SELECT n AS node, CAST(d AS BIGINT) AS deg FROM df ORDER BY node"""
+  }
 }

@@ -501,4 +501,61 @@ object LlmQueries {
            CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS BIGINT) AS rnk
          FROM c)
        WHERE rnk <= 3 ORDER BY w1, rnk"""
+
+  // q99: collocation mining — bigrams ranked by LIFT, the rational
+  // PMI surrogate n_xy·N / (n_x·n_y). log is monotone, so ranking by
+  // lift IS ranking by PMI without touching libm (q69/q89's
+  // no-transcendental rule); every product is an exact long (n_xy·N ≤
+  // 10¹⁶ at sf10) and the score is ONE IEEE division of two exact
+  // longs — bit-identical across engines. The unigram joins hit the
+  // AGGREGATED vocabulary (never the token stream), stay equi-joins
+  // (a 100 TB corpus's vocabulary outgrows a broadcast; AQE may still
+  // choose one when it fits), and the top-50 is a distributed
+  // TakeOrdered with a full deterministic tiebreak.
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n1"))
+    val total = uni.agg(sum(col("n1")).as("nn"))
+    val grams = toks
+      .select(col("ts"), size(col("ts")).as("k"))
+      .select(explode(when(col("k") >= 2,
+          expr("transform(sequence(1, k - 1), i -> struct(ts[i-1] AS x, ts[i] AS y))"))
+        .otherwise(expr("array()").cast("array<struct<x:string,y:string>>"))).as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 5)
+    grams
+      .join(uni.withColumnsRenamed(Map("t" -> "x", "n1" -> "nx")), "x")
+      .join(uni.withColumnsRenamed(Map("t" -> "y", "n1" -> "ny")), "y")
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("nxy"),
+        ((col("nxy") * col("nn")).cast(DoubleType) /
+          (col("nx") * col("ny")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+      .limit(50)
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0) AS ts
+         FROM documents
+       ), uni AS (
+         SELECT t, count(*) AS n1 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+       ), total AS (
+         SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM uni
+       ), c AS (
+         SELECT g.x AS x, g.y AS y, count(*) AS nxy FROM (
+           SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> struct_pack(x := ts[i], y := ts[i+1]))) AS g
+           FROM toks)
+         GROUP BY 1, 2 HAVING count(*) >= 5
+       )
+       SELECT x, y, nxy,
+         CAST(nxy * nn AS DOUBLE) / CAST(ux.n1 * uy.n1 AS DOUBLE) AS lift
+       FROM c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y
+       CROSS JOIN total
+       ORDER BY lift DESC, x ASC, y ASC LIMIT 50"""
 }

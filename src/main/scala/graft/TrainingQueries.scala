@@ -525,4 +525,86 @@ object TrainingQueries {
     sketch.toSeq.toDF("term", "est")
       .orderBy(col("est").desc, col("term").asc)
   }
+
+  // q96: BLOCKED inverted index — posting lists for the common
+  // vocabulary (df ≥ |corpus|/10, sized from the parquet FOOTER — no
+  // counting scan), sharded by doc-id block so no term ever
+  // materializes one giant row. The stopword problem at corpus scale
+  // is posting-list skew: "the" maps to |corpus| doc ids; blocking on
+  // doc_id div 100 bounds every row to the block size, turns the
+  // posting build into an ordinary combinable groupBy, and is the
+  // layout real engines (Lucene segments) shard by anyway. Postings
+  // render as a comma-joined sorted string (q11's convention for
+  // engine-exact array compare). Two shuffles: the (term, doc)
+  // distinct and the (term, blk) aggregate; the df-vocabulary join is
+  // a broadcast.
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val minDf = Tables.rowCount(spark, dir, "documents") / 10
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+    val vocab = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    posts.join(broadcast(vocab), "term")
+      .withColumn("blk", expr("doc_id div 100"))
+      .groupBy("term", "blk")
+      .agg(
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast(StringType)), ",").as("postings"),
+        count(lit(1)).as("n_blk"), first(col("df")).as("df"))
+      .orderBy("term", "blk")
+  }
+
+  val q96Sql: String =
+    s"""WITH posts AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest($toksSql) AS term FROM documents)
+        ), vocab AS (
+          SELECT term, count(*) AS df FROM posts GROUP BY 1
+          HAVING count(*) >= (SELECT count(*) // 10 FROM documents)
+        )
+        SELECT term, doc_id // 100 AS blk,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+          CAST(count(*) AS BIGINT) AS n_blk, any_value(df) AS df
+        FROM posts JOIN vocab USING (term)
+        GROUP BY 1, 2 ORDER BY term, blk"""
+
+  /** q100 probe terms: a fixed mix of heavy, medium, and absent
+    * tokens (the estimate is defined for all three). */
+  val Q100Terms: Seq[String] =
+    Seq("a", "the", "data", "query", "join", "scan", "merge", "spark",
+      "table", "vector", "rowgroup", "zz_absent")
+
+  // q100: per-source term-frequency COUNT-MIN sketches
+  // (TypedAggs.CountMin, Cormode–Muthukrishnan 2005) probed at a
+  // fixed term set. The q51-HLL/q91-MG story for point frequency:
+  // each source's token stream folds into a fixed 4×2048 cell grid
+  // combined MAP-SIDE, so the shuffle moves 64 KB per partition
+  // regardless of corpus size, while an exact per-source count would
+  // shuffle (source, term) pairs for the whole vocabulary. Unlike
+  // Misra–Gries, the cells are commutative exact sums — the sketch is
+  // partition- and merge-order-invariant, so estimates are
+  // DETERMINISTIC for fixed seeds. Rows-only by nature (no SQL
+  // rendering of the hash grid) with a HARD gate in check.py:
+  // est ≥ true for every probe, and est ≤ true + 2·n_source/width.
+  // The per-source grids are a bounded driver collect
+  // (|sources|·32 KB — Salting.hotKeys class).
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (4, 2048)
+    val cm = new TypedAggs.CountMin(depth, width)
+    val sketches = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(cm.toColumn)
+      .collect()
+    sketches.toSeq
+      .flatMap { case (source, grid) =>
+        Q100Terms.map(t =>
+          (source, t, TypedAggs.CountMin.estimate(grid, t, depth, width)))
+      }
+      .toDF("source", "term", "est")
+      .orderBy("source", "term")
+  }
 }

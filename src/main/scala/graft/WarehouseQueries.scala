@@ -1,0 +1,176 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-maintenance surface: slowly-changing-dimension history
+  * builds, time-series gap fill, incremental aggregate maintenance —
+  * the operators a dimensional warehouse runs nightly. Same
+  * oracle-parity conventions as Queries (SURVEY §6): exact integer
+  * arithmetic wherever an engine could round differently.
+  */
+object WarehouseQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** SCD2 "open row" sentinel: year-9999 epoch seconds. A real high
+    * date (not NULL) so the validity interval is closed-open
+    * [from, to) and range probes never need an IS NULL branch. */
+  val OpenEnd = 253402300800L
+
+  // q93: SCD TYPE-2 dimension build — each user's props-k tier
+  // tracked as validity intervals [valid_from, valid_to) with a
+  // version counter and a current flag (Kimball's type-2 history,
+  // built from the raw event stream in one pass). Change points are
+  // detected with lag() and interval ends with lead(), BOTH over the
+  // same (user_id | ts, event_id) window, so the whole build costs
+  // ONE shuffle on the user key and one sort — no self-join against
+  // the "next change". The (ts_sec, event_id) tiebreak makes the
+  // order — and therefore which duplicate-tier rows collapse —
+  // engine-exact. At 100 TB this is the standard dimension-build
+  // shape: partition by the dimension's natural key, never a global
+  // sort.
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(LongType).as("ts_sec"),
+        expr("CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) div 25").as("tier"))
+    val changes = ev
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", coalesce(lead(col("ts_sec"), 1).over(w), lit(OpenEnd)))
+      .select(col("user_id"), col("tier"), col("version"),
+        col("ts_sec").as("valid_from"), col("valid_to"),
+        (col("valid_to") === OpenEnd).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val q93Sql: String =
+    s"""WITH ev AS (
+         SELECT user_id, event_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // 25 AS tier
+         FROM events
+       ), marked AS (
+         SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_tier
+         FROM ev
+       ), changes AS (
+         SELECT * FROM marked WHERE prev_tier IS NULL OR tier <> prev_tier
+       )
+       SELECT user_id, tier,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS INTEGER) AS version,
+         ts_sec AS valid_from,
+         coalesce(lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id), $OpenEnd) AS valid_to,
+         coalesce(lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id), $OpenEnd) = $OpenEnd AS is_current
+       FROM changes ORDER BY user_id, version"""
+
+  // q94: time-series GAP FILL with linear interpolation — daily
+  // purchase revenue for a sparse user slice, densified over the full
+  // [min_day, max_day] spine, missing days interpolated between the
+  // nearest observed neighbors. All interpolation math is INTEGER:
+  // magnitude = |Δc|·pos div len with a separate sign branch, because
+  // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+  // they only agree on non-negative operands, so the division is kept
+  // non-negative by construction. The neighbor lookup is
+  // last/first(ignoreNulls) over the DATE SPINE — a frame bounded by
+  // |days| (years × 365), never the fact table, so the single
+  // unpartitioned window is safe at any corpus size (a per-series
+  // variant would partition this window by the series key).
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+      .groupBy(datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+        .cast(LongType).as("day"))
+      .agg(cents(sum(col("value"))).as("obs_c"))
+    val spine = obs.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val joined = spine.join(obs, Seq("day"), "left")
+    val before = Window.orderBy(col("day").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.orderBy(col("day").asc).rowsBetween(1, Window.unboundedFollowing)
+    val markedDay = when(col("obs_c").isNotNull, col("day"))
+    val f = joined
+      .withColumn("prev_day", last(markedDay, ignoreNulls = true).over(before))
+      .withColumn("prev_c", last(when(col("obs_c").isNotNull, col("obs_c")), ignoreNulls = true).over(before))
+      .withColumn("next_day", first(markedDay, ignoreNulls = true).over(after))
+      .withColumn("next_c", first(when(col("obs_c").isNotNull, col("obs_c")), ignoreNulls = true).over(after))
+    val mag = expr("(abs(next_c - prev_c) * (day - prev_day)) div (next_day - prev_day)")
+    val interp = col("prev_c") +
+      when(col("next_c") < col("prev_c"), -mag).otherwise(mag)
+    f.select(col("day"),
+        coalesce(col("obs_c"),
+          when(col("prev_c").isNotNull && col("next_c").isNotNull, interp)
+            .otherwise(coalesce(col("prev_c"), col("next_c")))).as("value_c"),
+        when(col("obs_c").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
+      .orderBy("day")
+  }
+
+  val q94Sql: String =
+    """WITH obs AS (
+         SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+           CAST(round(SUM(value)*100) AS BIGINT) AS obs_c
+         FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0
+         GROUP BY 1
+       ), spine AS (
+         SELECT unnest(range((SELECT min(day) FROM obs), (SELECT max(day) FROM obs) + 1)) AS day
+       ), j AS (
+         SELECT spine.day AS day, obs_c FROM spine LEFT JOIN obs ON spine.day = obs.day
+       ), f AS (
+         SELECT day, obs_c,
+           last_value(CASE WHEN obs_c IS NOT NULL THEN day END IGNORE NULLS)
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_day,
+           last_value(obs_c IGNORE NULLS)
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+           first_value(CASE WHEN obs_c IS NOT NULL THEN day END IGNORE NULLS)
+             OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_day,
+           first_value(obs_c IGNORE NULLS)
+             OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+         FROM j
+       )
+       SELECT day,
+         coalesce(obs_c,
+           CASE WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+             prev_c + (CASE WHEN next_c < prev_c THEN -1 ELSE 1 END)
+               * ((abs(next_c - prev_c) * (day - prev_day)) // (next_day - prev_day))
+           ELSE coalesce(prev_c, next_c) END) AS value_c,
+         CASE WHEN obs_c IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+       FROM f ORDER BY day"""
+
+  // q97: INCREMENTAL aggregate-view maintenance — the monthly
+  // (month, status) revenue view maintained as base-partials ⊕
+  // delta-partials instead of a recompute. Count and sum are
+  // self-maintainable, so the merge is a groupBy over the UNION OF
+  // PARTIALS: the delta path touches delta rows plus the base
+  // AGGREGATE (|months|·|statuses| rows — in production a persisted
+  // artifact, the Warehouse bucketed-MERGE layout), never base fact
+  // rows. The oracle is the full recompute, so the gate proves the
+  // maintenance algebra exact — same contract Dedup.dedupIncrement
+  // and pageRankIntWarmStart carry for their operators. All sums are
+  // exact longs (cents), far from wrap at any SF here; the decimal
+  // widening rule (q95) applies the moment a measure could reach
+  // 2⁶³.
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      date_format(col("o_orderdate").cast(DateType), "yyyy-MM").as("month"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("month", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("c").as("rev_c"))
+    val base = partials(o.filter(col("month") < "2000-01"))
+    val delta = partials(o.filter(col("month") >= "2000-01"))
+    base.unionByName(delta)
+      .groupBy("month", "o_orderstatus")
+      .agg(sum("n").as("n"), sum("rev_c").as("rev_c"))
+      .orderBy("month", "o_orderstatus")
+  }
+
+  val q97Sql: String =
+    """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+       FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus"""
+}

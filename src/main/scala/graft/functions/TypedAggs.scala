@@ -97,4 +97,60 @@ object TypedAggs {
     override def outputEncoder: Encoder[Map[String, Long]] =
       Encoders.kryo[Map[String, Long]]
   }
+
+  /** Count-Min sketch (Cormode–Muthukrishnan, J. Algorithms 2005 §4):
+    * a depth×width grid of exact integer cells; each item increments
+    * one cell per row (an independent hash per row), and a point
+    * estimate is the MIN over its depth cells.
+    *
+    * Cell updates are commutative exact sums, so — unlike the
+    * Misra–Gries counters above — the finished sketch is partition-
+    * and merge-order-INVARIANT: with fixed row seeds, estimates are
+    * fully deterministic however the data is split. Error is
+    * one-sided: est ≥ true always (cells only over-count), and
+    * est ≤ true + 2n/width w.h.p. (Markov per row, min over
+    * independent rows). The buffer is a fixed depth·width·8-byte
+    * array (32 KB at 4×1024) combined map-side, so the shuffle cost
+    * is constant per partition regardless of stream length. */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(buf: Array[Long], item: String): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        buf(i * width + CountMin.cell(item, i, width)) += 1L
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  object CountMin {
+    /** Row-i cell for an item: MurmurHash3 with a fixed per-row seed —
+      * pure JVM arithmetic, identical on every executor. */
+    def cell(item: String, row: Int, width: Int): Int =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c + row), width)
+
+    /** Point estimate: min over the item's depth cells. */
+    def estimate(sketch: Array[Long], item: String, depth: Int, width: Int): Long = {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val c = sketch(i * width + cell(item, i, width))
+        if (c < best) best = c
+        i += 1
+      }
+      best
+    }
+  }
 }

@@ -452,6 +452,44 @@ object GraphOps {
       .distinct()
   }
 
+  /** k-core decomposition: iteratively peel nodes of degree < k until
+    * the maximal subgraph with minimum degree ≥ k remains (Seidman,
+    * Social Networks 1983 — "network degeneracy").
+    *
+    * Each round costs one degree groupBy plus two left-semi joins of
+    * the edge list against the survivor set, all on the node key, and
+    * the edge list only SHRINKS — per-round work tracks the peeled
+    * graph, not the input. Degrees are exact integers, so the fixpoint
+    * is reduction-order-independent and identical on any engine; the
+    * loop's only driver action is the per-round emptiness probe on the
+    * sub-k degree set (bfsLevels' frontier pattern). Per-round state is
+    * lineage-truncated (see [[truncate]]); pass `checkpointDir` for
+    * reliable checkpoints under executor loss.
+    *
+    * @param edges first two columns are the undirected endpoints
+    * @return DataFrame(n, d): surviving nodes with their in-core degree
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100,
+            checkpointDir: Option[String] = None): DataFrame = {
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+    var e = truncate(
+      edges.toDF("u", "v").filter(col("u") =!= col("v")).distinct(), checkpointDir)
+    var deg = truncate(degreesOf(e), checkpointDir)
+    var rounds = 0
+    while (rounds < maxRounds && !deg.filter(col("d") < k).isEmpty) {
+      rounds += 1
+      val keep = deg.filter(col("d") >= k).select("n")
+      e = truncate(
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"),
+        checkpointDir)
+      deg = truncate(degreesOf(e), checkpointDir)
+    }
+    deg
+  }
+
   /** Single-source BFS hop counts over an undirected edge list.
     *
     * Frontier expansion: round i joins the CURRENT FRONTIER (not the

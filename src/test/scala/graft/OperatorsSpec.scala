@@ -72,6 +72,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("kCore: clique survives, path and pendant trees peel; matches naive peeling on a random graph") {
+    // K5 (every degree 4) glued via one bridge to a 6-node path: the
+    // 3-core is exactly the clique; the bridge+path peel away in
+    // cascading rounds.
+    val k5 = for (i <- 0 until 5; j <- i + 1 until 5) yield (i.toLong, j.toLong)
+    val path = (10 until 15).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (k5 ++ path :+ (4L, 10L)).toDF("u", "v")
+    val core = GraphOps.kCore(edges, 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0 until 5).map(i => i.toLong -> 4L).toMap,
+      s"3-core of K5+path must be exactly K5 with degree 4, got $core")
+
+    // Naive-oracle equivalence on a seeded random graph, plus
+    // partition invariance (the fixpoint is order-independent).
+    val rnd = new scala.util.Random(41)
+    val redges = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    def naive(es: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      var cur = es.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = cur.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val nxt = cur.filter { case (a, b) => keep(a) && keep(b) }
+        changed = nxt.size != cur.size
+        cur = nxt
+      }
+      cur.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val want = naive(redges, 4)
+    for (parts <- Seq(1, 8)) {
+      val got = GraphOps.kCore(redges.toDF("u", "v").repartition(parts), 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == want, s"kCore != naive peeling @$parts partitions")
+    }
+  }
+
   test("bfsLevels: exact hop counts, depth cap, direction-insensitive, disconnected excluded") {
     // 0-1-2-3 path, a 1-4 branch, a 2-0 back-edge (cycle), and a
     // disconnected 10-11 pair; edges deliberately mixed-direction.

@@ -224,4 +224,49 @@ class PlanRegressionSpec extends SparkSpec {
     val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }
     assert(bnlj.isEmpty, "q58 must not contain nested-loop joins")
   }
+
+  test("q93: SCD2 build is ONE dimension-key shuffle — lag/lead/version share the window, no self-join") {
+    val df = WarehouseQueries.q93(spark, sf)
+    val p = plan(df)
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "q93 must not plan any join (the next-change self-join regression)")
+    // both windows (change detection + interval close/version) must
+    // share the user_id partitioning so EnsureRequirements inserts
+    // exactly one dimension-key exchange
+    val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 2, s"q93 expected 2 window ops, got ${windows.size}")
+    assert(windows.forall(_.partitionSpec.map(_.toString.split("#")(0)) == Seq("user_id")),
+      "q93 windows must all partition by the dimension key")
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(hashEx == 1,
+      s"q93 must shuffle exactly once on the dimension key, got $hashEx")
+  }
+
+  test("q95/q97: sufficient statistics and MV partials keep map-side combine") {
+    val p95 = plan(AnalyticsQueries.q95(spark, sf)).toString
+    assert(p95.contains("partial_sum"),
+      "q95's exact sums lost their partial aggregation")
+    val p97 = plan(WarehouseQueries.q97(spark, sf)).toString
+    assert(p97.contains("partial_sum") && p97.contains("partial_count"),
+      "q97's base/delta partials lost map-side combine")
+    assert(!p97.contains("Join"), "q97's partial merge must be a union, not a join")
+  }
+
+  test("q96/q99: vocabulary joins stay equi — no nested loop beyond the 1-row stats broadcast") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p96 = plan(TrainingQueries.q96(spark, sf))
+    assert(p96.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q96 must not plan a cartesian")
+    assert(p96.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q96's df-vocabulary join should broadcast")
+    val p99 = plan(LlmQueries.q99(spark, sf))
+    assert(p99.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q99 must not plan a cartesian")
+    // the only nested-loop is the broadcast of the 1-row token total
+    val bnlj = p99.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size <= 1, s"q99 grew ${bnlj.size} nested-loop joins")
+    assert(p99.toString.contains("TakeOrdered"),
+      "q99's top-50 must plan as distributed TakeOrdered")
+  }
 }

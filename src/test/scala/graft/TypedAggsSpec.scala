@@ -60,6 +60,29 @@ class TypedAggsSpec extends SparkSpec {
     }
   }
 
+  test("CountMin is partition-invariant and one-sided: true <= est <= true + 2n/w") {
+    // Same Zipf-ish stream class as the MG spec. Count-Min's cells are
+    // commutative exact sums, so unlike MG the FULL SKETCH must be
+    // bit-identical across partitionings, not just bound-respecting.
+    val stream = (1 to 40).flatMap(i => Seq.fill(1500 / i)(s"hot$i")) ++
+      (1 to 2000).map(i => s"tail$i")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (depth, width) = (4, 1024)
+    val bound = 2.0 * stream.size / width
+    val grids = Seq(1, 7, 32).map { parts =>
+      spream(stream, parts).select(new TypedAggs.CountMin(depth, width).toColumn).head()
+    }
+    assert(grids.forall(_.sameElements(grids.head)),
+      "Count-Min grid must be identical under any partitioning")
+    val probes = exact.keySet ++ Seq("absent1", "absent2")
+    probes.foreach { t =>
+      val e = TypedAggs.CountMin.estimate(grids.head, t, depth, width)
+      val c = exact.getOrElse(t, 0L)
+      assert(e >= c, s"$t: Count-Min under-counted ($e < $c)")
+      assert(e <= c + bound, s"$t: est $e exceeds true $c + 2n/w $bound")
+    }
+  }
+
   private def spream(items: Seq[String], parts: Int) = {
     import spark.implicits._
     spark.createDataset(items).repartition(parts)
