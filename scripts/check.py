@@ -154,5 +154,41 @@ if os.path.isdir(q100_path):
         print(f"ok   q100_countmin_freq [property: {len(got)} probes, "
               f"true <= est <= true + 2n/w]")
 
+# q101: KMV/theta sketches (k=256) of per-source 3-word shingle sets,
+# pairwise distinct + theta-intersection estimates. Deterministic for
+# the fixed hash; gate: every estimate within 30% (or +-60 absolute
+# for small true values) of exact.
+q101_path = f"{OUT}/q101_theta_overlap"
+if os.path.isdir(q101_path):
+    got = con.sql(f"SELECT * FROM read_parquet('{q101_path}/*.parquet')").df()
+    shingle_ss = (
+        "WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),"
+        "                            x -> len(x) > 0) AS toks FROM documents), "
+        "sdoc AS (SELECT doc_id, source, CASE WHEN len(toks) >= 3 "
+        "  THEN list_distinct(list_transform(range(1, len(toks)-1),"
+        "         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+        "  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh FROM t), "
+        "ss AS (SELECT DISTINCT source, unnest(sh) AS sh FROM sdoc) ")
+    tru_n = dict(con.sql(shingle_ss + "SELECT source, count(*) FROM ss GROUP BY 1").fetchall())
+    tru_i = {(a, b): c for a, b, c in con.sql(
+        shingle_ss + "SELECT a.source, b.source, count(*) FROM ss a JOIN ss b "
+        "ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2").fetchall()}
+    def ok_est(est, true):
+        return abs(est - true) <= max(60, 0.3 * true)
+    bad = []
+    for r in got.itertuples():
+        for est, true, what in [
+                (r.est_a, tru_n.get(r.source_a, 0), "distinct_a"),
+                (r.est_b, tru_n.get(r.source_b, 0), "distinct_b"),
+                (r.est_common, tru_i.get((r.source_a, r.source_b), 0), "common")]:
+            if not ok_est(est, true):
+                bad.append((r.source_a, r.source_b, what, int(est), int(true)))
+    if bad or len(got) == 0:
+        fails.append("q101_theta_overlap")
+        print(f"FAIL q101_theta_overlap: estimates out of bound {bad[:5]}")
+    else:
+        print(f"ok   q101_theta_overlap [property: {len(got)} pairs, distinct & "
+              f"theta-intersection within 30%]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

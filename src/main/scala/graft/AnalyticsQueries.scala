@@ -940,4 +940,67 @@ object AnalyticsQueries {
        )
        SELECT n AS node, CAST(d AS BIGINT) AS deg FROM df ORDER BY node"""
   }
+
+  // q102: marketing ATTRIBUTION — each purchase credited to the
+  // user's FIRST-ever and LAST-within-7-days non-purchase touchpoint
+  // (first-touch / last-touch, the two canonical models). Both
+  // lookups are ignoreNulls window carries over the SAME
+  // (user_id | ts, event_id) ordering, so the whole model costs ONE
+  // shuffle on the user key — no purchase×touch self-join, which at
+  // 100 TB would re-shuffle the event stream per model. The paired
+  // (type, ts) carries are consistent because their null conditions
+  // are identical row-by-row; the (ts_sec, event_id) tiebreak makes
+  // carry order engine-exact.
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      col("ts").cast(LongType).as("ts_sec"), col("event_type"),
+      cents(col("value")).as("value_c"))
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts_sec"))
+    val marked = ev
+      .withColumn("last_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("last_ts", last(touchTs, ignoreNulls = true).over(w))
+      .withColumn("first_type", first(touch, ignoreNulls = true).over(w))
+    marked.filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_ts").isNotNull && col("ts_sec") - col("last_ts") <= 604800L,
+          col("last_type")).otherwise(lit("none")).as("last_touch"),
+        coalesce(col("first_type"), lit("none")).as("first_touch"),
+        col("value_c"))
+      .groupBy("last_touch", "first_touch")
+      .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("rev_c"))
+      .orderBy("last_touch", "first_touch")
+  }
+
+  val q102Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           event_type, CAST(round(value*100) AS BIGINT) AS value_c
+         FROM events
+       ), marked AS (
+         SELECT *,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_type,
+           last_value(CASE WHEN event_type <> 'purchase' THEN ts_sec END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ts,
+           first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_type
+         FROM ev
+       )
+       SELECT
+         CASE WHEN last_ts IS NOT NULL AND ts_sec - last_ts <= 604800
+              THEN last_type ELSE 'none' END AS last_touch,
+         coalesce(first_type, 'none') AS first_touch,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(value_c) AS BIGINT) AS rev_c
+       FROM marked WHERE event_type = 'purchase'
+       GROUP BY 1, 2 ORDER BY last_touch, first_touch"""
 }

@@ -607,4 +607,41 @@ object TrainingQueries {
       .toDF("source", "term", "est")
       .orderBy("source", "term")
   }
+
+  // q101: cross-source CONTENT-OVERLAP estimation via KMV/theta
+  // sketches (TypedAggs.KMinValues) over 3-word shingles — the
+  // APPROXIMATE twin of q73's exact overlap matrix, and the set
+  // operation HLL fundamentally cannot provide: θ-intersection.
+  // Each source folds its shingle stream into its k smallest distinct
+  // hashes (8k bytes, map-side combined, set-function ⇒ partition-
+  // and order-invariant, deterministic for the fixed hash); pairwise
+  // intersect/distinct estimates then cost |sources|²·k driver ops on
+  // 2 KB sketches instead of q73's shingle-set self-join shuffle. At
+  // 100 TB this is the difference between a nightly overlap matrix
+  // over thousands of sources and an O(sources²) shuffle over the
+  // corpus. Rows-only with a HARD check.py gate: every estimate
+  // within 30% (or ±60 absolute for near-empty intersections) of the
+  // exact value; sketch collect is |sources|·2 KB (Salting.hotKeys
+  // class).
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val kmv = new TypedAggs.KMinValues(k)
+    val sketches = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.toColumn)
+      .collect()
+      .sortBy(_._1)
+    val rows = for {
+      (sa, ska) <- sketches.toSeq
+      (sb, skb) <- sketches.toSeq if sa < sb
+    } yield (sa, sb,
+        TypedAggs.KMinValues.estimateDistinct(ska, k),
+        TypedAggs.KMinValues.estimateDistinct(skb, k),
+        TypedAggs.KMinValues.estimateIntersection(ska, skb, k))
+    rows.toDF("source_a", "source_b", "est_a", "est_b", "est_common")
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -153,4 +153,98 @@ object TypedAggs {
       best
     }
   }
+
+  /** KMV / theta sketch (Bar-Yossef et al. RANDOM'02; Dasgupta et al.,
+    * "Theta sketch framework", 2016): the k smallest distinct 64-bit
+    * hash values of a set, kept sorted ascending in [0, 2⁶³).
+    *
+    * The k-min-set of a set union is determined by the k-min-sets of
+    * the parts, so merge = sorted-merge + trim: mergeable, bounded at
+    * 8k bytes, combined map-side, and — being a function of the SET —
+    * fully partition- and order-invariant (deterministic for a fixed
+    * hash). Distinct estimate: exact while the sketch is not full
+    * (no hash collisions below 2⁶³ in practice), else (k−1)·2⁶³/x₍ₖ₎.
+    * INTERSECTION (the set op inclusion-exclusion-free HLL cannot do):
+    * θ = min of the two kth minima; both sample sets below θ are
+    * uniform coordinated samples of their sets, so
+    * |A∩B| ≈ |{h ∈ A_sk ∩ B_sk : h < θ}| · 2⁶³/θ. */
+  class KMinValues(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require(k >= 16, s"k too small for estimation: $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], item: String): Array[Long] =
+      KMinValues.insert(buf, KMinValues.hash64(item), k)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted merge, distinct, first k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var (i, j, n) = (0, 0, 0)
+      var last = -1L
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (v != last) { out(n) = v; n = n + 1; last = v }
+      }
+      if (n == out.length) out else out.take(n)
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  object KMinValues {
+    private val Range63 = 9.223372036854776e18 // 2^63 as double
+
+    /** fnv1a64 + the murmur3 finalizer, shifted into [0, 2⁶³): fnv
+      * alone has weak high-bit avalanche; the fmix pass makes the
+      * k-min statistics behave like uniform draws. */
+    def hash64(s: String): Long = {
+      var h = graft.plans.SimHashImpl.fnv1a64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+      h ^= (h >>> 33)
+      h >>> 1
+    }
+
+    private[functions] def insert(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins >= k) buf // larger than the kth minimum
+        else {
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        }
+      }
+    }
+
+    private def theta(sk: Array[Long], k: Int): Double =
+      if (sk.length < k) Range63 else sk(sk.length - 1).toDouble
+
+    /** Distinct estimate: exact until full, then (k−1)·2⁶³/x₍ₖ₎. */
+    def estimateDistinct(sk: Array[Long], k: Int): Long =
+      if (sk.length < k) sk.length.toLong
+      else math.round((k - 1).toDouble * Range63 / sk.last.toDouble)
+
+    /** θ-intersection estimate of two sketches built with the same k. */
+    def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Long = {
+      val th = math.min(theta(a, k), theta(b, k))
+      var (i, j, common) = (0, 0, 0L)
+      while (i < a.length && j < b.length && a(i) < th && b(j) < th) {
+        if (a(i) == b(j)) { common += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      math.round(common.toDouble * Range63 / th)
+    }
+  }
 }

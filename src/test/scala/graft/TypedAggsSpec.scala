@@ -83,6 +83,35 @@ class TypedAggsSpec extends SparkSpec {
     }
   }
 
+  test("KMinValues: partition-invariant; exact below k; estimates within 3 sigma when full") {
+    val k = 256
+    // distinct universe >> k so the sketch saturates
+    val items = (1 to 20000).map(i => s"item$i")
+    val grids = Seq(1, 7, 32).map { parts =>
+      spream(items ++ items, parts) // duplicates must not matter: set semantics
+        .select(new TypedAggs.KMinValues(k).toColumn).head()
+    }
+    assert(grids.forall(_.sameElements(grids.head)), "KMV must be partition-invariant")
+    assert(grids.head.length == k && grids.head.sorted.sameElements(grids.head))
+    val est = TypedAggs.KMinValues.estimateDistinct(grids.head, k)
+    val sigma = 20000.0 / math.sqrt(k - 2) // RSE of the KMV estimator
+    assert(math.abs(est - 20000.0) <= 3 * sigma, s"distinct est $est vs 20000, sigma $sigma")
+
+    // small set: exact
+    val small = spream((1 to 100).map(i => s"s$i"), 5)
+      .select(new TypedAggs.KMinValues(k).toColumn).head()
+    assert(TypedAggs.KMinValues.estimateDistinct(small, k) == 100L)
+
+    // theta-intersection: two sets sharing exactly 5000 of 20000
+    val a = (1 to 20000).map(i => s"c$i")
+    val b = (15001 to 35000).map(i => s"c$i")
+    val ska = spream(a, 8).select(new TypedAggs.KMinValues(k).toColumn).head()
+    val skb = spream(b, 8).select(new TypedAggs.KMinValues(k).toColumn).head()
+    val inter = TypedAggs.KMinValues.estimateIntersection(ska, skb, k)
+    assert(math.abs(inter - 5000.0) <= 0.35 * 5000.0,
+      s"theta-intersection est $inter vs true 5000")
+  }
+
   private def spream(items: Seq[String], parts: Int) = {
     import spark.implicits._
     spark.createDataset(items).repartition(parts)
