@@ -1003,4 +1003,170 @@ object AnalyticsQueries {
          CAST(SUM(value_c) AS BIGINT) AS rev_c
        FROM marked WHERE event_type = 'purchase'
        GROUP BY 1, 2 ORDER BY last_touch, first_touch"""
+
+  // q103: weighted single-source shortest paths over the co-purchase
+  // graph (GraphOps.ssspInt — frontier Bellman-Ford). Edge weight is a
+  // deterministic integer derived from the endpoints (1 + (u+v) % 7),
+  // so the whole computation stays in exact longs and the K-round
+  // frontier loop is provably identical to K rounds of full
+  // synchronous relaxation — which is exactly what the generated
+  // unrolled-CTE oracle computes (q78's convention: converged or not,
+  // both engines produce the same table). Per-round work tracks the
+  // wavefront, not the edge set; at 100 TB the cap K bounds total work
+  // at K·O(m) worst-case while the frontier keeps the typical round
+  // far cheaper.
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+      .select(col("u"), col("v"),
+        (lit(1L) + (col("u") + col("v")) % 7L).as("w"))
+    import spark.implicits._
+    val source = edges.agg(min(col("u"))).as[Long].head()
+    GraphOps.ssspInt(edges, source, maxRounds = 12)
+      .orderBy("node")
+  }
+
+  // Each round references the previous one TWICE (carry + relax), so
+  // the per-round CTEs are MATERIALIZED — a plain CTE would inline
+  // exponentially (2^rounds scans).
+  val q103Sql: String = {
+    val rounds = 12
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d${i - 1}
+           UNION ALL
+           SELECT e.d AS node, p.dist + e.w AS dist
+           FROM d${i - 1} p JOIN e ON e.s = p.node
+         ) GROUP BY node
+       )"""
+    }.mkString(", ")
+    s"""WITH items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), ew AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v, 1 + (a.pk + b.pk) % 7 AS w
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), e AS MATERIALIZED (
+         SELECT u AS s, v AS d, w FROM ew UNION ALL SELECT v, u, w FROM ew
+       ), d0 AS (
+         SELECT (SELECT min(u) FROM ew) AS node, CAST(0 AS BIGINT) AS dist
+       ), $steps
+       SELECT node, dist FROM d$rounds ORDER BY node"""
+  }
+
+  // q105: trailing-28-day active users per day (the DAU/MAU "rolling
+  // distinct" every product-analytics warehouse computes). A sliding
+  // COUNT DISTINCT is not window-aggregable, and the naive spine×
+  // activity range join re-scans 28 days of facts per output day. The
+  // scale design: per user, consecutive active days abut into DISJOINT
+  // coverage intervals [day, min(day+27, next_day-1)] (one lead()
+  // window over the per-user activity), so membership in the trailing
+  // window becomes interval stabbing — emit +1/-1 boundary deltas and
+  // one cumulative sum over the |days|-bounded spine (q94's bounded-
+  // window argument). Total cost: one distinct shuffle + one user-key
+  // window + a spine-sized cumsum — O(activity), independent of the
+  // 28-day width. All counts exact longs; oracle = the naive
+  // spine-BETWEEN-join count distinct.
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+    graft.operators.TimeSeriesOps.slidingDistinct(act, "user_id", "day", window = 28)
+      .withColumnRenamed("active", "mau")
+      .orderBy("day")
+  }
+
+  val q105Sql: String =
+    """WITH act AS (
+         SELECT DISTINCT user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+         FROM events
+       ), spine AS (
+         SELECT unnest(range((SELECT min(day) FROM act),
+                             (SELECT max(day) FROM act) + 1)) AS day
+       )
+       SELECT s.day AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+       FROM spine s LEFT JOIN act a ON a.day BETWEEN s.day - 27 AND s.day
+       GROUP BY 1 ORDER BY day"""
+
+  // q107: dataset profiling — per-column row/null/distinct counts and
+  // min/max over the numeric lineitem columns (the data-quality pass
+  // every ingest runs before training). One map-side `unpivot` (k×
+  // expand, no shuffle) feeds ONE two-phase aggregate keyed on the
+  // column name: count distinct per group plans as partial+final (never
+  // a per-column job chain, which at 100 TB would re-scan the table k
+  // times). Exact distinct here to match the oracle; the 100 TB
+  // variant swaps in the q51 HLL sketch column-for-column. min/max are
+  // IEEE picks of the stored doubles — bit-identical across engines.
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_partkey", "l_suppkey")
+    Tables.lineitem(spark, dir)
+      .select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray, "col_name", "v")
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  val q107Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_partkey", "l_suppkey")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count($c) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         FROM lineitem"""
+    }.mkString(" UNION ALL ") + " ORDER BY col_name"
+  }
+
+  // q108: robust outlier detection — median/MAD (median absolute
+  // deviation) per group, the rank-based anomaly flag that, unlike
+  // z-scores, needs no floating mean/variance: l_quantity is integral,
+  // percentile_disc picks an actual data value, so median, MAD, and
+  // the |x-med| > 3·MAD flag are ALL exact integer arithmetic —
+  // engine-exact by construction. Two grouped sort-aggregates (the
+  // second over the deviations) + one broadcast join of the k-row
+  // stats frame back to the facts; no window over the fact table.
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast(LongType).as("q"))
+    val med = li.groupBy("flag")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").cast(LongType).as("med"))
+    val dev = li.join(broadcast(med), "flag")
+      .withColumn("ad", abs(col("q") - col("med")))
+    val stats = dev.groupBy("flag")
+      .agg(first(col("med")).as("med"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").cast(LongType).as("mad"))
+    dev.drop("med").join(broadcast(stats), "flag")
+      .groupBy("flag")
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("ad") > lit(3L) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("flag")
+  }
+
+  val q108Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+       ), med AS (
+         SELECT flag, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY q) AS BIGINT) AS med
+         FROM li GROUP BY flag
+       ), dev AS (
+         SELECT li.flag AS flag, q, med, abs(q - med) AS ad
+         FROM li JOIN med ON li.flag = med.flag
+       ), stats AS (
+         SELECT flag, CAST(min(med) AS BIGINT) AS med,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+         FROM dev GROUP BY flag
+       )
+       SELECT dev.flag AS flag, stats.med AS med, stats.mad AS mad,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN stats ON dev.flag = stats.flag
+       GROUP BY 1, 2, 3 ORDER BY flag"""
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -173,4 +174,103 @@ object WarehouseQueries {
          CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
        FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus"""
+
+  // q104: OHLC candle resample — open/high/low/close + tick count per
+  // (event_type, day), the time-series downsampling shape (metrics,
+  // market data, sensor rollups). ONE shuffle with full map-side
+  // combine: open/close are `min_by`/`max_by` picks ordered by the
+  // unique (ts_sec, event_id) pair — argmin/argmax are associative, so
+  // partial aggregation survives, unlike the first_value-window
+  // rendering which would sort every group's rows. The unique tiebreak
+  // makes the picks engine-exact; high/low/count are plain min/max/
+  // count. The oracle uses the window rendering — same rows, different
+  // plan — proving the aggregate form correct.
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(LongType).as("ts_sec"),
+        col("event_id"), cents(col("value")).as("v_c"))
+      .withColumn("day", expr("ts_sec div 86400"))
+    ev.groupBy("event_type", "day")
+      .agg(
+        min_by(col("v_c"), struct(col("ts_sec"), col("event_id"))).as("open_c"),
+        max(col("v_c")).as("high_c"),
+        min(col("v_c")).as("low_c"),
+        max_by(col("v_c"), struct(col("ts_sec"), col("event_id"))).as("close_c"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("event_type", "day")
+  }
+
+  val q104Sql: String =
+    """WITH ev AS (
+         SELECT event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           event_id, CAST(round(value*100) AS BIGINT) AS v_c
+         FROM events
+       ), evd AS (
+         SELECT *, ts_sec // 86400 AS day FROM ev
+       ), wd AS (
+         SELECT event_type, day, v_c,
+           first_value(v_c) OVER (PARTITION BY event_type, day
+             ORDER BY ts_sec, event_id) AS o,
+           first_value(v_c) OVER (PARTITION BY event_type, day
+             ORDER BY ts_sec DESC, event_id DESC) AS c
+         FROM evd
+       )
+       SELECT event_type, day, min(o) AS open_c, max(v_c) AS high_c,
+         min(v_c) AS low_c, min(c) AS close_c,
+         CAST(count(*) AS BIGINT) AS n_ticks
+       FROM wd GROUP BY 1, 2 ORDER BY event_type, day"""
+
+  // q106: point-in-time dimension lookup — every purchase enriched
+  // with the SCD2 tier version current AT EVENT TIME (the fact-to-
+  // type-2-dimension join every temporal warehouse runs). Composes
+  // q93's build with AsOfJoin: latest valid_from <= ts per user is
+  // exactly [valid_from, valid_to) membership once empty intervals
+  // (two changes in the same second) are collapsed to their max
+  // version — the same rows the oracle's range predicate keeps. The
+  // as-of composition is ONE shuffle (union + window), never the
+  // near-cartesian inequality join; at 100 TB the dim side is the
+  // small input and the fact side streams through a single
+  // hash-partition + sort.
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q93(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "valid_from").orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("tier"), col("version"), col("valid_from"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(LongType).as("ts_sec"), cents(col("value")).as("value_c"))
+    AsOfJoin.asOf(purchases, dim, Seq("user_id"), "ts_sec", "valid_from", "inner")
+      .select(col("event_id"), col("user_id"), col("tier"), col("version"),
+        col("value_c"))
+      .orderBy("event_id")
+  }
+
+  val q106Sql: String =
+    s"""WITH ev AS (
+         SELECT user_id, event_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           CAST(round(value*100) AS BIGINT) AS value_c,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) // 25 AS tier
+         FROM events
+       ), marked AS (
+         SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_tier
+         FROM ev
+       ), changes AS (
+         SELECT * FROM marked WHERE prev_tier IS NULL OR tier <> prev_tier
+       ), scd AS (
+         SELECT user_id, tier,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS INTEGER) AS version,
+           ts_sec AS valid_from,
+           coalesce(lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id), $OpenEnd) AS valid_to
+         FROM changes
+       )
+       SELECT p.event_id AS event_id, p.user_id AS user_id, s.tier AS tier,
+         s.version AS version, p.value_c AS value_c
+       FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+       JOIN scd s ON s.user_id = p.user_id
+         AND p.ts_sec >= s.valid_from AND p.ts_sec < s.valid_to
+       ORDER BY event_id"""
 }

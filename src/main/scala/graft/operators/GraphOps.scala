@@ -474,8 +474,13 @@ object GraphOps {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
+    // canonicalize to (min, max) before dedup: an undirected input may
+    // carry both (a,b) and (b,a), which must count as ONE edge in the
+    // endpoint degrees, not two
     var e = truncate(
-      edges.toDF("u", "v").filter(col("u") =!= col("v")).distinct(), checkpointDir)
+      edges.toDF("u", "v").filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct(), checkpointDir)
     var deg = truncate(degreesOf(e), checkpointDir)
     var rounds = 0
     while (rounds < maxRounds && !deg.filter(col("d") < k).isEmpty) {
@@ -530,5 +535,62 @@ object GraphOps {
       frontier = next
     }
     visited
+  }
+
+  /** Single-source shortest paths with non-negative INTEGER weights —
+    * synchronous Bellman-Ford with a changed-node frontier.
+    *
+    * Round i relaxes only edges out of nodes whose distance improved in
+    * round i-1 (the frontier), so per-round work tracks the wavefront
+    * (O(Σ frontier out-degree)), not O(m) every round — yet the
+    * distance table after round i is provably identical to i rounds of
+    * full synchronous relaxation (distances only decrease, and a node
+    * that did not improve already contributed its final relaxation the
+    * round it last improved). That equivalence is what makes an
+    * ENGINE-EXACT oracle possible: a generated K-round unrolled CTE
+    * (q78's convention) computes the same table, converged or not.
+    * Distances are exact longs, so merges are reduction-order-
+    * independent; per-round state is lineage-truncated via [[truncate]]
+    * (reliable checkpoint opt-in like CC/PageRank/BFS).
+    *
+    * Parallel edges collapse to their min weight in the one-time
+    * adjacency materialization, so relaxation never re-reads raw edges.
+    *
+    * @param edges     first three columns are `src`, `dst`, `w`
+    *                  (treated undirected; w a non-negative integer)
+    * @param source    SSSP root
+    * @param maxRounds relaxation-round cap; distances are exact once
+    *                  rounds reach the hop count of the longest
+    *                  shortest path, and extra rounds are no-ops
+    * @return DataFrame(node, dist) for every node reached within
+    *         maxRounds relaxation rounds
+    */
+  def ssspInt(edges: DataFrame, source: Long, maxRounds: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.toDF("src", "dst", "w")
+    val adj = truncate(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w")), checkpointDir)
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val improved = truncate(
+        adj.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+          .groupBy("node").agg(min("cand").as("cand"))
+          .join(dist, Seq("node"), "left")
+          .filter(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist")), checkpointDir)
+      dist = truncate(
+        dist.unionAll(improved).groupBy("node").agg(min("dist").as("dist")),
+        checkpointDir)
+      frontier = improved
+    }
+    dist
   }
 }

@@ -123,6 +123,54 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped == Set(0L, 1L, 2L), s"depth cap ignored: $capped")
   }
 
+  test("ssspInt: exact weighted distances vs Dijkstra, frontier == full relaxation, partition-invariant") {
+    // A lighter many-hop path must beat a heavy direct edge: 0-1-2-3
+    // at weight 1 each vs a direct 0-3 at weight 10.
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L),
+      (3L, 4L, 2L), (10L, 11L, 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.ssspInt(e, source = 0L, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 5L),
+      s"wrong distances: $got")
+
+    // Round cap K == K rounds of FULL synchronous Bellman-Ford (the
+    // oracle-parity claim): after 1 round only direct edges are
+    // relaxed, so node 3 still carries the heavy direct distance.
+    val oneRound = GraphOps.ssspInt(e, source = 0L, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound == Map(0L -> 0L, 1L -> 1L, 3L -> 10L),
+      s"round-1 table must equal one full relaxation: $oneRound")
+
+    // Dijkstra-oracle equivalence + partition invariance on a seeded
+    // random weighted graph (weights 1..9, converged well within cap).
+    val rnd = new scala.util.Random(43)
+    val redges = (0 until 300).map { _ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, (1 + rnd.nextInt(9)).toLong)
+    }.filter { case (a, b, _) => a != b }
+    def dijkstra(es: Seq[(Long, Long, Long)], src: Long): Map[Long, Long] = {
+      val adj = (es ++ es.map { case (a, b, w) => (b, a, w) })
+        .groupBy(_._1).view.mapValues(_.map { case (_, b, w) => (b, w) }).toMap
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, src))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          // parallel edges: ssspInt keeps the min weight, Dijkstra
+          // explores each, same result
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+      }
+      dist.toMap
+    }
+    val want = dijkstra(redges, 0L)
+    for (parts <- Seq(1, 8)) {
+      val got2 = GraphOps.ssspInt(redges.toDF("src", "dst", "w").repartition(parts),
+        source = 0L, maxRounds = 50).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == want, s"ssspInt != Dijkstra @$parts partitions")
+    }
+  }
+
   test("cliqueStarEdges == pairwise clique components, even with a hot block") {
     // one HOT block: 2000 members sharing (pk=1, bug=1) — the pairwise
     // clique would materialize ~2M edges; the star emits 1999. Plus two
@@ -294,6 +342,31 @@ class GraphOpsSpec extends SparkSpec {
       "every node of the path must label to component 0")
     val bound = 2.0 * math.pow(math.log(n.toDouble) / math.log(2.0), 2)
     assert(rounds <= bound.toInt, s"rounds=$rounds exceeds 2·log²(n)=$bound")
+  }
+}
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TimeSeriesOps
+
+  test("slidingDistinct == naive trailing-window count distinct, including a dead gap and window=1") {
+    // user 1 active days 0,2,40 — the 12..39 stretch has NO active
+    // user for window=12 (the zero row the interval deltas must still
+    // produce); user 2 active 2,3,4 (abutting intervals must not
+    // double count); user 3 active 0 only.
+    val act = Seq((1L, 0L), (1L, 2L), (1L, 40L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (3L, 0L), (3L, 0L)).toDF("u", "day")
+    for (win <- Seq(1, 12)) {
+      val got = TimeSeriesOps.slidingDistinct(act, "u", "day", win)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val days = 0L to 40L
+      val pairs = Seq((1L, 0L), (1L, 2L), (1L, 40L), (2L, 2L), (2L, 3L), (2L, 4L), (3L, 0L))
+      val want = days.map { d =>
+        d -> pairs.filter { case (_, a) => a <= d && a > d - win }.map(_._1).distinct.size.toLong
+      }.toMap
+      assert(got == want, s"window=$win mismatch: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+      assert(got(20L) == 0L, "the dead gap must surface as an explicit zero row")
+    }
   }
 }
 
