@@ -1169,4 +1169,179 @@ object AnalyticsQueries {
          CAST(SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        FROM dev JOIN stats ON dev.flag = stats.flag
        GROUP BY 1, 2, 3 ORDER BY flag"""
+
+  // q109: contiguous GLOBAL row numbering in total (bal desc, key)
+  // order — the "assign stable export/sample positions" operator. The
+  // naive `row_number() OVER (ORDER BY …)` plans a SINGLE-PARTITION
+  // window — the canonical scale-killer (every row through one task).
+  // The distributed form: range-repartition on the sort key, count
+  // rows per partition (a #partitions-row aggregate), turn counts into
+  // per-partition base offsets (driver-free cumsum over the tiny
+  // frame), then rank WITHIN each partition and add the broadcast
+  // offset. Output is invariant to the sampled range boundaries, so
+  // nondeterministic partitioning yields a deterministic result. Two
+  // data shuffles total, both fully parallel.
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+    val ranged = c.repartitionByRange(8, col("bal_c").desc, col("c_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val w = Window.partitionBy("pid").orderBy(col("bal_c").desc, col("c_custkey").asc)
+    ranged.join(broadcast(offs), "pid")
+      .select((col("off") + row_number().over(w)).as("rn"),
+        col("c_custkey"), col("bal_c"))
+      .orderBy("rn")
+  }
+
+  val q109Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS rn,
+         c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+       FROM customer ORDER BY rn"""
+
+  // q110: gaps-and-islands — per-user consecutive-active-day streaks
+  // (the engagement-streak shape). The classic island key day -
+  // row_number() is constant exactly on consecutive runs, so streak
+  // detection is ONE shuffle on the user key: distinct + window + two
+  // cheap aggregates, no self-join against "the next day". Exact
+  // integer days ⇒ engine-exact.
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val streaks = act
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), max("len").as("max_len"),
+        sum("len").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val q110Sql: String =
+    """WITH act AS (
+         SELECT DISTINCT user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+         FROM events
+       ), isl AS (
+         SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+         FROM act
+       ), st AS (
+         SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+       )
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(max(len) AS BIGINT) AS max_len,
+         CAST(sum(len) AS BIGINT) AS active_days
+       FROM st GROUP BY 1 ORDER BY user_id"""
+
+  // q113: equi-depth binning — assign every order its within-group
+  // quartile bucket WITHOUT a global sort: the boundaries are a
+  // grouped percentile_disc aggregate (k-row output), broadcast back,
+  // and bucket assignment is three integer comparisons per row. The
+  // naive ntile() window sorts every group's rows through one task
+  // per group; this form is a sort-aggregate + a map-side broadcast
+  // join — the standard scale layout for feature binning. percentile_
+  // disc picks actual data values, so boundaries, membership, and all
+  // outputs are exact integers — engine-exact.
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+    val b = o.groupBy("grp").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").cast(LongType).as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").cast(LongType).as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").cast(LongType).as("q3"))
+    o.join(broadcast(b), "grp")
+      .withColumn("bucket",
+        when(col("v") <= col("q1"), 0L).when(col("v") <= col("q2"), 1L)
+          .when(col("v") <= col("q3"), 2L).otherwise(3L))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("grp", "bucket")
+  }
+
+  val q113Sql: String =
+    """WITH o AS (
+         SELECT o_orderpriority AS grp,
+           CAST(round(o_totalprice*100) AS BIGINT) AS v
+         FROM orders
+       ), b AS (
+         SELECT grp,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q1,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q2,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS q3
+         FROM o GROUP BY grp
+       )
+       SELECT o.grp AS grp,
+         CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1 WHEN v <= q3 THEN 2
+              ELSE 3 END AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+       FROM o JOIN b ON o.grp = b.grp
+       GROUP BY 1, 2 ORDER BY grp, bucket"""
+
+  // q114: chi-square contingency analysis — (event_type × weekday)
+  // observed vs expected counts with per-cell standardized
+  // contributions (the independence test behind feature/segment
+  // screening). The contribution (o−e)²/e is rewritten over the
+  // COMMON denominator: (o·N − r·c)² / (N·r·c) — numerator and
+  // denominator are exactly-represented integers (decimal(38,0),
+  // q95's widening rule: o·N squares past a long at corpus scale), so
+  // the single IEEE division is bit-identical across engines. Plan:
+  // one cells shuffle (map-side combined), then all margins are
+  // |types|- and |weekdays|-row aggregates broadcast back — the fact
+  // table is read once.
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("event_type"), expr("(ts_sec div 86400 + 4) % 7").as("dow"))
+    val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("event_type").agg(sum("n").as("r"))
+    val cols = cells.groupBy("dow").agg(sum("n").as("c"))
+    val total = cells.agg(sum("n").as("nn"))
+    val x = (col("n").cast(dec) * col("nn").cast(dec) -
+      col("r").cast(dec) * col("c").cast(dec))
+    cells.join(broadcast(rows), "event_type").join(broadcast(cols), "dow")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("dow"), col("n"),
+        ((col("r") * col("c")).cast(DoubleType) / col("nn").cast(DoubleType)).as("expected"),
+        ((x * x).cast(DoubleType) /
+          (col("nn").cast(dec) * col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType))
+          .as("contrib"))
+      .orderBy("event_type", "dow")
+  }
+
+  val q114Sql: String =
+    """WITH ev AS (
+         SELECT event_type,
+           (CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+         FROM events
+       ), cells AS (
+         SELECT event_type, dow, count(*) AS n FROM ev GROUP BY 1, 2
+       ), r AS (
+         SELECT event_type, SUM(n) AS r FROM cells GROUP BY 1
+       ), c AS (
+         SELECT dow, SUM(n) AS c FROM cells GROUP BY 1
+       ), t AS (
+         SELECT SUM(n) AS nn FROM cells
+       )
+       SELECT cells.event_type AS event_type, cells.dow AS dow,
+         CAST(cells.n AS BIGINT) AS n,
+         CAST(r.r * c.c AS DOUBLE) / CAST(t.nn AS DOUBLE) AS expected,
+         CAST((CAST(cells.n AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c)
+                * (CAST(cells.n AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c) AS DOUBLE)
+           / CAST(CAST(t.nn AS HUGEINT) * r.r * c.c AS DOUBLE) AS contrib
+       FROM cells JOIN r ON r.event_type = cells.event_type
+       JOIN c ON c.dow = cells.dow CROSS JOIN t
+       ORDER BY event_type, dow"""
 }

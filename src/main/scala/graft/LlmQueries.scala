@@ -558,4 +558,40 @@ object LlmQueries {
        FROM c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y
        CROSS JOIN total
        ORDER BY lift DESC, x ASC, y ASC LIMIT 50"""
+
+  // q111: EXACT set-similarity join via prefix filtering
+  // (Dedup.prefixJaccardJoin — AllPairs/PPJoin, Bayardo WWW'07): all
+  // pairs with 3-gram-shingle Jaccard >= 1/2, deterministically — the
+  // exact counterpart to q21/q22's probabilistic LSH blocking. Rarest-
+  // first (global df) shingle ordering keeps prefixes selective; the
+  // threshold is an integer cross-multiplication (2·|∩| >= |∪|), so
+  // qualification is engine-exact. The oracle is the all-pairs exact
+  // pair list on the same shingle sets — the prefix filter only
+  // prunes, provably never decides (the q21 banding argument, but as
+  // a THEOREM rather than a verify stage). Scoped to tokenizable docs
+  // (>= 1 token) on both engines.
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(TextFunctions.tokens(col("text"))) >= 1)
+    Dedup.prefixJaccardJoin(docs, "doc_id", "text", tNum = 1, tDen = 2, shingleN = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q111Sql: String =
+    s"""WITH $shingleCte, scoped AS (
+         SELECT doc_id, sh FROM s WHERE n_toks >= 1
+       ), tt AS (
+         SELECT doc_id, unnest(sh) AS g FROM scoped
+       ), sz AS (
+         SELECT doc_id, len(sh) AS n FROM scoped
+       ), inter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         FROM tt a JOIN tt b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT da AS id_a, db AS id_b, CAST(i AS BIGINT) AS inter,
+         CAST(sa.n + sb.n - i AS BIGINT) AS uni
+       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       WHERE 2 * i >= sa.n + sb.n - i
+       ORDER BY id_a, id_b"""
 }

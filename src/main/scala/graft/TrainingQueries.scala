@@ -644,4 +644,48 @@ object TrainingQueries {
     rows.toDF("source_a", "source_b", "est_a", "est_b", "est_common")
       .orderBy("source_a", "source_b")
   }
+
+  // q112: per-source token-diversity — Gini impurity 1 - Σ(cᵢ/N)² of
+  // the token distribution, the RATIONAL diversity measure (entropy
+  // needs libm ln, which the no-transcendental rule forbids; Gini
+  // ranks distributions the same way for the filtering use case). The
+  // sufficient statistics N, |vocab|, Σcᵢ² accumulate as
+  // decimal(38,0) — q95's widening rule: token counts square, and at
+  // corpus scale Σcᵢ² wraps a long — then ONE IEEE division of
+  // exactly-represented integers ⇒ bit-identical doubles. Plan:
+  // wordcount shuffle with map-side combine + a |sources|-row
+  // aggregate; top-share is max(cᵢ)/N from the same pass.
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("vocab"),
+        sum((col("c") * col("c")).cast(dec)).as("s2"),
+        max(col("c")).as("max_c"))
+      .select(col("source"), col("n_tok"), col("vocab"),
+        (lit(1.0d) - col("s2").cast(DoubleType) /
+          (col("n_tok").cast(DoubleType) * col("n_tok").cast(DoubleType))).as("gini"),
+        (col("max_c").cast(DoubleType) / col("n_tok").cast(DoubleType)).as("top_share"))
+      .orderBy("source")
+  }
+
+  val q112Sql: String =
+    s"""WITH toks AS (
+         SELECT source, unnest($toksSql) AS tok FROM documents
+       ), c AS (
+         SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       ), s AS (
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+           CAST(count(*) AS BIGINT) AS vocab,
+           SUM(CAST(c AS HUGEINT) * c) AS s2,
+           CAST(max(c) AS BIGINT) AS max_c
+         FROM c GROUP BY 1
+       )
+       SELECT source, n_tok, vocab,
+         1.0 - CAST(s2 AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)) AS gini,
+         CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_share
+       FROM s ORDER BY source"""
 }

@@ -497,4 +497,63 @@ object Dedup {
             / union.cast(DoubleType)))
       .drop("__sh_a", "__sh_b")
   }
+
+  /** EXACT set-similarity join by prefix filtering (AllPairs/PPJoin
+    * family — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07): every pair of documents with shingle-set
+    * Jaccard >= tNum/tDen, found WITHOUT signatures and without
+    * all-pairs.
+    *
+    * The deterministic counterpart to MinHash-LSH blocking
+    * ([[minhashDedupVerified]]): order each document's shingles by
+    * ascending global document frequency (rarest first, (df, hash)
+    * total order), keep only the first |s| - ceil(t·|s|) + 1 as its
+    * PREFIX, and generate candidates only from pairs sharing a prefix
+    * shingle. Exhaustive by the prefix-filter theorem: if two sets
+    * share NO prefix token their intersection fits inside both
+    * suffixes, |∩| <= ceil(t·min(|a|,|b|)) - 1 < t·|a∪b| — so every
+    * qualifying pair is generated (no recall loss, ever), while the
+    * df-ascending order makes prefixes maximally selective (stopword
+    * shingles never block). Exact Jaccard on the hashed shingle sets
+    * then decides, as an integer cross-multiplication (tDen·|∩| >=
+    * tNum·|∪|) — engine-exact, no floating threshold.
+    *
+    * Scale shape: shingles are xxhash64'd map-side (exchanges carry
+    * longs, never shingle text — q73's convention); the df join hits
+    * the AGGREGATED shingle vocabulary; candidates shuffle ids only;
+    * the verify join fetches each side's hashed set once. Per-pair
+    * verify cost is bounded by document size; candidate count is
+    * bounded by prefix collisions, which df-ordering keeps near the
+    * true-pair count on non-degenerate corpora.
+    *
+    * @return DataFrame(id_a, id_b, inter, uni): qualifying pairs
+    *         (id_a < id_b) with exact intersection/union sizes
+    */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int, shingleN: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    val toks = sets.select(col("id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)))
+    // prefix length |s| - ceil(t|s|) + 1; ceil(t·sz) = (tNum·sz + tDen-1) div tDen
+    val pfx = ranked
+      .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("id"), col("h"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha"), col("sz").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb"), col("sz").as("nb")), "id_b")
+      .withColumn("inter", inter.cast(LongType))
+      .withColumn("uni", (col("na") + col("nb")).cast(LongType) - col("inter"))
+      .filter(lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
 }

@@ -447,6 +447,41 @@ class DedupSpec extends SparkSpec {
     assert(!survivors.contains(2L) && survivors.contains(4L) && survivors.contains(1L))
   }
 
+  test("prefixJaccardJoin == brute-force all-pairs, with prefixes actually pruning") {
+    // Randomized corpus: clone families (high Jaccard), mutated clones
+    // (borderline), and unrelated docs built from a disjoint vocabulary
+    // (prefix filter must prune them without losing any true pair).
+    val rnd = new scala.util.Random(47)
+    val vocabA = (0 until 60).map(i => s"alpha$i")
+    val vocabB = (0 until 60).map(i => s"beta$i")
+    def doc(v: IndexedSeq[String], n: Int) = (0 until n).map(_ => v(rnd.nextInt(v.size))).mkString(" ")
+    val base = (0 until 12).map(i => (i.toLong, doc(if (i % 2 == 0) vocabA else vocabB, 40)))
+    val clones = (0 until 8).map { i =>
+      val (src, t) = base(rnd.nextInt(base.size))
+      val toks = t.split(" ").toBuffer
+      (0 until rnd.nextInt(6)).foreach { _ => toks(rnd.nextInt(toks.size)) = doc(vocabA, 1) }
+      (100L + i, toks.mkString(" "))
+    }
+    val corpus = (base ++ clones).toDF("doc_id", "text")
+
+    def jac(a: String, b: String): (Long, Long) = {
+      def sh(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      ((sa & sb).size.toLong, (sa | sb).size.toLong)
+    }
+    val rows = (base ++ clones)
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      (i, u) = jac(ta, tb) if 2 * i >= u
+    } yield (ia, ib, i, u)).toSet
+
+    val got = Dedup.prefixJaccardJoin(corpus, "doc_id", "text", tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"prefix join != all-pairs:\n got=$got\n want=$want")
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+  }
+
   test("minhash known-answer: exact candidate-pair and survivor sets on the fixture") {
     // Fixed seed + fixed corpus => fully deterministic output; this pins
     // the exact pair list and survivor list, not just their properties.

@@ -269,4 +269,75 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p99.toString.contains("TakeOrdered"),
       "q99's top-50 must plan as distributed TakeOrdered")
   }
+
+  test("q104: OHLC is a two-phase aggregate — no window over the fact rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(WarehouseQueries.q104(spark, sf))
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "q104 must plan min_by/max_by aggregation, not the first_value-window form")
+    val s = p.toString
+    assert(s.contains("partial_min_by") || s.contains("partial_min"),
+      s"q104's argmin picks lost map-side combine")
+  }
+
+  test("q105: rolling distinct is windows + aggregates — never a range join") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q105(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q105 must not plan the naive spine-BETWEEN range join")
+    // exactly two windows: the per-user interval lead (partitioned) and
+    // the |days|-bounded spine cumsum (unpartitioned by design)
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.size == 2, s"q105 expected 2 windows, got ${ws.size}")
+    assert(ws.count(_.partitionSpec.nonEmpty) == 1,
+      "the interval window must stay partitioned by the user key")
+  }
+
+  test("q106: the as-of composition plans no join over the fact rows") {
+    val p = plan(WarehouseQueries.q106(spark, sf))
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    assert(p.collect { case j: BaseJoinExec => j }.isEmpty &&
+      p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q106's point-in-time lookup must be the union+window as-of, not a range join")
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(p.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty),
+      "q106's windows must all partition by the user key")
+  }
+
+  test("q107: profiling reads the table in ONE scan, not one per column") {
+    val scans = plan(AnalyticsQueries.q107(spark, sf)).collectLeaves()
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"q107 must profile all columns from a single unpivot pass, got ${scans.size} scans")
+  }
+
+  test("q109: global row numbering never plans a single-partition window over the facts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q109(spark, sf))
+    val s = p.toString
+    assert(s.toLowerCase.contains("rangepartitioning"),
+      "q109 must range-repartition on the sort key")
+    // the only unpartitioned window is the #partitions-row offset
+    // cumsum; the fact-ranking window must be partitioned
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "q109's per-partition rank window went missing")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q109's offset attach must broadcast the tiny offset frame")
+  }
+
+  test("q111: prefix-filter join stays equi, and no exchange carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(LlmQueries.q111(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q111 candidate generation must stay equi-joins")
+    val textThroughShuffle = p.collect { case s: ShuffleExchangeLike => s }
+      .flatMap(_.output).filter(_.name == "text")
+    assert(textThroughShuffle.isEmpty,
+      "q111 shuffles the raw text column — exchanges must carry hashes/ids only")
+  }
 }
