@@ -1344,4 +1344,141 @@ object AnalyticsQueries {
        FROM cells JOIN r ON r.event_type = cells.event_type
        JOIN c ON c.dow = cells.dow CROSS JOIN t
        ORDER BY event_type, dow"""
+
+  // q115: A/B experiment readout — per-segment two-proportion z-test
+  // (variant = hash-split on the customer key, conversion =
+  // order-finished). The whole readout is ONE map-side-combinable
+  // shuffle: conditional sums collapse (segment, variant) counts in
+  // the same pass, so the fact table is read once and the z arithmetic
+  // runs on a |segments|-row frame. The statistic uses only IEEE
+  // +,-,*,/ and sqrt of exactly-represented integers — all correctly
+  // rounded, and the expression tree is parenthesized identically in
+  // both engines (q89/q95's no-transcendental rule), so z is
+  // bit-identical, not approximately equal.
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_custkey") % 2).as("variant"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("conv"))
+    val s = o.groupBy("grp").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+    val d = DoubleType
+    val p0 = col("c0").cast(d) / col("n0").cast(d)
+    val p1 = col("c1").cast(d) / col("n1").cast(d)
+    val pp = (col("c0") + col("c1")).cast(d) / (col("n0") + col("n1")).cast(d)
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      ((lit(1.0) / col("n0").cast(d)) + (lit(1.0) / col("n1").cast(d))))
+    s.select(col("grp"), col("n0"), col("c0"), col("n1"), col("c1"),
+        p0.as("p0"), p1.as("p1"), (p1 - p0).as("lift"), ((p1 - p0) / se).as("z"))
+      .orderBy("grp")
+  }
+
+  val q115Sql: String =
+    """WITH s AS (
+         SELECT o_orderpriority AS grp,
+           SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+           SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1
+         FROM orders GROUP BY 1
+       )
+       SELECT grp, CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+         CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+         CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS lift,
+         ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+         / sqrt((((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                  * (1.0 - ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))))
+                * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE)))) AS z
+       FROM s ORDER BY grp"""
+
+  // q116: community detection — 3 rounds of DETERMINISTIC synchronous
+  // label propagation on the co-purchase graph
+  // (`GraphOps.labelPropagation`): most-frequent neighbor label, ties
+  // to the smallest. The argmax is max_by over struct(count, -label) —
+  // associative, so map-side partial aggregation survives and no rank
+  // window ever touches the vote table; per-round cost is two bounded
+  // shuffles on the node key (votes ≤ 2m rows). Synchronous rounds +
+  // total-order tiebreak make the K-round table a pure function of the
+  // edge set, so the oracle is the same 3 rounds unrolled as CTEs
+  // (q78/q103's convention) with a rank-window pick — same rows,
+  // different plan. Community sizes come from a vocabulary-sized
+  // aggregate joined back, never a window over nodes.
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val labels = GraphOps.labelPropagation(copurchaseEdges(spark, dir), rounds = 3)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("csize"))
+      .orderBy("node")
+  }
+
+  val q116Sql: String = {
+    val rounds = (0 until 3).map { i =>
+      s""", c$i AS MATERIALIZED (
+         SELECT a.u AS node, l.label, count(*) AS n
+         FROM adj a JOIN l$i l ON a.v = l.node GROUP BY 1, 2
+       ), l${i + 1} AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT node, label,
+             row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+           FROM c$i) WHERE rn = 1
+       )"""
+    }.mkString
+    s"""WITH e0 AS MATERIALIZED (
+         WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem WHERE l_quantity >= 44
+         )
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), adj AS MATERIALIZED (
+         SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+       ), l0 AS MATERIALIZED (
+         SELECT DISTINCT u AS node, u AS label FROM adj
+       )$rounds, sz AS (
+         SELECT label, count(*) AS csize FROM l3 GROUP BY 1
+       )
+       SELECT l3.node AS node, l3.label AS community,
+         CAST(sz.csize AS BIGINT) AS csize
+       FROM l3 JOIN sz ON sz.label = l3.label ORDER BY node"""
+  }
+
+  // q118: audience-overlap matrix via 64-bit segment bitmaps
+  // (`BitmapOps.overlapMatrix`) — exact pairwise intersection sizes +
+  // Jaccard for every event-type pair WITHOUT a per-user join row.
+  // The build is one map-side-combinable bit_or shuffle (idempotent,
+  // so no pre-distinct); the intersection join is keyed on the
+  // 64-member segment, so its input is |users|/64 words per type, not
+  // |users| rows per pair — the roaring-bitmap warehouse pattern that
+  // turns a 100 TB self-join into word-wise bit algebra. Counts are
+  // exact; the oracle is the naive distinct self-join on user_id.
+  // Jaccard = exact-int numerator / exact-int denominator, one IEEE
+  // division on each engine → bit-identical.
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    graft.functions.BitmapOps.overlapMatrix(ev, "event_type", "user_id")
+      .select(col("set_a").as("type_a"), col("set_b").as("type_b"),
+        col("n_a"), col("n_b"), col("n_common"), col("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q118Sql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+       sz AS (SELECT event_type, count(*) AS n FROM aud GROUP BY 1)
+       SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jaccard
+       FROM aud a
+       JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       JOIN sz sa ON sa.event_type = a.event_type
+       JOIN sz sb ON sb.event_type = b.event_type
+       GROUP BY 1, 2, sa.n, sb.n
+       ORDER BY 1, 2"""
 }

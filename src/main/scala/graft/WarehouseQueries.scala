@@ -273,4 +273,34 @@ object WarehouseQueries {
        JOIN scd s ON s.user_id = p.user_id
          AND p.ts_sec >= s.valid_from AND p.ts_sec < s.valid_to
        ORDER BY event_id"""
+
+  // q117: z-order clustered layout + manifest file skipping — the
+  // OPTIMIZE ZORDER story end-to-end INSIDE the gate: write lineitem
+  // Morton-clustered by (l_partkey, l_suppkey) into 32 files, build
+  // the per-file min/max manifest, then answer a box query reading
+  // ONLY the manifest-surviving files (`ZOrderLayout.scanRange`). The
+  // layout write is one range shuffle on the codegen'd z-value (no
+  // UDF); the scan reads a FRACTION of the files on BOTH dimensions —
+  // a single-key sort could prune only one. Because the residual row
+  // predicate still applies inside surviving files, the result is
+  // provably the plain filter — which is exactly the oracle, so the
+  // gate checks the pruning path loses nothing. File-skip ratios are
+  // spec-asserted in ZOrderSpec (pruned < total on either dimension).
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_zorder_${Integer.toHexString(dir.hashCode)}"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
+    graft.sources.ZOrderLayout.writeZOrdered(li, path, "l_partkey", "l_suppkey", 32)
+    graft.sources.ZOrderLayout
+      .scanRange(spark, path, "l_partkey", "l_suppkey", 100L, 400L, 2L, 7L)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q117Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+       FROM lineitem
+       WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 2 AND 7
+       ORDER BY l_orderkey, l_linenumber"""
 }

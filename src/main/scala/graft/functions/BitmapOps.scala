@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Segment-bitmap set algebra — audience overlap without a per-member
+  * join row.
+  *
+  * The naive "users who did both A and B" is a self-join of the
+  * (set, member) table on member: at 100 TB that shuffles one row per
+  * member PER PAIR. The warehouse answer (Druid/ClickHouse/pinot-style
+  * roaring bitmaps) re-expressed with plain 64-bit words: member ids
+  * are sliced into segments of 64 (`seg = id div 64`), each (set, seg)
+  * holds one BIGINT with bit `id mod 64` set, and every set operation
+  * becomes word-wise bit algebra:
+  *
+  *  - build: `bit_or(1L << (id mod 64))` grouped by (set, seg) — an
+  *    ASSOCIATIVE, IDEMPOTENT aggregate, so duplicate memberships need
+  *    no pre-distinct and map-side partial aggregation collapses the
+  *    raw stream before the one shuffle (raw events in, |members|/64
+  *    words out).
+  *  - intersect: equi-join the word tables on seg (a join whose row
+  *    count is words, not members) and `sum(bit_count(a & b))`.
+  *
+  * Everything is codegen'd native functions — no UDF, no explode, no
+  * distinct-before-aggregate. Cardinalities are EXACT (this is a
+  * compressed representation, not a sketch); for ≤5% estimates at even
+  * lower cost see the HLL path (q51).
+  */
+object BitmapOps {
+
+  /** (setCol, seg, bm): one 64-bit word per (set, segment-of-64). */
+  def segmentBitmaps(df: DataFrame, setCol: String, memberCol: String): DataFrame =
+    df.select(col(setCol),
+        expr(s"$memberCol div 64").as("seg"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($memberCol % 64 AS INT))").as("bit"))
+      .groupBy(col(setCol), col("seg"))
+      .agg(expr("bit_or(bit)").as("bm"))
+
+  /** Pairwise overlap of every two sets (setCol ordered `<`), with
+    * exact set sizes and Jaccard. Emits only pairs with ≥1 common
+    * member (the naive member-join convention). */
+  def overlapMatrix(df: DataFrame, setCol: String, memberCol: String): DataFrame = {
+    val bm = segmentBitmaps(df, setCol, memberCol)
+    val sizes = bm.groupBy(col(setCol))
+      .agg(sum(expr("bit_count(bm)")).as("n"))
+    val a = bm.select(col(setCol).as("set_a"), col("seg"), col("bm").as("bm_a"))
+    val b = bm.select(col(setCol).as("set_b"), col("seg"), col("bm").as("bm_b"))
+    a.join(b, Seq("seg")).filter(col("set_a") < col("set_b"))
+      .groupBy("set_a", "set_b")
+      .agg(sum(expr("bit_count(bm_a & bm_b)")).as("n_common"))
+      .filter(col("n_common") > 0)
+      .join(sizes.select(col(setCol).as("set_a"), col("n").as("n_a")), "set_a")
+      .join(sizes.select(col(setCol).as("set_b"), col("n").as("n_b")), "set_b")
+      .select(col("set_a"), col("set_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"))
+  }
+}

@@ -593,4 +593,53 @@ object GraphOps {
     }
     dist
   }
+
+  /** Community detection via synchronous label propagation (Raghavan et
+    * al., Phys. Rev. E 2007) made DETERMINISTIC: each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label. The classic algorithm breaks ties randomly and
+    * updates asynchronously — useless for a reproducible corpus
+    * pipeline; the (count DESC, label ASC) total order plus synchronous
+    * rounds make the label table after K rounds a pure function of the
+    * edge set, so a K-round unrolled CTE computes the same table on any
+    * engine (q78/q103's convention). Labels start as node ids.
+    *
+    * Per round: one join of the once-materialized adjacency against the
+    * label table (both keyed on node id) + one (node, label) count
+    * aggregate + one `max_by` pick — the pick key is
+    * struct(count, -label), whose max IS (count DESC, label ASC), an
+    * associative argmax that keeps map-side partial aggregation alive
+    * (no rank window over the vote table). Vote rows are bounded by
+    * Σ deg(v) = 2m, independent of round count; per-round state is
+    * lineage-truncated via [[truncate]] (reliable checkpoint opt-in
+    * like CC/PageRank/BFS). Unlike [[connectedComponents]] the rounds
+    * needed for full convergence scale with graph structure, so callers
+    * fix K (the oracle unrolls the same K) — at 100 TB each round is
+    * two bounded shuffles on the node key.
+    *
+    * @param edges  first two columns are the endpoints (undirected)
+    * @param rounds synchronous update rounds (K)
+    * @return DataFrame(node, label) after exactly K rounds
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    val adj = truncate(
+      e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .distinct(), checkpointDir)
+    var labels = truncate(
+      adj.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label")), checkpointDir)
+    var round = 0
+    while (round < rounds) {
+      round += 1
+      labels = truncate(
+        adj.join(labels.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node"), col("label")).agg(count(lit(1)).as("n"))
+          .groupBy("node")
+          .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("neg")))
+            .as("label")), checkpointDir)
+    }
+    labels
+  }
 }

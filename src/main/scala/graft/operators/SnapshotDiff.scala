@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation: classify every key of two table versions
+  * as added / removed / changed / unchanged, with the exact set of
+  * changed columns.
+  *
+  * The inverse of [[MergeUpsert]]: MERGE applies a delta, diff
+  * RECOVERS the delta between two full snapshots — the audit/backfill
+  * primitive (did yesterday's load drop rows? which columns drifted?).
+  * One full-outer sort-merge join on the key — the minimum possible
+  * work, since every row of both sides must be inspected once — and
+  * everything downstream of the join is a per-row Column expression
+  * (null-safe `<=>` comparisons, no window, no second shuffle). At
+  * 100 TB both sides shuffle once on the key; with both snapshots
+  * bucketed by the key (Warehouse.writeBucketed) the join runs with
+  * zero exchanges, same as the bucketed MERGE.
+  *
+  * `changed_cols` is a comma-joined column-name list (concat_ws skips
+  * the nulls of unchanged columns), '' for non-changed rows — a
+  * flat-string encoding every engine renders identically.
+  */
+object SnapshotDiff {
+
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+           keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"old_$c").toMap)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"new_$c").toMap)
+      .withColumn("__in_new", lit(true))
+    val joined = o.join(n, keys, "full_outer")
+    val differs: Seq[Column] =
+      compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+    val anyDiff = differs.reduce(_ || _)
+    val changeType = when(col("__in_old").isNull, "added")
+      .when(col("__in_new").isNull, "removed")
+      .when(anyDiff, "changed")
+      .otherwise("unchanged")
+    val changedCols = when(changeType === "changed",
+      concat_ws(",", compareCols.zip(differs).map { case (c, d) =>
+        when(d, lit(c))
+      }: _*)).otherwise(lit(""))
+    joined.select(
+      keys.map(col) ++
+        Seq(changeType.as("change_type"), changedCols.as("changed_cols")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+}

@@ -171,6 +171,47 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques + bridge split into two communities; == naive sync simulation, partition-invariant") {
+    // Two K4s joined by one bridge edge: after a few synchronous
+    // rounds with smallest-label tiebreak every node in clique A
+    // carries A's min id and clique B carries B's min id — the bridge
+    // alone can't outvote three intra-clique neighbors.
+    val k4a = for (i <- 0 until 4; j <- i + 1 until 4) yield (i.toLong, j.toLong)
+    val k4b = for (i <- 10 until 14; j <- i + 1 until 14) yield (i.toLong, j.toLong)
+    val edges = (k4a ++ k4b :+ (3L, 10L)).toDF("u", "v")
+    val got = GraphOps.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 4).forall(i => got(i.toLong) == 0L)
+      && (10 until 14).forall(i => got(i.toLong) == 10L),
+      s"cliques must keep their own min label: $got")
+
+    // Naive synchronous simulation (most-frequent neighbor label, ties
+    // to the smallest) on a seeded random graph — the determinism
+    // claim the unrolled-CTE oracle relies on — plus partition
+    // invariance at the same round count.
+    val rnd = new scala.util.Random(47)
+    val redges = (0 until 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    def naive(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (es ++ es.map(_.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 0 until rounds) {
+        lab = adj.map { case (n, nbrs) =>
+          val votes = nbrs.map(lab).groupBy(identity).view.mapValues(_.size)
+          n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    val want = naive(redges, 3)
+    for (parts <- Seq(1, 8)) {
+      val got2 = GraphOps.labelPropagation(redges.toDF("u", "v").repartition(parts), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == want, s"labelPropagation != naive sync sim @$parts partitions")
+    }
+  }
+
   test("cliqueStarEdges == pairwise clique components, even with a hot block") {
     // one HOT block: 2000 members sharing (pk=1, bug=1) — the pairwise
     // clique would materialize ~2M edges; the star emits 1999. Plus two

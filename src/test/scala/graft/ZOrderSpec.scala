@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.ZOrderLayout
+import org.apache.spark.sql.functions._
+
+/** Z-order clustered layout: file skipping must work on BOTH
+  * clustering dimensions and never change the answer. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits (Morton order on a hand grid)") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
+      (3L, 5L)).toDF("x", "y")
+      .select(ZOrderLayout.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(x=3=0b011, y=5=0b101) = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 8L, 39L), s"wrong Morton codes: $got")
+  }
+
+  test("box scans skip files on EITHER dimension and equal the full-scan filter") {
+    // 64x64 uniform grid, 16 files: each file covers a z-contiguous
+    // rectangle, so a 1/8-wide band on x OR on y must leave most
+    // files unread. A layout sorted by x alone would fail the y case.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, (x * 64 + y).toLong)).toDF("x", "y", "payload")
+    val path = s"/tmp/graft_zorder_spec_${System.nanoTime()}"
+    ZOrderLayout.writeZOrdered(grid, path, "x", "y", 16)
+    val total = ZOrderLayout.fileCount(spark, path)
+    assert(total >= 8, s"range partitioner produced too few files: $total")
+
+    def full(lo1: Long, hi1: Long, lo2: Long, hi2: Long) =
+      spark.read.parquet(path)
+        .filter(col("x").between(lo1, hi1) && col("y").between(lo2, hi2))
+
+    for ((lo1, hi1, lo2, hi2, dim) <- Seq(
+      (8L, 15L, 0L, 63L, "x-band"),   // narrow on x, open on y
+      (0L, 63L, 8L, 15L, "y-band"),   // narrow on y, open on x
+      (8L, 15L, 8L, 15L, "box"))) {
+      val read = ZOrderLayout.survivingFiles(spark, path, lo1, hi1, lo2, hi2).size
+      assert(read < total, s"$dim pruned nothing: $read/$total files")
+      val got = ZOrderLayout.scanRange(spark, path, "x", "y", lo1, hi1, lo2, hi2)
+      val want = full(lo1, hi1, lo2, hi2)
+      assert(got.count() == 8L * 8 * (if (dim == "box") 1 else 8)
+        && got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$dim pruned scan != full filter")
+    }
+
+    // empty box: no surviving files, still a valid (empty) result
+    assert(ZOrderLayout.scanRange(spark, path, "x", "y", 100L, 200L, 0L, 63L).count() == 0)
+  }
+}
