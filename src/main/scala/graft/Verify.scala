@@ -15,9 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The source tables carry parquet TIMESTAMP(isAdjustedToUTC=false),
+    // which DuckDB reads as NAIVE timestamps; graft normalizes them to
+    // TimestampType (UTC) internally. Cast timestamp results back to NTZ
+    // on the way out so the dumped parquet and the DuckDB oracle agree on
+    // type (values are identical — the session timezone is UTC).
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        val out = res.schema.fields.collect {
+          case f if f.dataType == TimestampType => f.name
+        }.foldLeft(res)((d, c) => d.withColumn(c, col(c).cast(TimestampNTZType)))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated test tables.
   *
@@ -28,7 +28,19 @@ object Tables {
     if (dir.startsWith("engines:")) read(spark, engineFor(dir, name), name)
     else if (dir.startsWith("jdbc:"))
       spark.read.format("jdbc").option("url", dir).option("dbtable", name).load()
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The generator may write parquet TIMESTAMP(MICROS) with
+    * isAdjustedToUTC either true or false across regenerations; the
+    * false variant resolves to TimestampNTZType. The values are UTC
+    * wall-clock either way and the session timezone is pinned to UTC,
+    * so casting NTZ columns to TimestampType is lossless and gives
+    * every downstream plan one stable schema.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   /** The reference's FOUR-schema deployment (`stats.py:126-216
     * create_engines` / `prepare_bases`: user, project, repository,
@@ -165,6 +177,12 @@ object Tables {
         // nanos since epoch -> microseconds -> TimestampType
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _: TimestampType => df
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) resolves to
+        // TimestampNTZType; the generator writes UTC wall-clock values
+        // and the session timezone is pinned to UTC, so the cast
+        // reinterprets the same instant losslessly.
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
