@@ -154,7 +154,7 @@ if os.path.isdir(q100_path):
         print(f"ok   q100_countmin_freq [property: {len(got)} probes, "
               f"true <= est <= true + 2n/w]")
 
-# q101: KMV/theta sketches (k=256) of per-source 3-word shingle sets,
+# q101: KMV/theta sketches (k=1024) of per-source 3-word shingle sets,
 # pairwise distinct + theta-intersection estimates. Deterministic for
 # the fixed hash; gate: every estimate within 30% (or +-60 absolute
 # for small true values) of exact.

@@ -1481,4 +1481,342 @@ object AnalyticsQueries {
        JOIN sz sb ON sb.event_type = b.event_type
        GROUP BY 1, 2, sa.n, sb.n
        ORDER BY 1, 2"""
+
+  // q119: cumulative new-user growth curve — first-seen day per user,
+  // new-user counts per day, and the running total (the "user growth"
+  // chart every product pipeline computes). A sliding COUNT(DISTINCT)
+  // over the raw stream would re-scan history per day; first-seen
+  // reduces it to ONE shuffle on the user key (min(day) is map-side
+  // combinable), and the cumulative sum runs over the |days|-bounded
+  // per-day aggregate (q94/q105's bounded-window argument — the
+  // single-partition window never sees fact rows). Exact integer
+  // counts ⇒ engine-exact.
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+    val perDay = first.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay.withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
+  val q119Sql: String =
+    """WITH act AS (
+         SELECT user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+         FROM events
+       ), f AS (
+         SELECT user_id, min(day) AS day FROM act GROUP BY 1
+       ), d AS (
+         SELECT day, count(*) AS new_users FROM f GROUP BY 1
+       )
+       SELECT day, CAST(new_users AS BIGINT) AS new_users,
+         CAST(SUM(new_users) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       FROM d ORDER BY day"""
+
+  // q121: degree assortativity of the co-purchase graph — the Pearson
+  // correlation of endpoint degrees over the symmetrized edge list
+  // (Newman 2002), the one-number "do hubs link to hubs?" structure
+  // signal. Shape is q95's sufficient-statistics rule applied to a
+  // graph: two bounded shuffles (degree count + edge-degree join),
+  // then the six sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+  // decimal(38,0) — degree products square past a long on a
+  // power-law graph — and r is IEEE *,-,/ and sqrt of
+  // exactly-represented integers with identical parenthesization in
+  // both engines ⇒ bit-identical. Output is ONE row; no window, no
+  // driver loop.
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val edges = copurchaseEdges(spark, dir)
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val e2 = sym
+      .join(deg.withColumnsRenamed(Map("n" -> "u", "d" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("n" -> "v", "d" -> "dv")), "v")
+    val s = e2.agg(count(lit(1)).as("n"),
+      sum(col("du").cast(dec)).as("sx"),
+      sum(col("dv").cast(dec)).as("sy"),
+      sum(col("du").cast(dec) * col("dv").cast(dec)).as("sxy"),
+      sum(col("du").cast(dec) * col("du").cast(dec)).as("sxx"),
+      sum(col("dv").cast(dec) * col("dv").cast(dec)).as("syy"))
+    val nD = col("n").cast(dec)
+    s.select(col("n").as("n_directed_edges"),
+      ((nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+        (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+          sqrt((nD * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+        .as("assortativity"))
+  }
+
+  val q121Sql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), e AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), sym AS (
+         SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+       ), deg AS (
+         SELECT u AS n, count(*) AS d FROM sym GROUP BY 1
+       ), s AS (
+         SELECT count(*) AS n,
+           SUM(CAST(du.d AS HUGEINT)) AS sx,
+           SUM(CAST(dv.d AS HUGEINT)) AS sy,
+           SUM(CAST(du.d AS HUGEINT) * CAST(dv.d AS HUGEINT)) AS sxy,
+           SUM(CAST(du.d AS HUGEINT) * CAST(du.d AS HUGEINT)) AS sxx,
+           SUM(CAST(dv.d AS HUGEINT) * CAST(dv.d AS HUGEINT)) AS syy
+         FROM sym JOIN deg du ON du.n = sym.u JOIN deg dv ON dv.n = sym.v
+       )
+       SELECT CAST(n AS BIGINT) AS n_directed_edges,
+         CAST(n*sxy - sx*sy AS DOUBLE) /
+           (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           AS assortativity
+       FROM s"""
+
+  // q122: revenue-concentration deciles (the Pareto/Lorenz "top 10%
+  // of customers drive X% of revenue" readout). The global total
+  // order this needs is exactly q109's distributed row-numbering:
+  // range-repartition on (rev desc, cust), per-partition ranks + tiny
+  // broadcast base offsets — NEVER a single-partition window over
+  // customers. Decile assignment is one integer division per row; the
+  // share arithmetic runs on the 10-row decile frame (cumsum over a
+  // bounded window), with exact long/decimal sums and one IEEE
+  // division per output column ⇒ engine-exact doubles.
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val ranged = rev.repartitionByRange(8, col("rev").desc, col("cust").asc)
+      .withColumn("pid", spark_partition_id())
+    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val w = Window.partitionBy("pid").orderBy(col("rev").desc, col("cust").asc)
+    val ranked = ranged.join(broadcast(offs), "pid")
+      .select((col("off") + row_number().over(w)).as("rn"), col("rev"))
+    val tot = rev.agg(count(lit(1)).as("nc"), sum("rev").as("tr"))
+    val byDec = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) div nc"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("rev").as("rev"), max("tr").as("tr"))
+    val w10 = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDec.withColumn("cum_rev", sum("rev").over(w10))
+      .select(col("decile"), col("n_cust"), col("rev"),
+        (col("rev").cast(DoubleType) / col("tr").cast(DoubleType)).as("share"),
+        (col("cum_rev").cast(DoubleType) / col("tr").cast(DoubleType)).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val q122Sql: String =
+    """WITH rev AS (
+         SELECT o_custkey AS cust,
+           SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+         FROM orders GROUP BY 1
+       ), r AS (
+         SELECT cust, rev,
+           row_number() OVER (ORDER BY rev DESC, cust) AS rn
+         FROM rev
+       ), t AS (
+         SELECT count(*) AS nc, SUM(rev) AS tr FROM rev
+       ), d AS (
+         SELECT ((rn - 1) * 10) // nc AS decile, rev, tr
+         FROM r CROSS JOIN t
+       ), g AS (
+         SELECT decile, count(*) AS n_cust, SUM(rev) AS rev, max(tr) AS tr
+         FROM d GROUP BY 1
+       )
+       SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(n_cust AS BIGINT) AS n_cust, CAST(rev AS BIGINT) AS rev,
+         CAST(rev AS DOUBLE) / CAST(tr AS DOUBLE) AS share,
+         CAST(SUM(rev) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(tr AS DOUBLE) AS cum_share
+       FROM g ORDER BY decile"""
+
+  // q123: HITS hubs-and-authorities on the bipartite customer→part
+  // purchase graph (Kleinberg JACM'99) — two synchronous rounds,
+  // UNNORMALIZED: without the per-round norm divisions the scores
+  // stay exact integers (rank-equivalent to normalized HITS, since
+  // normalization is a positive scalar per round), so the fixpoint
+  // prefix is engine-exact the same way q78's integer PageRank is.
+  // Each round is one equi-join + one map-side-combinable sum on a
+  // bipartite key — never a matrix materialization; internal sums
+  // are decimal(38,0) (h² terms square past a long on a 100 TB
+  // graph), and the top-100 pick is a distributed TakeOrdered with a
+  // full (score desc, part) tiebreak, never a global sort.
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pairs = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
+      .select("c", "p").distinct()
+    val a1 = pairs.groupBy("p").agg(count(lit(1)).as("a1"))
+    val h1 = pairs.join(a1, "p")
+      .groupBy("c").agg(sum(col("a1").cast(dec)).as("h1"))
+    val a2 = pairs.join(h1, "c")
+      .groupBy("p").agg(sum(col("h1")).as("a2"))
+    a2.join(a1, "p")
+      .select(col("p"), col("a1"), col("a2").cast(LongType).as("a2"))
+      .orderBy(col("a2").desc, col("p").asc)
+      .limit(100)
+  }
+
+  val q123Sql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       ), a1 AS (
+         SELECT p, count(*) AS a1 FROM pairs GROUP BY 1
+       ), h1 AS (
+         SELECT c, SUM(CAST(a1 AS HUGEINT)) AS h1
+         FROM pairs JOIN a1 USING (p) GROUP BY 1
+       ), a2 AS (
+         SELECT p, SUM(h1) AS a2 FROM pairs JOIN h1 USING (c) GROUP BY 1
+       )
+       SELECT p, CAST(a1.a1 AS BIGINT) AS a1, CAST(a2.a2 AS BIGINT) AS a2
+       FROM a2 JOIN a1 USING (p)
+       ORDER BY a2 DESC, p LIMIT 100"""
+
+  // q126: event-rate spike detection — per event-type days whose count
+  // is ≥2× the trailing-7-day mean (the ops/abuse anomaly screen).
+  // One combinable shuffle collapses the stream to (type, day) counts;
+  // the trailing window is a RANGE frame over the integer day on that
+  // |types|·|days|-bounded aggregate (q94/q105's rule — gaps in the
+  // calendar are handled by RANGE, not ROWS, so a missing day never
+  // silently widens the lookback). The spike decision is an INTEGER
+  // cross-multiplication (7·n ≥ 2·sum7 — no float threshold), and the
+  // reported ratio is one IEEE division of exact ints ⇒ engine-exact.
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("sum7", sum("n").over(w))
+      .withColumn("days7", count(lit(1)).over(w))
+      .filter(col("days7") >= 4)
+      .select(col("event_type"), col("day"), col("n"), col("sum7"),
+        ((col("n") * col("days7")).cast(DoubleType) / col("sum7").cast(DoubleType))
+          .as("ratio"),
+        (col("n") * col("days7") >= col("sum7") * 2).cast("int").cast(LongType)
+          .as("spike"))
+      .orderBy("event_type", "day")
+  }
+
+  val q126Sql: String =
+    """WITH daily AS (
+         SELECT event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+           count(*) AS n
+         FROM events GROUP BY 1, 2
+       ), win AS (
+         SELECT event_type, day, n,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS days7
+         FROM daily
+       )
+       SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         CAST(sum7 AS BIGINT) AS sum7,
+         CAST(n * days7 AS DOUBLE) / CAST(sum7 AS DOUBLE) AS ratio,
+         CAST(CASE WHEN n * days7 >= sum7 * 2 THEN 1 ELSE 0 END AS BIGINT) AS spike
+       FROM win WHERE days7 >= 4
+       ORDER BY event_type, day"""
+
+  // q127: RFM customer segmentation — quintile buckets on recency /
+  // frequency / monetary, then segment counts (the classic CRM cube).
+  // Per-customer RFM is ONE combinable shuffle over orders; the
+  // quintile boundaries are a single 12-scalar aggregate (global
+  // percentile_disc — exact to match the oracle; at 100 TB the
+  // swap-in is q77's mergeable GK sketch, column-for-column) that
+  // BROADCASTS back, so bucket assignment is four integer
+  // comparisons per customer and the final rollup groups ≤125
+  // segment keys. percentile_disc picks actual data values ⇒ every
+  // boundary, bucket, and count is exact integer arithmetic.
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        col("o_orderdate").cast(LongType).as("ts_sec"),
+        cents(col("o_totalprice")).as("v"))
+      .select(col("cust"), expr("ts_sec div 86400").as("day"), col("v"))
+    val rfm = o.groupBy("cust")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"), sum("v").as("m"))
+    val gmax = rfm.agg(max("last_day").as("gday"))
+    val r = rfm.crossJoin(broadcast(gmax))
+      .select(col("cust"), (col("gday") - col("last_day")).as("r"),
+        col("f"), col("m"))
+    def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")
+        .cast(LongType).as(s"${c}$i")
+    }
+    val b = r.agg(cuts("r").head, (cuts("r").tail ++ cuts("f") ++ cuts("m")): _*)
+    def bucket(c: String) =
+      when(col(c) <= col(s"${c}0"), 1L).when(col(c) <= col(s"${c}1"), 2L)
+        .when(col(c) <= col(s"${c}2"), 3L).when(col(c) <= col(s"${c}3"), 4L)
+        .otherwise(5L)
+    r.crossJoin(broadcast(b))
+      .select(bucket("r").as("r_b"), bucket("f").as("f_b"), bucket("m").as("m_b"),
+        col("m"))
+      .groupBy("r_b", "f_b", "m_b")
+      .agg(count(lit(1)).as("n_cust"), sum("m").as("total_m"))
+      .orderBy("r_b", "f_b", "m_b")
+  }
+
+  val q127Sql: String =
+    """WITH o AS (
+         SELECT o_custkey AS cust,
+           CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400 AS day,
+           CAST(round(o_totalprice*100) AS BIGINT) AS v
+         FROM orders
+       ), rfm AS (
+         SELECT cust, max(day) AS last_day, count(*) AS f, SUM(v) AS m
+         FROM o GROUP BY 1
+       ), g AS (SELECT max(last_day) AS gday FROM rfm
+       ), r AS (
+         SELECT cust, gday - last_day AS r, f, m FROM rfm CROSS JOIN g
+       ), b AS (
+         SELECT
+           CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY r) AS BIGINT) AS r0,
+           CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY r) AS BIGINT) AS r1,
+           CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY r) AS BIGINT) AS r2,
+           CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY r) AS BIGINT) AS r3,
+           CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f0,
+           CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f1,
+           CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f2,
+           CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY f) AS BIGINT) AS f3,
+           CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m0,
+           CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m1,
+           CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m2,
+           CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS BIGINT) AS m3
+         FROM r
+       ), s AS (
+         SELECT
+           CASE WHEN r <= r0 THEN 1 WHEN r <= r1 THEN 2 WHEN r <= r2 THEN 3
+                WHEN r <= r3 THEN 4 ELSE 5 END AS r_b,
+           CASE WHEN f <= f0 THEN 1 WHEN f <= f1 THEN 2 WHEN f <= f2 THEN 3
+                WHEN f <= f3 THEN 4 ELSE 5 END AS f_b,
+           CASE WHEN m <= m0 THEN 1 WHEN m <= m1 THEN 2 WHEN m <= m2 THEN 3
+                WHEN m <= m3 THEN 4 ELSE 5 END AS m_b,
+           m
+         FROM r CROSS JOIN b
+       )
+       SELECT CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b,
+         CAST(m_b AS BIGINT) AS m_b,
+         CAST(count(*) AS BIGINT) AS n_cust, CAST(SUM(m) AS BIGINT) AS total_m
+       FROM s GROUP BY 1, 2, 3 ORDER BY r_b, f_b, m_b"""
 }

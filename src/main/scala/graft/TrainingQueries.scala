@@ -616,16 +616,21 @@ object TrainingQueries {
   // hashes (8k bytes, map-side combined, set-function ⇒ partition-
   // and order-invariant, deterministic for the fixed hash); pairwise
   // intersect/distinct estimates then cost |sources|²·k driver ops on
-  // 2 KB sketches instead of q73's shingle-set self-join shuffle. At
+  // 8 KB sketches instead of q73's shingle-set self-join shuffle. At
   // 100 TB this is the difference between a nightly overlap matrix
   // over thousands of sources and an O(sources²) shuffle over the
   // corpus. Rows-only with a HARD check.py gate: every estimate
   // within 30% (or ±60 absolute for near-empty intersections) of the
-  // exact value; sketch collect is |sources|·2 KB (Salting.hotKeys
+  // exact value; sketch collect is |sources|·8 KB (Salting.hotKeys
   // class).
   def q101(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = 256
+    // k=1024: KMV intersection error is UNION-scale (~|A∪B|/sqrt(k)),
+    // not intersection-scale, so small overlaps need the larger k —
+    // and when a source has < k distinct shingles the sketch holds
+    // them all and the estimate is EXACT (the small-corpus regime).
+    // Still 8 KB per source; the 100 TB cost story is unchanged.
+    val k = 1024
     val kmv = new TypedAggs.KMinValues(k)
     val sketches = Tables.documents(spark, dir)
       .select(col("source"), explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
@@ -688,4 +693,145 @@ object TrainingQueries {
          1.0 - CAST(s2 AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)) AS gini,
          CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_share
        FROM s ORDER BY source"""
+
+  // q120: pairwise TOTAL-VARIATION distance between per-source token
+  // distributions — the exact counterpart to q101's sketched overlap
+  // and the distribution-shift screen behind corpus mixing (entropy/KL
+  // need libm ln, forbidden by the no-transcendental rule; TV is the
+  // rational divergence). The key rewrite keeps it INNER-join only:
+  // over the common denominator Na·Nb,
+  //   Σ_tok |ca·Nb − cb·Na| = Σ_common |ca·Nb − cb·Na|
+  //     + (Na·Nb − Σ_common ca·Nb) + (Na·Nb − Σ_common cb·Na)
+  // — the two correction terms fold the tokens EXCLUSIVE to either
+  // source into per-source totals, so no full-outer join and no
+  // union-of-vocabularies pass exists. One map-side-combined wordcount
+  // shuffle, a vocabulary-keyed self-join bounded by |sources| rows
+  // per token, decimal(38,0) sums (count·corpus-size products square
+  // past a long), ONE IEEE division per pair ⇒ bit-identical.
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val a = cnt.withColumnsRenamed(Map("source" -> "s1", "c" -> "ca"))
+    val b = cnt.withColumnsRenamed(Map("source" -> "s2", "c" -> "cb"))
+    val j = a.join(b, Seq("term")).filter(col("s1") < col("s2"))
+      .join(broadcast(tot.withColumnsRenamed(Map("source" -> "s1", "n" -> "na"))), "s1")
+      .join(broadcast(tot.withColumnsRenamed(Map("source" -> "s2", "n" -> "nb"))), "s2")
+    val x = col("ca").cast(dec) * col("nb").cast(dec)
+    val y = col("cb").cast(dec) * col("na").cast(dec)
+    j.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(x - y)).as("d"),
+        sum(x).as("sa"), sum(y).as("sb"),
+        max(col("na").cast(dec)).as("na"), max(col("nb").cast(dec)).as("nb"))
+      .select(col("s1"), col("s2"), col("n_common"),
+        ((col("d") + (col("na") * col("nb") - col("sa"))
+            + (col("na") * col("nb") - col("sb"))).cast(DoubleType) /
+          (lit(2).cast(dec) * col("na") * col("nb")).cast(DoubleType)).as("tv"))
+      .orderBy("s1", "s2")
+  }
+
+  val q120Sql: String =
+    s"""WITH t AS (
+         SELECT source, unnest($toksSql) AS term FROM documents
+       ), cnt AS (
+         SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2
+       ), tot AS (
+         SELECT source, SUM(c) AS n FROM cnt GROUP BY 1
+       ), j AS (
+         SELECT a.source AS s1, b.source AS s2,
+           CAST(a.c AS HUGEINT) * tb.n AS x,
+           CAST(b.c AS HUGEINT) * ta.n AS y,
+           ta.n AS na, tb.n AS nb
+         FROM cnt a JOIN cnt b ON a.term = b.term AND a.source < b.source
+         JOIN tot ta ON ta.source = a.source
+         JOIN tot tb ON tb.source = b.source
+       )
+       SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(SUM(ABS(x - y)) + (max(na)*max(nb) - SUM(x))
+              + (max(na)*max(nb) - SUM(y)) AS DOUBLE)
+           / CAST(2 * max(na) * max(nb) AS DOUBLE) AS tv
+       FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // q124: bigram-LM vocabulary coverage — score every document by the
+  // fraction of its bigrams found in the corpus's top-5000 bigram
+  // table (the rational surrogate for LM perplexity gating: avg log
+  // prob needs libm, hit-rate against the head of the model doesn't).
+  // The LM pick is a distributed TakeOrdered with a full
+  // (n desc, w1, w2) tiebreak — never a global sort — and scoring is
+  // a BROADCAST left join of the 5000-row table against the bigram
+  // stream: zero extra shuffles beyond the wordcount (at 100 TB the
+  // corpus-side bigrams never move; only pre-combined counts do).
+  // Exact integer hit counts, one IEEE division ⇒ engine-exact.
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("k"))
+      .filter(col("k") >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, k - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val lm = grams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc).limit(5000)
+      .select(col("w1"), col("w2"), lit(1L).as("hit"))
+    grams.join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_bigrams").cast(DoubleType)).as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  val q124Sql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, $toksSql AS ts FROM documents
+       ), d AS (
+         SELECT doc_id, ts FROM toks WHERE len(ts) >= 2
+       ), gw AS (
+         SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS g
+           FROM d)
+       ), lm AS (
+         SELECT w1, w2 FROM (
+           SELECT w1, w2, count(*) AS n FROM gw GROUP BY 1, 2)
+         ORDER BY n DESC, w1, w2 LIMIT 5000
+       ), h AS (
+         SELECT gw.doc_id,
+           CASE WHEN lm.w1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM gw LEFT JOIN lm ON gw.w1 = lm.w1 AND gw.w2 = lm.w2
+       )
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(hit) AS BIGINT) AS n_hit,
+         CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+       FROM h GROUP BY 1 ORDER BY doc_id"""
+
+  // q125: deterministic per-stratum uniform sample — 20 docs per
+  // language, selected by md5(doc_id) order (q61's hash-split
+  // convention: hash order IS uniform order, and it is reproducible
+  // across engines and runs, unlike rand()-based sampling). The
+  // selection runs through the custom TopKPerKey PHYSICAL operator
+  // (plans/TopKPerKey.scala): per-partition bounded heaps ⇒ the
+  // shuffle carries ≤ k rows per (partition, stratum) — a
+  // rank-window rendering would sort every stratum's full row set
+  // through one task. The oracle is that naive window; identical
+  // rows prove the heap path exact.
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("md5(cast(doc_id AS STRING))").as("h"))
+    graft.plans.TopKPerKey.perKey(d, Seq("lang"), "h", "doc_id", k = 20)
+      .select("lang", "doc_id", "h")
+      .orderBy("lang", "doc_id")
+  }
+
+  val q125Sql: String =
+    """SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+       FROM documents
+       QUALIFY row_number() OVER (PARTITION BY lang
+         ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id ASC) <= 20
+       ORDER BY lang, doc_id"""
 }

@@ -340,4 +340,77 @@ class PlanRegressionSpec extends SparkSpec {
     assert(textThroughShuffle.isEmpty,
       "q111 shuffles the raw text column — exchanges must carry hashes/ids only")
   }
+
+  test("q120: TV divergence stays equi-join only — no full-outer vocabulary pass, totals broadcast") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(TrainingQueries.q120(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q120 must stay equi-joins (inner-join + totals rewrite)")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "q120's per-source totals must attach as broadcast joins")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val outer = p.collect { case j: SortMergeJoinExec if j.joinType.toString.contains("Outer") => j }
+    assert(outer.isEmpty, "q120 must not plan an outer join — exclusive tokens fold into totals")
+  }
+
+  test("q122: Pareto deciles rank within range partitions, never one window over all customers") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q122(spark, sf))
+    assert(p.toString.toLowerCase.contains("rangepartitioning"),
+      "q122 must range-repartition on (rev desc, cust) like q109")
+    assert(p.collect { case w: WindowExec => w }.exists(_.partitionSpec.nonEmpty),
+      "q122's per-partition rank window went missing")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q122's offset/total attaches must broadcast the tiny frames")
+  }
+
+  test("q123: HITS rounds are equi-joins and the top-100 is a distributed TakeOrdered") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(AnalyticsQueries.q123(spark, sf))
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "q123's top-100 must plan as TakeOrdered, not a global sort")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q123's HITS rounds must stay equi-joins")
+  }
+
+  test("q124: LM coverage scores via a broadcast of the 5000-row head table") {
+    val p = plan(TrainingQueries.q124(spark, sf))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q124 must broadcast the LM head table against the bigram stream")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "q124's LM pick must be a distributed TakeOrdered")
+  }
+
+  test("q125: stratified sample runs through partial+final TopKPerKey, never a rank window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(TrainingQueries.q125(spark, sf))
+    val s = p.toString
+    assert(s.contains("TopKPerKeyPartial") && s.contains("TopKPerKeyFinal"),
+      "q125 must plan the bounded-heap TopKPerKey operator (partial before the exchange)")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "q125 must not fall back to a rank window over the strata")
+  }
+
+  test("q126: spike windows consume the per-day aggregate, never fact rows") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q126(spark, sf))
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "q126's trailing window must partition by event_type")
+    assert(ws.forall(_.collectFirst { case a: BaseAggregateExec => a }.nonEmpty),
+      "q126's window must sit above the (type, day) aggregate, not the event stream")
+  }
+
+  test("q127: RFM boundary frames attach as broadcasts; buckets never rank-window the customers") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q127(spark, sf))
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+      p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q127's 1-row boundary/max frames must attach as broadcasts")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "q127 must assign buckets by broadcast comparison, not an ntile window")
+  }
 }
