@@ -526,30 +526,46 @@ object AnalyticsQueries {
   // by DELETION NEIGHBORHOOD (emit the name with position i masked,
   // for every i): two same-length names at hamming distance 1 collide
   // on exactly the masked differing position, so candidate generation
-  // is an equi-join on (position, masked-string) — |rows|·len keys,
-  // never all-pairs — and exact levenshtein == 1 decides. (On
-  // equal-length strings levenshtein 1 ⟺ exactly one substitution,
-  // so the blocking is EXHAUSTIVE, not approximate.)
+  // is an equi-join on (position, masked-string) — never all-pairs —
+  // and exact levenshtein == 1 decides. (On equal-length strings
+  // levenshtein 1 ⟺ exactly one substitution, so the blocking is
+  // EXHAUSTIVE, not approximate.)
+  //
+  // LAYERED like q72: the neighborhood join runs on DISTINCT names,
+  // and qualifying NAME pairs expand back to key pairs through two
+  // equi-joins. On a clone-heavy table (the mirrored sf10 fixture:
+  // every name ~100×) the row-level join pays C(clones, 2) candidate
+  // rows per mask key — a 60 GB shuffle spill at sf10 before this
+  // layering — while the distinct-name candidate set is INVARIANT
+  // under cloning; identical names never qualify (distance 0), so
+  // layering drops nothing. Only the true output (which is
+  // legitimately quadratic in clones) expands.
   def q83(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
-    val masked = c
-      .select(col("c_custkey"), col("c_name"),
-        posexplode(split(col("c_name"), "(?!^)")))
-      .select(col("c_custkey"), col("c_name"), col("pos"),
+    val names = c.select(col("c_name")).distinct()
+    val masked = names
+      .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
+      .select(col("c_name"), col("pos"),
         concat(
           expr("substring(c_name, 1, pos)"),
           expr("substring(c_name, pos + 2, length(c_name))")).as("masked"))
-      .select(col("c_custkey"), col("c_name"), col("pos"), col("masked"),
+      .select(col("c_name"), col("pos"), col("masked"),
         length(col("c_name")).as("len"))
     val a = masked.select(col("pos"), col("masked"), col("len"),
-      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      col("c_name").as("name_a"))
     val b = masked.select(col("pos"), col("masked"), col("len"),
-      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
-    a.join(b, Seq("pos", "masked", "len"))
+      col("c_name").as("name_b"))
+    // both orientations kept: key_a must come from name_a's group, so
+    // (nA, nB) and (nB, nA) generate disjoint key pairs below
+    val npairs = a.join(b, Seq("pos", "masked", "len"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    npairs
+      .join(c.select(col("c_name").as("name_a"), col("c_custkey").as("key_a")), "name_a")
+      .join(c.select(col("c_name").as("name_b"), col("c_custkey").as("key_b")), "name_b")
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b", "name_a", "name_b")
-      .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
       .orderBy("key_a", "key_b")
   }
 

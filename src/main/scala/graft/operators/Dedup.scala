@@ -543,9 +543,17 @@ object Dedup {
     // prefix length |s| - ceil(t|s|) + 1; ceil(t·sz) = (tNum·sz + tDen-1) div tDen
     val pfx = ranked
       .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("id"), col("h"))
+      .select(col("id"), col("sz"), col("h"))
+    // PPJoin LENGTH filter in the candidate join itself: J = |∩|/|∪| <=
+    // min(|a|,|b|)/max(|a|,|b|), so J >= t forces t·max <= min (integer
+    // cross-multiplication, no float threshold). Pairs failing it are
+    // provably below threshold — pruned BEFORE the distinct and the
+    // set-fetch verify joins ever see them; costs 4 bytes of sz per
+    // prefix row in the exchange.
     val cand = pfx.as("a").join(pfx.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          lit(tNum.toLong) * greatest(col("a.sz"), col("b.sz")) <=
+            lit(tDen.toLong) * least(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val inter = size(array_intersect(col("ha"), col("hb")))
     cand
