@@ -1835,4 +1835,267 @@ object AnalyticsQueries {
          CAST(m_b AS BIGINT) AS m_b,
          CAST(count(*) AS BIGINT) AS n_cust, CAST(SUM(m) AS BIGINT) AS total_m
        FROM s GROUP BY 1, 2, 3 ORDER BY r_b, f_b, m_b"""
+
+  // q129: association rules — market-basket support / confidence /
+  // lift over order baskets of part brands. Baskets collapse to a
+  // sorted distinct-brand array in ONE combinable shuffle on the order
+  // key (collect_set dedups map-side); pair generation is a bounded
+  // in-row double explode (baskets hold ≤ |brands| = 25 items, so ≤
+  // C(25,2) pairs — never a basket×basket self-join), and the pair
+  // counts combine map-side on a ≤300-key space. Item counts and the
+  // basket total are tiny frames BROADCAST back. support/conf/lift are
+  // single IEEE divisions of exactly-represented BIGINT products
+  // (counts·counts fit a long at any scale where |brands| is bounded)
+  // ⇒ bit-identical to the oracle.
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("basket"), col("p_brand").as("item"))
+    val baskets = items.groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+    val pairs = baskets
+      .select(explode(col("its")).as("a"), col("its"))
+      .select(col("a"), explode(col("its")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pab"))
+    val itemN = baskets.select(explode(col("its")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(itemN.select(col("item").as("a"), col("cnt").as("ca"))), "a")
+      .join(broadcast(itemN.select(col("item").as("b"), col("cnt").as("cb"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("pab"),
+        (col("pab").cast(DoubleType) / col("n_baskets").cast(DoubleType)).as("support"),
+        (col("pab").cast(DoubleType) / col("ca").cast(DoubleType)).as("conf_ab"),
+        (col("pab").cast(DoubleType) / col("cb").cast(DoubleType)).as("conf_ba"),
+        ((col("pab") * col("n_baskets")).cast(DoubleType) /
+          (col("ca") * col("cb")).cast(DoubleType)).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  val q129Sql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+       ), pairs AS (
+         SELECT x.item AS a, y.item AS b, count(*) AS pab
+         FROM items x JOIN items y ON x.basket = y.basket AND x.item < y.item
+         GROUP BY 1, 2
+       ), itemn AS (
+         SELECT item, count(*) AS cnt FROM items GROUP BY 1
+       ), tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM items)
+       SELECT a, b, CAST(pab AS BIGINT) AS pab,
+         CAST(pab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+         CAST(pab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS conf_ab,
+         CAST(pab AS DOUBLE) / CAST(ib.cnt AS DOUBLE) AS conf_ba,
+         CAST(pab * n_baskets AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE) AS lift
+       FROM pairs JOIN itemn ia ON pairs.a = ia.item
+         JOIN itemn ib ON pairs.b = ib.item CROSS JOIN tot
+       ORDER BY a, b"""
+
+  // q130: inter-purchase interval analysis — days between consecutive
+  // orders per customer, summarized per market segment (the CRM
+  // repeat-purchase cadence readout). The lag window and the gap are
+  // exact integer day arithmetic on ONE shuffle over the customer key;
+  // the segment lookup joins the |customers|-row dim on the same key
+  // (bucketable/co-locatable at 100 TB); the summary is a 5-row
+  // sort-aggregate whose percentile_disc picks actual data values ⇒
+  // every output but the single avg division is an exact integer, and
+  // avg is one IEEE division of exact ints.
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) div 86400").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)")
+          .cast(LongType).as("median_gap"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)")
+          .cast(LongType).as("p90_gap"))
+      .select(col("segment"), col("n_gaps"), col("sum_gap"),
+        (col("sum_gap").cast(DoubleType) / col("n_gaps").cast(DoubleType)).as("avg_gap"),
+        col("median_gap"), col("p90_gap"))
+      .orderBy("segment")
+  }
+
+  val q130Sql: String =
+    """WITH o AS (
+         SELECT o_custkey, o_orderkey,
+           CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400 AS day
+         FROM orders
+       ), g AS (
+         SELECT o_custkey,
+           day - lag(day) OVER (PARTITION BY o_custkey
+             ORDER BY day ASC, o_orderkey ASC) AS gap
+         FROM o
+       )
+       SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap,
+         CAST(SUM(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS median_gap,
+         CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p90_gap
+       FROM g JOIN customer ON o_custkey = c_custkey
+       WHERE gap IS NOT NULL
+       GROUP BY 1 ORDER BY segment"""
+
+  // q133: top session paths — the first 4 event types of each session
+  // (q31's 30-minute-gap sessions), counted and ranked (the product-
+  // analytics "common user journeys" readout). Sessionization, the
+  // row_number trim, and the path assembly all run inside ONE shuffle
+  // on the user key (windows and the per-session agg share the
+  // partitioning); path strings are built engine-side from the sorted
+  // (rn, type) structs so order is deterministic, and the global top-20
+  // is a TakeOrdered over the |distinct paths|-bounded count table —
+  // never a full sort. At most 4 events contribute per session, so the
+  // count key space is ≤ |types|⁴.
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    sess.withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= 4)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val q133Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec
+         FROM events
+       ), s AS (
+         SELECT user_id, event_id, event_type, ts_sec,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts_sec ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM (
+           SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+             THEN 1 ELSE 0 END AS new_session
+           FROM (
+             SELECT *, lag(ts_sec, 1) OVER (PARTITION BY user_id
+               ORDER BY ts_sec ASC, event_id ASC) AS prev_sec
+             FROM ev))
+       ), trimmed AS (
+         SELECT user_id, session_id, event_type, rn FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+             ORDER BY ts_sec ASC, event_id ASC) AS rn
+           FROM s)
+         WHERE rn <= 4
+       ), paths AS (
+         SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM trimmed GROUP BY 1, 2
+       )
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM paths GROUP BY 1
+       ORDER BY n_sessions DESC, path ASC LIMIT 20"""
+
+  // q134: peak concurrency — maximum number of simultaneously-active
+  // sessions per day (the ops capacity readout), via a sweep line over
+  // session endpoints. Sessions come from q31's agg (one user-key
+  // shuffle); each session contributes endpoints only to the ≤2 days it
+  // touches (clipped), so the sweep's running sum is a window
+  // PARTITIONED BY DAY — there is no unpartitioned window anywhere
+  // (pinned), and every day sweeps independently at 100 TB. Endpoint
+  // deltas pre-aggregate per (day, second) map-side; all arithmetic is
+  // exact integers.
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
+    val perDay = sess
+      .select(col("start_sec"), col("end_sec"),
+        explode(sequence(expr("start_sec div 86400"), expr("end_sec div 86400"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_sec"), col("day") * 86400L).as("s"),
+        (least(col("end_sec"), col("day") * 86400L + 86399L) + 1L).as("e"))
+    val deltas = perDay.select(col("day"), col("s").as("t"), lit(1L).as("d"))
+      .unionByName(perDay.select(col("day"), col("e").as("t"), lit(-1L).as("d")))
+      .groupBy("day", "t")
+      .agg(sum(col("d")).as("net"), sum(when(col("d") === 1L, 1L).otherwise(0L)).as("starts"))
+    val sweep = Window.partitionBy("day").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("run", sum(col("net")).over(sweep))
+      .groupBy("day")
+      .agg(max(col("run")).as("peak"), sum(col("starts")).as("n_active"))
+      .orderBy("day")
+  }
+
+  val q134Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec
+         FROM events
+       ), s AS (
+         SELECT user_id, ts_sec,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts_sec ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM (
+           SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+             THEN 1 ELSE 0 END AS new_session
+           FROM (
+             SELECT *, lag(ts_sec, 1) OVER (PARTITION BY user_id
+               ORDER BY ts_sec ASC, event_id ASC) AS prev_sec
+             FROM ev))
+       ), sess AS (
+         SELECT user_id, session_id, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+         FROM s GROUP BY 1, 2
+       ), perday AS (
+         SELECT day,
+           greatest(start_sec, day * 86400) AS st,
+           least(end_sec, day * 86400 + 86399) + 1 AS en
+         FROM (SELECT start_sec, end_sec,
+                 unnest(generate_series(start_sec // 86400, end_sec // 86400)) AS day
+               FROM sess)
+       ), deltas AS (
+         SELECT day, t, SUM(d) AS net, SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS starts
+         FROM (
+           SELECT day, st AS t, 1 AS d FROM perday
+           UNION ALL
+           SELECT day, en AS t, -1 AS d FROM perday)
+         GROUP BY 1, 2
+       ), swept AS (
+         SELECT day, starts, SUM(net) OVER (PARTITION BY day ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         FROM deltas
+       )
+       SELECT day, CAST(max(run) AS BIGINT) AS peak,
+         CAST(SUM(starts) AS BIGINT) AS n_active
+       FROM swept GROUP BY 1 ORDER BY day"""
 }

@@ -594,4 +594,59 @@ object LlmQueries {
        FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        WHERE 2 * i >= sa.n + sb.n - i
        ORDER BY id_a, id_b"""
+
+  // q131: kNN label classification — majority vote over the 5 nearest
+  // cosine neighbors (q24's exact top-k machinery), ties to the
+  // smallest label; the label-column consumer of the embeddings table
+  // (semi-supervised labeling / eval-set sanity check). Neighbor lists
+  // carry ids only; the label lookup joins on the neighbor key and the
+  // vote/argmax collapse map-side (max of a (count, -label, label)
+  // struct — associative, no rank window). The vote depends on the
+  // SET of top-5 neighbors, not the cosine doubles, and that set is
+  // deterministic via q24's (cosine desc, vec_id asc) total order ⇒
+  // engine-exact.
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val nb = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lab"))
+    val votes = nb
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("lab").as("nb_label")),
+        "neighbor_id")
+      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("n"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("n"), (-col("nb_label")).as("neg"), col("nb_label").as("lab")))
+        .as("best"))
+      .select(col("query_id"), col("best.lab").as("pred_label"), col("best.n").as("votes"))
+    pred.join(labels.select(col("vec_id").as("query_id"), col("lab").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"),
+        (col("pred_label") === col("true_label")).cast("int").cast(LongType).as("correct"))
+      .orderBy("query_id")
+  }
+
+  val q131Sql: String =
+    """WITH nb AS (
+         SELECT query_id, nb_label FROM (
+           SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS nb_label,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id % 25 = 0)
+         WHERE rank <= 5
+       ), votes AS (
+         SELECT query_id, nb_label, count(*) AS n FROM nb GROUP BY 1, 2
+       ), pred AS (
+         SELECT query_id, nb_label AS pred_label, n AS votes FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY n DESC, nb_label ASC) AS rn
+           FROM votes)
+         WHERE rn = 1
+       )
+       SELECT query_id, pred_label, CAST(votes AS BIGINT) AS votes,
+         CAST(label AS BIGINT) AS true_label,
+         CAST(CASE WHEN pred_label = CAST(label AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS correct
+       FROM pred JOIN embeddings ON vec_id = query_id
+       ORDER BY query_id"""
 }

@@ -834,4 +834,26 @@ object TrainingQueries {
        QUALIFY row_number() OVER (PARTITION BY lang
          ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id ASC) <= 20
        ORDER BY lang, doc_id"""
+
+  // q132: weighted source downsampling — cap each source at an
+  // EXPECTED 15 docs via CorpusOps.downsampleToCap: the keep decision
+  // is the integer cross-multiplication h·n_source < cap·2^32 over a
+  // 32-bit md5-prefix hash, so the subset is a pure function of
+  // (doc_id, source size) — engine-exact, run-stable, and NESTED as
+  // the cap grows. One |sources|-row combinable count broadcast back;
+  // the corpus itself never shuffles (the filter runs at scan speed).
+  // This is the "tame the over-represented domains" step of corpus
+  // mixing, the rate-based complement of q67's fixed-n stratifiedTake.
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.downsampleToCap(Tables.documents(spark, dir), Seq("source"), "doc_id", cap = 15L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val q132Sql: String =
+    """WITH n AS (SELECT source, count(*) AS grp_n FROM documents GROUP BY 1)
+       SELECT doc_id, source FROM documents JOIN n USING (source)
+       WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DECIMAL(19,0))
+               * CAST(grp_n AS DECIMAL(19,0))
+             < CAST(15 AS DECIMAL(19,0)) * CAST(4294967296 AS DECIMAL(19,0))
+       ORDER BY doc_id"""
 }

@@ -303,4 +303,138 @@ object WarehouseQueries {
        FROM lineitem
        WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 2 AND 7
        ORDER BY l_orderkey, l_linenumber"""
+
+  // q128: data-quality constraint screen — the expectations gate a
+  // warehouse runs before publishing a load (null / range / referential
+  // / uniqueness rules), reporting exact violation counts per rule.
+  // Scale shape: all in-row rules over one table collapse into a
+  // SINGLE map-side-combinable conditional-sum pass (then a 1-row
+  // stack() unpivot — the table is scanned once, not once per rule);
+  // referential rules are key-only left_anti joins (AQE's runtime
+  // bloom filter prunes the probe side at 100 TB, and orphans being
+  // rare the exchange is near-empty); the uniqueness rule is one
+  // combinable count-per-key shuffle. Denominators come from parquet
+  // FOOTERS (Tables.rowCount) — zero extra scan jobs.
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val liN = Tables.rowCount(spark, dir, "lineitem")
+    val oN  = Tables.rowCount(spark, dir, "orders")
+    val cN  = Tables.rowCount(spark, dir, "customer")
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val liRules = li.agg(
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 45.0, 1L).otherwise(0L)).as("qty_v"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("disc_v"))
+      .selectExpr("stack(2, 'lineitem_qty_range', qty_v, 'lineitem_discount_range', disc_v) AS (rule, violations)")
+      .withColumn("total", lit(liN))
+    val oRules = o.agg(
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price_v"))
+      .selectExpr("stack(1, 'orders_nonpositive_total', price_v) AS (rule, violations)")
+      .withColumn("total", lit(oN))
+    val cRules = c.agg(
+        sum(when(col("c_mktsegment").isNull || col("c_mktsegment") === "", 1L).otherwise(0L)).as("seg_v"))
+      .selectExpr("stack(1, 'customer_null_segment', seg_v) AS (rule, violations)")
+      .withColumn("total", lit(cN))
+    val orphanLi = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_orphan_order").as("rule"), col("violations"), lit(liN).as("total"))
+    val orphanO = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_orphan_customer").as("rule"), col("violations"), lit(oN).as("total"))
+    val dupO = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+      .select(lit("orders_dup_key").as("rule"), col("violations"), lit(oN).as("total"))
+    liRules.unionByName(oRules).unionByName(cRules)
+      .unionByName(orphanLi).unionByName(orphanO).unionByName(dupO)
+      .select(col("rule"), col("violations").cast(LongType).as("violations"),
+        col("total").cast(LongType).as("total"))
+      .orderBy("rule")
+  }
+
+  val q128Sql: String =
+    """WITH li AS (SELECT count(*) AS n FROM lineitem),
+       o AS (SELECT count(*) AS n FROM orders),
+       c AS (SELECT count(*) AS n FROM customer)
+       SELECT rule, CAST(violations AS BIGINT) AS violations,
+         CAST(total AS BIGINT) AS total FROM (
+         SELECT 'lineitem_qty_range' AS rule,
+           (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 45) AS violations,
+           (SELECT n FROM li) AS total
+         UNION ALL
+         SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.08),
+           (SELECT n FROM li)
+         UNION ALL
+         SELECT 'orders_nonpositive_total',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+           (SELECT n FROM o)
+         UNION ALL
+         SELECT 'customer_null_segment',
+           (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL OR c_mktsegment = ''),
+           (SELECT n FROM c)
+         UNION ALL
+         SELECT 'lineitem_orphan_order',
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+           (SELECT n FROM li)
+         UNION ALL
+         SELECT 'orders_orphan_customer',
+           (SELECT count(*) FROM orders WHERE NOT EXISTS (
+              SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+           (SELECT n FROM o)
+         UNION ALL
+         SELECT 'orders_dup_key',
+           (SELECT COALESCE(SUM(k), 0) FROM (
+              SELECT count(*) AS k FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+           (SELECT n FROM o))
+       ORDER BY rule"""
+
+  // q135: CDC changelog apply — compact an insert/update/delete log
+  // (error events as tombstones, (ts, event_id) as the total-order
+  // sequence) into the final per-key state via MergeUpsert.applyCdc.
+  // The entire apply is ONE map-side-combinable max_by shuffle on the
+  // key — no window sort ranks the log, no self-join — and the audit
+  // counts ride the same exchange; at 100 TB the log streams through
+  // at combine speed regardless of per-key change volume (hot keys
+  // collapse map-side). Exact integers throughout.
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        cents(col("value")).as("value_c"))
+    graft.operators.MergeUpsert
+      .applyCdc(ch, Seq("user_id"), Seq("ts_sec", "event_id"), "op")
+      .select(col("user_id"), col("ts_sec").as("last_sec"), col("event_id").as("last_event_id"),
+        col("value_c").as("last_value_c"),
+        col("cdc_changes").as("n_changes"), col("cdc_deletes").as("n_deletes"))
+      .orderBy("user_id")
+  }
+
+  val q135Sql: String =
+    """WITH ch AS (
+         SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+         FROM events
+       ), r AS (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts_sec DESC, event_id DESC) AS rn
+         FROM ch
+       ), agg AS (
+         SELECT user_id, count(*) AS n_changes,
+           SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+         FROM ch GROUP BY 1
+       )
+       SELECT r.user_id, ts_sec AS last_sec, event_id AS last_event_id,
+         value_c AS last_value_c,
+         CAST(n_changes AS BIGINT) AS n_changes,
+         CAST(n_deletes AS BIGINT) AS n_deletes
+       FROM r JOIN agg ON r.user_id = agg.user_id
+       WHERE rn = 1 AND op <> 'D'
+       ORDER BY r.user_id"""
 }

@@ -175,6 +175,34 @@ object CorpusOps {
     substring(md5(id.cast(StringType).cast(BinaryType)), 1, 4) < lit(f"$keep65536%04x")
   }
 
+  /** Deterministic per-group downsample toward an EXPECTED `cap` rows
+    * per group — the "tame the over-represented sources" step of corpus
+    * mixing. Groups at/below the cap keep every row (the rate clamps to
+    * 1); an oversized group keeps a row iff its 32-bit md5-prefix hash
+    * clears the group's rate, decided by INTEGER cross-multiplication
+    *   h * n_group < cap * 2^32
+    * over decimal(38,0) operands (h·n squares past a long once groups
+    * reach 2^31 rows), so the keep set is a pure function of (id,
+    * group size) — identical across engines, partitionings, and runs.
+    * Cost: one combinable groupBy for the |groups|-row count table,
+    * BROADCAST back; the fact table itself never shuffles — the filter
+    * runs at scan speed. Keep sets NEST as `cap` grows (h doesn't
+    * depend on cap), so raising the cap only adds rows — reproducible
+    * corpus growth between training runs.
+    */
+  def downsampleToCap(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val dec = DecimalType(19, 0)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__grp_n"))
+    val h = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8),
+      16, 10).cast(LongType)
+    df.join(broadcast(counts), groupCols)
+      .filter(h.cast(dec) * col("__grp_n").cast(dec) <
+        lit(cap).cast(dec) * lit(4294967296L).cast(dec))
+      .drop("__grp_n")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen by md5(id)
     * order — a deterministic engine-portable "random" sample with hard
     * per-group counts (class-balanced eval sets, per-domain caps).

@@ -171,6 +171,38 @@ object MergeUpsert {
       listMonths(spark, targetPath), Nil)
   }
 
+  /** Apply an ordered insert/update/delete changelog and return the
+    * final table state — the CDC-compaction step between a log-shipping
+    * source (op column + sequence columns) and a queryable snapshot,
+    * extending `merge` (stats.py:896's upsert) with tombstones.
+    * Latest-wins per key on `seqCols` (must form a TOTAL order — supply
+    * a unique tiebreak column such as the log offset); a key whose
+    * newest change is `deleteOp` is dropped, any other op keeps that
+    * newest row. The whole apply is ONE map-side-combinable `max_by`
+    * shuffle on the key — no window sort, no self-join — and because
+    * `max_by` over a total order is associative, applying the log in
+    * batches (later batches unioned with the survivors of earlier ones,
+    * which carry their original seq values) equals a single apply
+    * (spec'd in MergeUpsertSpec). Audit columns `cdc_changes` /
+    * `cdc_deletes` count the key's log traffic; they ride the same
+    * shuffle for free.
+    */
+  def applyCdc(changelog: DataFrame, keys: Seq[String], seqCols: Seq[String],
+               opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "seqCols must be non-empty")
+    val payloadCols = changelog.columns.filterNot(keys.contains)
+    val last = struct(payloadCols.map(col): _*)
+    val seqKey = struct(seqCols.map(col): _*)
+    changelog.groupBy(keys.map(col): _*)
+      .agg(max_by(last, seqKey).as("__last"),
+        count(lit(1)).as("cdc_changes"),
+        sum(when(col(opCol) === deleteOp, 1L).otherwise(0L)).as("cdc_deletes"))
+      .filter(col("__last").getField(opCol) =!= deleteOp)
+      .select(keys.map(col) ++
+        payloadCols.filterNot(_ == opCol).map(c => col("__last").getField(c).as(c)) ++
+        Seq(col("cdc_changes"), col("cdc_deletes")): _*)
+  }
+
   /** Partition (`ym=`) directory names of a target — a pure metadata op. */
   def listMonths(spark: SparkSession, targetPath: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(targetPath)

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{CorpusOps, MergeUpsert}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 additions: CDC changelog apply (tombstones)
+  * and per-group rate downsampling.
+  */
+class ApplyCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    // (key, seq1, seq2, op, v)
+    (1L, 10L, 1L, "U", "a1"), (1L, 20L, 1L, "U", "a2"),        // plain updates
+    (2L, 10L, 1L, "U", "b1"), (2L, 30L, 1L, "D", ""),          // ends deleted
+    (3L, 10L, 1L, "D", ""), (3L, 40L, 1L, "U", "c-back"),      // resurrected
+    (4L, 50L, 1L, "U", "tie-lo"), (4L, 50L, 2L, "U", "tie-hi") // seq tiebreak
+  ).toDF("k", "s1", "s2", "op", "v")
+
+  test("applyCdc: latest wins, tombstone drops, resurrect keeps, tiebreak total order") {
+    val got = MergeUpsert.applyCdc(log, Seq("k"), Seq("s1", "s2"), "op")
+      .orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L)) // key 2 tombstoned
+    val byK = got.map(r => r.getLong(0) -> r.getAs[String]("v")).toMap
+    assert(byK == Map(1L -> "a2", 3L -> "c-back", 4L -> "tie-hi"))
+    val audit = got.map(r => r.getLong(0) ->
+      (r.getAs[Long]("cdc_changes"), r.getAs[Long]("cdc_deletes"))).toMap
+    assert(audit(1L) == (2L, 0L) && audit(3L) == (2L, 1L) && audit(4L) == (2L, 0L))
+  }
+
+  test("applyCdc: batched apply equals one-shot apply (associativity)") {
+    val Array(b1, b2) = Array(log.filter(col("s1") <= 20L), log.filter(col("s1") > 20L))
+    val once = MergeUpsert.applyCdc(log, Seq("k"), Seq("s1", "s2"), "op")
+      .select("k", "s1", "s2", "v").orderBy("k")
+    // survivors of batch 1 re-enter as 'U' rows at their original seq,
+    // exactly how a snapshot feeds the next incremental apply
+    val snap1 = MergeUpsert.applyCdc(b1, Seq("k"), Seq("s1", "s2"), "op")
+      .select(col("k"), col("s1"), col("s2"), lit("U").as("op"), col("v"))
+    val twice = MergeUpsert.applyCdc(snap1.unionByName(b2.select("k", "s1", "s2", "op", "v")),
+        Seq("k"), Seq("s1", "s2"), "op")
+      .select("k", "s1", "s2", "v").orderBy("k")
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("applyCdc: a delete arriving in a later batch still kills the key") {
+    val b1 = Seq((9L, 10L, 1L, "U", "x")).toDF("k", "s1", "s2", "op", "v")
+    val b2 = Seq((9L, 20L, 1L, "D", "")).toDF("k", "s1", "s2", "op", "v")
+    val snap1 = MergeUpsert.applyCdc(b1, Seq("k"), Seq("s1", "s2"), "op")
+      .select(col("k"), col("s1"), col("s2"), lit("U").as("op"), col("v"))
+    val got = MergeUpsert.applyCdc(snap1.unionByName(b2), Seq("k"), Seq("s1", "s2"), "op")
+    assert(got.count() == 0L)
+  }
+}
+
+class DownsampleToCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 sources of very different sizes: 600 / 200 / 40 / 5 rows.
+  private def corpus = {
+    val rows = (0 until 600).map(i => (i.toLong, "big")) ++
+      (600 until 800).map(i => (i.toLong, "mid")) ++
+      (800 until 840).map(i => (i.toLong, "small")) ++
+      (840 until 845).map(i => (i.toLong, "tiny"))
+    rows.toDF("doc_id", "source")
+  }
+
+  test("downsampleToCap: groups at/below the cap keep every row") {
+    val kept = CorpusOps.downsampleToCap(corpus, Seq("source"), "doc_id", cap = 50L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(kept("small") == 40L && kept("tiny") == 5L,
+      s"under-cap groups must be untouched: $kept")
+    assert(kept("big") < 600L && kept("mid") < 200L,
+      s"over-cap groups must shrink: $kept")
+    // expected value is cap; allow generous hash noise (binomial sd ~7)
+    assert(kept("big") > 20L && kept("big") < 90L, s"big group far off cap: $kept")
+  }
+
+  test("downsampleToCap: keep sets nest as the cap grows") {
+    val small = CorpusOps.downsampleToCap(corpus, Seq("source"), "doc_id", cap = 20L)
+      .select("doc_id")
+    val large = CorpusOps.downsampleToCap(corpus, Seq("source"), "doc_id", cap = 100L)
+      .select("doc_id")
+    assert(small.join(large, Seq("doc_id"), "left_anti").count() == 0L,
+      "every cap=20 survivor must also survive cap=100")
+    assert(small.count() < large.count())
+  }
+
+  test("downsampleToCap: deterministic across runs and partitionings") {
+    val once = CorpusOps.downsampleToCap(corpus, Seq("source"), "doc_id", cap = 30L)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val again = CorpusOps.downsampleToCap(corpus.repartition(7), Seq("source"), "doc_id", cap = 30L)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(once == again)
+  }
+
+  test("downsampleToCap: the fact side never shuffles (broadcast count join)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.documents(spark, sf)
+    val p = CorpusOps.downsampleToCap(docs, Seq("source"), "doc_id", cap = 10L)
+      .queryExecution.sparkPlan
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "count table must broadcast back")
+    // the only exchange feeds the tiny per-group count aggregate —
+    // the probe (fact) side of the broadcast join streams unshuffled
+    val probe = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    val probeShuffles = probe.collect { case s: ShuffleExchangeLike => s }
+    assert(probeShuffles.isEmpty, "fact side of downsample filter must not shuffle")
+  }
+}

@@ -413,4 +413,38 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.collect { case w: WindowExec => w }.isEmpty,
       "q127 must assign buckets by broadcast comparison, not an ntile window")
   }
+
+  test("q129: pair generation stays in-row — no basket self-join, dims broadcast") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(AnalyticsQueries.q129(spark, sf))
+    // the item-count and total frames attach as broadcasts; the only
+    // non-broadcast join allowed is none at all (pairs explode in-row)
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val shuffledJoins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"q129 pairs must come from in-row explodes, not a shuffled self-join: $shuffledJoins")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q129 must not plan a cartesian product")
+  }
+
+  test("q134: the sweep-line window is partitioned by day — never a global sort point") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = plan(AnalyticsQueries.q134(spark, sf)).collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "q134's running-sum window must partition (by day or user), not run unpartitioned")
+  }
+
+  test("q135: the CDC apply is one max_by aggregate with map-side partials — no window") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(WarehouseQueries.q135(spark, sf))
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "applyCdc must not rank the changelog with a window")
+    val partials = p.collect { case a: BaseAggregateExec => a }
+      .filter(_.aggregateExpressions.exists(_.toString.contains("partial_max_by")))
+    assert(partials.nonEmpty, "applyCdc's max_by must pre-aggregate map-side")
+  }
 }
