@@ -2098,4 +2098,119 @@ object AnalyticsQueries {
        SELECT day, CAST(max(run) AS BIGINT) AS peak,
          CAST(SUM(starts) AS BIGINT) AS n_active
        FROM swept GROUP BY 1 ORDER BY day"""
+
+  // q136: conversion latency — per-cohort time from a user's FIRST
+  // signup to their first purchase at-or-after it (the funnel-velocity
+  // readout that q84's step-count funnel doesn't give). The first-
+  // signup mark is a min-window over the user partition, the
+  // qualifying-purchase pick a groupBy on the SAME key — windows and
+  // agg share one user shuffle (exchange reuse) — and the cohort
+  // summary is a 10-row sort-aggregate. Lags are exact integer
+  // seconds; percentile_disc picks actual data values; only avg is an
+  // IEEE division of exact ints ⇒ engine-exact.
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("signup_sec",
+        min(when(col("event_type") === "signup", col("ts_sec"))).over(byUser))
+      .filter(col("signup_sec").isNotNull)
+    val perUser = ev
+      .groupBy("user_id", "signup_sec")
+      .agg(min(when(col("event_type") === "purchase" && col("ts_sec") >= col("signup_sec"),
+        col("ts_sec"))).as("conv_sec"))
+      .select(col("user_id"), (col("user_id") % 10).as("cohort"),
+        (col("conv_sec") - col("signup_sec")).as("lag_sec"))
+    perUser.groupBy("cohort")
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("lag_sec")).as("n_converted"),
+        sum(col("lag_sec")).as("sum_lag"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_sec)")
+          .cast(LongType).as("median_lag"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_sec)")
+          .cast(LongType).as("p90_lag"))
+      .select(col("cohort"), col("n_signups"), col("n_converted"),
+        (col("sum_lag").cast(DoubleType) / col("n_converted").cast(DoubleType)).as("avg_lag"),
+        col("median_lag"), col("p90_lag"))
+      .orderBy("cohort")
+  }
+
+  val q136Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec
+         FROM events
+       ), marked AS (
+         SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_sec END)
+           OVER (PARTITION BY user_id) AS signup_sec
+         FROM ev
+       ), per_user AS (
+         SELECT user_id, user_id % 10 AS cohort,
+           min(CASE WHEN event_type = 'purchase' AND ts_sec >= signup_sec
+             THEN ts_sec END) - signup_sec AS lag_sec
+         FROM marked WHERE signup_sec IS NOT NULL
+         GROUP BY user_id, signup_sec
+       )
+       SELECT cohort, CAST(count(*) AS BIGINT) AS n_signups,
+         CAST(count(lag_sec) AS BIGINT) AS n_converted,
+         CAST(SUM(lag_sec) AS DOUBLE) / CAST(count(lag_sec) AS DOUBLE) AS avg_lag,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_sec) AS BIGINT) AS median_lag,
+         CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_sec) AS BIGINT) AS p90_lag
+       FROM per_user GROUP BY 1 ORDER BY cohort"""
+
+  // q137: event-type correlation matrix — pairwise Pearson r of DAILY
+  // event counts between types (which metrics co-move; q121's
+  // sufficient-statistics rule applied to time series instead of a
+  // graph). The only fact-scale work is the combinable (type, day)
+  // count shuffle; the self-join runs on that |types|·|days|-bounded
+  // aggregate over common days, the six sums widen to decimal(38,0)
+  // (count products square past a long at corpus scale), and r is IEEE
+  // *,−,/ + sqrt of exactly-represented integers with q121's exact
+  // parenthesization ⇒ bit-identical.
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(LongType).as("ts_sec"))
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type").as("ta"), col("day"), col("n").as("x"))
+    val b = daily.select(col("event_type").as("tb"), col("day"), col("n").as("y"))
+    val s = a.join(b, "day").filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val nD = col("nd").cast(dec)
+    s.select(col("ta"), col("tb"), col("nd").as("n_days"),
+      ((nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+        (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+          sqrt((nD * col("syy") - col("sy") * col("sy")).cast(DoubleType))))
+        .as("pearson_r"))
+      .orderBy("ta", "tb")
+  }
+
+  val q137Sql: String =
+    """WITH daily AS (
+         SELECT event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+           count(*) AS n
+         FROM events GROUP BY 1, 2
+       ), s AS (
+         SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS nd,
+           SUM(CAST(a.n AS HUGEINT)) AS sx,
+           SUM(CAST(b.n AS HUGEINT)) AS sy,
+           SUM(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+           SUM(CAST(a.n AS HUGEINT) * CAST(a.n AS HUGEINT)) AS sxx,
+           SUM(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS syy
+         FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+         GROUP BY 1, 2
+       )
+       SELECT ta, tb, CAST(nd AS BIGINT) AS n_days,
+         CAST(nd*sxy - sx*sy AS DOUBLE) /
+           (sqrt(CAST(nd*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(nd*syy - sy*sy AS DOUBLE)))
+           AS pearson_r
+       FROM s ORDER BY ta, tb"""
 }

@@ -188,20 +188,46 @@ object MergeUpsert {
     * shuffle for free.
     */
   def applyCdc(changelog: DataFrame, keys: Seq[String], seqCols: Seq[String],
-               opCol: String, deleteOp: String = "D"): DataFrame = {
+               opCol: String, deleteOp: String = "D"): DataFrame =
+    compactCdcState(applyCdcState(None, changelog, keys, seqCols, opCol, deleteOp),
+      opCol, deleteOp)
+
+  /** State-level CDC apply: like [[applyCdc]] but the output KEEPS
+    * tombstone rows (op column retained), so a later batch can see
+    * that a key was deleted and a resurrect accumulates the full audit
+    * history; `prev` is the previous state (with its accumulated audit
+    * columns), which enters the same single max_by shuffle as the
+    * batch — the incremental chain is therefore byte-identical to a
+    * one-shot apply, tombstones, audits and all ([[applyCdc]] IS
+    * `compactCdcState(applyCdcState(None, log))`, so the equivalence
+    * is structural). This is what a streaming sink persists per
+    * micro-batch; at warehouse scale tombstones age out by filtering
+    * on the seq columns (retention), exactly like a log-compacted
+    * topic.
+    */
+  def applyCdcState(prev: Option[DataFrame], batch: DataFrame, keys: Seq[String],
+                    seqCols: Seq[String], opCol: String,
+                    deleteOp: String = "D"): DataFrame = {
     require(seqCols.nonEmpty, "seqCols must be non-empty")
-    val payloadCols = changelog.columns.filterNot(keys.contains)
-    val last = struct(payloadCols.map(col): _*)
-    val seqKey = struct(seqCols.map(col): _*)
-    changelog.groupBy(keys.map(col): _*)
-      .agg(max_by(last, seqKey).as("__last"),
-        count(lit(1)).as("cdc_changes"),
-        sum(when(col(opCol) === deleteOp, 1L).otherwise(0L)).as("cdc_deletes"))
-      .filter(col("__last").getField(opCol) =!= deleteOp)
+    val payloadCols = batch.columns.filterNot(keys.contains)
+    val weighted = batch
+      .withColumn("cdc_changes", lit(1L))
+      .withColumn("cdc_deletes", when(col(opCol) === deleteOp, 1L).otherwise(0L))
+    val all = prev.map(_.select(weighted.columns.map(col): _*).unionByName(weighted))
+      .getOrElse(weighted)
+    all.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), struct(seqCols.map(col): _*)).as("__last"),
+        sum(col("cdc_changes")).as("cdc_changes"),
+        sum(col("cdc_deletes")).as("cdc_deletes"))
       .select(keys.map(col) ++
-        payloadCols.filterNot(_ == opCol).map(c => col("__last").getField(c).as(c)) ++
+        payloadCols.map(c => col("__last").getField(c).as(c)) ++
         Seq(col("cdc_changes"), col("cdc_deletes")): _*)
   }
+
+  /** The queryable view of a CDC state table: tombstoned keys out, op
+    * column dropped. Column-for-column the shape [[applyCdc]] returns. */
+  def compactCdcState(state: DataFrame, opCol: String, deleteOp: String = "D"): DataFrame =
+    state.filter(col(opCol) =!= deleteOp).drop(opCol)
 
   /** Partition (`ym=`) directory names of a target — a pure metadata op. */
   def listMonths(spark: SparkSession, targetPath: String): Seq[String] = {

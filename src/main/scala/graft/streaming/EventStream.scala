@@ -416,4 +416,35 @@ object EventStream {
         batch.sparkSession, batch.toDF(), targetPath, keys, updatedAt)
     events.writeStream.foreachBatch(upsert)
   }
+
+  /** Streaming CDC sink: compact an insert/update/delete changelog into
+    * a snapshot state table, one `MergeUpsert.applyCdcState` per
+    * micro-batch against the previous state. The state RETAINS
+    * tombstone rows (with accumulated audit counts), so the final
+    * state is byte-identical to a one-shot batch `applyCdc` over the
+    * whole log REGARDLESS of micro-batch boundaries — including a
+    * tombstone arriving batches after the row it kills, a resurrect
+    * after a tombstone, and the audit columns (CdcSinkSpec asserts all
+    * three). Query the snapshot through
+    * `MergeUpsert.compactCdcState(read(statePath))`. Per-batch cost is
+    * one combinable max_by shuffle over state ∪ batch; at warehouse
+    * scale restrict the state side to the batch's keys first (the
+    * affected-partition argument of `mergeIntoPartitionedParquet`) and
+    * age tombstones out by seq retention.
+    */
+  def cdcSink(changelog: DataFrame, statePath: String, keys: Seq[String],
+              seqCols: Seq[String], opCol: String, deleteOp: String = "D")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val apply: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      val spark = batch.sparkSession
+      val prev = graft.operators.MergeUpsert.readTargetIfExists(spark, statePath)
+      val next = graft.operators.MergeUpsert
+        .applyCdcState(prev, batch.toDF(), keys, seqCols, opCol, deleteOp)
+        // materialize before writing: the write must never consume the
+        // state files it is replacing
+        .localCheckpoint(eager = true)
+      next.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+    }
+    changelog.writeStream.foreachBatch(apply)
+  }
 }

@@ -53,6 +53,45 @@ class ApplyCdcSpec extends SparkSpec {
   }
 }
 
+class CdcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdcSink: micro-batched stream state == one-shot batch applyCdc, audits included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val statePath = s"/tmp/graft_cdcstate_${System.nanoTime()}"
+    // cross-batch tombstone (key 2), resurrect (key 3), tiebreak (key 4)
+    val b1 = Seq((1L, 10L, 1L, "U", "a1"), (2L, 10L, 1L, "U", "b1"), (3L, 10L, 1L, "D", ""))
+    val b2 = Seq((1L, 20L, 1L, "U", "a2"), (2L, 30L, 1L, "D", ""))
+    val b3 = Seq((3L, 40L, 1L, "U", "c-back"), (4L, 50L, 1L, "U", "lo"), (4L, 50L, 2L, "U", "hi"))
+
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val q = graft.streaming.EventStream.cdcSink(
+        input.toDS().toDF("k", "s1", "s2", "op", "v"),
+        statePath, Seq("k"), Seq("s1", "s2"), "op")
+      .start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = graft.operators.MergeUpsert
+      .compactCdcState(spark.read.parquet(statePath), "op")
+      .orderBy("k").collect().toSeq
+    val oneShot = graft.operators.MergeUpsert
+      .applyCdc((b1 ++ b2 ++ b3).toDF("k", "s1", "s2", "op", "v"),
+        Seq("k"), Seq("s1", "s2"), "op")
+      .orderBy("k").collect().toSeq
+    assert(streamed == oneShot, s"stream=$streamed oneShot=$oneShot")
+    // and the scenario itself came out right: 2 tombstoned, 3 resurrected
+    // with full audit history, 4 tiebroken to the higher seq
+    val byK = streamed.map(r => r.getLong(0) -> r).toMap
+    assert(!byK.contains(2L))
+    assert(byK(3L).getAs[String]("v") == "c-back" &&
+      byK(3L).getAs[Long]("cdc_changes") == 2L && byK(3L).getAs[Long]("cdc_deletes") == 1L)
+    assert(byK(4L).getAs[String]("v") == "hi")
+  }
+}
+
 class DownsampleToCapSpec extends SparkSpec {
   import spark.implicits._
 
