@@ -2213,4 +2213,50 @@ object AnalyticsQueries {
            (sqrt(CAST(nd*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(nd*syy - sy*sy AS DOUBLE)))
            AS pearson_r
        FROM s ORDER BY ta, tb"""
+
+  // q139: anomalous-user screen — per-user error-rate z against the
+  // corpus rate (one-sample binomial z; q115's bit-identical-z
+  // convention applied per entity — the ops/abuse "which accounts are
+  // erroring abnormally" readout). ONE map-side-combinable conditional
+  // -sum shuffle over events; the corpus totals are a 1-row aggregate
+  // BROADCAST back; z is a fixed chain of IEEE /,−,*,sqrt over
+  // exactly-represented integers, parenthesized identically in the
+  // oracle ⇒ z and the |z|≥2 flag are bit-identical. No window, no
+  // second pass.
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    val g = per.agg(sum("n_events").as("nn"), sum("n_errors").as("ee"))
+    val p = col("ee").cast(DoubleType) / col("nn").cast(DoubleType)
+    val z = ((col("n_errors").cast(DoubleType) / col("n_events").cast(DoubleType)) - p) /
+      sqrt((p * (lit(1.0) - p)) / col("n_events").cast(DoubleType))
+    per.crossJoin(broadcast(g))
+      .filter(col("n_events") >= 20)
+      .select(col("user_id"), col("n_events"), col("n_errors"), z.as("z"),
+        (abs(z) >= 2.0).cast("int").cast(LongType).as("flagged"))
+      .orderBy("user_id")
+  }
+
+  val q139Sql: String =
+    """WITH per AS (
+         SELECT user_id, count(*) AS n_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+         FROM events GROUP BY 1
+       ), g AS (SELECT SUM(n_events) AS nn, SUM(n_errors) AS ee FROM per)
+       SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+         CAST(n_errors AS BIGINT) AS n_errors,
+         ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+            - (CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))) /
+           sqrt(((CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))
+              * (1.0 - (CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))))
+             / CAST(n_events AS DOUBLE)) AS z,
+         CAST(CASE WHEN abs(((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+            - (CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))) /
+           sqrt(((CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))
+              * (1.0 - (CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE))))
+             / CAST(n_events AS DOUBLE))) >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       FROM per CROSS JOIN g
+       WHERE n_events >= 20
+       ORDER BY user_id"""
 }

@@ -437,4 +437,66 @@ object WarehouseQueries {
        FROM r JOIN agg ON r.user_id = agg.user_id
        WHERE rn = 1 AND op <> 'D'
        ORDER BY r.user_id"""
+
+  // q138: distribution-drift monitor — month-over-month total-variation
+  // distance between order-value histograms (the "did the input
+  // distribution shift" alarm a production pipeline runs per load;
+  // PSI's ln is forbidden by the no-transcendental rule, TV is the
+  // rational drift measure). q120's common-denominator rewrite on the
+  // time axis: the only fact-scale work is ONE combinable
+  // (month, bucket) count shuffle; consecutive-month pairs join on the
+  // |months|·|buckets|-bounded aggregate, exclusive-bucket mass folds
+  // into the per-month totals (no full-outer bucket spine), sums widen
+  // to decimal(38,0), and the single IEEE division per pair makes tv
+  // bit-identical.
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.orders(spark, dir)
+      .select(expr("year(o_orderdate) * 12 + month(o_orderdate)").cast(LongType).as("m"),
+        floor(col("o_totalprice") / 50000.0).cast(LongType).as("bucket"))
+      .groupBy("m", "bucket").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("m").agg(sum("c").as("n"))
+    val a = cnt.select(col("m").as("ma"), col("bucket"), col("c").as("ca"))
+    val b = cnt.select(col("m").as("mb"), col("bucket"), col("c").as("cb"))
+    val j = a.join(b, Seq("bucket")).filter(col("mb") === col("ma") + 1L)
+      .join(broadcast(tot.select(col("m").as("ma"), col("n").as("na"))), "ma")
+      .join(broadcast(tot.select(col("m").as("mb"), col("n").as("nb"))), "mb")
+    val x = col("ca").cast(dec) * col("nb").cast(dec)
+    val y = col("cb").cast(dec) * col("na").cast(dec)
+    j.groupBy("ma", "mb")
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(x - y)).as("d"),
+        sum(x).as("sa"), sum(y).as("sb"),
+        max(col("na").cast(dec)).as("na"), max(col("nb").cast(dec)).as("nb"))
+      .select(col("ma").as("month_a"), col("mb").as("month_b"),
+        col("na").cast(LongType).as("n_a"), col("nb").cast(LongType).as("n_b"),
+        col("n_common"),
+        ((col("d") + (col("na") * col("nb") - col("sa"))
+            + (col("na") * col("nb") - col("sb"))).cast(DoubleType) /
+          (lit(2).cast(dec) * col("na") * col("nb")).cast(DoubleType)).as("tv"))
+      .orderBy("month_a")
+  }
+
+  val q138Sql: String =
+    """WITH cnt AS (
+         SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS c
+         FROM orders GROUP BY 1, 2
+       ), tot AS (SELECT m, SUM(c) AS n FROM cnt GROUP BY 1
+       ), j AS (
+         SELECT a.m AS ma, b.m AS mb,
+           CAST(a.c AS HUGEINT) * CAST(nb.n AS HUGEINT) AS x,
+           CAST(b.c AS HUGEINT) * CAST(na.n AS HUGEINT) AS y,
+           CAST(na.n AS HUGEINT) AS na, CAST(nb.n AS HUGEINT) AS nb
+         FROM cnt a JOIN cnt b ON a.bucket = b.bucket AND b.m = a.m + 1
+           JOIN tot na ON na.m = a.m JOIN tot nb ON nb.m = b.m
+       )
+       SELECT ma AS month_a, mb AS month_b,
+         CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(SUM(abs(x - y)) + (max(na) * max(nb) - SUM(x))
+            + (max(na) * max(nb) - SUM(y)) AS DOUBLE) /
+           CAST(2 * max(na) * max(nb) AS DOUBLE) AS tv
+       FROM j GROUP BY 1, 2 ORDER BY month_a"""
 }
