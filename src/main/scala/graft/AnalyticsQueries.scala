@@ -1198,20 +1198,11 @@ object AnalyticsQueries {
   // nondeterministic partitioning yields a deterministic result. Two
   // data shuffles total, both fully parallel.
   def q109(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
-    val ranged = c.repartitionByRange(8, col("bal_c").desc, col("c_custkey").asc)
-      .withColumn("pid", spark_partition_id())
-    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum("cnt").over(
-        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("pid", "off")
-    val w = Window.partitionBy("pid").orderBy(col("bal_c").desc, col("c_custkey").asc)
-    ranged.join(broadcast(offs), "pid")
-      .select((col("off") + row_number().over(w)).as("rn"),
-        col("c_custkey"), col("bal_c"))
+    graft.operators.GlobalRank
+      .withRowNumber(c, Seq(col("bal_c").desc, col("c_custkey").asc))
+      .select(col("rn"), col("c_custkey"), col("bal_c"))
       .orderBy("rn")
   }
 
@@ -1609,16 +1600,9 @@ object AnalyticsQueries {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("cust"))
       .agg(sum(cents(col("o_totalprice"))).as("rev"))
-    val ranged = rev.repartitionByRange(8, col("rev").desc, col("cust").asc)
-      .withColumn("pid", spark_partition_id())
-    val offs = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum("cnt").over(
-        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("pid", "off")
-    val w = Window.partitionBy("pid").orderBy(col("rev").desc, col("cust").asc)
-    val ranked = ranged.join(broadcast(offs), "pid")
-      .select((col("off") + row_number().over(w)).as("rn"), col("rev"))
+    val ranked = graft.operators.GlobalRank
+      .withRowNumber(rev, Seq(col("rev").desc, col("cust").asc))
+      .select(col("rn"), col("rev"))
     val tot = rev.agg(count(lit(1)).as("nc"), sum("rev").as("tr"))
     val byDec = ranked.crossJoin(broadcast(tot))
       .withColumn("decile", expr("((rn - 1) * 10) div nc"))

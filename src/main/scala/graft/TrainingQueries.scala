@@ -856,4 +856,31 @@ object TrainingQueries {
                * CAST(grp_n AS DECIMAL(19,0))
              < CAST(15 AS DECIMAL(19,0)) * CAST(4294967296 AS DECIMAL(19,0))
        ORDER BY doc_id"""
+
+  // q142: empirical-CDF normalization — map each doc's length to its
+  // global percentile rank (the quantile-normalization step of a
+  // feature pipeline). The global order comes from
+  // GlobalRank.withRowNumber (range-repartition + per-partition ranks
+  // + broadcast offsets — shared with q109/q122, NEVER a single-
+  // partition window); N comes from parquet FOOTERS; pct is ONE IEEE
+  // division of exact integers per row ⇒ engine-exact.
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val n = Tables.rowCount(spark, dir, "documents")
+    graft.operators.GlobalRank
+      .withRowNumber(d, Seq(col("n_chars").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("n_chars"),
+        ((col("rn") - 1L).cast(DoubleType) / lit((n - 1L).toDouble)).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
+  val q142Sql: String =
+    """SELECT doc_id, n_chars,
+         CAST(rn - 1 AS DOUBLE) /
+           CAST((SELECT count(*) - 1 FROM documents) AS DOUBLE) AS pct_rank
+       FROM (
+         SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+         FROM documents)
+       ORDER BY doc_id"""
 }

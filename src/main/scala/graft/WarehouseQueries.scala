@@ -499,4 +499,131 @@ object WarehouseQueries {
             + (max(na) * max(nb) - SUM(y)) AS DOUBLE) /
            CAST(2 * max(na) * max(nb) AS DOUBLE) AS tv
        FROM j GROUP BY 1, 2 ORDER BY month_a"""
+
+  // q140: retractable MV maintenance — a per-day (n, Σvalue) view over
+  // the CDC state, maintained ADDITIVELY across batches via
+  // MergeUpsert.maintainMv: batch 2 retracts the touched keys' old
+  // live contributions and adds their new ones, so updates that MOVE a
+  // key between days, deletes, and emptied groups all land without
+  // rescanning the untouched state (q97's insert-only delta can't do
+  // any of those). Cost per batch is O(|batch| + |affected groups|).
+  // The gate runs the 2-batch incremental chain and the oracle is the
+  // from-scratch recompute over the full log — equality IS the
+  // retraction invariant, re-proved per round. Exact integers.
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeUpsert
+    val ch = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        cents(col("value")).as("value_c"))
+    val split = 19738L * 86400L
+    val b1 = ch.filter(col("ts_sec") < split)
+    val b2 = ch.filter(col("ts_sec") >= split)
+    val keys = Seq("user_id"); val seqCols = Seq("ts_sec", "event_id")
+    val groups = Seq(expr("ts_sec div 86400").as("day"))
+    val s1 = MergeUpsert.applyCdcState(None, b1, keys, seqCols, "op")
+      .localCheckpoint(true)
+    val mv1 = MergeUpsert.recomputeMv(s1, groups, "value_c", "op")
+    val s2 = MergeUpsert.applyCdcState(Some(s1), b2, keys, seqCols, "op")
+      .localCheckpoint(true)
+    MergeUpsert.maintainMv(Some(mv1), Some(s1), s2, b2, keys, groups, "value_c", "op")
+      .select(col("day"), col("n"), col("s").as("value_c"))
+      .orderBy("day")
+  }
+
+  val q140Sql: String =
+    """WITH ch AS (
+         SELECT user_id, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+         FROM events
+       ), r AS (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts_sec DESC, event_id DESC) AS rn
+         FROM ch
+       )
+       SELECT ts_sec // 86400 AS day, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(value_c) AS BIGINT) AS value_c
+       FROM r WHERE rn = 1 AND op <> 'D'
+       GROUP BY 1 ORDER BY day"""
+
+  // q141: zero-exchange bucketed fact join — both fact tables written
+  // bucketed+sorted by the join key (Warehouse.writeBucketed, q117's
+  // write-inside-the-gate convention), then joined with a MERGE hint:
+  // the bucketed scans report compatible hash partitioning, so the
+  // sort-merge join runs with NO Exchange on either side — the only
+  // shuffle in the whole plan is the ≤|statuses|-row final aggregate
+  // (pinned: exactly one ShuffleExchange). At 100 TB this is THE
+  // layout decision: the orders⋈lineitem shuffle disappears from every
+  // run that touches the co-located tables. Oracle = the plain join.
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val oT = s"graft_bj_o_$tag"; val lT = s"graft_bj_l_$tag"
+    graft.sources.Warehouse.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
+      oT, "o_orderkey", 8)
+    graft.sources.Warehouse.writeBucketed(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c")),
+      lT, "l_orderkey", 8)
+    graft.sources.Warehouse.readTable(spark, oT).hint("merge")
+      .join(graft.sources.Warehouse.readTable(spark, lT),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), sum("price_c").as("rev_c"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q141Sql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY 1 ORDER BY o_orderstatus"""
+
+  // q143: time-weighted average price (TWAP) — per (type, day), each
+  // sample weighted by the seconds until the next sample (the last
+  // until day end), the finance/ops aggregate for IRREGULARLY sampled
+  // signals where a plain avg over-weights bursts. One shuffle on the
+  // (type, day) key shared by the lead window and the aggregate;
+  // weights and numerators are exact integers widened to decimal(38,0)
+  // (cents × seconds × corpus rows squares past a long), TWAP is ONE
+  // IEEE division per output row ⇒ bit-identical.
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), cents(col("value")).as("v_c"))
+      .withColumn("day", expr("ts_sec div 86400"))
+      .withColumn("wgt",
+        coalesce(lead(col("ts_sec"), 1).over(w), (col("day") + 1L) * 86400L) - col("ts_sec"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("v_c").cast(dec) * col("wgt").cast(dec)).as("num"),
+        sum(col("wgt").cast(dec)).as("den"))
+      .select(col("event_type"), col("day"), col("n_samples"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("twap_c"))
+      .orderBy("event_type", "day")
+  }
+
+  val q143Sql: String =
+    """WITH s AS (
+         SELECT event_type, event_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           CAST(round(value * 100) AS BIGINT) AS v_c,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+         FROM events
+       ), wgt AS (
+         SELECT event_type, day, v_c,
+           COALESCE(lead(ts_sec, 1) OVER (PARTITION BY event_type, day
+             ORDER BY ts_sec ASC, event_id ASC), (day + 1) * 86400) - ts_sec AS w
+         FROM s
+       )
+       SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CAST(v_c AS HUGEINT) * CAST(w AS HUGEINT)) AS DOUBLE) /
+           CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) AS twap_c
+       FROM wgt GROUP BY 1, 2 ORDER BY event_type, day"""
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row numbering — the scale-safe replacement for
+  * an unpartitioned `row_number()` window (which funnels every row
+  * through ONE task). Range-repartition on the order, rank within
+  * each partition, add broadcast per-partition base offsets: the only
+  * global structure is the |partitions|-row offset frame. Shared by
+  * q109 (global numbering), q122 (Pareto deciles) and q142
+  * (empirical-CDF normalization).
+  *
+  * `order` must be a TOTAL order (include a unique tiebreak column) —
+  * that is what makes the assigned rank a pure function of the data,
+  * independent of partition boundaries (RangePartitioner's sampling
+  * only moves the partition CUTS, never the order), so the result is
+  * engine-exact against a rank-window oracle.
+  */
+object GlobalRank {
+
+  /** `df` plus a global 1-based `rnCol` following `order`. */
+  def withRowNumber(df: DataFrame, order: Seq[Column], rnCol: String = "rn",
+                    partitions: Int = 8): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.orderBy(col("__pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged.join(broadcast(offs), "__pid")
+      .withColumn(rnCol, col("__off") + row_number().over(w))
+      .drop("__pid", "__off")
+  }
+}

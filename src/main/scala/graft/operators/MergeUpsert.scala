@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -228,6 +228,49 @@ object MergeUpsert {
     * column dropped. Column-for-column the shape [[applyCdc]] returns. */
   def compactCdcState(state: DataFrame, opCol: String, deleteOp: String = "D"): DataFrame =
     state.filter(col(opCol) =!= deleteOp).drop(opCol)
+
+  /** Incrementally maintain a grouped COUNT/SUM materialized view over
+    * a CDC state under one batch — ADDITIVE RETRACTION, the step q97's
+    * insert-only delta maintenance can't do: for the keys the batch
+    * touched, retract their old live contributions (from
+    * `stateBefore`) and add their new ones (from `stateAfter`), then
+    * fold the signed deltas into the MV. Cost is
+    * O(|batch| + |affected groups|) — the untouched state and the base
+    * facts are NEVER rescanned; a key whose group column changed
+    * (e.g. an update moving a row between days) retracts from the old
+    * group and adds to the new one in the same pass. All-integer
+    * arithmetic ⇒ the chained MV equals a from-scratch recompute
+    * exactly (spec'd in MaintainMvSpec, including deletes, group moves
+    * and emptied groups).
+    *
+    * MV schema: groupCols ++ (n, s) where s sums `valCol`.
+    */
+  def maintainMv(mv: Option[DataFrame], stateBefore: Option[DataFrame],
+                 stateAfter: DataFrame, batchKeys: DataFrame, keys: Seq[String],
+                 groupCols: Seq[Column], valCol: String, opCol: String,
+                 deleteOp: String = "D"): DataFrame = {
+    def contrib(state: DataFrame, sign: Long): DataFrame = state
+      .join(batchKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .filter(col(opCol) =!= deleteOp)
+      .groupBy(groupCols: _*)
+      .agg((count(lit(1)) * sign).as("n"), (sum(col(valCol)) * sign).as("s"))
+    val deltas = contrib(stateAfter, 1L) +:
+      stateBefore.map(contrib(_, -1L)).toSeq
+    val all = mv.map(m => deltas.foldLeft(m)(_ unionByName _))
+      .getOrElse(deltas.reduce(_ unionByName _))
+    val groupNames = all.columns.dropRight(2)
+    all.groupBy(groupNames.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .filter(col("n") > 0)
+  }
+
+  /** From-scratch MV build over a CDC state — the recompute
+    * [[maintainMv]]'s chain must equal. */
+  def recomputeMv(state: DataFrame, groupCols: Seq[Column], valCol: String,
+                  opCol: String, deleteOp: String = "D"): DataFrame =
+    state.filter(col(opCol) =!= deleteOp)
+      .groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("s"))
 
   /** Partition (`ym=`) directory names of a target — a pure metadata op. */
   def listMonths(spark: SparkSession, targetPath: String): Seq[String] = {

@@ -92,6 +92,50 @@ class CdcSinkSpec extends SparkSpec {
   }
 }
 
+class MaintainMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  // changelog over keys 1-5: updates that MOVE a key between groups
+  // (day 10 → 11), a delete emptying a group, and a late resurrect
+  private val log = Seq(
+    (1L, 10L, 1L, "U", 100L), (2L, 10L, 2L, "U", 200L),     // day 0 (seq 10)
+    (3L, 95L, 3L, "U", 300L),                               // day 1 (seq 95)
+    (1L, 100L, 4L, "U", 150L),                              // key 1 moves day 0 → 1
+    (2L, 101L, 5L, "D", 0L),                                // key 2 deleted (day 0 empties)
+    (4L, 102L, 6L, "U", 400L),                              // new key day 1
+    (5L, 103L, 7L, "D", 0L), (5L, 190L, 8L, "U", 500L)      // delete then resurrect, day 2
+  ).toDF("k", "seq", "tb", "op", "v")
+
+  private val keys = Seq("k")
+  private val seqCols = Seq("seq", "tb")
+  private def groups = Seq(org.apache.spark.sql.functions.expr("seq div 86").as("grp"))
+
+  test("maintainMv: chained incremental MV == recompute, incl. deletes, moves, emptied groups") {
+    import graft.operators.MergeUpsert
+    val cuts = Seq(0L, 96L, 150L, Long.MaxValue)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var mv: Option[org.apache.spark.sql.DataFrame] = None
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      val b = log.filter(col("seq") >= lo && col("seq") < hi)
+      val next = MergeUpsert.applyCdcState(state, b, keys, seqCols, "op")
+        .localCheckpoint(true)
+      mv = Some(MergeUpsert.maintainMv(mv, state, next, b, keys, groups, "v", "op")
+        .localCheckpoint(true))
+      state = Some(next)
+    }
+    val incr = mv.get.orderBy("grp").collect().toSeq
+    val full = MergeUpsert.recomputeMv(
+        MergeUpsert.applyCdcState(None, log, keys, seqCols, "op"),
+        groups, "v", "op")
+      .orderBy("grp").collect().toSeq
+    assert(incr == full, s"incr=$incr full=$full")
+    // and the scenario exercised what it claims: no group 0 row (key 1
+    // moved out, key 2 deleted), keys 1/3/4 in group 1, key 5 in group 2
+    val byGrp = incr.map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(byGrp == Map(1L -> (3L, 850L), 2L -> (1L, 500L)))
+  }
+}
+
 class DownsampleToCapSpec extends SparkSpec {
   import spark.implicits._
 

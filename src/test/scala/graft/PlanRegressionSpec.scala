@@ -437,6 +437,18 @@ class PlanRegressionSpec extends SparkSpec {
       "q134's running-sum window must partition (by day or user), not run unpartitioned")
   }
 
+  test("q141: the bucketed fact join plans ZERO exchanges below the aggregate") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = WarehouseQueries.q141(spark, sf) // writes the bucketed tables
+    val p = plan(df)
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "q141 must plan the hinted sort-merge join")
+    val joinShuffles = smj.head.collect { case s: ShuffleExchangeLike => s }
+    assert(joinShuffles.isEmpty,
+      "bucketed scans must feed the sort-merge join with no Exchange on either side")
+  }
+
   test("q135: the CDC apply is one max_by aggregate with map-side partials — no window") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
