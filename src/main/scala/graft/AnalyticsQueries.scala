@@ -2243,4 +2243,48 @@ object AnalyticsQueries {
        FROM per CROSS JOIN g
        WHERE n_events >= 20
        ORDER BY user_id"""
+
+  // q145: hierarchical share-of-total — revenue by region → nation
+  // with percent-of-parent at each level (the drill-down readout every
+  // BI layer renders). The fact-scale work is one orders⋈customer
+  // shuffle join on the customer key plus broadcast dim joins up the
+  // nation/region star; both share windows run over the ≤|nations|-row
+  // aggregate (the documented bounded-window rule — the unpartitioned
+  // total window sees 25 rows, never facts); shares are IEEE divisions
+  // of exact integer cents ⇒ engine-exact.
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
+    val wr = Window.partitionBy("r_name")
+    val wt = Window.partitionBy()
+    rev.withColumn("region_c", sum("rev_c").over(wr))
+      .withColumn("total_c", sum("rev_c").over(wt))
+      .select(col("r_name"), col("n_name"), col("n_orders"), col("rev_c"),
+        (col("rev_c").cast(DoubleType) / col("region_c").cast(DoubleType)).as("share_of_region"),
+        (col("rev_c").cast(DoubleType) / col("total_c").cast(DoubleType)).as("share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q145Sql: String =
+    """WITH rev AS (
+         SELECT r_name, n_name, count(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+         FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2
+       )
+       SELECT r_name, n_name, CAST(n_orders AS BIGINT) AS n_orders,
+         CAST(rev_c AS BIGINT) AS rev_c,
+         CAST(rev_c AS DOUBLE) /
+           CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+         CAST(rev_c AS DOUBLE) /
+           CAST(SUM(rev_c) OVER () AS DOUBLE) AS share_of_total
+       FROM rev ORDER BY r_name, n_name"""
 }

@@ -626,4 +626,86 @@ object WarehouseQueries {
          CAST(SUM(CAST(v_c AS HUGEINT) * CAST(w AS HUGEINT)) AS DOUBLE) /
            CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) AS twap_c
        FROM wgt GROUP BY 1, 2 ORDER BY event_type, day"""
+
+  // q144: snapshot reconciliation — classify every key of two table
+  // versions as added / removed / changed with the exact changed-column
+  // set (SnapshotDiff.diff: the audit/backfill primitive — did the
+  // load drop rows, which columns drifted). ONE full-outer sort-merge
+  // join on the key is the whole cost (every row must be inspected
+  // once — the information-theoretic minimum); everything downstream
+  // is per-row null-safe Column comparisons, no window, no second
+  // shuffle; with both snapshots bucketed by the key the join runs
+  // zero-exchange (q141's layout). The two versions here are
+  // deterministic perturbations of orders, so the oracle renders the
+  // same full-outer in SQL. Exact integers.
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents(col("o_totalprice")).as("price_c"))
+    val old = o.filter(col("o_orderkey") % 13 =!= 0)
+    val neu = o.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("price_c",
+        when(col("o_orderkey") % 10 === 0, col("price_c") + 100L).otherwise(col("price_c")))
+    graft.operators.SnapshotDiff
+      .diff(old, neu, Seq("o_orderkey"), Seq("o_orderstatus", "price_c"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("o_orderkey")
+  }
+
+  val q144Sql: String =
+    """WITH o AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+         FROM orders
+       ), old AS (SELECT * FROM o WHERE k % 13 <> 0
+       ), neu AS (
+         SELECT k, st, CASE WHEN k % 10 = 0 THEN pc + 100 ELSE pc END AS pc
+         FROM o WHERE k % 11 <> 0
+       ), d AS (
+         SELECT COALESCE(old.k, neu.k) AS o_orderkey,
+           CASE WHEN old.k IS NULL THEN 'added'
+                WHEN neu.k IS NULL THEN 'removed'
+                WHEN old.st IS DISTINCT FROM neu.st
+                  OR old.pc IS DISTINCT FROM neu.pc THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CASE WHEN old.k IS NOT NULL AND neu.k IS NOT NULL
+                 AND (old.st IS DISTINCT FROM neu.st OR old.pc IS DISTINCT FROM neu.pc)
+             THEN concat_ws(',',
+               CASE WHEN old.st IS DISTINCT FROM neu.st THEN 'o_orderstatus' END,
+               CASE WHEN old.pc IS DISTINCT FROM neu.pc THEN 'price_c' END)
+             ELSE '' END AS changed_cols,
+           old.st AS old_o_orderstatus, neu.st AS new_o_orderstatus,
+           old.pc AS old_price_c, neu.pc AS new_price_c
+         FROM old FULL OUTER JOIN neu ON old.k = neu.k
+       )
+       SELECT * FROM d WHERE change_type <> 'unchanged' ORDER BY o_orderkey"""
+
+  // q146: partitioned layout + partition pruning — events written
+  // PARTITIONED BY day (the other half of the layout story next to
+  // q117's z-order and q141's bucketing: coarse pruning comes from the
+  // directory structure, not file stats), then a 7-day range query
+  // that provably reads only those 7 partitions (pinned:
+  // partitionFilters present, exactly 7 of ~30 partitions selected).
+  // At 100 TB the day filter never touches data files outside the
+  // range — pruning happens at LISTING time. Oracle = the plain
+  // filtered aggregate over the unpartitioned source.
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_daypart_${Integer.toHexString(dir.hashCode)}"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("v_c"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("day").between(19730L, 19736L))
+      .groupBy(col("day").cast(LongType).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("v_c").as("value_c"))
+      .orderBy("day", "event_type")
+  }
+
+  val q146Sql: String =
+    """SELECT CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+         event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+       FROM events
+       WHERE CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 BETWEEN 19730 AND 19736
+       GROUP BY 1, 2 ORDER BY day, event_type"""
 }

@@ -16,14 +16,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warehouse {
 
-  /** Write `df` as a bucketed, sorted managed table (overwrite). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, sorted managed table (overwrite).
+    * Robust to an orphaned managed location: a table written by a
+    * PREVIOUS session leaves its warehouse directory behind while the
+    * new session's catalog has no entry for it, and `saveAsTable`
+    * refuses to adopt the location — drop both the entry and the
+    * stale directory first so deterministic table names are reusable
+    * across sessions.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .format("parquet")
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 

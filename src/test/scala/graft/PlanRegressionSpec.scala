@@ -449,6 +449,15 @@ class PlanRegressionSpec extends SparkSpec {
       "bucketed scans must feed the sort-merge join with no Exchange on either side")
   }
 
+  test("q146: the day filter prunes at partition-listing time — 7 of ~30 directories") {
+    val scan = plan(WarehouseQueries.q146(spark, sf)).collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "day range must land in partitionFilters, not a data filter")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 7, s"expected exactly the 7 in-range day partitions, got $selected")
+  }
+
   test("q135: the CDC apply is one max_by aggregate with map-side partials — no window") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
