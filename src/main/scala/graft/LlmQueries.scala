@@ -649,4 +649,67 @@ object LlmQueries {
          CAST(CASE WHEN pred_label = CAST(label AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS correct
        FROM pred JOIN embeddings ON vec_id = query_id
        ORDER BY query_id"""
+
+  // q147: classifier eval readout — per-class precision/recall of the
+  // q26 language-ID heuristic against the labeled `lang` column (the
+  // eval-harness step that turns a classifier into a number; also the
+  // template for any labeled-screen audit). One map-side scoring pass
+  // feeds two tiny ≤|langs|-row aggregates; the per-class join is a
+  // broadcast of bounded frames; precision guards the never-predicted
+  // class (zh has no Latin stopword profile ⇒ n_pred may be 0) with an
+  // explicit branch, so no NaN ever reaches the output — counts exact,
+  // one IEEE division per metric ⇒ engine-exact.
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(spark, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+    val cls = pred.groupBy("lang")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+    val pn = pred.groupBy(col("pred_lang").as("lang")).agg(count(lit(1)).as("n_pred"))
+    cls.join(broadcast(pn), Seq("lang"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("n_correct"),
+        when(col("n_pred") > 0L,
+          col("n_correct").cast(DoubleType) / col("n_pred").cast(DoubleType))
+          .otherwise(lit(0.0)).as("prec"),
+        (col("n_correct").cast(DoubleType) / col("n_true").cast(DoubleType)).as("recall"))
+      .orderBy("lang")
+  }
+
+  val q147Sql: String = {
+    def hits(words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0 AND x IN ($inList)))"
+    }
+    val en = hits(TextFunctions.LangProfiles(0)._2)
+    val de = hits(TextFunctions.LangProfiles(1)._2)
+    val fr = hits(TextFunctions.LangProfiles(2)._2)
+    val es = hits(TextFunctions.LangProfiles(3)._2)
+    s"""WITH pred AS (
+         SELECT lang,
+           CASE WHEN m = 0 THEN 'und'
+                WHEN s_en = m THEN 'en'
+                WHEN s_de = m THEN 'de'
+                WHEN s_fr = m THEN 'fr'
+                ELSE 'es' END AS pred_lang
+         FROM (
+           SELECT lang, s_en, s_de, s_fr, s_es,
+             greatest(s_en, s_de, s_fr, s_es) AS m
+           FROM (SELECT lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM documents))
+       ), cls AS (
+         SELECT lang, count(*) AS n_true,
+           SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct
+         FROM pred GROUP BY 1
+       ), pn AS (
+         SELECT pred_lang AS lang, count(*) AS n_pred FROM pred GROUP BY 1
+       )
+       SELECT cls.lang, CAST(n_true AS BIGINT) AS n_true,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(n_correct AS BIGINT) AS n_correct,
+         CASE WHEN COALESCE(n_pred, 0) > 0
+           THEN CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS prec,
+         CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+       FROM cls LEFT JOIN pn ON cls.lang = pn.lang
+       ORDER BY cls.lang"""
+  }
 }
