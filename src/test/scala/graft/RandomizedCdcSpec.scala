@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.MergeUpsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence trials for the CDC operators — seeded
+  * generators, so every run replays the same corpora (r6's randomized-
+  * trial convention). The reference implementations are deliberately
+  * DIFFERENT plans (rank windows) from the max_by aggregates under
+  * test, so agreement is evidence of semantics, not of shared code.
+  */
+class RandomizedCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomLog(seed: Long, rows: Int, keys: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (1 to rows).map { i =>
+      (rnd.nextInt(keys).toLong,              // key
+        rnd.nextInt(1000).toLong, i.toLong,   // seq + unique tiebreak
+        if (rnd.nextInt(5) == 0) "D" else "U",
+        rnd.nextInt(10000).toLong)
+    }.toDF("k", "seq", "tb", "op", "v")
+  }
+
+  /** Window-rank reference for applyCdc (a different plan shape). */
+  private def referenceApply(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("seq").desc, col("tb").desc)
+    val agg = log.groupBy("k").agg(count(lit(1)).as("cdc_changes"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("cdc_deletes"))
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .drop("__rn", "op")
+      .join(agg, "k")
+  }
+
+  test("applyCdc == rank-window reference on 5 seeded random logs") {
+    (1L to 5L).foreach { seed =>
+      val log = randomLog(seed, rows = 400, keys = 37)
+      val got = MergeUpsert.applyCdc(log, Seq("k"), Seq("seq", "tb"), "op")
+        .select("k", "seq", "tb", "v", "cdc_changes", "cdc_deletes")
+        .orderBy("k").collect().toSeq
+      val want = referenceApply(log)
+        .select("k", "seq", "tb", "v", "cdc_changes", "cdc_deletes")
+        .orderBy("k").collect().toSeq
+      assert(got == want, s"seed $seed mismatch")
+    }
+  }
+
+  test("maintainMv chained over random batch splits == recompute, 3 seeds") {
+    (10L to 12L).foreach { seed =>
+      val log = randomLog(seed, rows = 300, keys = 23)
+      val rnd = new scala.util.Random(seed * 7)
+      // 3 random cut points over the seq domain → 4 batches
+      val cuts = (Seq(0L) ++ Seq.fill(3)(rnd.nextInt(1000).toLong).sorted ++ Seq(1001L)).distinct
+      val groups = Seq(expr("seq div 100").as("grp"))
+      var state: Option[DataFrame] = None
+      var mv: Option[DataFrame] = None
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        val b = log.filter(col("seq") >= lo && col("seq") < hi)
+        val next = MergeUpsert.applyCdcState(state, b, Seq("k"), Seq("seq", "tb"), "op")
+          .localCheckpoint(true)
+        mv = Some(MergeUpsert.maintainMv(mv, state, next, b, Seq("k"), groups, "v", "op")
+          .localCheckpoint(true))
+        state = Some(next)
+      }
+      val incr = mv.get.orderBy("grp").collect().toSeq
+      val full = MergeUpsert.recomputeMv(
+          MergeUpsert.applyCdcState(None, log, Seq("k"), Seq("seq", "tb"), "op"),
+          groups, "v", "op")
+        .orderBy("grp").collect().toSeq
+      assert(incr == full, s"seed $seed: incr=$incr full=$full")
+    }
+  }
+}
