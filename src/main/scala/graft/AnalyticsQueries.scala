@@ -2287,4 +2287,266 @@ object AnalyticsQueries {
          CAST(rev_c AS DOUBLE) /
            CAST(SUM(rev_c) OVER () AS DOUBLE) AS share_of_total
        FROM rev ORDER BY r_name, n_name"""
+
+  // q148: SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo SIGMOD'95)
+  // — the third record-linkage blocking strategy beside q83's deletion
+  // neighborhood and q111's prefix filter: sort the corpus by a
+  // blocking key, compare each record only to its w−1 successors in
+  // sort order, verify candidates EXACTLY (char-set Jaccard — the
+  // blocking prunes, never decides the similarity value). The window
+  // semantics themselves are the operator, so the oracle renders the
+  // SAME rank-band contract (rank via window, |Δrank| ∈ [1, w−1],
+  // jaccard() verify) — hash-exact, not an approximation gate.
+  //
+  // The scale story is the rank assignment: an unpartitioned
+  // row_number() would funnel 100 TB through one task, so the engine
+  // side uses GlobalRank (range-repartition + per-partition ranks +
+  // broadcast base offsets), then turns the rank BAND join into an
+  // EQUI-join by exploding each row into its w−1 successor slots —
+  // candidates shuffle on the dense integer rank, never all-pairs,
+  // and the per-row fan-out is the constant w−1.
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    val wWin = 4 // window size w: compare to the next 3 records
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("bkey"))
+    val ranked = graft.operators.GlobalRank
+      .withRowNumber(docs, Seq(col("bkey").asc, col("doc_id").asc))
+    val probes = ranked.select(col("doc_id").as("id_a"), col("text").as("text_a"),
+        explode(sequence(col("rn") + 1, col("rn") + (wWin - 1))).as("rn"))
+    val cand = probes.join(
+      ranked.select(col("rn"), col("doc_id").as("id_b"), col("text").as("text_b")), "rn")
+    cand
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.charJaccard(col("text_a"), col("text_b")).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q148Sql: String =
+    """WITH ranked AS (
+         SELECT doc_id, text,
+           row_number() OVER (ORDER BY substr(text, 1, 24), doc_id) AS rn
+         FROM documents
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, jaccard(a.text, b.text) AS sim
+       FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 3
+       WHERE jaccard(a.text, b.text) >= 0.9
+       ORDER BY id_a, id_b"""
+
+  // q151: WEIGHTED MEDIAN — quantity-weighted median unit price per
+  // brand (the robust price point where half the VOLUME trades below).
+  // q57's percentile_cont weights rows equally; here each price
+  // carries its quantity as mass. Both engines render the same
+  // first-principles construction — collapse to one row per
+  // (brand, price) with summed integer weight, cumulative weight over
+  // the price order, keep the first price where 2·cumw ≥ W — because
+  // no portable built-in exists and the explicit form is engine-exact
+  // (integer weights, integer doubling, no interpolation). Plan: the
+  // pre-agg collapses the fact table map-side to ≤|distinct prices|
+  // rows per brand, the window sorts those per brand, and the
+  // "first qualifying row" is a min() over an already-tiny set —
+  // three bounded shuffles, none touching full fact rows.
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).join(
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+      col("l_partkey") === col("p_partkey"))
+    val byPrice = li
+      .groupBy(col("p_brand"), cents(col("l_extendedprice")).as("price_c"))
+      .agg(round(sum(col("l_quantity"))).cast(LongType).as("wt"))
+    val w = Window.partitionBy("p_brand").orderBy(col("price_c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("p_brand")
+    byPrice
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("price_c")).as("wmedian_c"))
+      .orderBy("p_brand")
+  }
+
+  val q151Sql: String =
+    """WITH by_price AS (
+         SELECT p_brand, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(SUM(l_quantity)) AS BIGINT) AS wt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2
+       ), cum AS (
+         SELECT p_brand, price_c, wt,
+           SUM(wt) OVER (PARTITION BY p_brand ORDER BY price_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           SUM(wt) OVER (PARTITION BY p_brand) AS totw
+         FROM by_price
+       )
+       SELECT p_brand, min(price_c) AS wmedian_c
+       FROM cum WHERE cumw * 2 >= totw
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  // q153: exact per-group MODE with deterministic ties — the modal
+  // order priority per market segment plus its share (the categorical
+  // summary q107's profiling pass lacks). Two-level aggregation: the
+  // (segment, priority) pre-agg is map-side combinable and collapses
+  // the fact join to ≤|segments|·|priorities| rows, so the argmax
+  // window (count desc, value asc — ties resolve to the SMALLEST
+  // value, the engine-neutral rule) runs over a frame bounded by the
+  // category cardinality, never the fact table. The share is one IEEE
+  // division of two exact longs.
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val part = Window.partitionBy("c_mktsegment")
+    val rankW = part.orderBy(col("n").desc, col("o_orderpriority").asc)
+    counts
+      .withColumn("total", sum(col("n")).over(part))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n"), col("total"),
+        (col("n").cast(DoubleType) / col("total").cast(DoubleType)).as("share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q153Sql: String =
+    """WITH counts AS (
+         SELECT c_mktsegment, o_orderpriority, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2
+       ), ranked AS (
+         SELECT c_mktsegment, o_orderpriority, n,
+           SUM(n) OVER (PARTITION BY c_mktsegment) AS total,
+           row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY n DESC, o_orderpriority ASC) AS rnk
+         FROM counts
+       )
+       SELECT c_mktsegment, o_orderpriority AS mode_priority,
+         CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+         CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       FROM ranked WHERE rnk = 1 ORDER BY c_mktsegment"""
+
+  // q154: GOLDEN-RECORD entity resolution — the end-to-end composition
+  // the blocking primitives exist FOR: q83's deletion-neighborhood
+  // match (edit-distance-1 customer names, exact levenshtein decides)
+  // feeds connected components (GraphOps large-star/small-star — the
+  // q72 fixpoint on the duplicate subgraph only), and each multi-member
+  // cluster collapses to one survivor row: the min-key member's name
+  // (CC's component id IS the min member key, so the representative
+  // lookup is one equi-join), the max account balance, and the sorted
+  // member list (Kimball survivorship: deterministic rules, never
+  // "first seen"). The oracle replays the same pipeline as a
+  // recursive-CTE closure over the exact pair list.
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val names = c.select(col("c_name")).distinct()
+    val masked = names
+      .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
+      .select(col("c_name"), col("pos"),
+        concat(
+          expr("substring(c_name, 1, pos)"),
+          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
+        length(col("c_name")).as("len"))
+    val a = masked.select(col("pos"), col("masked"), col("len"), col("c_name").as("name_a"))
+    val b = masked.select(col("pos"), col("masked"), col("len"), col("c_name").as("name_b"))
+    val npairs = a.join(b, Seq("pos", "masked", "len"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    val edges = npairs
+      .join(c.select(col("c_name").as("name_a"), col("c_custkey").as("key_a")), "name_a")
+      .join(c.select(col("c_name").as("name_b"), col("c_custkey").as("key_b")), "name_b")
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b")
+    val comp = GraphOps.connectedComponents(edges)
+    comp.join(c, col("node") === col("c_custkey"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
+        sort_array(collect_list(col("c_custkey"))).as("member_keys"))
+      .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
+        "cluster_id")
+      .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
+      .orderBy("cluster_id")
+  }
+
+  val q154Sql: String =
+    """WITH RECURSIVE e AS (
+         SELECT a.c_custkey AS a, b.c_custkey AS b
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey AND len(a.c_name) = len(b.c_name)
+         WHERE levenshtein(a.c_name, b.c_name) = 1
+       ), ee AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ), reach(n, m) AS (
+         SELECT a, b FROM ee
+         UNION
+         SELECT r.n, ee.b FROM reach r JOIN ee ON r.m = ee.a
+       ), comp AS (
+         SELECT n AS k, min(m) AS cluster_id FROM reach GROUP BY n
+       ), agg AS (
+         SELECT comp.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS golden_acctbal_c,
+           list_sort(list(c.c_custkey)) AS member_keys
+         FROM comp JOIN customer c ON c.c_custkey = comp.k
+         GROUP BY comp.cluster_id
+       )
+       SELECT agg.cluster_id, g.c_name AS golden_name, agg.n_members,
+         agg.golden_acctbal_c, agg.member_keys
+       FROM agg JOIN customer g ON g.c_custkey = agg.cluster_id
+       ORDER BY agg.cluster_id"""
+
+  // q155: event DEBOUNCE — suppress events of the same (user, type)
+  // within a 1-day cooldown of the last KEPT event (alert/notification
+  // throttling; the state machine a naive lag() CANNOT express because
+  // the reference point is the previous SURVIVOR, not the previous
+  // event). The engine form is q84's fold pattern: one shuffle groups
+  // each key's events, sort_array orders them (ts, event_id — the
+  // total order that pins tie behavior), and a higher-order
+  // `aggregate` walks the chain keeping an event iff it clears the
+  // cooldown from the last kept one. The oracle replays the identical
+  // walk as a linear recursive CTE over per-key row numbers — both
+  // sides are the same greedy chain, so the match is exact, not
+  // approximate. At 100 TB the fold stays one shuffle on the key; the
+  // streaming analog is flatMapGroupsWithState with the same state.
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    val cd = 86400L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast(LongType).as("ts_sec"))
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("ts_sec"), col("event_id")))).as("evs"))
+      .select(col("user_id"), col("event_type"),
+        explode(expr(
+          s"""aggregate(slice(evs, 2, size(evs)), array(evs[0]),
+              (acc, x) -> IF(x.ts_sec > element_at(acc, -1).ts_sec + $cd,
+                             concat(acc, array(x)), acc))""")).as("e"))
+      .select(col("user_id"), col("event_type"),
+        col("e.event_id").as("event_id"), col("e.ts_sec").as("ts_sec"))
+      .orderBy("user_id", "event_type", "ts_sec", "event_id")
+  }
+
+  val q155Sql: String =
+    """WITH RECURSIVE ev AS (
+         SELECT user_id, event_type, event_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_sec,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT), event_id) AS rn
+         FROM events
+       ), walk AS (
+         SELECT user_id, event_type, event_id, ts_sec, rn,
+           ts_sec AS last_kept, TRUE AS kept
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.user_id, e.event_type, e.event_id, e.ts_sec, e.rn,
+           CASE WHEN e.ts_sec > w.last_kept + 86400 THEN e.ts_sec ELSE w.last_kept END,
+           e.ts_sec > w.last_kept + 86400
+         FROM walk w JOIN ev e ON e.user_id = w.user_id
+           AND e.event_type = w.event_type AND e.rn = w.rn + 1
+       )
+       SELECT user_id, event_type, event_id, ts_sec FROM walk WHERE kept
+       ORDER BY user_id, event_type, ts_sec, event_id"""
 }

@@ -712,4 +712,65 @@ object LlmQueries {
        FROM cls LEFT JOIN pn ON cls.lang = pn.lang
        ORDER BY cls.lang"""
   }
+
+  // q152: SKIP-GRAM co-occurrence mining — word pairs within a ±2
+  // token window ranked by lift (the word2vec-style context window
+  // where q99's collocations are strictly adjacent bigrams). Window
+  // pairs are generated IN-ROW — a nested transform over the two
+  // distances flattened before the explode — so the token stream is
+  // never self-joined: the only shuffles are the (x, y) count and the
+  // two vocabulary-sized unigram equi-joins. Lift keeps q99's
+  // no-transcendental contract: n_xy·N and n_x·n_y are exact longs,
+  // the score is one IEEE division, and the top-50 carries a full
+  // deterministic tiebreak so equal lifts cannot reorder across
+  // engines.
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n1"))
+    val total = uni.agg(sum(col("n1")).as("nn"))
+    val pairs = toks
+      .select(col("ts"), size(col("ts")).as("k"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, 2), d ->
+             IF(k > d,
+                transform(sequence(0, k - 1 - d), i -> struct(ts[i] AS x, ts[i + d] AS y)),
+                CAST(array() AS array<struct<x:string, y:string>>))))""")).as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 8)
+    pairs
+      .join(uni.withColumnsRenamed(Map("t" -> "x", "n1" -> "nx")), "x")
+      .join(uni.withColumnsRenamed(Map("t" -> "y", "n1" -> "ny")), "y")
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("nxy"),
+        ((col("nxy") * col("nn")).cast(DoubleType) /
+          (col("nx") * col("ny")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+      .limit(50)
+  }
+
+  val q152Sql: String =
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0) AS ts
+         FROM documents
+       ), uni AS (
+         SELECT t, count(*) AS n1 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+       ), total AS (
+         SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM uni
+       ), c AS (
+         SELECT g.x AS x, g.y AS y, count(*) AS nxy FROM (
+           SELECT unnest(list_concat(
+             list_transform(range(1, len(ts)), i -> struct_pack(x := ts[i], y := ts[i+1])),
+             list_transform(range(1, len(ts) - 1), i -> struct_pack(x := ts[i], y := ts[i+2])))) AS g
+           FROM toks)
+         GROUP BY 1, 2 HAVING count(*) >= 8
+       )
+       SELECT x, y, nxy,
+         CAST(nxy * nn AS DOUBLE) / CAST(ux.n1 * uy.n1 AS DOUBLE) AS lift
+       FROM c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y
+       CROSS JOIN total
+       ORDER BY lift DESC, x ASC, y ASC LIMIT 50"""
 }

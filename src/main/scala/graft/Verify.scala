@@ -22,7 +22,12 @@ object Verify {
     // type (values are identical — the session timezone is UTC).
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (unset in driver runs): dump only the
+    // named queries, e.g. SPARK_GRAFT_VERIFY_ONLY=q148,q149.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try {
         val res = fn(spark, sfDir)
         val out = res.schema.fields.collect {

@@ -708,4 +708,76 @@ object WarehouseQueries {
        FROM events
        WHERE CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 BETWEEN 19730 AND 19736
        GROUP BY 1, 2 ORDER BY day, event_type"""
+
+  // q149: small-file COMPACTION — the fourth leg of the layout story
+  // (q117 z-order file skipping, q141 bucketing, q146 partition
+  // pruning). The gate first fragments events into 64 micro-files
+  // (what a streaming sink / over-parallel writer leaves behind), then
+  // `Compaction.compact` rewrites them into ceil(bytes/target) files
+  // range-clustered by event_id — the output file count is planned
+  // from parquet FOOTERS on the driver (no sizing job), and
+  // repartitionByRange gives each compacted file a NON-OVERLAPPING
+  // event_id range, so footer min/max prune key-range probes the way
+  // coalesce()'s arbitrary placement cannot. The oracle is the
+  // original table: compaction must be content-invisible.
+  // CompactionSpec asserts the layout facts (file count collapses
+  // 64 → planned n, ranges disjoint); at 100 TB this runs per
+  // partition as the scheduled OPTIMIZE job, never a global rewrite.
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Compaction
+    val tag = Integer.toHexString(dir.hashCode)
+    val frag = s"/tmp/graft_frag_$tag"
+    val compacted = s"/tmp/graft_compacted_$tag"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    Compaction.compact(spark, frag, compacted, col("event_id"), targetBytes = 4L << 20)
+    spark.read.parquet(compacted).orderBy("event_id")
+  }
+
+  val q149Sql: String =
+    """SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+       FROM events ORDER BY event_id"""
+
+  // q150: trailing-7-day ROLLING MEDIAN of daily revenue per event
+  // type — the robust smoother for metric dashboards (a single spike
+  // day moves a rolling mean, not a rolling median). Two layers, both
+  // shuffle-bounded: the daily pre-aggregate collapses events to one
+  // row per (type, day), then a RANGE frame (6 preceding days, value
+  // offsets — calendar gaps handled by the frame, no spine join)
+  // collects the ≤7 in-window totals and picks the LOWER MEDIAN
+  // element at position (n+1) div 2 — the discrete, engine-exact
+  // choice that DuckDB's quantile_disc(0.5) makes too (interpolating
+  // medians would average two doubles and invite rounding drift).
+  // The frame is ≤7 rows per type BY CONSTRUCTION, so the collect is
+  // bounded regardless of corpus size; the only shuffles are the
+  // (type, day) pre-agg and the per-type window sort.
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
+      .agg(cents(sum(col("value"))).as("rev_c"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win", sort_array(collect_list(col("rev_c")).over(w)))
+      .select(col("event_type"), col("day"),
+        element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")).as("med_c"))
+      .orderBy("event_type", "day")
+  }
+
+  val q150Sql: String =
+    """WITH daily AS (
+         SELECT event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+           CAST(round(SUM(value) * 100) AS BIGINT) AS rev_c
+         FROM events GROUP BY 1, 2
+       )
+       SELECT event_type, day,
+         quantile_disc(rev_c, 0.5) OVER (PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_c
+       FROM daily ORDER BY event_type, day"""
 }

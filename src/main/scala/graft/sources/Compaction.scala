@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Small-file compaction — the maintenance pass that turns a
+  * fragmented table (thousands of micro-batch / per-task files) back
+  * into a scan-efficient layout of target-size, range-clustered files.
+  *
+  * Why it exists at 100 TB: every streaming sink, incremental MERGE
+  * and over-parallel write leaves files far below the HDFS/S3 sweet
+  * spot; a scan then pays per-file open/footer/seek costs and the
+  * driver pays O(#files) listing and scheduling. Compaction is the
+  * fourth leg of the layout story (q117 z-order file skipping, q141
+  * bucketing, q146 partition pruning): rewrite once, every later scan
+  * benefits.
+  *
+  * The output file COUNT is planned from parquet footers — a
+  * driver-side metadata read (same convention as [[Tables.rowCount]]),
+  * never a Spark job — as ceil(totalBytes / targetBytes). The rewrite
+  * is `repartitionByRange(n, sortKey)` + sortWithinPartitions, so
+  * compacted files carry NON-OVERLAPPING sort-key ranges: min/max
+  * footer stats then prune files for key-range probes, which plain
+  * `coalesce(n)` (hash-arbitrary row placement) cannot give.
+  * Reference analog: the staging-truncate + reload lifecycle of
+  * stats.py:896 rewrites tables wholesale; here the rewrite is the
+  * layout optimization itself.
+  */
+object Compaction {
+
+  /** Total data bytes of the parquet files under `dir` (footer-level,
+    * driver-side listing; no job). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (base.endsWith(".parquet") && !base.startsWith("_") && !base.startsWith("."))
+        bytes += f.getLen
+    }
+    bytes
+  }
+
+  /** Number of parquet data files under `dir` (driver-side listing). */
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (base.endsWith(".parquet") && !base.startsWith("_") && !base.startsWith("."))
+        n += 1
+    }
+    n
+  }
+
+  /** Rewrite the parquet table at `inDir` into `outDir` as
+    * ceil(bytes/targetBytes) files, range-clustered and sorted by
+    * `sortKey`. Returns the planned file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              sortKey: Column, targetBytes: Long): Int = {
+    val bytes = dataBytes(spark, inDir)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartitionByRange(n, sortKey)
+      .sortWithinPartitions(sortKey)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Per-file (min, max) of a long column from parquet FOOTER stats —
+    * the metadata a range probe would prune with; spec-asserts the
+    * non-overlap property without scanning data pages. */
+  def fileRanges(spark: SparkSession, dir: String, column: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val base = f.getPath.getName
+      if (base.endsWith(".parquet") && !base.startsWith("_") && !base.startsWith(".")) {
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        try {
+          val stats = r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+          }
+          if (stats.nonEmpty) {
+            val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+            val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            out += ((mins.min, maxs.max))
+          }
+        } finally r.close()
+      }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.sources.Compaction
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction: content-invisible, file count planned from
+  * footers, and range-clustered output (disjoint sort-key ranges per
+  * file — the property a later range probe prunes on). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact collapses fragments into disjoint-range files with identical content") {
+    val tag = System.nanoTime()
+    val frag = s"/tmp/graft_compact_in_$tag"
+    val out = s"/tmp/graft_compact_out_$tag"
+    val df = (1L to 20000L).map(i => (i, i % 7, s"p$i")).toDF("k", "grp", "payload")
+    df.repartition(50).write.mode("overwrite").parquet(frag)
+    assert(Compaction.fileCount(spark, frag) == 50)
+
+    val bytes = Compaction.dataBytes(spark, frag)
+    assert(bytes > 0)
+    val target = bytes / 4 + 1 // plan ~4 output files
+    val planned = Compaction.compact(spark, frag, out, col("k"), target)
+    assert(planned == Compaction.fileCount(spark, out),
+      s"planned $planned files, wrote ${Compaction.fileCount(spark, out)}")
+    assert(planned >= 2 && planned <= 5, s"unexpected plan size $planned")
+
+    // content-invisible
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+
+    // disjoint per-file key ranges (footer stats, no data scan)
+    val ranges = Compaction.fileRanges(spark, out, "k").sortBy(_._1)
+    assert(ranges.size == planned)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    assert(ranges.head._1 == 1L && ranges.last._2 == 20000L)
+  }
+
+  test("single-file floor: tiny input compacts to exactly one file") {
+    val tag = System.nanoTime()
+    val frag = s"/tmp/graft_compact_tiny_$tag"
+    val out = s"/tmp/graft_compact_tiny_out_$tag"
+    (1L to 10L).toDF("k").repartition(8).write.mode("overwrite").parquet(frag)
+    val planned = Compaction.compact(spark, frag, out, col("k"), 1L << 30)
+    assert(planned == 1 && Compaction.fileCount(spark, out) == 1)
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == (1L to 10L))
+  }
+
+  test("q148/q150/q151 sanity at sf0.001") {
+    // q148: pairs respect the rank-band contract (every pair's rank
+    // distance is in [1, w-1] under the blocking-key order).
+    val q148 = AnalyticsQueries.q148(spark, sf)
+    val pairs = q148.collect()
+    assert(pairs.nonEmpty, "sorted-neighborhood found no candidates")
+    // recompute ranks exactly (small fixture) and check band membership
+    val ranked = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("bkey"))
+      .orderBy(col("bkey"), col("doc_id"))
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    pairs.foreach { r =>
+      val d = ranked(r.getLong(1)) - ranked(r.getLong(0))
+      assert(d >= 1 && d <= 3, s"pair outside the w=4 band: $r (rank distance $d)")
+    }
+
+    // q150: rolling median equals a brute-force recompute per (type, day)
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
+      .agg(round(sum(col("value")) * 100).cast("long").as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    WarehouseQueries.q150(spark, sf).collect().foreach { r =>
+      val (ty, day, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val window = daily.collect { case ((t, d), v) if t == ty && d >= day - 6 && d <= day => v }
+        .toSeq.sorted
+      assert(window.nonEmpty && med == window((window.size - 1) / 2),
+        s"q150 median mismatch at ($ty, $day): got $med want ${window((window.size - 1) / 2)}")
+    }
+
+    // q151: weighted median satisfies the defining inequality — at
+    // least half the total weight lies at or below it, and strictly
+    // less than half lies below it.
+    val li = graft.sources.Tables.lineitem(spark, sf).join(
+        graft.sources.Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_quantity")).cast("long").as("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byBrand = li.groupBy(_._1)
+    AnalyticsQueries.q151(spark, sf).collect().foreach { r =>
+      val (brand, med) = (r.getString(0), r.getLong(1))
+      val rows = byBrand(brand)
+      val total = rows.map(_._3).sum
+      val atOrBelow = rows.filter(_._2 <= med).map(_._3).sum
+      val below = rows.filter(_._2 < med).map(_._3).sum
+      assert(atOrBelow * 2 >= total, s"q151 $brand: med $med has <half weight at/below")
+      assert(below * 2 < total, s"q151 $brand: med $med is not the FIRST qualifying price")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-2 round-7 queries: golden-record resolution, debounce,
+  * group mode, skip-gram co-occurrence — invariants checked against
+  * brute-force recomputes on the sf0.001 fixture. */
+class ResolutionSpec extends SparkSpec {
+
+  test("q154 golden record: clusters are edit-distance-1 closed and survivorship holds") {
+    val rows = AnalyticsQueries.q154(spark, sf).collect()
+    assert(rows.nonEmpty, "no clusters resolved")
+    val customers = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    def dist1(x: String, y: String): Boolean =
+      x.length == y.length && x.zip(y).count { case (a, b) => a != b } == 1
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      val members = r.getSeq[Long](4)
+      assert(r.getLong(2) == members.size, "n_members != member list size")
+      assert(members.min == cid, "cluster id is not the min member key")
+      assert(r.getString(1) == customers(cid)._1, "golden name is not the min-key member's")
+      assert(r.getLong(3) == members.map(customers(_)._2).max, "golden acctbal is not the max")
+      // every member connects to the cluster via at least one
+      // edit-distance-1 edge inside the cluster (connectivity witness)
+      if (members.size > 1) members.foreach { m =>
+        assert(members.exists(o => o != m && dist1(customers(m)._1, customers(o)._1)),
+          s"member $m has no in-cluster distance-1 neighbor")
+      }
+    }
+  }
+
+  test("q155 debounce equals a brute-force greedy walk per key") {
+    val got = AnalyticsQueries.q155(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(e => (e._1, e._2)).flatMap { case ((u, t), es) =>
+      val sorted = es.sortBy(e => (e._4, e._3))
+      var lastKept = Long.MinValue / 2
+      sorted.flatMap { e =>
+        if (e._4 > lastKept + 86400L) { lastKept = e._4; Some((u, t, e._3)) } else None
+      }
+    }.toSet
+    assert(got == want, s"debounce mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(got.size < evs.length, "debounce suppressed nothing")
+  }
+
+  test("q153 mode: the reported mode is the max-count priority with smallest-value ties") {
+    val base = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    AnalyticsQueries.q153(spark, sf).collect().foreach { r =>
+      val seg = r.getString(0)
+      val counts = base.filter(_._1 == seg)
+      val best = counts.minBy { case (_, p, n) => (-n, p) }
+      assert(r.getString(1) == best._2 && r.getLong(2) == best._3,
+        s"q153 $seg: got (${r.getString(1)}, ${r.getLong(2)}), want ($best)")
+      assert(r.getLong(3) == counts.map(_._3).sum)
+    }
+  }
+
+  test("q152 skip-gram pairs come from the ±2 window and lift is exact") {
+    val rows = LlmQueries.q152(spark, sf).collect()
+    assert(rows.size <= 50 && rows.nonEmpty)
+    // brute-force the window pair counts on the small fixture
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val toks = texts.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    toks.foreach { ts =>
+      ts.foreach(t => uni(t) += 1)
+      for (d <- 1 to 2; i <- 0 until ts.length - d) pair((ts(i), ts(i + d))) += 1
+    }
+    val nn = uni.values.sum
+    rows.foreach { r =>
+      val (x, y, nxy, lift) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(pair((x, y)) == nxy, s"q152 count mismatch for ($x, $y)")
+      assert(lift == (nxy * nn).toDouble / (uni(x) * uni(y)).toDouble, "lift not the exact division")
+      assert(nxy >= 8)
+    }
+  }
+}
