@@ -2441,6 +2441,10 @@ object AnalyticsQueries {
   // recursive-CTE closure over the exact pair list.
   def q154(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
+    // match rule: edit-distance-1 names AND same (nation, segment) —
+    // the auxiliary agreement attributes a real linkage ruleset adds
+    // so that transitive closure over a dense name space (sequential
+    // ids are ALL distance-1 chains) cannot snowball one mega-cluster
     val names = c.select(col("c_name")).distinct()
     val masked = names
       .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
@@ -2455,17 +2459,24 @@ object AnalyticsQueries {
       .filter(col("name_a") =!= col("name_b"))
       .select("name_a", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    val attrs = c.select(col("c_name"), col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
     val edges = npairs
-      .join(c.select(col("c_name").as("name_a"), col("c_custkey").as("key_a")), "name_a")
-      .join(c.select(col("c_name").as("name_b"), col("c_custkey").as("key_b")), "name_b")
-      .filter(col("key_a") < col("key_b"))
+      .join(attrs.select(col("c_name").as("name_a"), col("c_custkey").as("key_a"),
+        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a")), "name_a")
+      .join(attrs.select(col("c_name").as("name_b"), col("c_custkey").as("key_b"),
+        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("seg_b")), "name_b")
+      .filter(col("key_a") < col("key_b") &&
+        col("nat_a") === col("nat_b") && col("seg_a") === col("seg_b"))
       .select("key_a", "key_b")
     val comp = GraphOps.connectedComponents(edges)
     comp.join(c, col("node") === col("c_custkey"))
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
-        sort_array(collect_list(col("c_custkey"))).as("member_keys"))
+        // serialized (not a raw array) so the oracle hash compare is
+        // type-stable — q11's convention
+        expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',')")
+          .as("member_keys"))
       .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
         "cluster_id")
       .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
@@ -2477,6 +2488,7 @@ object AnalyticsQueries {
          SELECT a.c_custkey AS a, b.c_custkey AS b
          FROM customer a JOIN customer b
            ON a.c_custkey < b.c_custkey AND len(a.c_name) = len(b.c_name)
+           AND a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
          WHERE levenshtein(a.c_name, b.c_name) = 1
        ), ee AS (
          SELECT a, b FROM e UNION SELECT b, a FROM e
@@ -2490,7 +2502,7 @@ object AnalyticsQueries {
        ), agg AS (
          SELECT comp.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
            CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS golden_acctbal_c,
-           list_sort(list(c.c_custkey)) AS member_keys
+           array_to_string(list_sort(list(c.c_custkey)), ',') AS member_keys
          FROM comp JOIN customer c ON c.c_custkey = comp.k
          GROUP BY comp.cluster_id
        )

@@ -11,13 +11,18 @@ class ResolutionSpec extends SparkSpec {
     val rows = AnalyticsQueries.q154(spark, sf).collect()
     assert(rows.nonEmpty, "no clusters resolved")
     val customers = graft.sources.Tables.customer(spark, sf)
-      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal") * 100).cast("long"))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    def dist1(x: String, y: String): Boolean =
-      x.length == y.length && x.zip(y).count { case (a, b) => a != b } == 1
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal") * 100).cast("long"),
+        col("c_nationkey").cast("int"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .toMap
+    def linked(m: Long, o: Long): Boolean = {
+      val (x, y) = (customers(m), customers(o))
+      x._3 == y._3 && x._4 == y._4 && x._1.length == y._1.length &&
+        x._1.zip(y._1).count { case (a, b) => a != b } == 1
+    }
     rows.foreach { r =>
       val cid = r.getLong(0)
-      val members = r.getSeq[Long](4)
+      val members = r.getString(4).split(',').map(_.toLong).toSeq
       assert(r.getLong(2) == members.size, "n_members != member list size")
       assert(members.min == cid, "cluster id is not the min member key")
       assert(r.getString(1) == customers(cid)._1, "golden name is not the min-key member's")
@@ -25,8 +30,8 @@ class ResolutionSpec extends SparkSpec {
       // every member connects to the cluster via at least one
       // edit-distance-1 edge inside the cluster (connectivity witness)
       if (members.size > 1) members.foreach { m =>
-        assert(members.exists(o => o != m && dist1(customers(m)._1, customers(o)._1)),
-          s"member $m has no in-cluster distance-1 neighbor")
+        assert(members.exists(o => o != m && linked(m, o)),
+          s"member $m has no in-cluster match edge")
       }
     }
   }
@@ -38,7 +43,7 @@ class ResolutionSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts").cast("long"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val want = evs.groupBy(e => (e._1, e._2)).flatMap { case ((u, t), es) =>
+    val want = evs.groupBy(e => (e._1, e._2)).iterator.flatMap { case ((u, t), es) =>
       val sorted = es.sortBy(e => (e._4, e._3))
       var lastKept = Long.MinValue / 2
       sorted.flatMap { e =>
