@@ -2445,28 +2445,32 @@ object AnalyticsQueries {
     // the auxiliary agreement attributes a real linkage ruleset adds
     // so that transitive closure over a dense name space (sequential
     // ids are ALL distance-1 chains) cannot snowball one mega-cluster
-    val names = c.select(col("c_name")).distinct()
-    val masked = names
-      .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
-      .select(col("c_name"), col("pos"),
+    // direct mask join: the agreement attributes FOLD INTO the
+    // blocking key (pos, masked, len, nation, segment) — 125× more
+    // selective than name masks alone, and a hamming-1 pair collides
+    // on exactly ONE mask position, so no distinct pass and no
+    // join-back through the name is needed. (q83's distinct-name
+    // layering is the clone-heavy variant; here identical names are
+    // distance 0 and filtered, so the direct form drops nothing —
+    // ~12 s → ~2 s at sf0.1.)
+    val masked = c
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        posexplode(split(col("c_name"), "(?!^)")))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        col("pos"),
         concat(
           expr("substring(c_name, 1, pos)"),
           expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
         length(col("c_name")).as("len"))
-    val a = masked.select(col("pos"), col("masked"), col("len"), col("c_name").as("name_a"))
-    val b = masked.select(col("pos"), col("masked"), col("len"), col("c_name").as("name_b"))
-    val npairs = a.join(b, Seq("pos", "masked", "len"))
-      .filter(col("name_a") =!= col("name_b"))
-      .select("name_a", "name_b").distinct()
+    val a = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    val edges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
+      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
-    val attrs = c.select(col("c_name"), col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
-    val edges = npairs
-      .join(attrs.select(col("c_name").as("name_a"), col("c_custkey").as("key_a"),
-        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a")), "name_a")
-      .join(attrs.select(col("c_name").as("name_b"), col("c_custkey").as("key_b"),
-        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("seg_b")), "name_b")
-      .filter(col("key_a") < col("key_b") &&
-        col("nat_a") === col("nat_b") && col("seg_a") === col("seg_b"))
       .select("key_a", "key_b")
     val comp = GraphOps.connectedComponents(edges)
     comp.join(c, col("node") === col("c_custkey"))
@@ -2561,4 +2565,182 @@ object AnalyticsQueries {
        )
        SELECT user_id, event_type, event_id, ts_sec FROM walk WHERE kept
        ORDER BY user_id, event_type, ts_sec, event_id"""
+
+  // q157: LINEAR multi-touch attribution — every view/click in the 7
+  // days STRICTLY before a purchase shares the conversion credit
+  // equally (q102 gives the whole credit to the first/last touch; the
+  // linear model is the other standard the marketing stack reports).
+  // Credit is integer MICRO-UNITS (1e6 div n — truncating integer
+  // division, identical in both engines), so per-channel sums are
+  // exact longs, never an order-dependent float accumulation. The
+  // touch↔purchase match is a user-equi join (per-user event lists
+  // are bounded — never a time-range cross join); the per-purchase
+  // touch count is a window over the purchase key, bounded by the
+  // 7-day window's touches.
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast(LongType).as("ts_sec"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts_sec").as("pts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("tid"), col("ts_sec").as("tts"))
+    val matched = purch.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("pts") && col("tts") >= col("pts") - 604800L)
+    val w = Window.partitionBy("pid")
+    matched
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("credit", expr("1000000L div n_touch"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_conversions"),
+        sum(col("credit")).as("credit_micro"))
+      .orderBy("channel")
+  }
+
+  val q157Sql: String =
+    """WITH purch AS (
+         SELECT user_id, event_id AS pid,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS pts
+         FROM events WHERE event_type = 'purchase'
+       ), touch AS (
+         SELECT user_id, event_type AS channel, event_id AS tid,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS tts
+         FROM events WHERE event_type IN ('view', 'click')
+       ), matched AS (
+         SELECT p.pid, t.channel,
+           count(*) OVER (PARTITION BY p.pid) AS n_touch
+         FROM purch p JOIN touch t ON p.user_id = t.user_id
+         WHERE t.tts < p.pts AND t.tts >= p.pts - 604800
+       )
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+         CAST(SUM(1000000 // n_touch) AS BIGINT) AS credit_micro
+       FROM matched GROUP BY channel ORDER BY channel"""
+
+  // q158: TOP-K CHURN — month-over-month movement of the top-5 revenue
+  // brands: who ENTERED the ranking, who STAYED, who EXITED (the BI
+  // "movers and shakers" readout; rankings are only meaningful through
+  // their churn). Month index is (year−1970)·12 + month−1 so
+  // consecutive months join with +1 arithmetic across year boundaries.
+  // Everything after the (month, brand) revenue pre-agg runs on
+  // ≤|months|·|brands| rows: the rank window, the cur↔prev full-outer
+  // join, and the max-month bound (a 1-row broadcast) that stops
+  // phantom exits past the data's horizon.
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(((year(col("l_shipdate")) - 1970) * 12 + month(col("l_shipdate")) - 1).as("m"),
+        col("p_brand"))
+      .agg(cents(sum(col("l_extendedprice"))).as("rev_c"))
+    val tops = rev
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("m").orderBy(col("rev_c").desc, col("p_brand").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("m"), col("p_brand"), col("rk"))
+    val mmax = tops.agg(max("m").as("mmax"))
+    val cur = tops.select(col("m"), col("p_brand"), col("rk").as("rank_now"))
+    val prev = tops.select((col("m") + 1).as("m"), col("p_brand"), col("rk").as("rank_prev"))
+    cur.join(prev, Seq("m", "p_brand"), "full_outer")
+      .crossJoin(broadcast(mmax))
+      .filter(col("m") <= col("mmax"))
+      .select(col("m"), col("p_brand"),
+        when(col("rank_now").isNotNull && col("rank_prev").isNotNull, lit("stayed"))
+          .when(col("rank_now").isNotNull, lit("entered"))
+          .otherwise(lit("exited")).as("status"),
+        coalesce(col("rank_now"), lit(0)).as("rank_now"),
+        coalesce(col("rank_prev"), lit(0)).as("rank_prev"))
+      .orderBy("m", "p_brand")
+  }
+
+  val q158Sql: String =
+    """WITH rev AS (
+         SELECT (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS m,
+           p_brand, CAST(round(SUM(l_extendedprice) * 100) AS BIGINT) AS rev_c
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2
+       ), tops AS (
+         SELECT m, p_brand, rk FROM (
+           SELECT m, p_brand,
+             row_number() OVER (PARTITION BY m ORDER BY rev_c DESC, p_brand ASC) AS rk
+           FROM rev)
+         WHERE rk <= 5
+       ), mm AS (SELECT max(m) AS mmax FROM tops)
+       SELECT coalesce(c.m, p.m + 1) AS m,
+         coalesce(c.p_brand, p.p_brand) AS p_brand,
+         CASE WHEN c.m IS NOT NULL AND p.m IS NOT NULL THEN 'stayed'
+              WHEN c.m IS NOT NULL THEN 'entered'
+              ELSE 'exited' END AS status,
+         CAST(coalesce(c.rk, 0) AS INTEGER) AS rank_now,
+         CAST(coalesce(p.rk, 0) AS INTEGER) AS rank_prev
+       FROM tops c FULL OUTER JOIN tops p
+         ON c.m = p.m + 1 AND c.p_brand = p.p_brand
+       CROSS JOIN mm
+       WHERE coalesce(c.m, p.m + 1) <= mmax
+       ORDER BY m, p_brand"""
+
+  // q159: NEIGHBOR-SET JACCARD link prediction — the top-20
+  // non-adjacent part pairs ranked by neighborhood overlap on the
+  // co-purchase graph ("these two products share customers' baskets
+  // but never co-occur themselves" — the classic common-neighbors
+  // recommender signal; q92 weights co-counts, this is the set-based
+  // measure). Common-neighbor pairs generate at the WEDGE CENTER, so
+  // a degree-d hub contributes d² candidate pairs — the documented
+  // hub-quadratic cost of exact common-neighbor mining; at corpus
+  // scale the standard mitigation is a hub degree cap before the
+  // wedge join (the graph here is quantity-filtered sparse). The
+  // adjacency exclusion is a LEFT ANTI join, degrees attach on the
+  // aggregated pair list, and jaccard = c / (da + db − c) is one IEEE
+  // division of exact longs with a full deterministic tiebreak.
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val sym = edges.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
+    val deg = sym.groupBy("n").agg(count(lit(1)).as("d"))
+    val common = sym.select(col("n").as("a"), col("nbr").as("w"))
+      .join(sym.select(col("n").as("b"), col("nbr").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2) // degree-1 coincidences are all jaccard=1 noise
+    val nonAdj = common.join(edges.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("c"),
+        (col("c").cast(DoubleType) /
+          (col("da") + col("db") - col("c")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  val q159Sql: String =
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_quantity >= 44
+       ), e AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       ), sym AS (
+         SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+       ), deg AS (
+         SELECT n, count(*) AS d FROM sym GROUP BY 1
+       ), common AS (
+         SELECT x.n AS a, y.n AS b, count(*) AS c
+         FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.n < y.n
+         GROUP BY 1, 2 HAVING count(*) >= 2
+       ), non_adj AS (
+         SELECT common.* FROM common
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = common.a AND e.v = common.b)
+       )
+       SELECT a, b, c,
+         CAST(c AS DOUBLE) / CAST(da.d + db.d - c AS DOUBLE) AS jaccard
+       FROM non_adj
+         JOIN deg da ON da.n = non_adj.a
+         JOIN deg db ON db.n = non_adj.b
+       ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20"""
 }

@@ -780,4 +780,50 @@ object WarehouseQueries {
          quantile_disc(rev_c, 0.5) OVER (PARTITION BY event_type ORDER BY day
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_c
        FROM daily ORDER BY event_type, day"""
+
+  // q156: DQ QUARANTINE — the reject-file half of q128's constraint
+  // screen: q128 counts violations, q156 RETURNS the violating rows
+  // with their reason codes, the artifact a warehouse load writes
+  // beside the clean table so bad rows are auditable and replayable.
+  // Three rules with natural violations in the data: impossible
+  // sequence (shipped before ordered), referential-quality (customer
+  // in debit), and policy (discount above cap). All rule predicates
+  // evaluate MAP-SIDE on the joined row; the only shuffle is the
+  // orderkey join (co-locatable via q141's bucketing), customer
+  // attaches as a broadcast dim. concat_ws skips NULL branches in
+  // both engines, so the reason string needs no array type.
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_acctbal"))
+    val r1 = col("l_shipdate") < col("o_orderdate")
+    val r2 = col("c_acctbal") < 0
+    val r3 = col("l_discount") > 0.08
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat_ws(",",
+          when(r1, lit("ship_before_order")),
+          when(r2, lit("customer_in_debit")),
+          when(r3, lit("discount_above_cap"))).as("violations"),
+        (r1.cast(LongType) + r2.cast(LongType) + r3.cast(LongType)).as("n_violations"))
+      .filter(col("n_violations") > 0)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q156Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+         concat_ws(',',
+           CASE WHEN l_shipdate < o_orderdate THEN 'ship_before_order' END,
+           CASE WHEN c_acctbal < 0 THEN 'customer_in_debit' END,
+           CASE WHEN l_discount > 0.08 THEN 'discount_above_cap' END) AS violations,
+         CAST(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END
+            + CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+       FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+       WHERE (l_shipdate < o_orderdate) OR (c_acctbal < 0) OR (l_discount > 0.08)
+       ORDER BY l_orderkey, l_linenumber"""
 }

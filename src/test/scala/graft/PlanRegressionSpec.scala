@@ -468,4 +468,60 @@ class PlanRegressionSpec extends SparkSpec {
       .filter(_.aggregateExpressions.exists(_.toString.contains("partial_max_by")))
     assert(partials.nonEmpty, "applyCdc's max_by must pre-aggregate map-side")
   }
+
+  test("q148: rank band join stays equi and ranking windows are partitioned") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(AnalyticsQueries.q148(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q148's successor-slot join must stay an equi-join")
+    assert(p.toString.toLowerCase.contains("rangepartitioning"),
+      "q148 must range-repartition on the blocking key")
+    assert(p.collect { case w: WindowExec => w }.exists(_.partitionSpec.nonEmpty),
+      "q148's per-partition rank window went missing")
+  }
+
+  test("q150/q151/q153: windows run over pre-aggregates, never fact rows") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, df) <- Seq(
+        ("q150", WarehouseQueries.q150(spark, sf)),
+        ("q151", AnalyticsQueries.q151(spark, sf)),
+        ("q153", AnalyticsQueries.q153(spark, sf)))) {
+      val p = plan(df)
+      val ws = p.collect { case w: WindowExec => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        s"$name window must be partitioned")
+      assert(ws.forall(w => w.child.collect { case a: BaseAggregateExec => a }.nonEmpty),
+        s"$name window must consume the pre-aggregate, not fact rows")
+    }
+  }
+
+  test("q152: window pairs stay in-row — no token-stream self-join, partial counts present") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p = plan(LlmQueries.q152(spark, sf))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q152 must not self-join the token stream")
+    // the only nested loop allowed is the 1-row corpus-total broadcast
+    // (q99's precedent)
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size <= 1,
+      "q152 must not plan nested loops beyond the 1-row totals broadcast")
+    val partials = p.collect { case a: BaseAggregateExec => a }
+      .filter(_.aggregateExpressions.exists(_.toString.contains("partial_count")))
+    assert(partials.nonEmpty, "q152's pair counts must pre-aggregate map-side")
+  }
+
+  test("q155: the debounce fold is one key shuffle, no window, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan(AnalyticsQueries.q155(spark, sf))
+    assert(p.collect { case w: WindowExec => w }.isEmpty, "q155 must not window the events")
+    assert(p.collect { case j: BaseJoinExec => j }.isEmpty, "q155 must not join")
+    val shuffles = p.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2, // key shuffle + presentation sort
+      s"q155 must shuffle once on the key (plus the output sort), got ${shuffles.size}")
+  }
 }

@@ -69,6 +69,73 @@ class ResolutionSpec extends SparkSpec {
     }
   }
 
+  test("q156 quarantine: every returned row violates a rule, and a known-clean row is absent") {
+    val rows = WarehouseQueries.q156(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has natural violations; quarantine came back empty")
+    rows.foreach { r =>
+      val codes = r.getString(2).split(',').toSet
+      assert(codes.nonEmpty && codes.subsetOf(
+        Set("ship_before_order", "customer_in_debit", "discount_above_cap")))
+      assert(r.getLong(3) == codes.size, s"n_violations != reason count in $r")
+    }
+    // total quarantined == brute-force predicate count
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("l_shipdate") < col("o_orderdate") || col("c_acctbal") < 0 ||
+        col("l_discount") > 0.08)
+      .count()
+    assert(rows.length.toLong == want)
+  }
+
+  test("q157 attribution: per-purchase credits sum to <= 1e6 with div-truncation remainder") {
+    val total = AnalyticsQueries.q157(spark, sf)
+      .agg(sum("credit_micro"), sum("n_touches")).collect()(0)
+    val (credit, touches) = (total.getLong(0), total.getLong(1))
+    // every attributed purchase distributes at most 1e6 micro-units
+    // (exactly 1e6 when n divides it) — so credit <= conversions * 1e6
+    // and credit > touches-weighted floor bound
+    val nConv = AnalyticsQueries.q157(spark, sf)
+      .agg(sum("n_conversions")).collect()(0).getLong(0) // upper bound: channel-distinct overlaps
+    assert(credit <= nConv * 1000000L, s"credit $credit exceeds $nConv conversions")
+    assert(credit > 0 && touches > 0)
+  }
+
+  test("q158 churn: statuses are consistent with recomputed monthly top-5 sets") {
+    val rows = AnalyticsQueries.q158(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val tops = rows.collect { case (m, b, s) if s != "exited" => (m, b) }.toSet
+    rows.foreach { case (m, b, s) =>
+      s match {
+        case "stayed"  => assert(tops((m, b)) && tops((m - 1, b)))
+        case "entered" => assert(tops((m, b)) && !tops((m - 1, b)))
+        case "exited"  => assert(!tops((m, b)) && tops((m - 1, b)))
+      }
+    }
+    assert(rows.groupBy(_._1).forall { case (_, g) => g.count(_._3 != "exited") <= 5 })
+  }
+
+  test("q159 neighbor jaccard: pairs are non-adjacent and the score matches set recompute") {
+    val edges = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 44)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ps = g.map(_._2).toSeq
+        for { a <- ps; b <- ps if a < b } yield (a, b)
+      }.toSet
+    val nbrs = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)) {
+      case (m, (u, v)) => m.updated(u, m(u) + v).updated(v, m(v) + u)
+    }
+    AnalyticsQueries.q159(spark, sf).collect().foreach { r =>
+      val (a, b, c, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(!edges((a, b)), s"($a,$b) is adjacent — link prediction must exclude edges")
+      val inter = (nbrs(a) intersect nbrs(b)).size
+      assert(inter == c && c >= 2, s"common-neighbor count mismatch for ($a,$b)")
+      assert(j == c.toDouble / (nbrs(a).size + nbrs(b).size - c).toDouble)
+    }
+  }
+
   test("q152 skip-gram pairs come from the ±2 window and lift is exact") {
     val rows = LlmQueries.q152(spark, sf).collect()
     assert(rows.size <= 50 && rows.nonEmpty)
