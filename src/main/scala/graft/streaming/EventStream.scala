@@ -25,6 +25,9 @@ private case class AsOfEvent(key: Long, ts: Timestamp, is_probe: Boolean,
                              probe_id: Long, quote_value: Double)
 private case class AsOfState(quotes: List[(Long, Double)], probes: List[(Long, Long)])
 
+case class DebouncedEvent(user_id: Long, event_type: String, event_id: Long, ts_sec: Long)
+private case class DebounceState(lastKeptSec: Long, pending: List[(Long, Long)])
+
 /** Arbitrary-state v2 (`transformWithState`) processor: bounded top-k
   * per key. State is exactly k entries per key regardless of how many
   * events stream through — the streaming twin of the batch
@@ -394,6 +397,54 @@ object EventStream {
               if (pending.nonEmpty) pending.map(_._1).min
               else wmSec + lookbackSec + 1
             state.setTimeoutTimestamp(math.max(nextSec, wmSec + 1) * 1000L)
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming DEBOUNCE — the continuous twin of the batch q155 fold:
+    * suppress events within `cooldownSec` of the last KEPT event per
+    * (user, type). The kept-set depends on processing events in
+    * EVENT-TIME order (the reference point is the previous survivor,
+    * so an out-of-order arrival can flip later decisions); the
+    * processor therefore buffers events in state and only folds+emits
+    * those strictly behind the watermark — at that point no
+    * earlier-or-equal event can still arrive, every undecided event is
+    * provably later, and the greedy walk is identical to the batch
+    * recompute. State is O(in-flight window) per key: the folded
+    * prefix collapses to one `lastKeptSec`, which itself expires once
+    * the watermark clears its cooldown (timer-driven, so idle keys
+    * cannot leak state).
+    */
+  def debounceStream(events: Dataset[RawEvent], cooldownSec: Long = 86400L,
+                     watermarkDelay: String = "10 seconds"): Dataset[DebouncedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebouncedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[RawEvent], state: GroupState[DebounceState]) =>
+          val st = state.getOption.getOrElse(DebounceState(Long.MinValue / 2, Nil))
+          val all = st.pending ++ rows.map(e => (e.ts.getTime / 1000L, e.event_id)).toSeq
+          val wmMs = state.getCurrentWatermarkMs()
+          // strict <: an event AT the watermark may still gain a same-
+          // second sibling that sorts before it (same guard as the
+          // streaming as-of join)
+          val (mature, pending) = all.partition(_._1 * 1000L < wmMs)
+          var lastKept = st.lastKeptSec
+          val out = mature.sorted.flatMap { case (sec, id) =>
+            if (sec > lastKept + cooldownSec) {
+              lastKept = sec
+              Some(DebouncedEvent(key._1, key._2, id, sec))
+            } else None
+          }
+          val coolUntilMs = (lastKept + cooldownSec + 1) * 1000L
+          if (pending.isEmpty && coolUntilMs <= wmMs) state.remove()
+          else {
+            state.update(DebounceState(lastKept, pending.toList))
+            val wake = if (pending.nonEmpty) pending.map(_._1 * 1000L).min else coolUntilMs
+            state.setTimeoutTimestamp(math.max(wake, wmMs + 1000L))
           }
           out.iterator
       }

@@ -198,4 +198,48 @@ class StreamJoinSpec extends SparkSpec {
         s"equality-boundary convention changed: $got")
     } finally q.stop()
   }
+
+  test("streaming debounce == batch greedy walk on an out-of-order cross-batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStream, RawEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def ev(id: Long, sec: Long, u: Long = 1L, ty: String = "click") =
+      RawEvent(id, ts(sec), u, ty, 0.0)
+
+    val in = MemoryStream[RawEvent]
+    val out = EventStream.debounceStream(in.toDS(), cooldownSec = 300L,
+      watermarkDelay = "400 seconds")
+    val qname = s"debounce_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      // events arrive OUT of event-time order across micro-batches; the
+      // 400 s watermark delay keeps every decision pending until the
+      // earlier events have all arrived
+      in.addData(ev(3L, 700), ev(1L, 100)); q.processAllAvailable()
+      // 250 arrives AFTER 700 but BEFORE it in event time: it must be
+      // suppressed (within 300 s of kept 100), and 700 kept
+      in.addData(ev(2L, 250), ev(4L, 1000, u = 2L)); q.processAllAvailable()
+      in.addData(ev(5L, 720), ev(6L, 1500)); q.processAllAvailable()
+      // sentinels push the watermark past everything, then let timers fire
+      in.addData(ev(99L, 100000, u = 99L)); q.processAllAvailable()
+      in.addData(ev(98L, 100500, u = 99L)); q.processAllAvailable()
+
+      val got = spark.table(qname).as[graft.streaming.DebouncedEvent].collect()
+        .filter(_.user_id != 99L).map(e => (e.user_id, e.event_id, e.ts_sec)).toSet
+      // batch twin: greedy walk per key over the full sorted history
+      val hist = Seq((1L, 1L, 100L), (1L, 2L, 250L), (1L, 3L, 700L), (1L, 5L, 720L),
+        (1L, 6L, 1500L), (2L, 4L, 1000L))
+      val exp = hist.groupBy(_._1).iterator.flatMap { case (u, es) =>
+        var last = Long.MinValue / 2
+        es.sortBy(e => (e._3, e._2)).flatMap { e =>
+          if (e._3 > last + 300L) { last = e._3; Some((u, e._2, e._3)) } else None
+        }
+      }.toSet
+      assert(exp == Set((1L, 1L, 100L), (1L, 3L, 700L), (1L, 6L, 1500L), (2L, 4L, 1000L)),
+        s"batch twin sanity: $exp")
+      assert(got == exp, s"streaming debounce diverged: missing=${exp -- got} extra=${got -- exp}")
+    } finally q.stop()
+  }
 }
