@@ -2429,34 +2429,38 @@ object AnalyticsQueries {
        FROM ranked WHERE rnk = 1 ORDER BY c_mktsegment"""
 
   // q154: GOLDEN-RECORD entity resolution — the end-to-end composition
-  // the blocking primitives exist FOR: q83's deletion-neighborhood
-  // match (edit-distance-1 customer names, exact levenshtein decides)
-  // feeds connected components (GraphOps large-star/small-star — the
-  // q72 fixpoint on the duplicate subgraph only), and each multi-member
-  // cluster collapses to one survivor row: the min-key member's name
-  // (CC's component id IS the min member key, so the representative
-  // lookup is one equi-join), the max account balance, and the sorted
-  // member list (Kimball survivorship: deterministic rules, never
-  // "first seen"). The oracle replays the same pipeline as a
+  // the blocking primitives exist FOR: deletion-neighborhood matching
+  // (names at edit distance ≤ 1 with the same nation + segment —
+  // distance 0, identical names, obviously co-refers under the same
+  // agreement attributes) feeds connected components (GraphOps
+  // large-star/small-star — the q72 fixpoint on the duplicate subgraph
+  // only), and each multi-member cluster collapses to one survivor
+  // row: the min-key member's name (CC's component id IS the min
+  // member key, so the representative lookup is one equi-join), the
+  // max account balance, and the sorted member list (Kimball
+  // survivorship: deterministic rules, never "first seen"). The
+  // agreement attributes keep transitive closure over a dense name
+  // space (sequential ids are ALL distance-1 chains) from snowballing
+  // one mega-cluster. The oracle replays the same pipeline as a
   // recursive-CTE closure over the exact pair list.
+  //
+  // CLONE-INVARIANT layering (q83's lesson, made structural): under
+  // the distance-≤1 rule each DISTINCT (name, nation, segment) group
+  // is one SUPER-NODE — in-group members are distance 0 of each other
+  // — so the mask join runs on group representatives, the CC fixpoint
+  // on group ids, and members re-attach through one group join. A
+  // table where every name is cloned 100× (the mirrored sf10 fixture)
+  // costs the same mask join as the unique-name table; the direct
+  // per-row form paid C(clones, 2) rows per mask key — 361 s at sf10
+  // against ~8 s layered.
   def q154(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    // match rule: edit-distance-1 names AND same (nation, segment) —
-    // the auxiliary agreement attributes a real linkage ruleset adds
-    // so that transitive closure over a dense name space (sequential
-    // ids are ALL distance-1 chains) cannot snowball one mega-cluster
-    // direct mask join: the agreement attributes FOLD INTO the
-    // blocking key (pos, masked, len, nation, segment) — 125× more
-    // selective than name masks alone, and a hamming-1 pair collides
-    // on exactly ONE mask position, so no distinct pass and no
-    // join-back through the name is needed. (q83's distinct-name
-    // layering is the clone-heavy variant; here identical names are
-    // distance 0 and filtered, so the direct form drops nothing —
-    // ~12 s → ~2 s at sf0.1.)
-    val masked = c
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+    val grp = c.groupBy(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .agg(min(col("c_custkey")).as("gid"))
+    val masked = grp
+      .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
         posexplode(split(col("c_name"), "(?!^)")))
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+      .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
         col("pos"),
         concat(
           expr("substring(c_name, 1, pos)"),
@@ -2464,23 +2468,31 @@ object AnalyticsQueries {
         length(col("c_name")).as("len"))
     val a = masked.select(col("pos"), col("masked"), col("len"),
       col("c_nationkey"), col("c_mktsegment"),
-      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      col("gid").as("gid_a"), col("c_name").as("name_a"))
     val b = masked.select(col("pos"), col("masked"), col("len"),
       col("c_nationkey"), col("c_mktsegment"),
-      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
-    val edges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
-      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      col("gid").as("gid_b"), col("c_name").as("name_b"))
+    // a hamming-1 group pair collides on exactly ONE mask position, so
+    // no distinct pass is needed; distance-0 pairs never reach the
+    // join — they share a gid
+    val gedges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
+      .filter(col("gid_a") < col("gid_b") && col("name_a") =!= col("name_b"))
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
-      .select("key_a", "key_b")
-    val comp = GraphOps.connectedComponents(edges)
-    comp.join(c, col("node") === col("c_custkey"))
-      .groupBy(col("component").as("cluster_id"))
+      .select("gid_a", "gid_b")
+    val comp = GraphOps.connectedComponents(gedges) // (node = gid, component)
+    val labeled = c
+      .join(grp, Seq("c_name", "c_nationkey", "c_mktsegment"))
+      .join(comp, col("gid") === col("node"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("gid")))
+    labeled
+      .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
         // serialized (not a raw array) so the oracle hash compare is
         // type-stable — q11's convention
         expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',')")
           .as("member_keys"))
+      .filter(col("n_members") >= 2)
       .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
         "cluster_id")
       .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
@@ -2493,7 +2505,7 @@ object AnalyticsQueries {
          FROM customer a JOIN customer b
            ON a.c_custkey < b.c_custkey AND len(a.c_name) = len(b.c_name)
            AND a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-         WHERE levenshtein(a.c_name, b.c_name) = 1
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
        ), ee AS (
          SELECT a, b FROM e UNION SELECT b, a FROM e
          UNION SELECT a, a FROM e UNION SELECT b, b FROM e

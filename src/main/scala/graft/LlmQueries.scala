@@ -773,4 +773,57 @@ object LlmQueries {
        FROM c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y
        CROSS JOIN total
        ORDER BY lift DESC, x ASC, y ASC LIMIT 50"""
+
+  // q160: KEEP-BEST dedup survivorship — near-dup clusters keep the
+  // HIGHEST-QUALITY member (longest doc, ties to smallest id), the
+  // SlimPajama/RefinedWeb policy, where q20/q72 keep the min-id
+  // representative. Survivorship is an ASSOCIATIVE aggregate —
+  // min(struct(−n_chars, doc_id)) per cluster — so the survivor pick
+  // is one map-side-combinable shuffle over the cluster labels, never
+  // a rank window over members; the oracle renders the same choice as
+  // a rank window over the recursive-CTE closure. Cluster machinery is
+  // q72's exactly (LSH blocks, exact Jaccard decides, CC closes).
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lab = Dedup.nearDupClustersLayered(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val surv = lab.groupBy("cluster_id")
+      .agg(min(struct((-col("n_chars")).as("negc"), col("doc_id").as("id"))).as("best"))
+      .select(col("cluster_id"), col("best.id").as("survivor_id"))
+    lab.join(surv, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q160Sql: String =
+    s"""WITH RECURSIVE $shingleCte, e AS (
+         SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) >= 0.5
+       ), ee AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ), reach(n, m) AS (
+         SELECT a, b FROM ee
+         UNION
+         SELECT r.n, ee.b FROM reach r JOIN ee ON r.m = ee.a
+       ), comp AS (
+         SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+       ), lab AS (
+         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+       ), srv AS (
+         SELECT cluster_id, doc_id AS survivor_id FROM (
+           SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM lab)
+         WHERE rn = 1
+       )
+       SELECT lab.doc_id, lab.cluster_id, srv.survivor_id,
+         lab.doc_id = srv.survivor_id AS kept
+       FROM lab JOIN srv USING (cluster_id) ORDER BY lab.doc_id"""
 }

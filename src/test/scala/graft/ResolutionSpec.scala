@@ -18,7 +18,7 @@ class ResolutionSpec extends SparkSpec {
     def linked(m: Long, o: Long): Boolean = {
       val (x, y) = (customers(m), customers(o))
       x._3 == y._3 && x._4 == y._4 && x._1.length == y._1.length &&
-        x._1.zip(y._1).count { case (a, b) => a != b } == 1
+        x._1.zip(y._1).count { case (a, b) => a != b } <= 1
     }
     rows.foreach { r =>
       val cid = r.getLong(0)
@@ -134,6 +134,24 @@ class ResolutionSpec extends SparkSpec {
       assert(inter == c && c >= 2, s"common-neighbor count mismatch for ($a,$b)")
       assert(j == c.toDouble / (nbrs(a).size + nbrs(b).size - c).toDouble)
     }
+  }
+
+  test("q160 keep-best: the survivor is each cluster's longest doc, ties to smallest id") {
+    val rows = LlmQueries.q160(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.exists(!_._4), "fixture should have at least one dropped dup")
+    val nchars = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val surv = members.head._3
+      assert(members.forall(_._3 == surv), "cluster disagrees on its survivor")
+      val best = members.map(_._1).minBy(id => (-nchars(id), id))
+      assert(surv == best, s"survivor $surv is not the longest-doc member $best")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == surv)
+    }
+    // every doc labeled exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
   }
 
   test("q152 skip-gram pairs come from the ±2 window and lift is exact") {
