@@ -2755,4 +2755,114 @@ object AnalyticsQueries {
          JOIN deg da ON da.n = non_adj.a
          JOIN deg db ON db.n = non_adj.b
        ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20"""
+
+  // q161: COHORT LTV curve — cumulative purchase revenue per signup
+  // cohort by account age (the "does week-12 revenue justify
+  // acquisition cost" readout; q85's retention matrix counts
+  // presence, this accumulates value). Cohort = the user's first-seen
+  // epoch day over ALL events (the data spans one month, so weekly
+  // cohorts would collapse to a handful of rows); the first-seen aggregate and the
+  // purchase rollup share the user key, so the fact-scale work is one
+  // user shuffle + one bounded (cohort, age) aggregate; the running
+  // sum windows over ≤|weeks| rows per cohort. Revenue in exact
+  // cents; the only division is the final per-user normalization
+  // (IEEE over exact longs). Rows exist for OBSERVED (cohort, age)
+  // pairs — the cumulative is over observed ages in order, no spine
+  // join (a reporting layer densifies with q50's calendar spine when
+  // it must).
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("v_c"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(sum(col("v_c")).as("rev_c"))
+    val w = Window.partitionBy("cohort_day").orderBy(col("age_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("cohort_users"),
+        col("rev_c"), col("cum_rev_c"),
+        (col("cum_rev_c").cast(DoubleType) / col("cohort_users").cast(DoubleType))
+          .as("cum_rev_per_user"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  val q161Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+         FROM events
+       ), cohort AS (
+         SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+       ), sizes AS (
+         SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+         FROM cohort GROUP BY 1
+       ), rev AS (
+         SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+           SUM(e.v_c) AS rev_c
+         FROM ev e JOIN cohort c USING (user_id)
+         WHERE e.event_type = 'purchase'
+         GROUP BY 1, 2
+       )
+       SELECT r.cohort_day, r.age_days, s.cohort_users,
+         CAST(r.rev_c AS BIGINT) AS rev_c,
+         CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_day ORDER BY r.age_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c,
+         CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_day ORDER BY r.age_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(s.cohort_users AS DOUBLE) AS cum_rev_per_user
+       FROM rev r JOIN sizes s USING (cohort_day)
+       ORDER BY cohort_day, age_days"""
+
+  // q162: RECIPROCAL nearest neighbors — embedding pairs that are in
+  // EACH OTHER'S cosine top-3 (mutual-NN is the high-precision dedup/
+  // alignment signal: one-directional top-k is noisy near hubs, a
+  // hub's spokes rank it high while it ranks them out). The engine
+  // reuses q24's exact top-k, joins the (a→b) list against its
+  // transpose on the swapped key — ids only through the join — and
+  // keeps a < b. The gate runs the exact backend (oracle-matchable,
+  // inherits its quadratic scaling); at 100 TB the neighbor stage
+  // swaps to the persisted ANN index (q75) exactly as q131's vote
+  // layer does — the reciprocity join is backend-independent.
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nn = graft.operators.Similarity
+      .bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    val fwd = nn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rank").as("rank_ab"), col("cosine"))
+    val rev = nn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+        col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q162Sql: String =
+    """WITH nn AS (
+         SELECT query_id, neighbor_id, rank, cosine FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id)
+         WHERE rank <= 3
+       )
+       SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+         f.rank AS rank_ab, r.rank AS rank_ba, f.cosine
+       FROM nn f JOIN nn r
+         ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+       WHERE f.query_id < f.neighbor_id
+       ORDER BY id_a, id_b"""
 }
