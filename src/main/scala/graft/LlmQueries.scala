@@ -826,4 +826,32 @@ object LlmQueries {
        SELECT lab.doc_id, lab.cluster_id, srv.survivor_id,
          lab.doc_id = srv.survivor_id AS kept
        FROM lab JOIN srv USING (cluster_id) ORDER BY lab.doc_id"""
+
+  // q163: JSON-LINES corpus ingest — the raw interchange format every
+  // real LLM pipeline starts from, run through the SAME source-agnostic
+  // loader as parquet/jdbc (q149's write-inside-the-gate convention:
+  // the gate first materializes documents as jsonl, then the query
+  // reads ONLY the jsonl deployment). The rollup — per (source, lang)
+  // doc counts, total chars, exact mean length in milli-chars — must
+  // hash-match the oracle computed over the PARQUET table, proving the
+  // format swap is invisible end-to-end (schema inference included).
+  // At 100 TB the jsonl read is the one-off landing scan; everything
+  // downstream runs on columnar rewrites.
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").json(s"$path/documents.jsonl")
+    Tables.documents(spark, s"jsonl:$path")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("(1000 * sum(n_chars)) div count(1)").as("mean_chars_milli"))
+      .orderBy("source", "lang")
+  }
+
+  val q163Sql: String =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST((1000 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_chars_milli
+       FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
 }

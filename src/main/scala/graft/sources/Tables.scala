@@ -28,6 +28,13 @@ object Tables {
     if (dir.startsWith("engines:")) read(spark, engineFor(dir, name), name)
     else if (dir.startsWith("jdbc:"))
       spark.read.format("jdbc").option("url", dir).option("dbtable", name).load()
+    else if (dir.startsWith("jsonl:"))
+      // JSON-lines deployment — the raw-corpus interchange format every
+      // LLM ingest actually starts from. Schema is inferred (one extra
+      // metadata-scale pass); at 100 TB a production ingest pins the
+      // schema and reads once — SourcesSpec proves a query over jsonl
+      // is bit-identical to the same query over parquet.
+      normalizeTs(spark.read.json(s"${dir.stripPrefix("jsonl:")}/$name.jsonl"))
     else normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The generator may write parquet TIMESTAMP(MICROS) with
@@ -83,7 +90,7 @@ object Tables {
     */
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     if (dir.startsWith("engines:")) rowCount(spark, engineFor(dir, name), name)
-    else if (dir.startsWith("jdbc:")) read(spark, dir, name).count()
+    else if (dir.startsWith("jdbc:") || dir.startsWith("jsonl:")) read(spark, dir, name).count()
     else {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -125,4 +125,14 @@ class SourcesSpec extends SparkSpec {
     assert(widened.filter(col("c_future_col").isNotNull).count() == 0)
     assert(widened.count() == Tables.customer(spark, sf).count())
   }
+
+  test("jsonl: deployment — q26 over a jsonl documents table == q26 over parquet") {
+    val path = s"/tmp/graft_jsonl_spec_${System.nanoTime()}"
+    Tables.documents(spark, sf).write.mode("overwrite").json(s"$path/documents.jsonl")
+    val overJsonl = LlmQueries.q26(spark, s"jsonl:$path").collect().toSeq
+    val overParquet = LlmQueries.q26(spark, sf).collect().toSeq
+    assert(overJsonl == overParquet, "jsonl deployment diverged from parquet")
+    assert(Tables.rowCount(spark, s"jsonl:$path", "documents") ==
+      Tables.rowCount(spark, sf, "documents"))
+  }
 }
