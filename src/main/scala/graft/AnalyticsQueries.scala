@@ -2865,4 +2865,114 @@ object AnalyticsQueries {
          ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
        WHERE f.query_id < f.neighbor_id
        ORDER BY id_a, id_b"""
+
+  // q164: SEASONAL-baseline deviation screen — the top-2 days per
+  // event type most above their own WEEKDAY's average (q126's
+  // trailing-mean spike detector is blind to weekly rhythm: every
+  // Monday looks like a spike against a Sunday-heavy window; the
+  // seasonal profile compares Mondays to Mondays). Weekday =
+  // epoch-day mod 7 — pure integer arithmetic, no calendar functions
+  // to disagree on. The ratio n·days_dow / total_dow is one IEEE
+  // division of exact small integers (identical across engines), so
+  // the (ratio desc, day asc) ranking is a total order. Everything
+  // after the (type, day) pre-agg runs on ≤|types|·|days| rows; the
+  // ranking window frames are weekday-baseline-joined aggregates,
+  // never fact rows.
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+    val base = daily.groupBy("event_type", "dow")
+      .agg(sum(col("n")).as("total_dow"), count(lit(1)).as("days_dow"))
+    val scored = daily.join(base, Seq("event_type", "dow"))
+      .withColumn("ratio_to_baseline",
+        (col("n") * col("days_dow")).cast(DoubleType) / col("total_dow").cast(DoubleType))
+    // top-2 most-above-baseline days per type: every term of the ratio
+    // is an exact small integer, so the double is identical across
+    // engines and the (ratio desc, day asc) order is total
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("ratio_to_baseline").desc, col("day").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("event_type"), col("rk"), col("day"), col("dow"), col("n"),
+        col("total_dow"), col("days_dow"), col("ratio_to_baseline"))
+      .orderBy("event_type", "rk")
+  }
+
+  val q164Sql: String =
+    """WITH daily AS (
+         SELECT event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day,
+           count(*) AS n
+         FROM events GROUP BY 1, 2
+       ), d2 AS (
+         SELECT event_type, day, n, day % 7 AS dow FROM daily
+       ), base AS (
+         SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS total_dow,
+           CAST(count(*) AS BIGINT) AS days_dow
+         FROM d2 GROUP BY 1, 2
+       ), scored AS (
+         SELECT d2.event_type, d2.day, d2.dow, CAST(d2.n AS BIGINT) AS n,
+           base.total_dow, base.days_dow,
+           CAST(d2.n * base.days_dow AS DOUBLE) / CAST(base.total_dow AS DOUBLE)
+             AS ratio_to_baseline
+         FROM d2 JOIN base USING (event_type, dow)
+       )
+       SELECT event_type, rk, day, dow, n, total_dow, days_dow, ratio_to_baseline
+       FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+           ORDER BY ratio_to_baseline DESC, day ASC) AS INTEGER) AS rk
+         FROM scored)
+       WHERE rk <= 2 ORDER BY event_type, rk"""
+
+  // q165: HHI revenue concentration — the Herfindahl–Hirschman index
+  // of supplier revenue per nation (Σ share², the antitrust/market-
+  // structure measure; q122's Pareto deciles show the curve, HHI is
+  // its scalar). Squared cent sums leave long range (cents² ≈ 10¹⁷ per
+  // supplier), so the sufficient statistics accumulate as
+  // decimal(38,0) — q121's exactness-at-scale rule — and the index is
+  // ONE IEEE division of two exactly-represented integers, identically
+  // parenthesized in the oracle. Fact-scale work is one
+  // (nation, supplier) revenue shuffle; the HHI rollup runs on
+  // ≤|suppliers| rows.
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(cents(sum(col("l_extendedprice"))).as("rev_c"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_c").cast(dec)).as("total"),
+        sum(col("rev_c").cast(dec) * col("rev_c").cast(dec)).as("sumsq"),
+        max(col("rev_c")).as("top_rev_c"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        col("total").cast(LongType).as("total_c"),
+        // integer PPM, not a double: sumsq and total² exceed 2^53, and
+        // decimal→double vs HUGEINT→double rounding diverged at the
+        // 17th digit — integer floor division is representation-proof
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sumsq) div (total * total) AS BIGINT)")
+          .as("hhi_ppm"),
+        (col("top_rev_c").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("top_share"))
+      .orderBy("s_nationkey")
+  }
+
+  val q165Sql: String =
+    """WITH rev AS (
+         SELECT s_nationkey, s_suppkey,
+           CAST(round(SUM(l_extendedprice) * 100) AS BIGINT) AS rev_c
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1, 2
+       )
+       SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev_c) AS BIGINT) AS total_c,
+         CAST((1000000 * SUM(CAST(rev_c AS HUGEINT) * rev_c))
+           // (SUM(CAST(rev_c AS HUGEINT)) * SUM(CAST(rev_c AS HUGEINT))) AS BIGINT) AS hhi_ppm,
+         CAST(max(rev_c) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS top_share
+       FROM rev GROUP BY 1 ORDER BY s_nationkey"""
 }

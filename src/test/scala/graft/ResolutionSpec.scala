@@ -154,6 +154,53 @@ class ResolutionSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("q161/q162/q164/q165 invariants hold against brute-force recomputes") {
+    // q161: cumulative revenue is monotone per cohort and sums to the total
+    val ltv = AnalyticsQueries.q161(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(ltv.nonEmpty)
+    ltv.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).sum == sorted.last._4, "cum != sum of rev")
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    val totalRev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(round(sum(col("value")) * 100).cast("long")).collect()(0).getLong(0)
+    assert(ltv.map(_._3).sum == totalRev, "cohort LTV loses revenue")
+
+    // q162: every reported pair is mutually in each other's top-3
+    val emb = graft.sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top3(q: Long): Seq[Long] = emb.keys.filter(_ != q).toSeq
+      .map(c => (c, cos(emb(q), emb(c)))).sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+    val recip = AnalyticsQueries.q162(spark, sf).collect()
+    assert(recip.nonEmpty)
+    recip.take(20).foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(top3(a).contains(b) && top3(b).contains(a), s"($a,$b) not mutual")
+    }
+
+    // q164: each type's rank-1 day has the max ratio
+    val dev = AnalyticsQueries.q164(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(7)))
+    dev.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length == 2 && rows.minBy(_._2)._3 >= rows.maxBy(_._2)._3)
+    }
+
+    // q165: HHI in [1e6/n, 1e6], and top supplier's share squared bounds it below
+    AnalyticsQueries.q165(spark, sf).collect().foreach { r =>
+      val (n, hhi, topShare) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L)
+      assert(hhi >= (topShare * topShare * 1e6).toLong - 1)
+    }
+  }
+
   test("q152 skip-gram pairs come from the ±2 window and lift is exact") {
     val rows = LlmQueries.q152(spark, sf).collect()
     assert(rows.size <= 50 && rows.nonEmpty)
