@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.{EventStream, RawEvent}
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence trials for the debounce fold — seeded
+  * generators (replayable), with the reference a plain in-memory
+  * greedy walk, so agreement is evidence of semantics, not shared
+  * code. Covers the batch higher-order-aggregate form (q155's core)
+  * and the streaming buffer-until-watermark form on SHUFFLED arrival
+  * order — the property that makes streaming debounce correct at all.
+  */
+class RandomizedDebounceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cd = 300L
+
+  private def randomEvents(seed: Long, rows: Int, keys: Int, span: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to rows).map(i => (rnd.nextInt(keys).toLong, rnd.nextInt(span).toLong, i.toLong))
+  }
+
+  /** In-memory greedy walk: keep iff ts > lastKept + Cd, (ts, id) order. */
+  private def walk(evs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    evs.groupBy(_._1).iterator.flatMap { case (k, es) =>
+      var last = Long.MinValue / 2
+      es.sortBy(e => (e._2, e._3)).flatMap { e =>
+        if (e._2 > last + Cd) { last = e._2; Some((k, e._3)) } else None
+      }
+    }.toSet
+
+  test("batch debounce fold == greedy walk on 5 seeded random corpora") {
+    (1L to 5L).foreach { seed =>
+      val evs = randomEvents(seed, rows = 500, keys = 23, span = 4000)
+      val df = evs.toDF("k", "ts_sec", "event_id")
+      val got = df.groupBy("k")
+        .agg(sort_array(collect_list(struct(col("ts_sec"), col("event_id")))).as("evs"))
+        .select(col("k"), explode(expr(
+          s"""aggregate(slice(evs, 2, size(evs)), array(evs[0]),
+              (acc, x) -> IF(x.ts_sec > element_at(acc, -1).ts_sec + $Cd,
+                             concat(acc, array(x)), acc))""")).as("e"))
+        .select(col("k"), col("e.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == walk(evs), s"seed $seed: batch fold diverged from walk")
+    }
+  }
+
+  test("streaming debounce == greedy walk on shuffled 3-batch replays (2 seeds)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    (1L to 2L).foreach { seed =>
+      val evs = randomEvents(seed + 100, rows = 120, keys = 7, span = 3000)
+      val shuffled = new scala.util.Random(seed).shuffle(evs)
+      val in = MemoryStream[RawEvent]
+      val out = EventStream.debounceStream(in.toDS(), cooldownSec = Cd,
+        watermarkDelay = "5000 seconds")
+      val qname = s"rdeb_${seed}_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        shuffled.grouped(40).foreach { batch =>
+          in.addData(batch.map { case (k, ts, id) =>
+            RawEvent(id, new java.sql.Timestamp(ts * 1000L), k, "t", 0.0)
+          }: _*)
+          q.processAllAvailable()
+        }
+        // two sentinels: advance the watermark past everything, then
+        // give the event-time timers a batch to fire in
+        in.addData(RawEvent(9999L, new java.sql.Timestamp(1000000L * 1000L), 999L, "t", 0.0))
+        q.processAllAvailable()
+        in.addData(RawEvent(9998L, new java.sql.Timestamp(1000001L * 1000L), 999L, "t", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(qname).as[graft.streaming.DebouncedEvent].collect()
+          .filter(_.user_id != 999L).map(e => (e.user_id, e.event_id)).toSet
+        assert(got == walk(evs), s"seed $seed: streaming debounce diverged from walk")
+      } finally q.stop()
+    }
+  }
+}
