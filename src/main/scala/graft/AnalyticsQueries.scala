@@ -2975,4 +2975,46 @@ object AnalyticsQueries {
            // (SUM(CAST(rev_c AS HUGEINT)) * SUM(CAST(rev_c AS HUGEINT))) AS BIGINT) AS hhi_ppm,
          CAST(max(rev_c) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS top_share
        FROM rev GROUP BY 1 ORDER BY s_nationkey"""
+
+  // q167: ORDER-TO-SHIP latency percentiles — p50/p90/p99 of the
+  // lineitem ship lag per order priority (the fulfilment-SLO readout;
+  // q38's discrete-percentile machinery applied to a JOIN-derived
+  // integer lag). Lags are exact whole days and can be NEGATIVE here
+  // (the generator's impossible sequences, quarantined by q156 —
+  // surfacing them in the distribution is the honest readout);
+  // percentile_disc picks actual data values, so no interpolation can
+  // diverge. One orderkey join (co-locatable via q141's bucketing) +
+  // one ≤|priorities|-group sort-aggregate.
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast(LongType))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days)").cast(LongType).as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days)").cast(LongType).as("p90_days"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days)").cast(LongType).as("p99_days"),
+        min(col("lag_days")).as("min_days"),
+        max(col("lag_days")).as("max_days"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q167Sql: String =
+    """WITH lags AS (
+         SELECT o_orderpriority,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT)
+             AS lag_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       )
+       SELECT o_orderpriority,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days) AS BIGINT) AS p50_days,
+         CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days) AS BIGINT) AS p90_days,
+         CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY lag_days) AS BIGINT) AS p99_days,
+         CAST(min(lag_days) AS BIGINT) AS min_days,
+         CAST(max(lag_days) AS BIGINT) AS max_days,
+         CAST(count(*) AS BIGINT) AS n
+       FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 }

@@ -854,4 +854,38 @@ object LlmQueries {
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          CAST((1000 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_chars_milli
        FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
+
+  // q166: LOG-BUCKETED length histogram per language — doc lengths in
+  // power-of-2 buckets (the standard long-tailed-length readout; linear
+  // bins under-resolve the head and explode the tail). floor(log2 n)
+  // WITHOUT libm: the bit length of n — length of the binary rendering
+  // (Spark `bin()`, DuckDB `printf('%b')`) — is floor(log2 n)+1
+  // exactly, for every positive integer, so the bucketing is
+  // integer-exact in both engines where a float log2 would round at
+  // bucket boundaries (the no-transcendental rule, applied to
+  // histograms). One combinable (lang, bucket) count shuffle; bucket
+  // bounds are powers of 2 reconstructed by shifting.
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .groupBy(col("lang"), (length(bin(col("n_chars"))) - 1).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("bucket_lo", expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)"))
+      .select("lang", "bucket", "bucket_lo", "n_docs", "total_chars", "min_chars", "max_chars")
+      .orderBy("lang", "bucket")
+  }
+
+  val q166Sql: String =
+    """SELECT lang,
+         CAST(length(printf('%b', n_chars)) - 1 AS BIGINT) AS bucket,
+         CAST(1::BIGINT << (length(printf('%b', n_chars)) - 1) AS BIGINT) AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+       FROM documents WHERE n_chars > 0
+       GROUP BY 1, 2, 3 ORDER BY lang, bucket"""
 }

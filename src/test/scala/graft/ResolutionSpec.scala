@@ -201,6 +201,19 @@ class ResolutionSpec extends SparkSpec {
     }
   }
 
+  test("q166 buckets are true power-of-2 ranges; q167 percentiles are ordered") {
+    LlmQueries.q166(spark, sf).collect().foreach { r =>
+      val (lo, mn, mx) = (r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(lo <= mn && mn <= mx && mx < 2 * lo,
+        s"bucket [$lo, ${2 * lo}) does not contain [$mn, $mx]")
+    }
+    AnalyticsQueries.q167(spark, sf).collect().foreach { r =>
+      val (p50, p90, p99, mn, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx, s"disordered percentiles: $r")
+    }
+  }
+
   test("q152 skip-gram pairs come from the ±2 window and lift is exact") {
     val rows = LlmQueries.q152(spark, sf).collect()
     assert(rows.size <= 50 && rows.nonEmpty)
