@@ -3017,4 +3017,113 @@ object AnalyticsQueries {
          CAST(max(lag_days) AS BIGINT) AS max_days,
          CAST(count(*) AS BIGINT) AS n
        FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // q168: HIERARCHICAL subtree rollup — every node's descendant count
+  // and subtree revenue over the decimal part hierarchy (parent =
+  // key div 10: a deterministic derivation standing in for a BOM /
+  // category tree). The scalable form is ANCESTOR-PATH EXPLODE, not a
+  // recursive join: each node emits its ≤depth ancestors in-row (the
+  // div-10 chain — in practice the materialized path column every
+  // warehouse hierarchy carries), and one combinable shuffle
+  // aggregates per ancestor. A recursive CTE pays depth ITERATIONS of
+  // joins with a barrier each; the path explode is ONE pass at
+  // fan-out ≤ depth (= 7 at sf10), embarrassingly parallel. The
+  // oracle renders the identical chain with list_transform — both
+  // engines agree exactly because the hierarchy is integer
+  // arithmetic. Depth itself is digit count — log10 without libm
+  // (q166's bit-length trick in base 10).
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"))
+      .filter(col("p_partkey") >= 1) // key 0 has no digit-chain parent; roots are 1..9
+    val exploded = parts
+      .select(col("price_c"),
+        // literal power-of-10 strides, not pow() — the
+        // no-transcendental rule (libm pow across engines) applied
+        // even where the values would round-trip
+        explode(expr(
+          """filter(transform(array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+               10000000L, 100000000L, 1000000000L, 10000000000L, 100000000000L,
+               1000000000000L), d -> p_partkey div d), a -> a >= 1)""")).as("anc"))
+    val rolled = exploded.groupBy(col("anc").as("p_partkey"))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("price_c")).as("subtree_c"))
+    parts.join(rolled, "p_partkey")
+      .select(col("p_partkey"),
+        (length(col("p_partkey").cast(StringType)) - 1).cast(LongType).as("depth"),
+        col("subtree_n"), (col("subtree_n") - 1).as("n_descendants"),
+        col("subtree_c"))
+      .filter(col("subtree_n") > 1) // interior nodes: the rollup rows a BOM reader asks for
+      .orderBy("p_partkey")
+  }
+
+  val q168Sql: String =
+    """WITH parts AS (
+         SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+         FROM part WHERE p_partkey >= 1
+       ), exploded AS (
+         SELECT unnest(list_filter(list_transform(
+                  [1, 10, 100, 1000, 10000, 100000, 1000000, 10000000, 100000000,
+                   1000000000, 10000000000, 100000000000, 1000000000000],
+                  d -> p_partkey // d), a -> a >= 1)) AS anc,
+           price_c
+         FROM parts
+       ), rolled AS (
+         SELECT anc AS p_partkey, CAST(count(*) AS BIGINT) AS subtree_n,
+           CAST(SUM(price_c) AS BIGINT) AS subtree_c
+         FROM exploded GROUP BY 1
+       )
+       SELECT p.p_partkey,
+         CAST(length(CAST(p.p_partkey AS VARCHAR)) - 1 AS BIGINT) AS depth,
+         r.subtree_n, r.subtree_n - 1 AS n_descendants, r.subtree_c
+       FROM parts p JOIN rolled r USING (p_partkey)
+       WHERE r.subtree_n > 1
+       ORDER BY p.p_partkey"""
+
+  // q169: broadcast BAND (range-lookup) join — customers assigned to
+  // fixed account-balance bands by a non-equi [lo, hi) join against a
+  // 5-row boundary dimension. The nested-loop broadcast join is the
+  // CORRECT plan here — the build side is constant-size, so each fact
+  // row scans 5 boundary rows in place of any shuffle (the same class
+  // as q99/q152's 1-row totals broadcast; contrast q52, where BOTH
+  // sides are fact-scale and banding must turn the range predicate
+  // into an equi-join). Integer cents make the [lo, hi) edges exact —
+  // a balance landing on a boundary belongs to exactly one band in
+  // both engines.
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val bands = Seq(
+      ("sub_zero", Long.MinValue / 2, 0L),
+      ("low", 0L, 250000L),
+      ("mid", 250000L, 500000L),
+      ("high", 500000L, 750000L),
+      ("top", 750000L, Long.MaxValue / 2)).toDF("band", "lo_c", "hi_c")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+      .join(broadcast(bands), col("bal_c") >= col("lo_c") && col("bal_c") < col("hi_c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("bal_c")).as("total_c"),
+        min(col("bal_c")).as("min_c"),
+        max(col("bal_c")).as("max_c"))
+      .orderBy("band")
+  }
+
+  val q169Sql: String =
+    """WITH bands(band, lo_c, hi_c) AS (
+         VALUES ('sub_zero', -4611686018427387904, 0),
+                ('low', 0, 250000),
+                ('mid', 250000, 500000),
+                ('high', 500000, 750000),
+                ('top', 750000, 4611686018427387903)
+       ), c AS (
+         SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer
+       )
+       SELECT band, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(SUM(bal_c) AS BIGINT) AS total_c,
+         CAST(min(bal_c) AS BIGINT) AS min_c,
+         CAST(max(bal_c) AS BIGINT) AS max_c
+       FROM c JOIN bands ON bal_c >= lo_c AND bal_c < hi_c
+       GROUP BY band ORDER BY band"""
 }

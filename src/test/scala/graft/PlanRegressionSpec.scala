@@ -524,4 +524,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(shuffles.size <= 2, // key shuffle + presentation sort
       s"q155 must shuffle once on the key (plus the output sort), got ${shuffles.size}")
   }
+
+  test("q168: ancestor rollup pre-aggregates map-side; q169: the band join broadcasts") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val p168 = plan(AnalyticsQueries.q168(spark, sf))
+    assert(p168.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p168.collect { case a: BaseAggregateExec => a }
+      .exists(_.aggregateExpressions.exists(_.toString.contains("partial_"))),
+      "q168's per-ancestor rollup must combine map-side")
+    val p169 = plan(AnalyticsQueries.q169(spark, sf))
+    val bnlj = p169.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size == 1,
+      "q169's range lookup must be ONE broadcast nested-loop join against the 5-row bands")
+  }
 }
