@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence trials for the median operators — seeded
+  * generators, in-memory brute-force references (different code, same
+  * semantics), r6's randomized-trial convention. These pin the two
+  * subtle choices: the LOWER-median element pick at (n+1) div 2 over
+  * a RANGE frame (q150's core), and the first-price-where-2·cumw≥W
+  * weighted-median rule (q151's core).
+  */
+class RandomizedMedianSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling RANGE-frame lower median == brute force on 5 seeded series") {
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // sparse day series with gaps — RANGE vs ROWS frames differ here
+      val series = (1 to 200).map { i =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(60).toLong, rnd.nextInt(10000).toLong)
+      }.distinct
+      val daily = series.groupBy(e => (e._1, e._2)).map { case ((g, d), vs) =>
+        (g, d, vs.map(_._3).sum)
+      }.toSeq
+      val df = daily.toDF("g", "day", "v")
+      val w = Window.partitionBy("g").orderBy(col("day").asc).rangeBetween(-6, Window.currentRow)
+      val got = df
+        .withColumn("win", sort_array(collect_list(col("v")).over(w)))
+        .select(col("g"), col("day"),
+          element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")).as("med"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      daily.foreach { case (g, d, _) =>
+        val win = daily.collect { case (gg, dd, v) if gg == g && dd >= d - 6 && dd <= d => v }.sorted
+        assert(got((g, d)) == win((win.size - 1) / 2),
+          s"seed $seed ($g, $d): got ${got((g, d))}, want ${win((win.size - 1) / 2)}")
+      }
+    }
+  }
+
+  test("weighted median == brute force on 5 seeded corpora") {
+    (1L to 5L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map { _ =>
+        (s"b${rnd.nextInt(5)}", rnd.nextInt(50).toLong * 100, rnd.nextInt(9).toLong + 1)
+      }
+      val byPrice = rows.toDF("b", "price", "wt")
+        .groupBy("b", "price").agg(sum("wt").as("wt"))
+      val cum = Window.partitionBy("b").orderBy(col("price").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = byPrice
+        .withColumn("cumw", sum(col("wt")).over(cum))
+        .withColumn("totw", sum(col("wt")).over(Window.partitionBy("b")))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("b").agg(min(col("price")).as("wm"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.groupBy(_._1).foreach { case (b, rs) =>
+        val total = rs.map(_._3).sum
+        // reference: walk prices ascending, first price whose cumulative
+        // weight reaches half the total mass
+        val want = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, acc), (p, w)) => (p, acc + w) }.drop(1)
+          .find { case (_, cw) => cw * 2 >= total }.get._1
+        assert(got(b) == want, s"seed $seed brand $b: got ${got(b)}, want $want")
+      }
+    }
+  }
+}
