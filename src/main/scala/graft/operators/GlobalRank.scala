@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** `df` plus a global 1-based `rnCol` following `order`. */
+  /** `df` plus a global 1-based `rnCol` following `order`.
+    * `partitions` ≤ 0 (the default) follows the session's
+    * `spark.sql.shuffle.partitions` — the rank is partition-invariant
+    * (range cuts move, the order doesn't), so the width is purely a
+    * parallelism knob and must scale with the cluster, not sit at a
+    * constant. */
   def withRowNumber(df: DataFrame, order: Seq[Column], rnCol: String = "rn",
-                    partitions: Int = 8): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, order: _*)
+                    partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__pid", spark_partition_id())
     val offs = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(
