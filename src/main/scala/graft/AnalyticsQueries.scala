@@ -3126,4 +3126,46 @@ object AnalyticsQueries {
          CAST(max(bal_c) AS BIGINT) AS max_c
        FROM c JOIN bands ON bal_c >= lo_c AND bal_c < hi_c
        GROUP BY band ORDER BY band"""
+
+  // q170: BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL
+  // over the Jan-1997-vs-Feb-1997 shipped-part multisets (q42 covers
+  // the DISTINCT set ops; bags are the other half of the standard:
+  // multiplicity max(mₐ−m_b, 0) and min(mₐ, m_b), the semantics
+  // inventory/ledger reconciliation actually needs — "how many MORE
+  // of part X shipped in Jan than Feb", not "did it ship"). Spark's
+  // exceptAll/intersectAll plan as count-aggregate + generate (no
+  // row-pairing join); the comparison output re-aggregates per key so
+  // the oracle's EXCEPT ALL rendering is order-free.
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), month(col("l_shipdate")).as("m"), year(col("l_shipdate")).as("y"))
+      .filter(col("y") === 1997 && col("l_partkey") < 200)
+    val jan = li.filter(col("m") === 1).select("l_partkey")
+    val feb = li.filter(col("m") === 2).select("l_partkey")
+    def counted(df: DataFrame, op: String) =
+      df.groupBy("l_partkey").agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+    counted(jan.exceptAll(feb), "jan_minus_feb")
+      .unionByName(counted(feb.exceptAll(jan), "feb_minus_jan"))
+      .unionByName(counted(jan.intersectAll(feb), "both"))
+      .select("op", "l_partkey", "n")
+      .orderBy("op", "l_partkey")
+  }
+
+  val q170Sql: String =
+    """WITH li AS (
+         SELECT l_partkey, month(l_shipdate) AS m
+         FROM lineitem WHERE year(l_shipdate) = 1997 AND l_partkey < 200
+       ), jan AS (SELECT l_partkey FROM li WHERE m = 1),
+       feb AS (SELECT l_partkey FROM li WHERE m = 2),
+       jmf AS (SELECT l_partkey FROM jan EXCEPT ALL SELECT l_partkey FROM feb),
+       fmj AS (SELECT l_partkey FROM feb EXCEPT ALL SELECT l_partkey FROM jan),
+       both_ AS (SELECT l_partkey FROM jan INTERSECT ALL SELECT l_partkey FROM feb)
+       SELECT op, l_partkey, n FROM (
+         SELECT 'jan_minus_feb' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+         FROM jmf GROUP BY 2
+         UNION ALL
+         SELECT 'feb_minus_jan', l_partkey, CAST(count(*) AS BIGINT) FROM fmj GROUP BY 2
+         UNION ALL
+         SELECT 'both', l_partkey, CAST(count(*) AS BIGINT) FROM both_ GROUP BY 2)
+       ORDER BY op, l_partkey"""
 }
