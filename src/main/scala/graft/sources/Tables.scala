@@ -35,6 +35,13 @@ object Tables {
       // schema and reads once — SourcesSpec proves a query over jsonl
       // is bit-identical to the same query over parquet.
       normalizeTs(spark.read.json(s"${dir.stripPrefix("jsonl:")}/$name.jsonl"))
+    else if (dir.startsWith("csv:"))
+      // headered CSV deployment (the flat-file drop every warehouse
+      // still receives); inference reads values exactly like the JSON
+      // branch — same bit-identical contract in SourcesSpec.
+      normalizeTs(spark.read.option("header", "true").option("inferSchema", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(s"${dir.stripPrefix("csv:")}/$name.csv"))
     else normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The generator may write parquet TIMESTAMP(MICROS) with
@@ -90,7 +97,8 @@ object Tables {
     */
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     if (dir.startsWith("engines:")) rowCount(spark, engineFor(dir, name), name)
-    else if (dir.startsWith("jdbc:") || dir.startsWith("jsonl:")) read(spark, dir, name).count()
+    else if (dir.startsWith("jdbc:") || dir.startsWith("jsonl:") || dir.startsWith("csv:"))
+      read(spark, dir, name).count()
     else {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile

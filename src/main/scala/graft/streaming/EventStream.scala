@@ -460,6 +460,33 @@ object EventStream {
     * was split into micro-batches (merge is keyed keep-latest), which
     * is what the spec asserts.
     */
+  /** Streaming QUARANTINE sink — the reject-file split (q156's batch
+    * semantics) held per micro-batch: every arriving row is routed to
+    * the clean table or the reject table with its reason codes, and
+    * clean ∪ rejects == input exactly (no row is dropped, none lands
+    * twice — the property QuarantineSinkSpec asserts against a batch
+    * recompute). Rules are named Column predicates evaluated MAP-SIDE
+    * inside the batch; at warehouse scale this is the standard
+    * landing-zone split, with the reject table carrying the evidence
+    * a replay/repair job reads.
+    */
+  def quarantineSink(events: DataFrame, cleanPath: String, rejectPath: String,
+                     rules: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val violations = concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*)
+    val split: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      val marked = batch.toDF().withColumn("violations", violations)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        marked.filter(col("violations") === "").drop("violations")
+          .write.mode("append").parquet(cleanPath)
+        marked.filter(col("violations") =!= "")
+          .write.mode("append").parquet(rejectPath)
+      } finally marked.unpersist()
+    }
+    events.writeStream.foreachBatch(split)
+  }
+
   def mergeSink(events: DataFrame, targetPath: String, keys: Seq[String],
                 updatedAt: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val upsert: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) =>

@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.{EventStream, RawEvent}
+import org.apache.spark.sql.functions._
+
+/** Streaming quarantine split: clean ∪ rejects == input exactly across
+  * micro-batches, reject reasons match the batch rule evaluation. */
+class QuarantineSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quarantine sink routes every row exactly once, reasons == batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tag = System.nanoTime()
+    val clean = s"/tmp/graft_quar_clean_$tag"
+    val rejects = s"/tmp/graft_quar_rej_$tag"
+    val ckpt = s"/tmp/graft_quar_ckpt_$tag"
+    def ev(id: Long, v: Double, ty: String) =
+      RawEvent(id, new java.sql.Timestamp(1700000000000L + id * 1000), id % 5, ty, v)
+
+    val rules = Seq(
+      "value_above_cap" -> (col("value") > 100.0),
+      "error_event" -> (col("event_type") === "error"))
+    val in = MemoryStream[RawEvent]
+    val q = EventStream.quarantineSink(in.toDS().toDF(), clean, rejects, rules)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(ev(1, 50.0, "click"), ev(2, 150.0, "click"), ev(3, 10.0, "error"))
+      q.processAllAvailable()
+      in.addData(ev(4, 200.0, "error"), ev(5, 99.9, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cleanRows = spark.read.parquet(clean).select("event_id").as[Long].collect().toSet
+    val rej = spark.read.parquet(rejects).select("event_id", "violations")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanRows == Set(1L, 5L), s"clean set wrong: $cleanRows")
+    assert(rej == Map(2L -> "value_above_cap", 3L -> "error_event",
+      4L -> "value_above_cap,error_event"), s"reject reasons wrong: $rej")
+    assert(cleanRows.intersect(rej.keySet).isEmpty &&
+      (cleanRows ++ rej.keySet) == (1L to 5L).toSet)
+  }
+}

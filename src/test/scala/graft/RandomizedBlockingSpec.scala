@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized exhaustiveness trial for deletion-neighborhood blocking
+  * (the q83/q154 candidate generator): on seeded random string
+  * corpora, the mask join must surface EVERY pair at edit distance 1
+  * that brute force finds — the blocking-theorem guarantee (equal
+  * lengths ⇒ levenshtein 1 ⟺ exactly one substitution ⟺ collision on
+  * exactly the masked differing position), checked on data with no
+  * structure to hide behind.
+  */
+class RandomizedBlockingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev1(a: String, b: String): Boolean =
+    a.length == b.length && a.zip(b).count { case (x, y) => x != y } == 1
+
+  test("deletion-neighborhood mask join finds exactly the brute-force distance-1 pairs (3 seeds)") {
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // small alphabet + short strings force dense collisions
+      val names = (1 to 300).map { i =>
+        (i.toLong, (0 until 4 + rnd.nextInt(2)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      }
+      val df = names.toDF("id", "name")
+      val masked = df
+        .select(col("id"), col("name"), posexplode(split(col("name"), "(?!^)")))
+        .select(col("id"), col("name"), col("pos"),
+          concat(expr("substring(name, 1, pos)"),
+            expr("substring(name, pos + 2, length(name))")).as("masked"),
+          length(col("name")).as("len"))
+      val a = masked.select(col("pos"), col("masked"), col("len"),
+        col("id").as("id_a"), col("name").as("name_a"))
+      val b = masked.select(col("pos"), col("masked"), col("len"),
+        col("id").as("id_b"), col("name").as("name_b"))
+      val got = a.join(b, Seq("pos", "masked", "len"))
+        .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (i, x) <- names; (j, y) <- names
+        if i < j && x != y && lev1(x, y)
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"seed $seed: blocking missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"seed $seed: degenerate fixture (no distance-1 pairs)")
+    }
+  }
+}

@@ -135,4 +135,13 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.rowCount(spark, s"jsonl:$path", "documents") ==
       Tables.rowCount(spark, sf, "documents"))
   }
+
+  test("csv: deployment — q27 over a csv documents table == q27 over parquet") {
+    val path = s"/tmp/graft_csvdep_spec_${System.nanoTime()}"
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .option("header", "true").csv(s"$path/documents.csv")
+    val overCsv = LlmQueries.q27(spark, s"csv:$path").collect().toSeq
+    val overParquet = LlmQueries.q27(spark, sf).collect().toSeq
+    assert(overCsv == overParquet, "csv deployment diverged from parquet")
+  }
 }
