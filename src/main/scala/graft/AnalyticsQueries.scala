@@ -3168,4 +3168,80 @@ object AnalyticsQueries {
          UNION ALL
          SELECT 'both', l_partkey, CAST(count(*) AS BIGINT) FROM both_ GROUP BY 2)
        ORDER BY op, l_partkey"""
+
+  // q171: PERIOD-over-period growth — monthly order revenue with MoM
+  // and YoY ratios (the first chart of every revenue dashboard). The
+  // month spine is observed months only; MoM compares to the PREVIOUS
+  // month index (a gap yields NULL, not a misaligned lag — the month
+  // index makes "previous" arithmetic, q158's convention) and YoY to
+  // index −12, both via lag over the ≤|months|-row aggregate. Ratios
+  // are IEEE divisions of exact cents; everything after the (month)
+  // pre-agg is bounded.
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(((year(col("o_orderdate")) - 1970) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(cents(sum(col("o_totalprice"))).as("rev_c"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("m").asc)
+    monthly
+      .withColumn("prev_m", lag(col("m"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev_c"), 1).over(w))
+      .join(monthly.select((col("m") + 12).as("m"), col("rev_c").as("yoy_rev")), Seq("m"), "left")
+      .select(col("m"), col("rev_c"), col("n_orders"),
+        when(col("prev_m") === col("m") - 1,
+          col("rev_c").cast(DoubleType) / col("prev_rev").cast(DoubleType)).as("mom_ratio"),
+        (col("rev_c").cast(DoubleType) / col("yoy_rev").cast(DoubleType)).as("yoy_ratio"))
+      .orderBy("m")
+  }
+
+  val q171Sql: String =
+    """WITH monthly AS (
+         SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+           CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY 1
+       )
+       SELECT c.m, c.rev_c, c.n_orders,
+         CASE WHEN p.m IS NOT NULL
+           THEN CAST(c.rev_c AS DOUBLE) / CAST(p.rev_c AS DOUBLE) END AS mom_ratio,
+         CAST(c.rev_c AS DOUBLE) / CAST(y.rev_c AS DOUBLE) AS yoy_ratio
+       FROM monthly c
+         LEFT JOIN monthly p ON p.m = c.m - 1
+         LEFT JOIN monthly y ON y.m = c.m - 12
+       ORDER BY c.m"""
+
+  // q172: FRAME-VALUE window family — first_value / last_value /
+  // nth_value over an expanding frame (each customer's order history:
+  // first order price, latest, second — completing q41's ranking
+  // family with the VALUE-extraction windows; the "how did this
+  // account start vs where is it now" readout). One shuffle on the
+  // customer key serves all three functions plus the running count;
+  // the (date, key) tiebreak pins frame contents exactly.
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("total_c", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("total_c")).over(w).as("first_c"),
+        last(col("total_c")).over(w).as("latest_c"),
+        nth_value(col("total_c"), 2).over(w).as("second_c"),
+        count(lit(1)).over(w).as("n_so_far"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q172Sql: String =
+    """SELECT o_custkey, o_orderkey,
+         first_value(total_c) OVER w AS first_c,
+         last_value(total_c) OVER w AS latest_c,
+         nth_value(total_c, 2) OVER w AS second_c,
+         CAST(count(*) OVER w AS BIGINT) AS n_so_far
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+             FROM orders)
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey"""
 }
