@@ -2713,11 +2713,11 @@ object AnalyticsQueries {
     val sym = edges.select(col("u").as("n"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
     val deg = sym.groupBy("n").agg(count(lit(1)).as("d"))
-    val common = sym.select(col("n").as("a"), col("nbr").as("w"))
-      .join(sym.select(col("n").as("b"), col("nbr").as("w")), "w")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2) // degree-1 coincidences are all jaccard=1 noise
+    // minCommon=2: degree-1 coincidences are all jaccard=1 noise.
+    // degreeCap=None here (exact, oracle-matchable); the capped
+    // variant is the documented corpus-scale path (GraphOpsSpec
+    // proves cap ≥ max degree ⇒ identical, and capped ⊆ exact).
+    val common = GraphOps.commonNeighborPairs(edges, minCommon = 2, degreeCap = None)
     val nonAdj = common.join(edges.select(col("u").as("a"), col("v").as("b")),
       Seq("a", "b"), "left_anti")
     nonAdj

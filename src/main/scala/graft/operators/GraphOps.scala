@@ -642,4 +642,41 @@ object GraphOps {
     }
     labels
   }
+
+  /** Common-neighbor pair counting (the wedge-center join behind
+    * neighbor-set similarity / link prediction, q159): for every node
+    * pair (a < b), how many neighbors they share. EXACT counting is
+    * hub-quadratic — a degree-d wedge center contributes d² candidate
+    * pairs — so at corpus scale the standard mitigation is a DEGREE
+    * CAP: wedge centers with degree > cap are excluded from pair
+    * generation entirely (their evidence is mostly redundant — a hub
+    * connects everything to everything and carries no similarity
+    * signal; this is the "discard stopword features" move of AllPairs
+    * applied to graphs). The capped result is a provable UNDER-count:
+    * pairs ⊆ the exact pairs with per-pair counts ≤ exact, and equal
+    * whenever cap ≥ the max degree (spec'd) — the cap trades tail
+    * recall for a hard bound of cap² work per center.
+    *
+    * @param edges undirected (u, v) pairs, u < v, first two columns
+    * @param minCommon emit pairs sharing at least this many neighbors
+    * @param degreeCap exclude wedge centers with degree above this
+    */
+  def commonNeighborPairs(edges: DataFrame, minCommon: Long = 1,
+                          degreeCap: Option[Int] = None): DataFrame = {
+    val e = edges.toDF("u", "v")
+    val sym = e.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
+    val centers = degreeCap match {
+      case Some(cap) =>
+        val deg = sym.groupBy(col("nbr").as("w")).agg(count(lit(1)).as("d"))
+        sym.select(col("n"), col("nbr").as("w"))
+          .join(deg.filter(col("d") <= cap).select("w"), Seq("w"), "left_semi")
+      case None => sym.select(col("n"), col("nbr").as("w"))
+    }
+    centers.select(col("n").as("a"), col("w"))
+      .join(centers.select(col("n").as("b"), col("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCommon)
+  }
 }

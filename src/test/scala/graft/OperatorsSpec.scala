@@ -384,6 +384,33 @@ class GraphOpsSpec extends SparkSpec {
     val bound = 2.0 * math.pow(math.log(n.toDouble) / math.log(2.0), 2)
     assert(rounds <= bound.toInt, s"rounds=$rounds exceeds 2·log²(n)=$bound")
   }
+
+  test("commonNeighborPairs: degree cap is a provable under-count, exact at cap >= max degree") {
+    // star hub 0 — (1..6) plus a 4-clique (1,2,3,4): hub wedges dominate
+    val edges = ((1L to 6L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))).toDF("u", "v")
+    def pairs(cap: Option[Int]) = GraphOps.commonNeighborPairs(edges, 1, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairs(None)
+    // brute force
+    val adj = ((1L to 6L).flatMap(i => Seq(0L -> i, i -> 0L)) ++
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).flatMap {
+        case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      c = (adj(a) intersect adj(b)).size if c >= 1
+    } yield (a, b) -> c.toLong).toMap
+    assert(exact == want, s"uncapped != brute force: $exact vs $want")
+    // cap >= max degree (hub has 6+3=... hub degree 6): identical
+    assert(pairs(Some(10)) == exact)
+    // small cap excludes the hub as a wedge center: strict under-count,
+    // never an over-count, and surviving pairs only lose hub evidence
+    val capped = pairs(Some(4))
+    assert(capped.nonEmpty && capped != exact)
+    capped.foreach { case (k, c) => assert(c <= exact(k), s"over-count at $k") }
+    assert(capped.keySet.subsetOf(exact.keySet))
+  }
 }
 
 class TimeSeriesOpsSpec extends SparkSpec {
