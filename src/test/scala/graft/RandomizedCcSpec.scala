@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Randomized equivalence trials for connected components — the most
+  * composed-upon iterative operator (q13/q60/q72/q154/q160 all sit on
+  * it). Seeded random graphs across densities (sparse forest →
+  * supercritical), reference = in-memory union-find (different
+  * algorithm entirely), so agreement is evidence of semantics. The
+  * structured specs pin the diameter/round bounds; this pins the
+  * LABELS on adversarially unstructured inputs.
+  */
+class RandomizedCcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component id = min member id, matching connectedComponents' contract
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connectedComponents == union-find on seeded random graphs across densities") {
+    for (seed <- 1L to 3L; mFactor <- Seq(0.3, 1.0, 2.5)) {
+      val n = 200
+      val rnd = new scala.util.Random(seed * 31 + (mFactor * 10).toInt)
+      val m = (n * mFactor).toInt
+      val edges = (1 to m).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = GraphOps.connectedComponents(edges.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = unionFind(n, edges)
+      // the operator labels only nodes that appear in edges
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = ref.filter { case (k, _) => touched(k) }
+      assert(got == want,
+        s"seed=$seed m=$m: CC diverged from union-find on ${
+          (got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+    }
+  }
+}
