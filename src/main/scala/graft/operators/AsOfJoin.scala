@@ -27,11 +27,23 @@ object AsOfJoin {
     * @param leftTs    left timestamp column name
     * @param rightTs   right timestamp column name
     * @param joinType  "inner" (drop unmatched) or "left"
+    * @param direction "backward" (latest right ≤ left ts — the
+    *                  default), "forward" (earliest right ≥ left ts),
+    *                  or "nearest" (smaller |Δts|, ties to the
+    *                  backward match) — pandas merge_asof's three
+    *                  modes. Forward is the same one-shuffle window
+    *                  pass with the sort reversed; nearest evaluates
+    *                  both passes over ONE exchange (same partition
+    *                  keys — Spark re-sorts, never re-shuffles) and
+    *                  picks per row by exact Δ comparison.
     * @return left columns + right columns (right null when unmatched)
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+           leftTs: String, rightTs: String, joinType: String = "inner",
+           direction: String = "backward"): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported: $joinType")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unsupported direction: $direction")
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
 
@@ -50,13 +62,34 @@ object AsOfJoin {
         struct(rightCols.map(col): _*).as("__r")): _*)
 
     // right rows sort before left rows at equal ts => ts equality matches
-    val w = Window.partitionBy(keys.map(col): _*)
+    val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reversed sort: the running last-right is now the EARLIEST right
+    // with ts >= the probe's (equality still matches — right first)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val probes = l.unionByName(r)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val unioned = l.unionByName(r)
+    val probes = (direction match {
+      case "backward" =>
+        unioned.withColumn("__match", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("__match", last(col("__r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        val db = col("__ts").cast("double") - col(s"__b.$rightTs").cast("double")
+        val df = col(s"__f.$rightTs").cast("double") - col("__ts").cast("double")
+        unioned
+          .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
+          .withColumn("__match",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(db <= df, col("__b")) // exact ties go backward (pandas rule)
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }).filter(col("__side") === 1)
     val matched =
       if (joinType == "inner") probes.filter(col("__match").isNotNull) else probes
 

@@ -40,4 +40,40 @@ class AsOfJoinSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly one shuffle:\n$plan")
   }
+
+  test("forward / nearest directions == brute force on the hand fixture and a seeded random one") {
+    def bruteDir(ls: Seq[(String, Long, String)], rs: Seq[(String, Long, Double)],
+                 dir: String): Map[(String, String), Option[Double]] =
+      ls.map { case (k, lt, tag) =>
+        val cands = rs.filter(_._1 == k)
+        val back = cands.filter(_._2 <= lt).sortBy(_._2).lastOption
+        val fwd = cands.filter(_._2 >= lt).sortBy(_._2).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) => if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+            case (b, f)             => b.orElse(f)
+          }
+        }
+        (k, tag) -> pick.map(_._3)
+      }.toMap
+
+    val lFix = Seq(("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 15L, "t3"))
+    val rFix = Seq(("A", 8L, 100.0), ("A", 10L, 101.0), ("A", 18L, 102.0), ("C", 1L, 9.0))
+    val rnd = new scala.util.Random(7)
+    val lRnd = (1 to 60).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(100).toLong, s"p$i"))
+    val rRnd = (1 to 40).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i * 1.0))
+      // unique (key, ts) on the reference side — the documented dedup precondition
+      .groupBy(q => (q._1, q._2)).map(_._2.head).toSeq
+
+    for ((ls, rs) <- Seq((lFix, rFix), (lRnd, rRnd)); dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOfJoin.asOf(ls.toDF("k", "ts", "tag"), rs.toDF("k", "ts", "px"),
+          Seq("k"), "ts", "ts", joinType = "left", direction = dir)
+        .select("k", "tag", "px").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(got == bruteDir(ls, rs, dir), s"direction=$dir diverged from brute force")
+    }
+  }
 }
