@@ -2835,14 +2835,10 @@ object AnalyticsQueries {
     val nn = graft.operators.Similarity
       .bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-    val fwd = nn.filter(col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
-        col("rank").as("rank_ab"), col("cosine"))
-    val rev = nn.filter(col("query_id") > col("neighbor_id"))
-      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
-        col("rank").as("rank_ba"))
-    fwd.join(rev, Seq("id_a", "id_b"))
-      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"), col("cosine"))
+    // the reciprocity join is the backend-independent
+    // Similarity.reciprocalPairs; AnnCompositionSpec proves the same
+    // layer over probeIvfPqIndex output agrees with this exact backend.
+    graft.operators.Similarity.reciprocalPairs(nn, "cosine")
       .orderBy("id_a", "id_b")
   }
 

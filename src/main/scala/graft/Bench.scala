@@ -64,7 +64,15 @@ object Bench {
     val qs = results.collect { case (k, ts) if ts.nonEmpty => "\"" + k + f"""\":${ts.min}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts) => ts.minOption }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"flaky":${flaky.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val jsonLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"flaky":${flaky.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Also persist the line to a file: the driver records a stdout TAIL,
+    // which truncates the (long) per-query map — the file is the complete,
+    // machine-readable artifact (VERDICT r7 #2).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

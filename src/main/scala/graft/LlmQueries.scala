@@ -610,19 +610,11 @@ object LlmQueries {
     val queries = emb.filter(col("vec_id") % 25 === 0)
     val nb = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
     val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lab"))
-    val votes = nb
-      .join(labels.select(col("vec_id").as("neighbor_id"), col("lab").as("nb_label")),
-        "neighbor_id")
-      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("n"))
-    val pred = votes.groupBy("query_id")
-      .agg(max(struct(col("n"), (-col("nb_label")).as("neg"), col("nb_label").as("lab")))
-        .as("best"))
-      .select(col("query_id"), col("best.lab").as("pred_label"), col("best.n").as("votes"))
-    pred.join(labels.select(col("vec_id").as("query_id"), col("lab").as("true_label")),
-        "query_id")
-      .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"),
-        (col("pred_label") === col("true_label")).cast("int").cast(LongType).as("correct"))
-      .orderBy("query_id")
+    // the vote layer is the backend-independent Similarity.voteClassify:
+    // the gate runs it over the exact top-k (oracle-matchable); the
+    // 100 TB swap feeds it probeIvfPqIndex output instead, and
+    // AnnCompositionSpec proves the two compositions agree.
+    Similarity.voteClassify(nb, labels).orderBy("query_id")
   }
 
   val q131Sql: String =
@@ -838,7 +830,10 @@ object LlmQueries {
   // At 100 TB the jsonl read is the one-off landing scan; everything
   // downstream runs on columnar rewrites.
   def q163(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+    // per-call nonce + sanitized dir (not dir.hashCode): concurrent runs
+    // over the same dir must not overwrite the jsonl another run is
+    // mid-read on, and 32-bit hashes can collide across dirs.
+    val path = s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${java.lang.Long.toHexString(System.nanoTime())}"
     Tables.documents(spark, dir)
       .write.mode("overwrite").json(s"$path/documents.jsonl")
     Tables.documents(spark, s"jsonl:$path")

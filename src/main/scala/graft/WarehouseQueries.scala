@@ -725,7 +725,11 @@ object WarehouseQueries {
   // partition as the scheduled OPTIMIZE job, never a global rewrite.
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Compaction
-    val tag = Integer.toHexString(dir.hashCode)
+    // per-call nonce + sanitized dir: a fixed hash-derived path would
+    // race under concurrent gate/test runs over the same dir (and a
+    // 32-bit hash can collide across dirs) — overwrite-while-read would
+    // corrupt the round-trip being verified.
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + java.lang.Long.toHexString(System.nanoTime())
     val frag = s"/tmp/graft_frag_$tag"
     val compacted = s"/tmp/graft_compacted_$tag"
     Tables.events(spark, dir)

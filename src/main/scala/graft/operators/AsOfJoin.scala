@@ -78,8 +78,18 @@ object AsOfJoin {
       case "forward" =>
         unioned.withColumn("__match", last(col("__r"), ignoreNulls = true).over(wF))
       case "nearest" =>
-        val db = col("__ts").cast("double") - col(s"__b.$rightTs").cast("double")
-        val df = col(s"__f.$rightTs").cast("double") - col("__ts").cast("double")
+        // Deltas on exact integer microseconds, not a double cast: at
+        // modern epochs a double's ulp is ~0.24 µs, so sub-µs rounding
+        // could misclassify an exact tie against the ties-go-backward
+        // rule. Non-timestamp ts columns (numeric event sequence)
+        // compare as doubles, their native exact-at-small-magnitude
+        // representation.
+        val isTs = unioned.schema("__ts").dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        def tsVal(c: org.apache.spark.sql.Column) =
+          if (isTs) unix_micros(c) else c.cast("double")
+        val db = tsVal(col("__ts")) - tsVal(col(s"__b.$rightTs"))
+        val df = tsVal(col(s"__f.$rightTs")) - tsVal(col("__ts"))
         unioned
           .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
           .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))

@@ -718,4 +718,52 @@ object Similarity {
         .select("query_id", "rank", "neighbor_id", "l2_dist")
     }
   }
+
+  // ---- Backend-independent kNN consumers --------------------------------
+
+  /** Majority-vote label classification over a NEIGHBOR LIST — the vote
+    * layer of q131, factored so any neighbor backend plugs in: the exact
+    * [[bruteForceTopK]] (the oracle-matchable gate path), [[lshTopK]],
+    * or a persisted [[probeIvfPqIndex]] (the 100 TB path — train once,
+    * probe many, codes partitioned by coarse list). `neighbors` needs
+    * only (query_id, neighbor_id); `labels` is (vec_id, lab). The vote
+    * and argmax collapse map-side (max of a (count, -label, label)
+    * struct — associative, no rank window), ties to the smallest label.
+    * AnnCompositionSpec proves vote-over-probeIvfPqIndex == vote-over-
+    * exact on a separable fixture where full-probe + full-rerank IVF-PQ
+    * is provably exact.
+    */
+  def voteClassify(neighbors: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = neighbors
+      .select("query_id", "neighbor_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("lab").as("nb_label")),
+        "neighbor_id")
+      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("n"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("n"), (-col("nb_label")).as("neg"), col("nb_label").as("lab")))
+        .as("best"))
+      .select(col("query_id"), col("best.lab").as("pred_label"), col("best.n").as("votes"))
+    pred.join(labels.select(col("vec_id").as("query_id"), col("lab").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"),
+        (col("pred_label") === col("true_label")).cast("int").cast("long").as("correct"))
+  }
+
+  /** RECIPROCAL nearest neighbors over a neighbor list — the mutual-NN
+    * join of q162, factored backend-independent like [[voteClassify]]:
+    * `nn` needs (query_id, neighbor_id, rank, `scoreCol`). Joins the
+    * (a→b) list against its transpose on the swapped key — ids only
+    * through the join — keeps a < b, carries the forward direction's
+    * rank and score.
+    */
+  def reciprocalPairs(nn: DataFrame, scoreCol: String): DataFrame = {
+    val fwd = nn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rank").as("rank_ab"), col(scoreCol))
+    val rev = nn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"),
+        col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"), col(scoreCol))
+  }
 }

@@ -33,8 +33,16 @@ object Tables {
       // LLM ingest actually starts from. Schema is inferred (one extra
       // metadata-scale pass); at 100 TB a production ingest pins the
       // schema and reads once — SourcesSpec proves a query over jsonl
-      // is bit-identical to the same query over parquet.
-      normalizeTs(spark.read.json(s"${dir.stripPrefix("jsonl:")}/$name.jsonl"))
+      // is bit-identical to the same query over parquet. inferTimestamp
+      // is OFF by default in spark.read.json, which would leave ts
+      // columns as StringType (normalizeTs can't fix strings) — turn it
+      // on so timestamp-bearing tables (events) keep their type.
+      // (no explicit timestampFormat: the patternless default parser is
+      // lenient ISO-8601 and accepts any fraction width, so both milli-
+      // and micro-precision writers round-trip.)
+      normalizeTs(spark.read
+        .option("inferTimestamp", "true")
+        .json(s"${dir.stripPrefix("jsonl:")}/$name.jsonl"))
     else if (dir.startsWith("csv:"))
       // headered CSV deployment (the flat-file drop every warehouse
       // still receives); inference reads values exactly like the JSON

@@ -469,20 +469,39 @@ object EventStream {
     * inside the batch; at warehouse scale this is the standard
     * landing-zone split, with the reject table carrying the evidence
     * a replay/repair job reads.
+    *
+    * Exactly-once across FAILURES, not just across rows: each
+    * micro-batch lands in its own `batch_id=<id>` partition with
+    * per-partition overwrite, so a batch retried after a mid-write
+    * crash REPLACES its own partition instead of appending a second
+    * copy (a blind `mode("append")` here would be at-least-once).
+    * Readers see a normal partitioned table; `batch_id` is also the
+    * replay/repair provenance column.
     */
   def quarantineSink(events: DataFrame, cleanPath: String, rejectPath: String,
                      rules: Seq[(String, org.apache.spark.sql.Column)])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val violations = concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*)
-    val split: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+    val split: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) => {
       val marked = batch.toDF().withColumn("violations", violations)
+        .withColumn("batch_id", lit(batchId))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dynKey = "spark.sql.sources.partitionOverwriteMode"
+      val spark = batch.sparkSession
+      val prevMode = spark.conf.getOption(dynKey)
+      spark.conf.set(dynKey, "dynamic")
       try {
         marked.filter(col("violations") === "").drop("violations")
-          .write.mode("append").parquet(cleanPath)
+          .write.mode("overwrite").partitionBy("batch_id").parquet(cleanPath)
         marked.filter(col("violations") =!= "")
-          .write.mode("append").parquet(rejectPath)
-      } finally marked.unpersist()
+          .write.mode("overwrite").partitionBy("batch_id").parquet(rejectPath)
+      } finally {
+        marked.unpersist()
+        prevMode match {
+          case Some(v) => spark.conf.set(dynKey, v)
+          case None    => spark.conf.unset(dynKey)
+        }
+      }
     }
     events.writeStream.foreachBatch(split)
   }

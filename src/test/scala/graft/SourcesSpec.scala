@@ -136,6 +136,26 @@ class SourcesSpec extends SparkSpec {
       Tables.rowCount(spark, sf, "documents"))
   }
 
+  test("jsonl: deployment — timestamp-bearing events table keeps its type and values") {
+    // Regression for the inferTimestamp gap: without it spark.read.json
+    // leaves ts as StringType (normalizeTs can't fix strings), so any
+    // jsonl deployment of a timestamp table silently changed type.
+    val path = s"/tmp/graft_jsonl_ts_${System.nanoTime()}"
+    val parquetEvents = Tables.events(spark, sf)
+    parquetEvents.write.mode("overwrite")
+      // micro-precision format: the default JSON writer prints only
+      // milliseconds, which would truncate micro-precision ts values
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(s"$path/events.jsonl")
+    val overJsonl = Tables.events(spark, s"jsonl:$path")
+    assert(overJsonl.schema("ts").dataType == TimestampType,
+      s"jsonl events.ts inferred as ${overJsonl.schema("ts").dataType}, want TimestampType")
+    // JSON inference orders fields alphabetically; align columns before compare
+    val a = overJsonl.select(parquetEvents.columns.map(col): _*)
+    assert(a.exceptAll(parquetEvents).isEmpty && parquetEvents.exceptAll(a).isEmpty,
+      "jsonl events deployment diverged from parquet")
+  }
+
   test("csv: deployment — q27 over a csv documents table == q27 over parquet") {
     val path = s"/tmp/graft_csvdep_spec_${System.nanoTime()}"
     Tables.documents(spark, sf).write.mode("overwrite")
