@@ -883,4 +883,79 @@ object LlmQueries {
          CAST(max(n_chars) AS BIGINT) AS max_chars
        FROM documents WHERE n_chars > 0
        GROUP BY 1, 2, 3 ORDER BY lang, bucket"""
+
+  // q173: REAL BPE tokenizer-apply — greedy lowest-rank-first pair
+  // merging under a validated merge table (graft.plans.Bpe), the
+  // actual token meter of a training-data pipeline (q28's regex only
+  // approximates one). The kernel is a native codegen'd expression:
+  // the merge table rides the codegen reference (broadcast-at-
+  // expression-level), the loop runs inside whole-stage codegen, and
+  // nothing shuffles — the count is map-side arithmetic like q28.
+  // Gate bounds the oracle's work (doc_id % 5, first 400 chars — both
+  // replicated in SQL): the DuckDB side must step the SAME greedy
+  // merge walk via a recursive CTE (one merge per iteration, leftmost
+  // lowest-rank pair — provably equal to merge-all under a valid
+  // table; see BpeImpl), and char-level recursion over full documents
+  // would dominate gate wall-clock for no extra coverage. DuckDB's
+  // list_reduce is buggy on 4+ folds (SURVEY §6) — the recursive CTE
+  // is the prescribed sequential-state oracle convention.
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Bpe
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("head"))
+      .select(col("doc_id"),
+        Bpe.bpeTokenCount(col("head"), Bpe.demoMerges).as("bpe_tokens"),
+        TextFunctions.bpeishTokenCount(col("head")).cast(LongType).as("pre_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q173Sql: String = {
+    // the rank CASE is GENERATED from the same merge list the Spark
+    // kernel uses (the q27Sql stop-list convention) — one source of
+    // truth for the vocabulary
+    val whens = graft.plans.Bpe.demoMerges.zipWithIndex
+      .map { case ((a, b), r) => s"WHEN '$a|$b' THEN $r" }.mkString(" ")
+    val rankList = s"""list_transform(range(1, len(syms)), i ->
+           CASE syms[CAST(i AS INTEGER)] || '|' || syms[CAST(i AS INTEGER) + 1]
+             $whens ELSE 1000000 END)"""
+    s"""WITH RECURSIVE sel AS (
+         SELECT doc_id, substr(text, 1, 400) AS head
+         FROM documents WHERE doc_id % 5 = 0
+       ), words AS (
+         SELECT doc_id,
+           unnest(regexp_extract_all(head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM sel
+       ), steps AS (
+         SELECT doc_id,
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+         FROM words
+         UNION ALL
+         SELECT doc_id,
+           syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:] AS syms
+         FROM (
+           SELECT doc_id, syms,
+             $rankList AS ranks,
+             list_aggregate(ranks, 'min') AS minr,
+             list_position(ranks, minr) AS pos
+           FROM steps)
+         WHERE minr < 1000000
+       ), finals AS (
+         SELECT doc_id, len(syms) AS n
+         FROM (
+           SELECT doc_id, syms,
+             $rankList AS ranks,
+             coalesce(list_aggregate(ranks, 'min'), 1000000) AS minr
+           FROM steps)
+         WHERE minr >= 1000000
+       )
+       SELECT s.doc_id,
+         CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+         CAST(len(regexp_extract_all(s.head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS pre_tokens
+       FROM sel s
+       LEFT JOIN (SELECT doc_id, SUM(n) AS bpe_tokens FROM finals GROUP BY doc_id) c
+         USING (doc_id)
+       ORDER BY s.doc_id"""
+  }
 }

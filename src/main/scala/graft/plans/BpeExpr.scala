@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real BPE tokenizer-apply: a (pair → rank) merge table applied by
+  * greedy lowest-rank-first merging — the actual meter of a training-
+  * data pipeline (the `bpeishTokenCount` regex approximates subword
+  * counts; this applies a vocabulary).
+  *
+  * Algorithm (per pre-token "word", codepoint symbols to start): find
+  * the adjacent symbol pair with the LOWEST merge rank (leftmost
+  * occurrence on ties), merge it, repeat until no adjacent pair is in
+  * the table. One occurrence per step is equivalent to the classic
+  * merge-all-occurrences-of-the-best-pair pass (Sennrich et al.,
+  * ACL'16; GPT-2's bpe()) for every VALID merge table — one where each
+  * rule's parts are single codepoints or composites created by an
+  * EARLIER rule — because any pair involving a composite outranks (is
+  * later than) the rule that created the composite, so merging the
+  * leftmost best occurrence can never surface a better pair than the
+  * remaining occurrences of the current best. [[BpeTable]] enforces
+  * validity at construction, making the two formulations (and the
+  * DuckDB recursive-CTE oracle, which steps one merge at a time)
+  * provably identical.
+  *
+  * Pre-tokenization is the repo's q28 convention — `[A-Za-z0-9]+`
+  * alnum runs plus isolated non-space symbols — so the word boundary
+  * is identical to the SQL `regexp_extract_all` the oracle uses.
+  * Symbols are CODEPOINTS (not UTF-16 units), matching DuckDB's
+  * character-based `substr`.
+  *
+  * Scale: the merge table ships once per executor inside the codegen
+  * reference (the broadcast-a-small-dim pattern at expression level);
+  * the per-row cost is the merge loop alone inside whole-stage codegen
+  * — no shuffle, no UDF, no per-row regex recompile.
+  */
+object BpeImpl {
+  private val PreToken = java.util.regex.Pattern.compile("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")
+
+  /** Greedy merge loop over one word's symbols; returns the final
+    * symbol count. `outTokens` (when non-null) collects the symbols. */
+  private def mergeWord(word: String, table: BpeTable,
+                        outTokens: java.util.ArrayList[UTF8String]): Int = {
+    val nCp = word.codePointCount(0, word.length)
+    if (nCp <= 1) {
+      if (outTokens != null) outTokens.add(UTF8String.fromString(word))
+      return 1
+    }
+    val syms = new java.util.ArrayList[String](nCp)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var done = false
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = table.rank(syms.get(j), syms.get(j + 1))
+        if (r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        syms.set(bestPos, syms.get(bestPos) + syms.get(bestPos + 1))
+        syms.remove(bestPos + 1)
+      }
+    }
+    if (outTokens != null) {
+      var j = 0
+      while (j < syms.size) { outTokens.add(UTF8String.fromString(syms.get(j))); j += 1 }
+    }
+    syms.size
+  }
+
+  def countTokens(s: UTF8String, table: BpeTable): Long = {
+    val str = s.toString
+    val m = PreToken.matcher(str)
+    var total = 0L
+    while (m.find()) total += mergeWord(str.substring(m.start, m.end), table, null)
+    total
+  }
+
+  def tokenize(s: UTF8String, table: BpeTable): GenericArrayData = {
+    val str = s.toString
+    val m = PreToken.matcher(str)
+    val out = new java.util.ArrayList[UTF8String]
+    while (m.find()) mergeWord(str.substring(m.start, m.end), table, out)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** A validated, serializable BPE merge table. Validity (each rule part
+  * is a single codepoint or an earlier rule's composite, no '|' inside
+  * a part) is what guarantees greedy-one-at-a-time == merge-all — see
+  * [[BpeImpl]]. Ranks are the merge list order, so ties are impossible
+  * across distinct pairs.
+  */
+case class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  {
+    val created = scala.collection.mutable.Set[String]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      Seq(a, b).foreach { p =>
+        require(p.nonEmpty && !p.contains("|"),
+          s"merge rule $i: part '$p' empty or contains the reserved '|'")
+        require(p.codePointCount(0, p.length) == 1 || created.contains(p),
+          s"merge rule $i: part '$p' is neither a single codepoint nor a " +
+            "composite created by an earlier rule (invalid BPE merge table)")
+      }
+      created += a + b
+    }
+  }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "|" + b, i) }
+    m
+  }
+
+  def rank(a: String, b: String): Int = {
+    val r = ranks.get(a + "|" + b)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+}
+
+/** `bpe_token_count(text) -> bigint`: allocation-free count path. */
+case class BpeTokenCount(child: Expression, table: BpeTable) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count requires string, got $other")
+    }
+  override def nullSafeEval(input: Any): Any =
+    BpeImpl.countTokens(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeImpl.countTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** `bpe_tokenize(text) -> array<string>`: the applied subwords, in
+  * document order (the packing/inspection surface; counting uses the
+  * allocation-free sibling). */
+case class BpeTokenize(child: Expression, table: BpeTable) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_tokenize requires string, got $other")
+    }
+  override def nullSafeEval(input: Any): Any =
+    BpeImpl.tokenize(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeImpl.tokenize($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+}
+
+object Bpe {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), BpeTable(merges)))
+
+  def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenize(ColumnBridge.expression(text), BpeTable(merges)))
+
+  /** Demo English merge table (valid by construction: every composite
+    * part is created by an earlier rule) — the vocabulary q173 and its
+    * recursive-CTE oracle share. A production vocab is loaded the same
+    * way: a Seq of merge pairs in training order. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h",   // th
+    "th" -> "e",  // the
+    "i" -> "n",   // in
+    "a" -> "n",   // an
+    "an" -> "d",  // and
+    "e" -> "r",   // er
+    "o" -> "n",   // on
+    "r" -> "e",   // re
+    "in" -> "g",  // ing
+    "o" -> "u",   // ou
+    "e" -> "n",   // en
+    "a" -> "t",   // at
+    "e" -> "s",   // es
+    "o" -> "r",   // or
+    "s" -> "t",   // st
+    "a" -> "r",   // ar
+    "t" -> "o",   // to
+    "i" -> "t",   // it
+    "i" -> "s",   // is
+    "e" -> "a")   // ea
+}

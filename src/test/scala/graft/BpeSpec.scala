@@ -1,0 +1,115 @@
+package graft
+
+import graft.plans.{Bpe, BpeTable}
+import org.apache.spark.sql.functions._
+
+/** Real-BPE tokenizer-apply kernel vs hand-computed merge walks. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tinyVocab = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d")
+
+  test("hand-computed merge walk: counts and tokens match") {
+    // "the": t,h,e -> th,e (rank 0) -> the (rank 1)            => [the]
+    // "thin": t,h,i,n -> th,i,n (0) -> th,in (2)               => [th, in]
+    // "and": a,n,d -> an,d (3) -> and (4)                      => [and]
+    // "x,y": pre-tokens x , y — all single symbols             => [x][,][y]
+    val df = Seq((1L, "the thin and x,y")).toDF("id", "text")
+      .select(col("id"),
+        Bpe.bpeTokenCount(col("text"), tinyVocab).as("n"),
+        Bpe.bpeTokenize(col("text"), tinyVocab).as("toks"))
+    val row = df.collect().head
+    assert(row.getAs[Long]("n") == 7L)
+    assert(row.getAs[scala.collection.Seq[String]]("toks").toSeq ==
+      Seq("the", "th", "in", "and", "x", ",", "y"))
+  }
+
+  test("lowest rank wins over leftmost position; equal-rank ties go leftmost") {
+    // "anth": a,n,t,h — pairs (a,n)=3, (n,t)=none, (t,h)=0: rank 0 wins
+    // though (a,n) is leftmost => a,n,th => (a,n)=3 => an,th => done
+    assert(Seq("anth").toDF("t")
+      .select(Bpe.bpeTokenize(col("t"), tinyVocab)).as[Seq[String]]
+      .head() == Seq("an", "th"))
+    // "abab" under [(a,b)]: leftmost (a,b) merges first, then the next
+    // — never the overlapping middle pair
+    assert(Seq("abab").toDF("t")
+      .select(Bpe.bpeTokenize(col("t"), Seq("a" -> "b"))).as[Seq[String]]
+      .head() == Seq("ab", "ab"))
+  }
+
+  test("greedy one-at-a-time == classic merge-all on the valid demo vocab") {
+    // reference implementation of the classic algorithm (Sennrich/GPT-2
+    // bpe(): pick min-rank pair PRESENT, merge ALL its occurrences
+    // left-to-right, repeat) — must agree with the kernel on every word
+    // because the demo table is valid (see BpeImpl scaladoc)
+    val ranks = Bpe.demoMerges.zipWithIndex.map { case ((a, b), i) => (a, b) -> i }.toMap
+    def mergeAll(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val present = syms.zip(syms.tail).filter(ranks.contains)
+        if (present.isEmpty) done = true
+        else {
+          val best = present.minBy(ranks)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && (syms(i), syms(i + 1)) == best) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val words = Seq("the", "theater", "interesting", "standard", "station",
+      "andante", "thinking", "restore", "earnest", "banana", "mississippi",
+      "那是一个", "don't", "a")
+    words.foreach { w =>
+      val got = Seq(w).toDF("t")
+        .select(Bpe.bpeTokenize(col("t"), Bpe.demoMerges)).as[Seq[String]].head()
+      // mergeAll runs per pre-token word; our inputs are chosen so the
+      // whole string is one word except the punctuated/unicode ones —
+      // compare via the kernel's own pre-tokenization for those
+      val preToks = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(w).toSeq
+      val want = preToks.flatMap(mergeAll)
+      assert(got == want, s"word '$w': got $got want $want")
+    }
+  }
+
+  test("invalid merge tables are rejected at construction") {
+    // 'xy' is never created by an earlier rule
+    val e = intercept[IllegalArgumentException] { BpeTable(Seq("xy" -> "z")) }
+    assert(e.getMessage.contains("invalid BPE merge table"))
+    // parts may not contain the reserved separator
+    intercept[IllegalArgumentException] { BpeTable(Seq("|" -> "a")) }
+    // order matters: composite used before creation
+    intercept[IllegalArgumentException] {
+      BpeTable(Seq("th" -> "e", "t" -> "h"))
+    }
+    // the demo vocabulary is valid
+    BpeTable(Bpe.demoMerges)
+  }
+
+  test("unicode: codepoint symbols, CJK chars are isolated pre-tokens") {
+    val toks = Seq("thé 中文ab").toDF("t")
+      .select(Bpe.bpeTokenize(col("t"), tinyVocab)).as[Seq[String]].head()
+    // "thé" is one alnum word? é is not [A-Za-z0-9] — splits to "th", "é";
+    // 中 and 文 are isolated symbol tokens; "ab" stays unmerged chars
+    assert(toks == Seq("th", "é", "中", "文", "a", "b"), s"got $toks")
+  }
+
+  test("q173 runs and counts are consistent: bpe_tokens >= pre_tokens, both positive") {
+    val out = LlmQueries.q173(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (bpe, pre) = (r.getAs[Long]("bpe_tokens"), r.getAs[Long]("pre_tokens"))
+      assert(bpe >= pre, s"doc ${r.get(0)}: merges cannot drop below one token per word")
+      assert(pre > 0)
+    }
+    // and the merges actually fire: strictly more subwords than words
+    assert(out.exists(r => r.getAs[Long]("bpe_tokens") > r.getAs[Long]("pre_tokens")))
+  }
+}
