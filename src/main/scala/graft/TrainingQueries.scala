@@ -883,4 +883,42 @@ object TrainingQueries {
            row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
          FROM documents)
        ORDER BY doc_id"""
+
+  // q174: PII AUDIT at RefinedWeb/CCNet scrub breadth — q62's trio plus
+  // SSN-shape, grouped/solid credit-card, (mostly-)full IPv6, and
+  // API-key/secret shapes, with PER-CATEGORY hit counts (the audit
+  // readout a privacy review actually wants: which categories fire,
+  // where, how often — not one opaque total). Still one codegen'd
+  // regexp_replace chain + per-pattern regexp_count, all map-side; the
+  // SQL mirror is GENERATED from CorpusOps.PiiPatterns so the two
+  // engines share one source of truth (q62Sql's convention, widened).
+  // Synthetic docs may legitimately count 0 for the new categories —
+  // the gate proves engine parity of the patterns; CorpusOpsSpec
+  // proves each pattern fires and redacts on a hand fixture.
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps._
+    val perCat = PiiPatterns.map { case (n, re, _) =>
+      piiHits(col("text"), re).as(s"n_$n")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: redactPiiFull(col("text")).as("clean_text") +: perCat: _*)
+      .withColumn("n_pii", PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .orderBy("doc_id")
+  }
+
+  val q174Sql: String = {
+    import graft.operators.CorpusOps.PiiPatterns
+    val chain = PiiPatterns.foldLeft("text") { case (acc, (_, re, tag)) =>
+      s"regexp_replace($acc, '$re', '$tag', 'g')"
+    }
+    val counts = PiiPatterns.map { case (n, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$n"
+    }.mkString(",\n         ")
+    val total = PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
+    s"""SELECT doc_id,
+         $chain AS clean_text,
+         $counts,
+         $total AS n_pii
+       FROM documents ORDER BY doc_id"""
+  }
 }

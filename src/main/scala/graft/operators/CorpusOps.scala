@@ -77,6 +77,52 @@ object CorpusOps {
       regexp_count(text, lit(Ipv4Re)) +
       regexp_count(text, lit(PhoneRe))).cast(LongType)
 
+  /** RefinedWeb/CCNet-class scrub breadth beyond the q62 trio: SSN-shape
+    * ids, grouped/solid 16-digit card numbers, (mostly-)full-form IPv6,
+    * and API-key/secret shapes (AWS access-key prefix, Stripe-style
+    * prefixed secrets). Same portability contract as the trio: every
+    * pattern is valid, with identical semantics, in Java regex AND RE2
+    * (no lookaround, no backreferences) so the DuckDB oracle mirrors
+    * them verbatim. IPv6 deliberately requires ≥5 hex groups — the
+    * fully-compressed `::` shorthands would need alternation breadth
+    * that starts matching clock times and ratios; a production scrub
+    * extends the list the same way these extend q62's.
+    */
+  val SsnRe    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val CcRe     = "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"
+  val Ipv6Re   = "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  val SecretRe = "\\b(?:sk|rk|pk)_(?:live_|test_)?[A-Za-z0-9]{16,}\\b"
+
+  /** The full scrub chain in application order: email first (may
+    * contain dots/digits), key shapes before the numeric family (a
+    * secret's digits must not be half-eaten by a number pattern),
+    * IPv6 before IPv4, and the digit-group family longest-first
+    * (CC 4-4-4-4, then SSN 3-2-4, then phone 3-3-4) so no earlier
+    * replacement can split a longer match. Replacement tags contain no
+    * digits, so a replacement can never CREATE a later match.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email",   EmailRe,   "[EMAIL]"),
+    ("aws_key", AwsKeyRe,  "[KEY]"),
+    ("secret",  SecretRe,  "[KEY]"),
+    ("ipv6",    Ipv6Re,    "[IPV6]"),
+    ("ipv4",    Ipv4Re,    "[IP]"),
+    ("cc",      CcRe,      "[CC]"),
+    ("ssn",     SsnRe,     "[SSN]"),
+    ("phone",   PhoneRe,   "[PHONE]"))
+
+  /** Text with every [[PiiPatterns]] category replaced by its typed
+    * tag. Still one codegen'd `regexp_replace` chain — scan-parallel,
+    * no UDF, no shuffle. */
+  def redactPiiFull(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, re, tag)) => regexp_replace(t, re, tag) }
+
+  /** Per-category hit count on the ORIGINAL text (see [[piiCount]] for
+    * why raw-input counting is the engine-portable choice). */
+  def piiHits(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast(LongType)
+
   // ----------------------------------------------------------- repetition
 
   /** Duplicate-token fraction: 1 - |distinct tokens| / |tokens|.
