@@ -540,8 +540,54 @@ object AnalyticsQueries {
   // under cloning; identical names never qualify (distance 0), so
   // layering drops nothing. Only the true output (which is
   // legitimately quadratic in clones) expands.
+  // ADAPTIVE (r8): the distinct-name layer exists to survive clones,
+  // but on a ~unique-name table (the gate-scale case) it costs an
+  // extra distinct + two expansion joins — a 3× sf0.1 regression in r7.
+  // q83 now picks on EVIDENCE: footer row count vs one column-pruned
+  // approx_count_distinct scan (at warehouse scale this number comes
+  // from catalog stats — Warehouse.analyzeTable — for free). >10%
+  // cloned names → layered; else the direct row-level neighborhood
+  // join. Q83AdaptiveSpec proves both paths produce identical output
+  // on a unique-name AND a clone-heavy fixture.
   def q83(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val n = Tables.rowCount(spark, dir, "customer")
+    val distinctEst =
+      c.agg(approx_count_distinct(col("c_name")).as("d")).head().getLong(0)
+    val result =
+      if (distinctEst.toDouble >= n * 0.9) q83Direct(c) else q83Layered(c)
+    result.orderBy("key_a", "key_b")
+  }
+
+  /** Deletion-neighborhood join on rows directly: right when names are
+    * ~unique (each qualifying pair meets at exactly ONE mask — equal-
+    * length distance-1 strings share only the differing position's
+    * mask — so the join output is ~|pairs|, no distinct layer needed).
+    * Clones would pay C(clones, 2)·len candidate rows per name here;
+    * that is what the adaptive check routes away from. */
+  private[graft] def q83Direct(c: DataFrame): DataFrame = {
+    val masked = c
+      .select(col("c_custkey"), col("c_name"),
+        posexplode(split(col("c_name"), "(?!^)")))
+      .select(col("c_custkey"), col("c_name"), col("pos"),
+        concat(
+          expr("substring(c_name, 1, pos)"),
+          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
+        length(col("c_name")).as("len"))
+    val a = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("pos", "masked", "len"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+  }
+
+  /** Clone-invariant layering (the r7 plan): neighborhood join on
+    * DISTINCT names, qualifying name pairs expand back to key pairs
+    * through two equi-joins. See the block comment above. */
+  private[graft] def q83Layered(c: DataFrame): DataFrame = {
     val names = c.select(col("c_name")).distinct()
     val masked = names
       .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
@@ -566,7 +612,6 @@ object AnalyticsQueries {
       .join(c.select(col("c_name").as("name_b"), col("c_custkey").as("key_b")), "name_b")
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b", "name_a", "name_b")
-      .orderBy("key_a", "key_b")
   }
 
   val q83Sql: String =

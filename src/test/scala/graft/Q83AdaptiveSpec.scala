@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adaptive q83: the direct row-level deletion-neighborhood join and
+  * the clone-invariant layered plan must be output-identical on BOTH
+  * the regime each is chosen for — so whichever the evidence check
+  * picks, the answer is the same. */
+class Q83AdaptiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame) =
+    df.select("key_a", "key_b", "name_a", "name_b")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+
+  private def brute(c: DataFrame) =
+    c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      .crossJoin(c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b")))
+      .filter(col("key_a") < col("key_b") &&
+        length(col("name_a")) === length(col("name_b")) &&
+        levenshtein(col("name_a"), col("name_b")) === 1)
+
+  test("direct == layered == brute force on a unique-name fixture") {
+    val c = Seq(
+      (1L, "carol"), (2L, "carom"), (3L, "caper"), (4L, "viper"),
+      (5L, "viler"), (6L, "tiger"), (7L, "xx"), (8L, "xy"), (9L, "zz"))
+      .toDF("c_custkey", "c_name")
+    val d = rows(AnalyticsQueries.q83Direct(c))
+    val l = rows(AnalyticsQueries.q83Layered(c))
+    val b = rows(brute(c))
+    assert(d == l, s"paths diverge: direct=${d.diff(l)} layered=${l.diff(d)}")
+    assert(d == b, "neighborhood blocking missed a distance-1 pair")
+    assert(d.contains((1L, 2L, "carol", "carom")) && d.contains((7L, 8L, "xx", "xy")))
+  }
+
+  test("direct == layered on a clone-heavy fixture (including same-name key pairs excluded)") {
+    // every name cloned 4x — the regime the layered plan exists for
+    val base = Seq("carol", "carom", "viper", "vixen", "qq")
+    val c = (for {
+      (n, i) <- base.zipWithIndex
+      k <- 0 until 4
+    } yield ((i * 4 + k + 1).toLong, n)).toDF("c_custkey", "c_name")
+    val d = rows(AnalyticsQueries.q83Direct(c))
+    val l = rows(AnalyticsQueries.q83Layered(c))
+    assert(d == l, s"paths diverge on clones: ${d.diff(l) ++ l.diff(d)}")
+    // clones expand pairs quadratically: carol x carom = 4*4 key pairs
+    assert(d.count { case (_, _, a, b) => Set(a, b) == Set("carol", "carom") } == 16)
+    // identical-name key pairs are distance 0 and never appear
+    assert(d.forall { case (_, _, a, b) => a != b })
+  }
+
+  test("q83 entry picks a path and stays oracle-shaped on the real table") {
+    val out = AnalyticsQueries.q83(spark, sf)
+    assert(out.columns.toSeq == Seq("key_a", "key_b", "name_a", "name_b"))
+    assert(out.count() > 0)
+  }
+}
