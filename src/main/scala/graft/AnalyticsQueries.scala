@@ -2498,51 +2498,14 @@ object AnalyticsQueries {
   // costs the same mask join as the unique-name table; the direct
   // per-row form paid C(clones, 2) rows per mask key — 361 s at sf10
   // against ~8 s layered.
-  def q154(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val grp = c.groupBy(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-      .agg(min(col("c_custkey")).as("gid"))
-    val masked = grp
-      .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-        posexplode(split(col("c_name"), "(?!^)")))
-      .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
-        col("pos"),
-        concat(
-          expr("substring(c_name, 1, pos)"),
-          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
-        length(col("c_name")).as("len"))
-    val a = masked.select(col("pos"), col("masked"), col("len"),
-      col("c_nationkey"), col("c_mktsegment"),
-      col("gid").as("gid_a"), col("c_name").as("name_a"))
-    val b = masked.select(col("pos"), col("masked"), col("len"),
-      col("c_nationkey"), col("c_mktsegment"),
-      col("gid").as("gid_b"), col("c_name").as("name_b"))
-    // a hamming-1 group pair collides on exactly ONE mask position, so
-    // no distinct pass is needed; distance-0 pairs never reach the
-    // join — they share a gid
-    val gedges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
-      .filter(col("gid_a") < col("gid_b") && col("name_a") =!= col("name_b"))
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
-      .select("gid_a", "gid_b")
-    val comp = GraphOps.connectedComponents(gedges) // (node = gid, component)
-    val labeled = c
-      .join(grp, Seq("c_name", "c_nationkey", "c_mktsegment"))
-      .join(comp, col("gid") === col("node"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("gid")))
-    labeled
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
-        // serialized (not a raw array) so the oracle hash compare is
-        // type-stable — q11's convention
-        expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',')")
-          .as("member_keys"))
-      .filter(col("n_members") >= 2)
-      .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
-        "cluster_id")
-      .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
+  // (r8) body moved verbatim to EntityResolution.golden so the batch
+  // one-shot and the streaming goldenRecordSink share every piece —
+  // blocking, match rule, survivorship; GoldenRecordSinkSpec proves a
+  // 3-batch replay (including a cluster-merging batch) == this one-shot
+  // over the union.
+  def q154(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EntityResolution.golden(Tables.customer(spark, dir))
       .orderBy("cluster_id")
-  }
 
   val q154Sql: String =
     """WITH RECURSIVE e AS (

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Golden-record entity resolution — q154's composition (super-node
+  * blocking → deletion-neighborhood match → connected components →
+  * Kimball survivorship), factored so the SAME pieces serve the batch
+  * one-shot AND the continuously-fed streaming sink
+  * (`EventStream.goldenRecordSink`): new customer batches extend
+  * clusters through `GraphOps.connectedComponentsIncrement` instead of
+  * re-running the fixpoint over history.
+  *
+  * Match rule (shared by every path and the recursive-CTE oracle):
+  * names at edit distance ≤ 1 with the same (nation, segment)
+  * agreement attributes co-refer. Distance-0 members collapse into one
+  * SUPER-NODE per distinct (name, nation, segment) group, so the mask
+  * join and the CC fixpoint run on group representatives — clone-
+  * invariant by construction (the q83/q154 lesson).
+  */
+object EntityResolution {
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** One super-node per distinct (name, nation, segment): gid = min
+    * member key. (The streaming state keeps the FIRST-SEEN gid instead
+    * — membership, not the internal id, is what the output contract
+    * depends on; see [[goldenFromState]].) */
+  def superNodes(c: DataFrame): DataFrame =
+    c.groupBy(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .agg(min(col("c_custkey")).as("gid"))
+
+  /** Deletion-neighborhood mask frame over group representatives. */
+  private def maskFrame(grp: DataFrame): DataFrame = grp
+    .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+      posexplode(split(col("c_name"), "(?!^)")))
+    .select(col("gid"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+      col("pos"),
+      concat(
+        expr("substring(c_name, 1, pos)"),
+        expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
+      length(col("c_name")).as("len"))
+
+  /** Distance-1 group edges between `left` groups and `right` groups
+    * under the agreement attributes, as NORMALIZED (min, max) pairs.
+    * The incremental step calls this with left = this batch's new
+    * groups, right = all groups seen: only new groups can create new
+    * edges, so per-batch cost is |new|·neighborhood, never |history|².
+    */
+  def groupEdges(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = maskFrame(left).select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("gid").as("gid_a"), col("c_name").as("name_a"))
+    val b = maskFrame(right).select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("gid").as("gid_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
+      .filter(col("gid_a") =!= col("gid_b") && col("name_a") =!= col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .select(least(col("gid_a"), col("gid_b")).as("src"),
+        greatest(col("gid_a"), col("gid_b")).as("dst"))
+      .distinct()
+  }
+
+  /** One-shot golden records over a full customer frame — q154's exact
+    * plan (moved verbatim; q154 delegates here). */
+  def golden(c: DataFrame): DataFrame = {
+    val grp = superNodes(c)
+    val masked = maskFrame(grp)
+    val a = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("gid").as("gid_a"), col("c_name").as("name_a"))
+    val b = masked.select(col("pos"), col("masked"), col("len"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("gid").as("gid_b"), col("c_name").as("name_b"))
+    // a hamming-1 group pair collides on exactly ONE mask position, so
+    // no distinct pass is needed; distance-0 pairs never reach the
+    // join — they share a gid
+    val gedges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
+      .filter(col("gid_a") < col("gid_b") && col("name_a") =!= col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .select("gid_a", "gid_b")
+    val comp = GraphOps.connectedComponents(gedges) // (node = gid, component)
+    val labeled = c
+      .join(grp, Seq("c_name", "c_nationkey", "c_mktsegment"))
+      .join(comp, col("gid") === col("node"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("gid")))
+    labeled
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
+        // serialized (not a raw array) so the oracle hash compare is
+        // type-stable — q11's convention
+        expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',')")
+          .as("member_keys"))
+      .filter(col("n_members") >= 2)
+      .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
+        "cluster_id")
+      .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
+  }
+
+  // ---- streaming state (parquet; the cdcSink/dedupIncrement precedent) ----
+
+  def customersPath(statePath: String) = s"$statePath/customers"
+  def groupsPath(statePath: String)    = s"$statePath/groups"
+  def labelsPath(statePath: String)    = s"$statePath/labels"
+
+  /** Apply one customer micro-batch to the resolution state:
+    *  1. groups NEW to the state get a stable gid (their first-seen min
+    *     key) and a singleton label;
+    *  2. `groupEdges(new, all)` generates exactly the edges this batch
+    *     can add;
+    *  3. `connectedComponentsIncrement` extends the labeling — O(|new|)
+    *     contraction, untouched clusters keep their rows.
+    * Customers land in a `batch_id` partition with dynamic overwrite
+    * (idempotent under foreachBatch retries, the quarantineSink rule).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"), col("c_acctbal"))
+    val groupCols = Seq("c_name", "c_nationkey", "c_mktsegment")
+    val prevGroups = MergeUpsert.readTargetIfExists(spark, groupsPath(statePath))
+    val prevLabels = MergeUpsert.readTargetIfExists(spark, labelsPath(statePath))
+
+    val newGroups = prevGroups match {
+      case Some(pg) => superNodes(b).join(pg.select(groupCols.map(col): _*), groupCols, "left_anti")
+      case None     => superNodes(b)
+    }
+    val allGroups = prevGroups.fold(newGroups)(_.unionByName(newGroups))
+      .localCheckpoint(true)
+    val edges = groupEdges(newGroups, allGroups)
+    // singletons only for gids the label state does not know yet: a
+    // retried batch that crashed between the label and group writes
+    // would otherwise insert a second, conflicting row per node
+    val singletons = newGroups.select(col("gid").as("node"), col("gid").as("component"))
+    val freshSingletons = prevLabels
+      .fold(singletons)(pl => singletons.join(pl.select("node"), Seq("node"), "left_anti"))
+    val labelsWithNew = prevLabels.fold(freshSingletons)(_.unionByName(freshSingletons))
+    val nextLabels = GraphOps
+      .connectedComponentsIncrement(labelsWithNew, edges)
+      .localCheckpoint(true) // never read the files being replaced
+
+    // write ORDER is the recovery contract: labels, then groups, then
+    // customers. groups-written implies labels-written, so a retry
+    // either re-derives the same labels (edges re-applied over current
+    // roots relabel to themselves — a no-op) or sees newGroups empty
+    // and passes the state through unchanged; every crash point
+    // converges to the same final state.
+    nextLabels.write.mode("overwrite").parquet(labelsPath(statePath))
+    allGroups.write.mode("overwrite").parquet(groupsPath(statePath))
+    val dynKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(dynKey)
+    spark.conf.set(dynKey, "dynamic")
+    try b.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(customersPath(statePath))
+    finally prevMode match {
+      case Some(v) => spark.conf.set(dynKey, v)
+      case None    => spark.conf.unset(dynKey)
+    }
+  }
+
+  /** Golden records from the streaming state — the q154 output contract
+    * over everything ingested so far. Cluster MEMBERSHIP comes from the
+    * incremental labels; the OUTPUT id is recomputed as the min member
+    * key (in the one-shot plan the CC min-id label IS that key; the
+    * incremental state's internal ids are first-seen gids, which can
+    * lag a later-arriving smaller key — membership, not the internal
+    * id, is the invariant). */
+  def goldenFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val c = spark.read.parquet(customersPath(statePath))
+    val grp = spark.read.parquet(groupsPath(statePath))
+    val labels = spark.read.parquet(labelsPath(statePath))
+    val labeled = c
+      .join(grp, Seq("c_name", "c_nationkey", "c_mktsegment"))
+      .join(labels.withColumnRenamed("node", "gid"), Seq("gid"), "left")
+      .withColumn("comp", coalesce(col("component"), col("gid")))
+    labeled
+      .groupBy(col("comp"))
+      .agg(min(col("c_custkey")).as("cluster_id"),
+        count(lit(1)).as("n_members"),
+        max(cents(col("c_acctbal"))).as("golden_acctbal_c"),
+        expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',')")
+          .as("member_keys"))
+      .filter(col("n_members") >= 2)
+      .join(c.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name")),
+        "cluster_id")
+      .select("cluster_id", "golden_name", "n_members", "golden_acctbal_c", "member_keys")
+  }
+}

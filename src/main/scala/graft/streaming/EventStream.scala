@@ -529,6 +529,25 @@ object EventStream {
     * affected-partition argument of `mergeIntoPartitionedParquet`) and
     * age tombstones out by seq retention.
     */
+  /** Streaming GOLDEN-RECORD sink: continuously-fed entity resolution —
+    * each customer micro-batch extends the resolved clusters through
+    * `EntityResolution.applyBatch` (super-node blocking on the batch's
+    * NEW groups only, `connectedComponentsIncrement` over the ≤|new|
+    * contracted delta — never a fixpoint over history). Query the
+    * current golden records with `EntityResolution.goldenFromState`;
+    * GoldenRecordSinkSpec proves a 3-batch replay — including a batch
+    * whose new name MERGES two existing clusters — equals the one-shot
+    * q154 over the union. Write order inside the batch (labels →
+    * groups → customers) makes foreachBatch retries converge; see
+    * EntityResolution.applyBatch.
+    */
+  def goldenRecordSink(customers: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val apply: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, batchId) =>
+      graft.operators.EntityResolution.applyBatch(batch.toDF(), batchId, statePath)
+    customers.writeStream.foreachBatch(apply)
+  }
+
   def cdcSink(changelog: DataFrame, statePath: String, keys: Seq[String],
               seqCols: Seq[String], opCol: String, deleteOp: String = "D")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.EntityResolution
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+case class Cust(c_custkey: Long, c_name: String, c_nationkey: Long,
+                c_mktsegment: String, c_acctbal: Double)
+
+/** Streaming entity resolution: a 3-batch replay through
+  * goldenRecordSink — new members to an old cluster, a brand-new
+  * cluster, a singleton, an agreement-attribute decoy, and a final
+  * batch whose one new name MERGES two existing clusters — must equal
+  * the one-shot q154 composition over the union. */
+class GoldenRecordSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("cluster_id").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[String]("golden_name"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("golden_acctbal_c"),
+        r.getAs[String]("member_keys"))).toSeq
+
+  test("3-batch replay == one-shot golden records, including a cluster-merging batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = s"/tmp/graft_golden_state_${System.nanoTime()}"
+    val ckpt = s"/tmp/graft_golden_ckpt_${System.nanoTime()}"
+
+    // carol~carom cluster A; carzz~carzx cluster B (distance 2 from A);
+    // carzl bridges both (distance 1 to carol AND carzz); zebra is a
+    // singleton; carol@nation2 shares the name but not the agreement
+    // attributes, so it must never match
+    val b1 = Seq(Cust(1, "carol", 1, "AUTO", 10.0), Cust(2, "carom", 1, "AUTO", 20.0),
+      Cust(7, "zebra", 1, "AUTO", 5.0))
+    val b2 = Seq(Cust(3, "carzz", 1, "AUTO", 30.0), Cust(4, "carzx", 1, "AUTO", 15.0),
+      Cust(8, "carol", 1, "AUTO", 50.0), Cust(9, "carol", 2, "AUTO", 60.0))
+    val b3 = Seq(Cust(5, "carzl", 1, "AUTO", 25.0))
+
+    val in = MemoryStream[Cust]
+    val q = EventStream.goldenRecordSink(in.toDS().toDF(), state)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // mid-stream: two separate clusters, the new member attached to A
+      val mid = rows(EntityResolution.goldenFromState(spark, state))
+      assert(mid == Seq(
+        (1L, "carol", 3L, 5000L, "1,2,8"),
+        (3L, "carzz", 2L, 3000L, "3,4")), s"mid-state wrong: $mid")
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = rows(EntityResolution.goldenFromState(spark, state))
+    val oneShot = rows(EntityResolution.golden((b1 ++ b2 ++ b3).toDF()))
+    assert(streamed == oneShot,
+      s"replay diverged from one-shot:\n  streamed=$streamed\n  one-shot=$oneShot")
+    // and the merge actually happened: one cluster spanning A ∪ B ∪ bridge
+    assert(streamed == Seq((1L, "carol", 6L, 5000L, "1,2,3,4,5,8")))
+  }
+
+  test("batch with no new groups and no edges passes state through unchanged") {
+    val state = s"/tmp/graft_golden_state2_${System.nanoTime()}"
+    EntityResolution.applyBatch(
+      Seq(Cust(1, "alpha", 1, "AUTO", 1.0), Cust(2, "alphb", 1, "AUTO", 2.0)).toDF(),
+      0L, state)
+    val before = rows(EntityResolution.goldenFromState(spark, state))
+    // same group key again: no new groups, delta edge set is empty —
+    // the increment must be a no-op on labels
+    EntityResolution.applyBatch(Seq(Cust(3, "alpha", 1, "AUTO", 9.0)).toDF(), 1L, state)
+    val after = rows(EntityResolution.goldenFromState(spark, state))
+    assert(before == Seq((1L, "alpha", 2L, 200L, "1,2")))
+    assert(after == Seq((1L, "alpha", 3L, 900L, "1,2,3")))
+  }
+}
