@@ -818,7 +818,7 @@ object AnalyticsQueries {
     val edges = copurchaseEdges(spark, dir)
     import spark.implicits._
     val source = edges.agg(min(col("u"))).as[Long].head()
-    GraphOps.bfsLevels(edges, source, maxDepth = 8)
+    GraphOps.bfsLevels(edges, source, maxDepth = 8, checkpointDir = Queries.graphCkpt)
       .select(col("node"), col("dist"))
       .orderBy("node")
   }
@@ -970,7 +970,7 @@ object AnalyticsQueries {
   // peeling CTE (q78's convention): 24 rounds ≥ the 16 sf0.01 needs,
   // and post-convergence rounds are provably no-ops.
   def q98(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.kCore(copurchaseEdges(spark, dir), k = 3)
+    GraphOps.kCore(copurchaseEdges(spark, dir), k = 3, checkpointDir = Queries.graphCkpt)
       .select(col("n").as("node"), col("d").as("deg"))
       .orderBy("node")
 
@@ -1082,7 +1082,7 @@ object AnalyticsQueries {
         (lit(1L) + (col("u") + col("v")) % 7L).as("w"))
     import spark.implicits._
     val source = edges.agg(min(col("u"))).as[Long].head()
-    GraphOps.ssspInt(edges, source, maxRounds = 12)
+    GraphOps.ssspInt(edges, source, maxRounds = 12, checkpointDir = Queries.graphCkpt)
       .orderBy("node")
   }
 
@@ -1463,7 +1463,8 @@ object AnalyticsQueries {
   // different plan. Community sizes come from a vocabulary-sized
   // aggregate joined back, never a window over nodes.
   def q116(spark: SparkSession, dir: String): DataFrame = {
-    val labels = GraphOps.labelPropagation(copurchaseEdges(spark, dir), rounds = 3)
+    val labels = GraphOps.labelPropagation(copurchaseEdges(spark, dir), rounds = 3,
+      checkpointDir = Queries.graphCkpt)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "label")
       .select(col("node"), col("label").as("community"), col("csize"))

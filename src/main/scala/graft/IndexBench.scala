@@ -47,7 +47,29 @@ object IndexBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    println(f"""{"metric":"ivfpq_index","build_sec":$buildSec%.3f,"probe_sec_min":${probeSecs.min}%.3f,"probe_sec_all":[${probeSecs.map(s => f"$s%.3f").mkString(",")}],"nlist":$nlist,"n":$n,"sf":"$sfDir"}""")
+    // The composed kNN-family consumers through the SAME persisted
+    // artifact — the 100 TB swap q131/q162 document (AnnCompositionSpec
+    // proves output agreement; this prices the swapped plan at scale):
+    // vote layer over the gate's query set, reciprocity over the newest
+    // decile (the incremental production shape — mutual-NN of new items
+    // against the index, not an all-corpus recompute).
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("lab"))
+    val voteSec = time {
+      Similarity.voteClassify(
+          Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding",
+            k = 5, nprobe = math.min(nlist, 8), rerank = 20, corpus = Some(emb)),
+          labels)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val decile = emb.filter(col("vec_id") % 10 === 0)
+    val recipSec = time {
+      Similarity.reciprocalPairs(
+          Similarity.probeIvfPqIndex(loaded, decile, "vec_id", "embedding",
+            k = 3, nprobe = math.min(nlist, 8), rerank = 10, corpus = Some(emb)),
+          "l2_dist")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"""{"metric":"ivfpq_index","build_sec":$buildSec%.3f,"probe_sec_min":${probeSecs.min}%.3f,"probe_sec_all":[${probeSecs.map(s => f"$s%.3f").mkString(",")}],"vote_sec":$voteSec%.3f,"recip_decile_sec":$recipSec%.3f,"nlist":$nlist,"n":$n,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

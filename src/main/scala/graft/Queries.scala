@@ -22,6 +22,11 @@ object Queries {
   /** Exact per-row cents: round(x*100) as BIGINT. */
   private def cents(c: Column): Column = round(c * 100).cast(LongType)
   private def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  /** Reliable-checkpoint opt-in for the iterative graph queries: unset
+    * (the gate/bench default) keeps localCheckpoint; scale runs set
+    * SPARK_GRAFT_CKPT so per-round state survives executor loss — the
+    * 1000-executor posture, exercised in the sf100 rows. */
+  private[graft] def graphCkpt: Option[String] = sys.env.get("SPARK_GRAFT_CKPT")
 
   // q01: pushdown scan — filter + projection reach the parquet reader
   // (reference: time-window bounding, stats.py:841). `.explain` shows
@@ -273,7 +278,7 @@ object Queries {
     def decode(c: Column): Column =
       when(c % 2 === 0, concat(lit("O"), (c / 2).cast(LongType)))
         .otherwise(concat(lit("P"), ((c - 1) / 2).cast(LongType)))
-    GraphOps.componentSizes(edges)
+    GraphOps.componentSizes(edges, checkpointDir = graphCkpt)
       .select(decode(col("node")).as("node"), decode(col("component")).as("component"),
         col("component_size"))
       .orderBy("node")
@@ -323,7 +328,7 @@ object Queries {
     def decode(c: Column): Column =
       when(c % 2 === 0, concat(lit("O"), (c / 2).cast(LongType)))
         .otherwise(concat(lit("P"), ((c - 1) / 2).cast(LongType)))
-    GraphOps.pageRankInt(edges, iters = 10)
+    GraphOps.pageRankInt(edges, iters = 10, checkpointDir = graphCkpt)
       .select(decode(col("node")).as("node"), col("r").as("rank_micro"))
       .orderBy("node")
   }

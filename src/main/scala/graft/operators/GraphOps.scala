@@ -182,8 +182,9 @@ object GraphOps {
     * (`stats.py:310` returns `len(stack)` for one revision; this returns
     * it for every node in one pass).
     */
-  def componentSizes(edges: DataFrame): DataFrame = {
-    val cc = connectedComponents(edges)
+  def componentSizes(edges: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(edges, checkpointDir = checkpointDir)
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("component_size"))
     cc.join(sizes, "component").select("node", "component", "component_size")
   }

@@ -67,6 +67,32 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q173/q174: per-row tokenizer/PII transforms stay exchange-free except the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    Seq(LlmQueries.q173(spark, sf), TrainingQueries.q174(spark, sf)).foreach { df =>
+      val p = plan(df)
+      val shuffles = p.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= 1,
+        s"map-only transform must carry at most the presentation-sort exchange, got ${shuffles.size}")
+      assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
+        "BPE apply / PII scrub must not plan any join")
+    }
+    // and the BPE kernel participates in whole-stage codegen (the
+    // native-expression point: no interpreted eval in the hot path).
+    // AQE reveals codegen stages only in the EXECUTED plan, marked by
+    // `*(n)` prefixes (the documented gotcha) — so execute, then pin.
+    val q173df = LlmQueries.q173(spark, sf)
+    q173df.collect() // finalize the adaptive plan on THIS queryExecution
+    val executed = q173df.queryExecution.executedPlan.toString
+    assert(executed.contains("bpe_token_count"),
+      "bpe_token_count missing from the q173 plan")
+    val codegenLine = executed.split("\n")
+      .find(l => l.contains("bpe_token_count") && l.contains("*("))
+    assert(codegenLine.nonEmpty,
+      s"bpe_token_count fell out of whole-stage codegen:\n$executed")
+  }
+
   test("q73/q74: corpus joins stay equi-joins — no nested loop, no cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     Seq(TrainingQueries.q73(spark, sf), TrainingQueries.q74(spark, sf)).foreach { df =>
