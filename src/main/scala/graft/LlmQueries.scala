@@ -958,4 +958,69 @@ object LlmQueries {
          USING (doc_id)
        ORDER BY s.doc_id"""
   }
+
+  // q175: BPE vocabulary TRAINING — learn the merge table from the
+  // corpus itself (Sennrich ACL'16): 8 rounds of count-all-adjacent-
+  // pairs → merge-the-most-frequent (ties to the lexicographically
+  // smallest pair — a total order, since ranks can't tie). The engine
+  // side is graft.plans.Bpe.trainMerges: per round one map-side-
+  // combinable pair-count shuffle + one literal map-side replace; the
+  // only driver traffic is a 1-row argmax per round. The oracle
+  // UNROLLS the same 8 rounds as chained CTEs (q78's convention —
+  // recursive CTEs can't aggregate in the recursive term), with the
+  // separator-string trick making the apply step a plain replace()
+  // whose left-to-right non-overlapping semantics agree between Java
+  // and DuckDB exactly. Corpus bounded like q173 (doc_id % 5, first
+  // 200 chars — replicated in SQL). The learned table is valid by
+  // construction, so it feeds q173's apply kernel directly (spec'd).
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(substring(col("text"), 1, 200).as("head"))
+    graft.plans.Bpe.trainMerges(docs, "head", nMerges = 8)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .orderBy("merge_rank")
+  }
+
+  val q175Sql: String = {
+    val n = 8
+    val pairList =
+      "list_transform(range(1, len(l)), i -> l[CAST(i AS INTEGER)] || chr(1) || l[CAST(i AS INTEGER) + 1])"
+    // MATERIALIZED is load-bearing: each m_i is referenced several
+    // times (two scalar subqueries in w_i plus the output row); without
+    // it DuckDB re-inlines the whole chain per reference and the
+    // evaluation tree grows exponentially in the iteration count.
+    val iters = (1 to n).map { i =>
+      s"""c$i AS MATERIALIZED (
+           SELECT p, count(*) AS cnt FROM (
+             SELECT unnest($pairList) AS p
+             FROM (SELECT string_split(s, chr(1)) AS l FROM w${i - 1}))
+           GROUP BY p
+         ), m$i AS MATERIALIZED (
+           SELECT p FROM c$i ORDER BY cnt DESC, p ASC LIMIT 1
+         ), w$i AS MATERIALIZED (
+           SELECT replace(s, (SELECT p FROM m$i),
+                          replace((SELECT p FROM m$i), chr(1), '')) AS s
+           FROM w${i - 1}
+         )"""
+    }.mkString(", ")
+    val outRows = (1 to n).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_rank,
+           string_split((SELECT p FROM m$i), chr(1))[1] AS lhs,
+           string_split((SELECT p FROM m$i), chr(1))[2] AS rhs"""
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+         SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                  i -> substr(w, CAST(i AS INTEGER), 1)), chr(1)) AS s
+         FROM (SELECT unnest(regexp_extract_all(substr(text, 1, 200),
+                 '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
+               FROM documents WHERE doc_id % 5 = 0)
+         WHERE length(w) > 1
+       ), $iters
+       $outRows
+       ORDER BY merge_rank"""
+  }
 }

@@ -182,6 +182,65 @@ object Bpe {
   def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenize(ColumnBridge.expression(text), BpeTable(merges)))
 
+  /** TRAIN a BPE merge table from a corpus (Sennrich et al., ACL'16):
+    * `nMerges` rounds of (count adjacent symbol pairs across every
+    * pre-token word) → (merge the most frequent pair, ties to the
+    * lexicographically smallest). Words are codepoint symbols joined
+    * by a \u0001 separator, so the per-round APPLY is one map-side
+    * literal `replace` (left-to-right non-overlapping — exactly
+    * DuckDB's `replace`, which is what makes the chained-CTE oracle
+    * exact), and the per-round COUNT is one map-side-combinable
+    * groupBy — each round is a full corpus pass, the textbook
+    * training cost. The only driver round-trips are one 1-row argmax
+    * collect per round (bounded, the Salting.hotKeys class). At
+    * 100 TB you train on a governed sample (the Lloyd convention) —
+    * the caller bounds the input.
+    *
+    * The learned table is VALID by construction (each rule merges two
+    * symbols that exist in the corpus at that round: single codepoints
+    * or earlier composites), so it loads into [[BpeTable]] and the
+    * one-at-a-time == merge-all apply guarantee holds. Returns fewer
+    * than `nMerges` rules if the corpus runs out of repeated pairs.
+    */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val SEP = "\u0001" // cannot appear inside a symbol: alnum words
+                        // have none, non-alnum pre-tokens are single symbols
+    // pre-token words (q28 regex) -> separator-joined codepoint strings;
+    // single-symbol words carry no pairs and can never change -- drop them
+    var cur = docs
+      .select(explode(expr(
+        s"regexp_extract_all($textCol, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("w"))
+      .filter(length(col("w")) > 1)
+      .select(array_join(split(col("w"), "(?!^)(?!$)"), SEP).as("s"))
+      .localCheckpoint(true) // train over a materialized word set
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val arr = split(col("s"), SEP)
+      val pairs = transform(sequence(lit(1), size(arr) - 1),
+        i => concat(element_at(arr, i), lit(SEP), element_at(arr, i + 1)))
+      val best = cur
+        // fully-merged words carry no pairs; guard them out BEFORE the
+        // sequence (Spark's sequence(1, 0) descends instead of being
+        // empty, unlike DuckDB's end-exclusive range)
+        .filter(size(arr) > 1)
+        .select(explode(pairs).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best.head.getString(0)
+        val Array(a, b) = pair.split(SEP)
+        merges += ((a, b))
+        cur = cur.withColumn("s", replace(col("s"), lit(pair), lit(a + b)))
+      }
+    }
+    merges.toSeq
+  }
+
   /** Demo English merge table (valid by construction: every composite
     * part is created by an earlier rule) — the vocabulary q173 and its
     * recursive-CTE oracle share. A production vocab is loaded the same

@@ -101,6 +101,35 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("th", "é", "中", "文", "a", "b"), s"got $toks")
   }
 
+  test("trainMerges reproduces the hand-computed training walk and stops when dry") {
+    // corpus "aa aa ab": pairs (a,a)x2 (a,b)x1 -> merge (a,a);
+    // then only (a,b)x1 remains -> merge (a,b); then no pairs -> stop
+    val docs = Seq("aa aa ab").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 5)
+    assert(merges == Seq("a" -> "a", "a" -> "b"), s"got $merges")
+    // count ties break to the lexicographically smaller pair:
+    // "xy xy ab ab" -> (x,y)x2 vs (a,b)x2 -> (a,b) first
+    val tied = Bpe.trainMerges(Seq("xy xy ab ab").toDF("text"), "text", 2)
+    assert(tied == Seq("a" -> "b", "x" -> "y"), s"tie-break wrong: $tied")
+  }
+
+  test("learned table is valid by construction and feeds the apply kernel") {
+    val docs = LlmQueries.q175(spark, sf)
+    val learned = docs.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned.size == 8)
+    BpeTable(learned) // must not throw: parts are codepoints or earlier composites
+    // applying the learned vocab compresses: fewer tokens than characters
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(substring(col("text"), 1, 200).as("head"))
+    val row = corpus.select(
+        sum(Bpe.bpeTokenCount(col("head"), learned)).as("toks"),
+        sum(length(regexp_replace(col("head"), "\\s+", ""))).as("chars"))
+      .head()
+    assert(row.getLong(0) < row.getLong(1),
+      s"learned merges failed to compress: ${row.getLong(0)} tokens vs ${row.getLong(1)} chars")
+  }
+
   test("q173 runs and counts are consistent: bpe_tokens >= pre_tokens, both positive") {
     val out = LlmQueries.q173(spark, sf).collect()
     assert(out.nonEmpty)
