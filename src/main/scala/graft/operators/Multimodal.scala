@@ -10,6 +10,11 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int,
 case class MediaFeatures(doc_id: Long, byte_len: Long, mean_byte: Double,
                          frame_count: Int, width: Int, height: Int, fmt: String)
 
+/** Audio decoder output: per-asset PCM facts + signal features. */
+case class AudioFeatures(doc_id: Long, byte_len: Long, channels: Int,
+                         sample_rate: Int, bits: Int, n_samples: Long,
+                         duration_ms: Long, rms_milli: Long, decoded: Boolean)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque
   * `binary` columns with typed metadata, decoded/feature-extracted in
   * partition-sized batches.
@@ -58,8 +63,118 @@ object Multimodal {
         return MediaFeatures(m.doc_id, m.payload.length.toLong,
           byteMean(m.payload), 1, img.getWidth, img.getHeight, m.fmt)
     }
-    // ??? <- real webp/audio codec goes here; deterministic fake below.
+    if (m.fmt == "webp") {
+      // REAL container parse (r8): dimensions from the VP8/VP8L/VP8X
+      // headers — hand-rolled, deterministic, no codec required.
+      parseWebpDims(m.payload) match {
+        case Some((w, h)) =>
+          return MediaFeatures(m.doc_id, m.payload.length.toLong,
+            byteMean(m.payload), 1, w, h, m.fmt)
+        case None => ()
+      }
+    }
+    // ??? <- webp PIXEL decode / compressed-audio codecs go here; those
+    // remain the declared stub boundary (WAV-PCM and WebP headers are
+    // real above / in audioFeatures). Deterministic fake below.
     stubDecode(m)
+  }
+
+  // ---- REAL container parsers (r8): pure-JVM, deterministic ------------
+
+  /** WebP dimensions from the RIFF container — all three layouts:
+    * "VP8 " (lossy: 14-bit LE dims after the 9D 01 2A sync code),
+    * "VP8L" (lossless: 0x2F signature, 14-bit packed width-1/height-1),
+    * "VP8X" (extended: 24-bit LE canvas-1). Returns None on anything
+    * malformed — callers fall back to the stub.
+    */
+  private[operators] def parseWebpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 25 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    new String(b, 12, 4, java.nio.charset.StandardCharsets.ISO_8859_1) match {
+      case "VP8 " if b.length >= 30 &&
+          u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+        Some(((u8(26) | (u8(27) << 8)) & 0x3fff, (u8(28) | (u8(29) << 8)) & 0x3fff))
+      case "VP8L" if u8(20) == 0x2f => // needs 25 bytes, guarded above
+        val bits = u8(21) | (u8(22) << 8) | (u8(23) << 16) | (u8(24) << 24)
+        Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+      case "VP8X" if b.length >= 30 =>
+        Some(((u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1,
+          (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1))
+      case _ => None
+    }
+  }
+
+  /** Parsed WAV facts + signal features. `rmsMilli` is the root-mean-
+    * square amplitude in milli-units of full scale (sqrt is exactly
+    * rounded under IEEE 754, so this is deterministic on any JVM). */
+  case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                     nSamples: Long, durationMs: Long, rmsMilli: Long)
+
+  /** REAL RIFF/WAVE PCM parser — chunk walk for "fmt " and "data",
+    * uncompressed PCM (format 1) at 8 or 16 bits. Pure JVM, no codec;
+    * compressed audio (mp3/aac/opus) stays behind the declared stub
+    * boundary. Word-aligned chunk advance per the RIFF spec; anything
+    * truncated or non-PCM returns None.
+    */
+  private[operators] def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
+    var data: Option[(Int, Int)] = None          // payload offset, byte len
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12), le16(pos + 22)))
+      else if (id == "data") data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1)
+    }
+    for {
+      (af, ch, rate, bits) <- fmt
+      (off, len) <- data
+      if af == 1 && ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+    } yield {
+      val bytesPerFrame = ch * bits / 8
+      val n = if (bytesPerFrame == 0) 0L else len.toLong / bytesPerFrame
+      var sumSq = 0.0
+      var i = off
+      val end = off + len
+      if (bits == 16) while (i + 1 < end) {
+        val s = le16(i).toShort.toDouble / 32768.0; sumSq += s * s; i += 2
+      } else while (i < end) {
+        val s = ((b(i) & 0xff) - 128).toDouble / 128.0; sumSq += s * s; i += 1
+      }
+      val total = if (bits == 16) len / 2 else len
+      val rms = if (total == 0) 0.0 else math.sqrt(sumSq / total)
+      WavInfo(ch, rate, bits, n, if (rate == 0) 0L else n * 1000L / rate,
+        math.round(rms * 1000))
+    }
+  }
+
+  /** Audio-feature extraction over the opaque binary column: REAL
+    * RIFF/WAVE PCM parsing per row (channels, rate, bit depth, sample
+    * count, duration, RMS), `decoded=false` rows fall through with
+    * zeroed facts (compressed codecs are the remaining declared stub).
+    * Partition-batched map-side like the image decoder — no shuffle.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      parseWav(m.payload) match {
+        case Some(w) => AudioFeatures(m.doc_id, m.payload.length.toLong, w.channels,
+          w.sampleRate, w.bitsPerSample, w.nSamples, w.durationMs, w.rmsMilli, decoded = true)
+        case None => AudioFeatures(m.doc_id, m.payload.length.toLong,
+          0, 0, 0, 0L, 0L, 0L, decoded = false)
+      }
+    }).toDF()
   }
 
   private def byteMean(payload: Array[Byte]): Double = {

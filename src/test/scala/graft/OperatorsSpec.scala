@@ -1369,6 +1369,76 @@ class MultimodalSpec extends SparkSpec {
       "junk bytes fall back to the metadata stub")
   }
 
+  test("WAV PCM payloads parse through the real RIFF walker: facts + RMS") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(ch: Int, rate: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => if (bits == 16) le16(s & 0xffff) else Array(s.toByte))
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    // 8 mono 16-bit samples at half full scale -> rms_milli 500, 8 ms at 1 kHz
+    val mono = wav(1, 1000, 16, Array.fill(8)(16384))
+    // 4 stereo frames (8 samples) of 8-bit silence (0x80 = midpoint) -> rms 0
+    val stereo = wav(2, 8000, 8, Array.fill(8)(0x80))
+    val media = Seq(
+      (1L, mono, 0, 0, "wav"),
+      (2L, stereo, 0, 0, "wav"),
+      (3L, "not audio at all".getBytes("UTF-8"), 0, 0, "wav"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.audioFeatures(media).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Boolean]("decoded"))
+    assert(r1.getAs[Int]("channels") == 1 && r1.getAs[Int]("sample_rate") == 1000 &&
+      r1.getAs[Int]("bits") == 16)
+    assert(r1.getAs[Long]("n_samples") == 8L && r1.getAs[Long]("duration_ms") == 8L)
+    assert(r1.getAs[Long]("rms_milli") == 500L,
+      s"half-full-scale RMS must be 500 milli, got ${r1.getAs[Long]("rms_milli")}")
+    val r2 = got(1)
+    assert(r2.getAs[Boolean]("decoded"))
+    assert(r2.getAs[Int]("channels") == 2 && r2.getAs[Int]("bits") == 8)
+    assert(r2.getAs[Long]("n_samples") == 4L) // frames, not channel-samples
+    assert(r2.getAs[Long]("rms_milli") == 0L)
+    assert(!got(2).getAs[Boolean]("decoded"), "junk must not claim decode")
+  }
+
+  test("WebP dimensions parse from all three container layouts; decode uses them") {
+    import spark.implicits._
+    def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def riff(tag: String, chunk: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4 + 8 + chunk.length) ++ "WEBP".getBytes ++
+        tag.getBytes ++ le32(chunk.length) ++ chunk
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      Array[Byte]((320 & 0xff).toByte, (320 >> 8).toByte,
+        (240 & 0xff).toByte, (240 >> 8).toByte) ++ Array.fill[Byte](4)(0))
+    // VP8L lossless: 0x2F signature then (w-1) | (h-1)<<14 packed LE
+    val bitsL = (200 - 1) | ((100 - 1) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f) ++ le32(bitsL) ++ Array.fill[Byte](4)(0))
+    // VP8X extended: flags+reserved then 24-bit canvas-1 dims
+    val vp8x = riff("VP8X", Array.fill[Byte](4)(0) ++ le24(640 - 1) ++ le24(480 - 1))
+    val media = Seq(
+      (1L, vp8, 11, 22, "webp"),
+      (2L, vp8l, 11, 22, "webp"),
+      (3L, vp8x, 11, 22, "webp"),
+      (4L, "definitely not webp".getBytes("UTF-8"), 11, 22, "webp"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("width") == 320 && got(0).getAs[Int]("height") == 240,
+      "VP8 lossy dims must come from the container, not metadata")
+    assert(got(1).getAs[Int]("width") == 200 && got(1).getAs[Int]("height") == 100)
+    assert(got(2).getAs[Int]("width") == 640 && got(2).getAs[Int]("height") == 480)
+    assert(got(3).getAs[Int]("width") == 11 && got(3).getAs[Int]("height") == 22,
+      "junk webp bytes fall back to the metadata stub")
+  }
+
   test("resize stub rescales metadata and payload map-side") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(20))
     val resized = Multimodal.resizeStub(media, targetWidth = 64)
