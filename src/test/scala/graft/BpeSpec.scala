@@ -79,6 +79,54 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("randomized trials: train on random corpora, kernel apply == reference merge-all") {
+    // the r7 randomized-suite convention: seeded, so failures reproduce.
+    // Training output is valid by construction; the apply-equivalence
+    // theorem (one-at-a-time == merge-all for valid tables) is then
+    // exercised on FRESH random words the trainer never saw.
+    val ranksOf = (merges: Seq[(String, String)]) =>
+      merges.zipWithIndex.map { case ((a, b), i) => (a, b) -> i }.toMap
+    def mergeAll(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val present = syms.zip(syms.tail).filter(ranks.contains)
+        if (present.isEmpty) done = true
+        else {
+          val best = present.minBy(ranks)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && (syms(i), syms(i + 1)) == best) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd"
+      def word() = (1 to (2 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(4))).mkString
+      val corpus = (1 to 40).map(_ => word()).mkString(" ")
+      val merges = Bpe.trainMerges(Seq(corpus).toDF("text"), "text", nMerges = 6)
+      BpeTable(merges) // validity
+      val ranks = ranksOf(merges)
+      val fresh = (1 to 25).map(_ => word())
+      val got = fresh.toDF("t")
+        .select(col("t"), Bpe.bpeTokenize(col("t"), merges).as("toks"))
+        .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("toks").toSeq)
+        .toMap
+      fresh.foreach { w =>
+        val want = mergeAll(w, ranks)
+        assert(got(w) == want,
+          s"seed=$seed word=$w merges=$merges kernel=${got(w)} reference=$want")
+      }
+    }
+  }
+
   test("invalid merge tables are rejected at construction") {
     // 'xy' is never created by an earlier rule
     val e = intercept[IllegalArgumentException] { BpeTable(Seq("xy" -> "z")) }
