@@ -41,6 +41,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly one shuffle:\n$plan")
   }
 
+  test("nearest resolves exact microsecond ties and 1-us margins at modern epochs") {
+    // the r8 ADVICE fix: deltas compare on exact integer microseconds
+    // (unix_micros), not a double cast whose ulp at 2023-epochs is
+    // ~0.24 us — an exact tie could round to unequal doubles and break
+    // the ties-go-backward rule. The long-ts fixtures above can't catch
+    // this; micro-precision TIMESTAMPs can.
+    val T = 1700000000000000L // micros, ~2023-11-14
+    val left = Seq(("A", T, "p1"), ("B", T, "p2")).toDF("k", "us", "tag")
+      .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("tag"))
+    val right = Seq(
+      ("A", T - 2L, 1.0), ("A", T + 1L, 2.0),  // forward strictly 1 us closer
+      ("B", T - 1L, 3.0), ("B", T + 1L, 4.0))  // exact 1-us tie both sides
+      .toDF("k", "us", "px")
+      .select(col("k"), expr("timestamp_micros(us)").as("ts"), col("px"))
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+        joinType = "left", direction = "nearest")
+      .select("k", "px").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("A") == 2.0, "the 1-us-closer forward quote must win")
+    assert(got("B") == 3.0, "an exact microsecond tie must go backward")
+  }
+
   test("forward / nearest directions == brute force on the hand fixture and a seeded random one") {
     def bruteDir(ls: Seq[(String, Long, String)], rs: Seq[(String, Long, Double)],
                  dir: String): Map[(String, String), Option[Double]] =
