@@ -50,8 +50,16 @@ object LlmQueries {
   // pairs sit at J >= 0.7 with miss probability (1-J^4)^16 <= 1.2%, and
   // the whole pipeline is deterministic) — the LSH stage only prunes,
   // never decides.
+  //
+  // LAYERED (r8): identical docs agree on every band, so clone groups
+  // cost C(clones, 2) candidates in the direct form — the mirrored
+  // sf100 fixture (~1000 clones/content) OOM'd it. The layered form
+  // runs banding + verify on normalization-distinct representatives
+  // only (clone-count-invariant; provably identical survivors — see
+  // Dedup.minhashDedupVerifiedLayered + spec), the same discipline
+  // q72/q81/q154 already apply. Oracle unchanged.
   def q21(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedupVerified(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.minhashDedupVerifiedLayered(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -445,8 +453,13 @@ object LlmQueries {
   // (the LSH-bucketed scale path is Dedup.embeddingDedupLsh, spec'd
   // equal to this on a clustered fixture). Cosine parity with DuckDB is
   // the same double-fold argument as q24.
+  // LAYERED (r8): identical vectors collapse to min-id representatives
+  // before the all-pairs verify (provably identical survivors incl.
+  // the zero-vector NaN carve-out — Dedup.embeddingDedupLayered +
+  // spec); the mirrored sf100 fixture sat 40+ min in a 500k² nested
+  // loop on the direct form and runs in seconds on its 5k reps.
   def q48(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Dedup.embeddingDedupLayered(Tables.embeddings(spark, dir), "vec_id", "embedding",
         threshold = 0.45)
       .select("vec_id", "label")
       .orderBy("vec_id")

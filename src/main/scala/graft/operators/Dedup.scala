@@ -119,6 +119,37 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** CLONE-INVARIANT layering of [[minhashDedupVerified]] (the
+    * q72/q81/q154 lesson applied to the survivor form, r8): collapse
+    * normalization-identical docs to their min-id representative FIRST,
+    * then run banding + exact verification on representatives only.
+    *
+    * Exactly equivalent to the direct form (spec'd) under the
+    * drop-any-doc-with-a-smaller-id-duplicate rule:
+    *  - a non-representative clone always has its group's min id as a
+    *    J=1 partner, so it is dropped in both forms;
+    *  - a representative r is dropped directly iff some doc e < r has
+    *    J(e, r) >= t; e's group min is <= e < r and has the same
+    *    shingle set as e, so r is dropped at rep level too — and vice
+    *    versa, a rep-level partner IS such an e.
+    * Survivors are therefore exactly the representatives that survive
+    * the rep-level dedup.
+    *
+    * Why it matters: identical docs agree on EVERY band, so a group of
+    * c clones contributes C(c, 2) candidate pairs to the direct form —
+    * the mirrored sf100 fixture (~1000 clones per content) OOMs there,
+    * while the rep-level candidate set is clone-count-invariant.
+    */
+  def minhashDedupVerifiedLayered(docs: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double = 0.5, shingleN: Int = 3,
+                                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val hashed = docs.withColumn("__h", contentHash(col(textCol)))
+    val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val reps = hashed.join(repMap, "__h")
+      .filter(col(idCol) === col("__rep")).drop("__h", "__rep")
+    minhashDedupVerified(reps, idCol, textCol, threshold, shingleN, bands, rowsPerBand)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash signature (native Catalyst expression, codegen'd). */
@@ -261,6 +292,38 @@ object Dedup {
       .filter(cos(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** CLONE-INVARIANT layering of [[embeddingDedup]] (r8, the q21
+    * lesson applied to the vector family): identical vectors collapse
+    * to their min-id representative before the all-pairs verify, so a
+    * mirrored fixture (every vector cloned c×) costs reps² pair
+    * evaluations instead of (c·reps)² — the sf100 run that sat in a
+    * 500k² broadcast-nested-loop for 40+ minutes finishes in seconds
+    * on its 5k distinct vectors. Provably identical survivors: a
+    * non-rep clone has cosine exactly 1 ≥ threshold to its smaller-id
+    * rep (dropped in both forms), and a rep's smaller-id partners are
+    * preserved under collapsing because clones share cosines. The ONE
+    * exception is the zero vector — cosine is NaN against everything
+    * including its own clones, so zero-norm rows never match, never
+    * drop, and are NEVER collapsed (each passes through as its own
+    * row, exactly as the direct form treats them — spec'd).
+    */
+  def embeddingDedupLayered(docs: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    // at threshold == 1.0 the equivalence would hinge on cosine(v, v)
+    // evaluating to exactly 1.0, which float rounding does not promise
+    // (na / (sqrt(na) * sqrt(na)) can land a ulp under 1); use the
+    // direct form for exact-match-only semantics (or exact dedup).
+    require(threshold < 1.0, "embeddingDedupLayered requires threshold < 1.0")
+    val nrm2 = aggregate(transform(col(vecCol), x => x.cast("double") * x),
+      lit(0.0), (a, v) => a + v)
+    val repMap = docs.filter(nrm2 > 0.0)
+      .groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
+    val repIds = repMap.select(col("__rep").as(idCol))
+    val reps = docs.join(repIds, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(nrm2 === 0.0))
+    embeddingDedup(reps, idCol, vecCol, threshold)
   }
 
   /** Embedding-cosine near-dup dedup, LSH-bucketed (the scale path):

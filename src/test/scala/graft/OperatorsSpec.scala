@@ -638,6 +638,65 @@ class DedupSpec extends SparkSpec {
       s"unexpected cluster shape: $layered")
   }
 
+  test("layered survivor dedup == direct on a clone-heavy corpus and on real docs") {
+    import spark.implicits._
+    val ts = (1 to 40).map(i => s"tok$i")
+    def span(from: Int) = ts.slice(from - 1, from - 1 + 20).mkString(" ")
+    // the q21 sf100 OOM class: clones of both sides of a near-dup pair
+    // (the direct form pays C(clones, 2) candidates; layered must not)
+    val cloneHeavy = Seq(
+      (1L, span(1)), (2L, span(4)),
+      (3L, span(1)), (4L, "  " + span(1) + " "), (5L, span(1).toUpperCase),
+      (6L, span(1)), (7L, span(4)), (8L, span(4)),
+      (9L, (1 to 20).map(i => s"z$i").mkString(" ")), (10L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def survivors(f: (org.apache.spark.sql.DataFrame, String, String, Double, Int, Int, Int) => org.apache.spark.sql.DataFrame,
+                  d: org.apache.spark.sql.DataFrame, t: Double) =
+      f(d, "doc_id", "text", t, 3, 64, 1).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val direct = survivors(Dedup.minhashDedupVerified(_, _, _, _, _, _, _), cloneHeavy, 0.3)
+    val layered = survivors(Dedup.minhashDedupVerifiedLayered(_, _, _, _, _, _, _), cloneHeavy, 0.3)
+    assert(direct == layered, s"layered survivors diverged: direct=$direct layered=$layered")
+    // fixture sanity: only the two group-mins with no smaller near-dup
+    // partner survive — 1 (root of the mixed cluster) and 9
+    assert(layered == Set(1L, 9L), s"unexpected survivors: $layered")
+    // and on the real corpus at the q21 gate parameters
+    val real = Tables.documents(spark, sf)
+    val dReal = Dedup.minhashDedupVerified(real, "doc_id", "text", 0.5, 3, 16, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lReal = Dedup.minhashDedupVerifiedLayered(real, "doc_id", "text", 0.5, 3, 16, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dReal == lReal, s"diverged on real docs: ${dReal.diff(lReal) ++ lReal.diff(dReal)}")
+  }
+
+  test("layered embedding dedup == direct, including the zero-vector NaN carve-out") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toArray
+    // cluster A (ids 1..3 identical + 4 near at cos ~0.999), cluster B
+    // far from A, plus TWO zero vectors — cosine NaN everywhere, so
+    // both must survive in BOTH forms (never collapsed, never dropped)
+    val vecs = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(1f, 0f, 0f, 0f)), (3L, v(1f, 0f, 0f, 0f)),
+      (4L, v(1f, 0.02f, 0f, 0f)),
+      (5L, v(0f, 0f, 1f, 0f)), (6L, v(0f, 0f, 1f, 0f)),
+      (7L, v(0f, 0f, 0f, 0f)), (8L, v(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val direct = ids(Dedup.embeddingDedup(vecs, "vec_id", "embedding", 0.45))
+    val layered = ids(Dedup.embeddingDedupLayered(vecs, "vec_id", "embedding", 0.45))
+    assert(direct == layered, s"diverged: direct=$direct layered=$layered")
+    assert(layered == Set(1L, 5L, 7L, 8L), s"unexpected survivors: $layered")
+    // and on the real embeddings at the q48 gate threshold
+    val emb = Tables.embeddings(spark, sf)
+    val dReal = ids(Dedup.embeddingDedup(emb, "vec_id", "embedding", 0.45))
+    val lReal = ids(Dedup.embeddingDedupLayered(emb, "vec_id", "embedding", 0.45))
+    assert(dReal == lReal, s"diverged on real embeddings: ${dReal.diff(lReal) ++ lReal.diff(dReal)}")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingDedupLayered(vecs, "vec_id", "embedding", 1.0)
+    }
+  }
+
   test("chained incremental dedup == full-corpus recompute, and drops via dropped history dups") {
     import spark.implicits._
     val ts = (1 to 60).map(i => s"w$i")
