@@ -86,10 +86,16 @@ object LlmQueries {
   // (Manku WWW'07 targets web pages) routes short docs to the exact /
   // minhash path instead. Within that scope the oracle is the all-pairs
   // exact Jaccard pair list: the banding only prunes, never decides.
+  // LAYERED (r8): the output is legitimately clone-quadratic (every
+  // clone pair is a J=1 pair), but the direct verify join also dragged
+  // the hashed shingle sets through C(clones,2) rows — a disk-
+  // exhausting spill on the mirrored sf10 fixture. The layered form
+  // verifies distinct-content rep pairs and expands ids+jaccard only
+  // (Dedup.simhashVerifiedPairsLayered; spec'd == direct).
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(size(TextFunctions.tokens(col("text"))) >= 20)
-    Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+    Dedup.simhashVerifiedPairsLayered(docs, "doc_id", "text",
         maxHamming = 7, threshold = 0.5, shingleN = 3)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard_r"))
       .orderBy("id_a", "id_b")

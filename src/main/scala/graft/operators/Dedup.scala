@@ -266,6 +266,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CLONE-INVARIANT layering of [[simhashVerifiedPairs]] (r8): the
+    * PAIR-OUTPUT member of the layering family. The output is
+    * legitimately quadratic in clones — every clone pair IS a J=1
+    * near-dup pair — but the direct form also drags the hashed shingle
+    * SETS through the verify join for each of those C(c,2) pairs
+    * (~2.4 KB/row), which is a disk-exhausting sort spill on the
+    * mirrored sf10 fixture. Layered: verify DISTINCT-CONTENT rep pairs
+    * only (sets shuffle at reps² scale), then expand verified pairs
+    * back through the clone groups carrying (ids, jaccard) ONLY, and
+    * emit intra-group clone pairs at their exact J = 1.0 directly.
+    *
+    * Exactly equivalent to the direct form (spec'd): clones share
+    * their rep's simhash (identical normalized text), so a member pair
+    * is banding-caught iff its rep pair is, and shares its rep pair's
+    * jaccard; identical shingle sets verify to exactly 1.0, the value
+    * the intra-group literal emits.
+    */
+  def simhashVerifiedPairsLayered(docs: DataFrame, idCol: String, textCol: String,
+                                  maxHamming: Int = 7, threshold: Double = 0.5,
+                                  shingleN: Int = 3): DataFrame = {
+    val hashed = docs.withColumn("__h", contentHash(col(textCol)))
+    val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val members = hashed.join(repMap, "__h")
+      .select(col(idCol).as("__m"), col("__rep"))
+    val reps = docs.join(repMap.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = simhashVerifiedPairs(reps, idCol, textCol, maxHamming, threshold, shingleN)
+      .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("__ra"), col("__m").as("__ma")), "__ra")
+      .join(members.select(col("__rep").as("__rb"), col("__m").as("__mb")), "__rb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val intra = members.select(col("__rep"), col("__m").as("__ma"))
+      .join(members.select(col("__rep"), col("__m").as("__mb")), "__rep")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionByName(intra) else cross
+  }
+
   // ---- Embedding-cosine near-dup ----------------------------------------
 
   /** Native codegen'd cosine for float32 embeddings, HOF fallback for

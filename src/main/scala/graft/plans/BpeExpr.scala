@@ -241,6 +241,30 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge table (train once / apply many — the
+    * IvfPqIndex artifact convention): rank-ordered (rank, lhs, rhs)
+    * parquet. The table is vocabulary-sized, so the single-file write
+    * and the read-side collect are bounded by construction. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table, re-validated through [[BpeTable]] on
+    * the way in (a corrupted or reordered artifact fails loudly, not
+    * with silently different tokenizations). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[(String, String)] = {
+    val merges = spark.read.parquet(dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    BpeTable(merges) // validate
+    merges
+  }
+
   /** Demo English merge table (valid by construction: every composite
     * part is created by an earlier rule) — the vocabulary q173 and its
     * recursive-CTE oracle share. A production vocab is loaded the same

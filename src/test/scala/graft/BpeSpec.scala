@@ -178,6 +178,30 @@ class BpeSpec extends SparkSpec {
       s"learned merges failed to compress: ${row.getLong(0)} tokens vs ${row.getLong(1)} chars")
   }
 
+  test("vocab artifact round-trip: train, write, read, apply identically") {
+    val dir = s"/tmp/graft_bpe_vocab_${System.nanoTime()}"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(substring(col("text"), 1, 200).as("head"))
+    val trained = Bpe.trainMerges(docs, "head", nMerges = 8)
+    Bpe.writeMerges(spark, trained, dir)
+    val loaded = Bpe.readMerges(spark, dir)
+    assert(loaded == trained, s"artifact round-trip changed the vocab: $loaded vs $trained")
+    // applying the loaded vocab == applying the in-memory one
+    val a = docs.select(Bpe.bpeTokenCount(col("head"), trained).as("n")).as[Long].collect().toSeq
+    val b = docs.select(Bpe.bpeTokenCount(col("head"), loaded).as("n")).as[Long].collect().toSeq
+    assert(a == b)
+    // a reordered artifact fails validation loudly instead of silently
+    // tokenizing differently
+    val bad = s"/tmp/graft_bpe_vocab_bad_${System.nanoTime()}"
+    Bpe.writeMerges(spark, trained, bad)
+    val shuffled = spark.read.parquet(bad)
+      .withColumn("rank", -col("rank")) // reverse training order
+    shuffled.write.mode("overwrite").parquet(bad + "2")
+    val e = intercept[IllegalArgumentException] { Bpe.readMerges(spark, bad + "2") }
+    assert(e.getMessage.contains("invalid BPE merge table"))
+  }
+
   test("q173 runs and counts are consistent: bpe_tokens >= pre_tokens, both positive") {
     val out = LlmQueries.q173(spark, sf).collect()
     assert(out.nonEmpty)

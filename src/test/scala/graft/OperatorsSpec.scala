@@ -697,6 +697,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("layered simhash pairs == direct on a clone-heavy corpus and on real docs") {
+    import spark.implicits._
+    val ts = (1 to 60).map(i => s"w$i")
+    def span(from: Int) = ts.slice(from - 1, from - 1 + 25).mkString(" ")
+    // near-dup contents A~B (1-shift, J high) with clones of both
+    // (incl. normalization variants), plus an unrelated content C
+    val cloneHeavy = Seq(
+      (1L, span(1)), (2L, span(2)),
+      (3L, span(1)), (4L, " " + span(1)), (5L, span(1).toUpperCase),
+      (6L, span(2)), (7L, span(2)),
+      (8L, (1 to 25).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("jaccard"), 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairs(Dedup.simhashVerifiedPairs(cloneHeavy, "doc_id", "text",
+      maxHamming = 7, threshold = 0.5, shingleN = 3))
+    val layered = pairs(Dedup.simhashVerifiedPairsLayered(cloneHeavy, "doc_id", "text",
+      maxHamming = 7, threshold = 0.5, shingleN = 3))
+    assert(direct == layered,
+      s"pair sets diverged:\n only-direct=${direct.diff(layered)}\n only-layered=${layered.diff(direct)}")
+    // fixture sanity: the A-clone group {1,3,4,5} contributes its 6
+    // J=1.0 intra pairs; B's {2,6,7} its 3
+    assert(layered.count { case (_, _, j) => j == 1.0 } >= 9)
+    // and on the real docs at the q22 gate parameters
+    val real = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+    val dReal = pairs(Dedup.simhashVerifiedPairs(real, "doc_id", "text", 7, 0.5, 3))
+    val lReal = pairs(Dedup.simhashVerifiedPairsLayered(real, "doc_id", "text", 7, 0.5, 3))
+    assert(dReal == lReal,
+      s"diverged on real docs: ${dReal.diff(lReal) ++ lReal.diff(dReal)}")
+  }
+
   test("chained incremental dedup == full-corpus recompute, and drops via dropped history dups") {
     import spark.implicits._
     val ts = (1 to 60).map(i => s"w$i")
