@@ -982,14 +982,20 @@ object LlmQueries {
   // corpus itself (Sennrich ACL'16): 8 rounds of count-all-adjacent-
   // pairs → merge-the-most-frequent (ties to the lexicographically
   // smallest pair — a total order, since ranks can't tie). The engine
-  // side is graft.plans.Bpe.trainMerges: per round one map-side-
-  // combinable pair-count shuffle + one literal map-side replace; the
-  // only driver traffic is a 1-row argmax per round. The oracle
-  // UNROLLS the same 8 rounds as chained CTEs (q78's convention —
-  // recursive CTEs can't aggregate in the recursive term), with the
-  // separator-string trick making the apply step a plain replace()
-  // whose left-to-right non-overlapping semantics agree between Java
-  // and DuckDB exactly. Corpus bounded like q173 (doc_id % 5, first
+  // side is graft.plans.Bpe.trainMerges: ONE wordcount shuffle up
+  // front, then per round one vocabulary-bounded WEIGHTED pair-count
+  // shuffle + one literal map-side replace over the symbol-aligned
+  // `SEP sym SEP SEP sym … SEP` word encoding (the anchored double-
+  // separator form — a pair pattern can only match whole symbols, and
+  // adjacent matches share the double separator, so plain replace ==
+  // the textbook leftmost-non-overlapping merge-all pass); the only
+  // driver traffic is a 1-row argmax per round. The oracle UNROLLS
+  // the same 8 rounds as chained CTEs (q78's convention — recursive
+  // CTEs can't aggregate in the recursive term) over the SAME
+  // encoding, per word instance (count(*) over instances == the
+  // engine's sum(cnt) over the frequency table), with replace()'s
+  // left-to-right non-overlapping semantics agreeing between Java and
+  // DuckDB exactly. Corpus bounded like q173 (doc_id % 5, first
   // 200 chars — replicated in SQL). The learned table is valid by
   // construction, so it feeds q173's apply kernel directly (spec'd).
   def q175(spark: SparkSession, dir: String): DataFrame = {
@@ -1006,8 +1012,12 @@ object LlmQueries {
 
   val q175Sql: String = {
     val n = 8
+    // symbol-aligned encoding: chr(1) at each end, chr(1)chr(1) between
+    // symbols — split strips the end separators then cuts on the double
     val pairList =
       "list_transform(range(1, len(l)), i -> l[CAST(i AS INTEGER)] || chr(1) || l[CAST(i AS INTEGER) + 1])"
+    val splitSyms =
+      "string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1))"
     // MATERIALIZED is load-bearing: each m_i is referenced several
     // times (two scalar subqueries in w_i plus the output row); without
     // it DuckDB re-inlines the whole chain per reference and the
@@ -1016,13 +1026,14 @@ object LlmQueries {
       s"""c$i AS MATERIALIZED (
            SELECT p, count(*) AS cnt FROM (
              SELECT unnest($pairList) AS p
-             FROM (SELECT string_split(s, chr(1)) AS l FROM w${i - 1}))
+             FROM (SELECT $splitSyms AS l FROM w${i - 1}))
            GROUP BY p
          ), m$i AS MATERIALIZED (
            SELECT p FROM c$i ORDER BY cnt DESC, p ASC LIMIT 1
          ), w$i AS MATERIALIZED (
-           SELECT replace(s, (SELECT p FROM m$i),
-                          replace((SELECT p FROM m$i), chr(1), '')) AS s
+           SELECT replace(s,
+                    chr(1) || replace((SELECT p FROM m$i), chr(1), chr(1) || chr(1)) || chr(1),
+                    chr(1) || replace((SELECT p FROM m$i), chr(1), '') || chr(1)) AS s
            FROM w${i - 1}
          )"""
     }.mkString(", ")
@@ -1032,8 +1043,8 @@ object LlmQueries {
            string_split((SELECT p FROM m$i), chr(1))[2] AS rhs"""
     }.mkString(" UNION ALL ")
     s"""WITH w0 AS MATERIALIZED (
-         SELECT array_to_string(list_transform(range(1, length(w) + 1),
-                  i -> substr(w, CAST(i AS INTEGER), 1)), chr(1)) AS s
+         SELECT chr(1) || array_to_string(list_transform(range(1, length(w) + 1),
+                  i -> substr(w, CAST(i AS INTEGER), 1)), chr(1) || chr(1)) || chr(1) AS s
          FROM (SELECT unnest(regexp_extract_all(substr(text, 1, 200),
                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
                FROM documents WHERE doc_id % 5 = 0)

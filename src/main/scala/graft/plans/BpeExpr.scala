@@ -184,17 +184,32 @@ object Bpe {
 
   /** TRAIN a BPE merge table from a corpus (Sennrich et al., ACL'16):
     * `nMerges` rounds of (count adjacent symbol pairs across every
-    * pre-token word) → (merge the most frequent pair, ties to the
-    * lexicographically smallest). Words are codepoint symbols joined
-    * by a \u0001 separator, so the per-round APPLY is one map-side
-    * literal `replace` (left-to-right non-overlapping — exactly
-    * DuckDB's `replace`, which is what makes the chained-CTE oracle
-    * exact), and the per-round COUNT is one map-side-combinable
-    * groupBy — each round is a full corpus pass, the textbook
-    * training cost. The only driver round-trips are one 1-row argmax
-    * collect per round (bounded, the Salting.hotKeys class). At
-    * 100 TB you train on a governed sample (the Lloyd convention) —
-    * the caller bounds the input.
+    * pre-token word) -> (merge the most frequent pair, ties to the
+    * lexicographically smallest pair string). The training state is a
+    * (word, count) FREQUENCY table, not exploded word instances: one
+    * wordcount shuffle up front (the q88 shape), then every round's
+    * pair count is WEIGHTED over the vocabulary-bounded word table --
+    * per-round cost scales with |distinct words|, not corpus
+    * instances, so a production 32k-merge vocab no longer issues 32k
+    * corpus-scale shuffles. Lineage is truncated every
+    * `checkpointEvery` rounds (the GraphOps loop convention). The only
+    * driver round-trips are one 1-row argmax collect per round
+    * (bounded, the Salting.hotKeys class).
+    *
+    * Words are stored SYMBOL-ALIGNED: `SEP sym SEP SEP sym ... SEP` --
+    * a \u0001 separator at each end and a DOUBLE separator between
+    * adjacent symbols. Merging pair (a,b) is then the literal replace
+    * of `SEP a SEP SEP b SEP` with `SEP ab SEP`: the anchoring
+    * separators mean the pattern can only match WHOLE symbols (never a
+    * symbol that merely ends with `a` or starts with `b` -- the old
+    * un-anchored single-separator form corrupted composites, e.g.
+    * learning (h,e) then (t,h) turned `t|he` into the single symbol
+    * `the`), and because adjacent occurrences share the double
+    * separator (each match consumes exactly one of the two),
+    * left-to-right non-overlapping replace -- the shared semantics of
+    * Java and DuckDB `replace`, which is what keeps the chained-CTE
+    * oracle exact -- performs exactly the textbook leftmost-
+    * non-overlapping merge-all pass (`aaaa` -> `aa|aa`, not `aa|a|a`).
     *
     * The learned table is VALID by construction (each rule merges two
     * symbols that exist in the corpus at that round: single codepoints
@@ -203,31 +218,39 @@ object Bpe {
     * than `nMerges` rules if the corpus runs out of repeated pairs.
     */
   def trainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                  nMerges: Int): Seq[(String, String)] = {
+                  nMerges: Int, checkpointEvery: Int = 16): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
     val SEP = "\u0001" // cannot appear inside a symbol: alnum words
                         // have none, non-alnum pre-tokens are single symbols
-    // pre-token words (q28 regex) -> separator-joined codepoint strings;
-    // single-symbol words carry no pairs and can never change -- drop them
-    var cur = docs
+    val SEP2 = SEP + SEP
+    // pre-token words (q28 regex) -> weighted vocabulary of symbol-
+    // aligned strings; single-symbol words carry no pairs and can
+    // never change -- drop them. Distinct words stay distinct through
+    // every merge (merging moves symbol boundaries, never letters), so
+    // the frequency table never needs re-aggregation.
+    var vocab = docs
       .select(explode(expr(
         s"regexp_extract_all($textCol, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("w"))
       .filter(length(col("w")) > 1)
-      .select(array_join(split(col("w"), "(?!^)(?!$)"), SEP).as("s"))
-      .localCheckpoint(true) // train over a materialized word set
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(SEP),
+          array_join(split(col("w"), "(?!^)(?!$)"), SEP2), lit(SEP)).as("s"),
+        col("cnt"))
+      .localCheckpoint(true) // train over a materialized frequency table
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val arr = split(col("s"), SEP)
+      // strip the single end separators, split on the double ones
+      val arr = split(col("s").substr(lit(2), length(col("s")) - 2), SEP2)
       val pairs = transform(sequence(lit(1), size(arr) - 1),
         i => concat(element_at(arr, i), lit(SEP), element_at(arr, i + 1)))
-      val best = cur
+      val best = vocab
         // fully-merged words carry no pairs; guard them out BEFORE the
         // sequence (Spark's sequence(1, 0) descends instead of being
         // empty, unlike DuckDB's end-exclusive range)
         .filter(size(arr) > 1)
-        .select(explode(pairs).as("p"))
-        .groupBy("p").agg(count(lit(1)).as("cnt"))
+        .select(explode(pairs).as("p"), col("cnt"))
+        .groupBy("p").agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("p").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -235,7 +258,10 @@ object Bpe {
         val pair = best.head.getString(0)
         val Array(a, b) = pair.split(SEP)
         merges += ((a, b))
-        cur = cur.withColumn("s", replace(col("s"), lit(pair), lit(a + b)))
+        vocab = vocab.withColumn("s",
+          replace(col("s"), lit(SEP + a + SEP2 + b + SEP), lit(SEP + a + b + SEP)))
+        if (merges.size % checkpointEvery == 0)
+          vocab = vocab.localCheckpoint(true) // bound lineage across rounds
       }
     }
     merges.toSeq

@@ -161,6 +161,84 @@ class BpeSpec extends SparkSpec {
     assert(tied == Seq("a" -> "b", "x" -> "y"), s"tie-break wrong: $tied")
   }
 
+  // textbook Sennrich trainer (in-memory reference): count every
+  // adjacent symbol pair across pre-token words, merge the most
+  // frequent (ties to the lexicographically smallest 'ab' pair
+  // string, mirroring trainMerges' orderBy), apply leftmost-non-
+  // overlapping merge-all, repeat. Training was previously only
+  // spec'd via hand-computed walks; this cross-checks the DISTRIBUTED
+  // trainer itself (the r8 ADVICE gap: un-anchored substring replace
+  // corrupted composite symbols, which apply-only cross-checks and
+  // the mirrored oracle could not see).
+  private def refTrain(corpus: Seq[String], n: Int): Seq[(String, String)] = {
+    val words = corpus.flatMap(t =>
+      "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(t)).filter(_.length > 1)
+    var ws: Seq[Vector[String]] = words.map(_.map(_.toString).toVector)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (out.size < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      ws.foreach(s => s.zip(s.tail).foreach(p => counts(p) += 1))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + "\u0001" + b) }._1
+        out += best
+        ws = ws.map { syms =>
+          val b = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && (syms(i), syms(i + 1)) == best) {
+              b += syms(i) + syms(i + 1); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("training is symbol-aligned: a composite's prefix never false-matches") {
+    // learns (h,e) first, then (t,h): word state 't|he' must stay two
+    // symbols — the un-anchored replace bug merged t with the h PREFIX
+    // of composite 'he', corrupting it to single symbol 'the'
+    val corpus = Seq("he he he the tha tha thi")
+    val got = Bpe.trainMerges(corpus.toDF("text"), "text", nMerges = 6)
+    val want = refTrain(corpus, 6)
+    assert(got == want, s"got $got want $want")
+    assert(got.take(2) == Seq("h" -> "e", "t" -> "h")) // the trap fired
+    BpeTable(got) // still valid by construction
+  }
+
+  test("randomized training trials: distributed trainer == textbook reference") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // a tight alphabet maximizes composite-boundary collisions
+      val alpha = "eth"
+      def word() = (1 to (2 + rnd.nextInt(5))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val corpus = (1 to 3).map(_ => (1 to 30).map(_ => word()).mkString(" "))
+      val got = Bpe.trainMerges(corpus.toDF("text"), "text", nMerges = 10)
+      val want = refTrain(corpus, 10)
+      assert(got == want, s"seed=$seed got $got want $want")
+      BpeTable(got)
+    }
+  }
+
+  test("256-merge trial: vocab-scale training matches the reference trainer") {
+    // the frequency-table trainer at a production-shaped merge count:
+    // per-round work is vocabulary-bounded (one weighted pair count
+    // over distinct words), lineage checkpointed every 16 rounds
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh"
+    def word() = (1 to (3 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (1 to 8).map(_ => (1 to 60).map(_ => word()).mkString(" "))
+    val got = Bpe.trainMerges(corpus.toDF("text"), "text", nMerges = 256)
+    val want = refTrain(corpus, 256)
+    assert(got.size == 256, s"corpus ran dry at ${got.size} merges")
+    assert(got == want,
+      s"first divergence at rank ${got.zip(want).indexWhere(t => t._1 != t._2)}")
+    BpeTable(got)
+  }
+
   test("learned table is valid by construction and feeds the apply kernel") {
     val docs = LlmQueries.q175(spark, sf)
     val learned = docs.collect().map(r => (r.getString(1), r.getString(2))).toSeq
