@@ -269,7 +269,7 @@ object LlmQueries {
     val n = Tables.rowCount(spark, dir, "embeddings")
     val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
     val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
-    val indexDir = s"/tmp/graft_ivfpq_index_${Integer.toHexString(dir.hashCode)}"
+    val indexDir = graft.sources.Scratch.dir("ivfpq_index")
     val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
       dim = 64, nlist = nlist, m = 16, ksub = 16, knownN = Some(n))
     Similarity.writeIvfPqIndex(index, indexDir)
@@ -849,10 +849,11 @@ object LlmQueries {
   // At 100 TB the jsonl read is the one-off landing scan; everything
   // downstream runs on columnar rewrites.
   def q163(spark: SparkSession, dir: String): DataFrame = {
-    // per-call nonce + sanitized dir (not dir.hashCode): concurrent runs
-    // over the same dir must not overwrite the jsonl another run is
-    // mid-read on, and 32-bit hashes can collide across dirs.
-    val path = s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${java.lang.Long.toHexString(System.nanoTime())}"
+    // per-call Scratch path: concurrent runs over the same dir never
+    // overwrite the jsonl another run is mid-read on, and the per-JVM
+    // shutdown hook reclaims it (repeated gate/bench runs used to leak
+    // a jsonl copy of documents into /tmp per invocation).
+    val path = graft.sources.Scratch.dir("jsonl_docs")
     Tables.documents(spark, dir)
       .write.mode("overwrite").json(s"$path/documents.jsonl")
     Tables.documents(spark, s"jsonl:$path")

@@ -287,7 +287,7 @@ object WarehouseQueries {
   // gate checks the pruning path loses nothing. File-skip ratios are
   // spec-asserted in ZOrderSpec (pruned < total on either dimension).
   def q117(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_zorder_${Integer.toHexString(dir.hashCode)}"
+    val path = graft.sources.Scratch.dir("zorder")
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), cents(col("l_extendedprice")).as("price_c"))
@@ -559,8 +559,8 @@ object WarehouseQueries {
   // layout decision: the orders⋈lineitem shuffle disappears from every
   // run that touches the co-located tables. Oracle = the plain join.
   def q141(spark: SparkSession, dir: String): DataFrame = {
-    val tag = Integer.toHexString(dir.hashCode)
-    val oT = s"graft_bj_o_$tag"; val lT = s"graft_bj_l_$tag"
+    val oT = graft.sources.Scratch.tableName(spark, "graft_bj_o")
+    val lT = graft.sources.Scratch.tableName(spark, "graft_bj_l")
     graft.sources.Warehouse.writeBucketed(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
       oT, "o_orderkey", 8)
@@ -689,7 +689,7 @@ object WarehouseQueries {
   // range — pruning happens at LISTING time. Oracle = the plain
   // filtered aggregate over the unpartitioned source.
   def q146(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_daypart_${Integer.toHexString(dir.hashCode)}"
+    val path = graft.sources.Scratch.dir("daypart")
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), cents(col("value")).as("v_c"),
         expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"))
@@ -725,13 +725,12 @@ object WarehouseQueries {
   // partition as the scheduled OPTIMIZE job, never a global rewrite.
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Compaction
-    // per-call nonce + sanitized dir: a fixed hash-derived path would
-    // race under concurrent gate/test runs over the same dir (and a
-    // 32-bit hash can collide across dirs) — overwrite-while-read would
-    // corrupt the round-trip being verified.
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + java.lang.Long.toHexString(System.nanoTime())
-    val frag = s"/tmp/graft_frag_$tag"
-    val compacted = s"/tmp/graft_compacted_$tag"
+    // per-call Scratch paths: a fixed hash-derived path would race
+    // under concurrent gate/test runs over the same dir — overwrite-
+    // while-read would corrupt the round-trip being verified — and the
+    // per-JVM shutdown hook reclaims the copies.
+    val frag = graft.sources.Scratch.dir("frag")
+    val compacted = graft.sources.Scratch.dir("compacted")
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         cents(col("value")).as("value_c"))

@@ -347,7 +347,11 @@ object Dedup {
     * exception is the zero vector — cosine is NaN against everything
     * including its own clones, so zero-norm rows never match, never
     * drop, and are NEVER collapsed (each passes through as its own
-    * row, exactly as the direct form treats them — spec'd).
+    * row, exactly as the direct form treats them — spec'd). NULL
+    * embeddings (and vectors with null elements) get the same
+    * pass-through: their cosine is null against everything, so the
+    * direct form never drops them, and collapsing by vector value
+    * would conflate them.
     */
   def embeddingDedupLayered(docs: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
@@ -362,7 +366,7 @@ object Dedup {
       .groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
     val repIds = repMap.select(col("__rep").as(idCol))
     val reps = docs.join(repIds, Seq(idCol), "left_semi")
-      .unionByName(docs.filter(nrm2 === 0.0))
+      .unionByName(docs.filter(nrm2.isNull || nrm2 === 0.0))
     embeddingDedup(reps, idCol, vecCol, threshold)
   }
 

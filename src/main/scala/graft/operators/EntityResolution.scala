@@ -150,15 +150,12 @@ object EntityResolution {
     // converges to the same final state.
     nextLabels.write.mode("overwrite").parquet(labelsPath(statePath))
     allGroups.write.mode("overwrite").parquet(groupsPath(statePath))
-    val dynKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(dynKey)
-    spark.conf.set(dynKey, "dynamic")
-    try b.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(customersPath(statePath))
-    finally prevMode match {
-      case Some(v) => spark.conf.set(dynKey, v)
-      case None    => spark.conf.unset(dynKey)
-    }
+    // per-WRITE overwrite mode, not session conf: mutating the shared
+    // session key could race a concurrent write running under the
+    // wrong mode (the quarantineSink convention)
+    b.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(customersPath(statePath))
   }
 
   /** Golden records from the streaming state — the q154 output contract

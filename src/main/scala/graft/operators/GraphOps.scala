@@ -54,6 +54,60 @@ object GraphOps {
         df.checkpoint(eager = true)
     }
 
+  /** Reliable checkpoints cost a parquet write per call; paying that
+    * EVERY round dominated the sf100 fixpoints (CC: 685 s with
+    * per-round durable writes vs a small multiple of the localCheckpoint
+    * cost without). Amortize to one durable write per
+    * [[CheckpointEvery]] rounds. */
+  private val CheckpointEvery = 3
+
+  /** Amortized per-ROUND lineage truncation for the iterative loops
+    * (loop-INVARIANT frames keep using [[truncate]] — they are read
+    * every round and should materialize durably once).
+    *
+    * With `checkpointDir` set: a RELIABLE checkpoint every
+    * [[CheckpointEvery]]-th call, and an eagerly-materialized
+    * `persist(MEMORY_AND_DISK)` in between. The cache keeps the happy
+    * path as fast as `localCheckpoint`; crucially persist does NOT cut
+    * lineage, so every in-between round stays recomputable from the
+    * last durable checkpoint — executor loss still cannot kill the
+    * fixpoint (the property per-round durable writes bought), while
+    * the parquet write is paid once per k rounds. Lineage depth is
+    * bounded by k. Frames cached since the last durable checkpoint are
+    * unpersisted when the next one lands; [[seal]] gives a RETURNED
+    * frame a durable root (otherwise the caller's result would read
+    * from caches this loop no longer manages) and drops the cache.
+    *
+    * Without `checkpointDir`: `localCheckpoint` per round, unchanged.
+    */
+  private final class RoundTruncator(checkpointDir: Option[String]) {
+    private var calls = 0
+    private val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def apply(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint(eager = true)
+      case Some(dir) =>
+        calls += 1
+        if (calls % CheckpointEvery == 0) durable(df, dir)
+        else {
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize now so later rounds read the cache
+          cached += df
+          df
+        }
+    }
+    private def durable(df: DataFrame, dir: String): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      val out = df.checkpoint(eager = true)
+      cached.foreach(_.unpersist(false)); cached.clear()
+      out
+    }
+    def seal(df: DataFrame): DataFrame = checkpointDir match {
+      case None      => df
+      case Some(dir) => if (cached.isEmpty) df else durable(df, dir)
+    }
+  }
+
   /** Connected components over an undirected edge list.
     *
     * @param edges first two columns are treated as `src`, `dst`
@@ -136,10 +190,10 @@ object GraphOps {
     def fingerprintCols = Seq(
       count(lit(1)).as("n"),
       sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("h"))
+    val tr = new RoundTruncator(checkpointDir)
     def observed(df: DataFrame): (DataFrame, () => (Long, java.math.BigDecimal)) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = truncate(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*),
-        checkpointDir)
+      val out = tr(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*))
       (out, () => (obs.get("n").asInstanceOf[Long],
         obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
@@ -171,9 +225,11 @@ object GraphOps {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds; raise maxIter")
-    // Roots and isolated nodes label themselves.
+    // Roots and isolated nodes label themselves. (seal: the returned
+    // frame must not root in round caches this loop stops managing.)
+    val eFinal = tr.seal(e)
     val labels = nodes
-      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .join(eFinal.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
     (labels, iter)
   }
@@ -301,10 +357,11 @@ object GraphOps {
     val edeg = degreeEdges(edges, checkpointDir)
     val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val base = (unit * 15L) / 100L
+    val tr = new RoundTruncator(checkpointDir)
     var rank = state.toDF("node", "r")
     for (_ <- 1 to iters)
-      rank = truncate(pageRankRound(nodes, edeg, rank, base), checkpointDir)
-    rank
+      rank = tr(pageRankRound(nodes, edeg, rank, base))
+    tr.seal(rank)
   }
 
   /** Integer PageRank run to its EXACT least fixed point. Iterating the
@@ -342,10 +399,10 @@ object GraphOps {
     def fingerprintCols = Seq(
       count(lit(1)).as("n"),
       sum(xxhash64(col("node"), col("r")).cast(DecimalType(38, 0))).as("h"))
+    val tr = new RoundTruncator(checkpointDir)
     def observed(df: DataFrame): (DataFrame, () => (Long, java.math.BigDecimal)) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = truncate(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*),
-        checkpointDir)
+      val out = tr(df.observe(obs, fingerprintCols.head, fingerprintCols.tail: _*))
       (out, () => (obs.get("n").asInstanceOf[Long],
         obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
@@ -370,7 +427,7 @@ object GraphOps {
       throw new IllegalStateException(
         s"integer PageRank did not reach its fixpoint within $maxIters rounds " +
           "(was the ascent precondition violated?)")
-    (rank, iter)
+    (tr.seal(rank), iter)
   }
 
   /** The canonical converged integer PageRank: Kleene ascent from the
@@ -482,18 +539,18 @@ object GraphOps {
       edges.toDF("u", "v").filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct(), checkpointDir)
-    var deg = truncate(degreesOf(e), checkpointDir)
+    val tr = new RoundTruncator(checkpointDir)
+    var deg = tr(degreesOf(e))
     var rounds = 0
     while (rounds < maxRounds && !deg.filter(col("d") < k).isEmpty) {
       rounds += 1
       val keep = deg.filter(col("d") >= k).select("n")
-      e = truncate(
+      e = tr(
         e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"),
-        checkpointDir)
-      deg = truncate(degreesOf(e), checkpointDir)
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
+      deg = tr(degreesOf(e))
     }
-    deg
+    tr.seal(deg)
   }
 
   /** Single-source BFS hop counts over an undirected edge list.
@@ -521,21 +578,21 @@ object GraphOps {
     val adj = truncate(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    val tr = new RoundTruncator(checkpointDir)
     var visited = Seq((source, 0L)).toDF("node", "dist")
     var frontier = visited.select("node")
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = truncate(
+      val next = tr(
         adj.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti"), checkpointDir)
-      visited = truncate(
-        visited.unionAll(next.select(col("node"), lit(depth.toLong).as("dist"))),
-        checkpointDir)
+          .join(visited, Seq("node"), "left_anti"))
+      visited = tr(
+        visited.unionAll(next.select(col("node"), lit(depth.toLong).as("dist"))))
       frontier = next
     }
-    visited
+    tr.seal(visited)
   }
 
   /** Single-source shortest paths with non-negative INTEGER weights —
@@ -575,24 +632,24 @@ object GraphOps {
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(min("w").as("w")), checkpointDir)
+    val tr = new RoundTruncator(checkpointDir)
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       round += 1
-      val improved = truncate(
+      val improved = tr(
         adj.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
           .groupBy("node").agg(min("cand").as("cand"))
           .join(dist, Seq("node"), "left")
           .filter(col("dist").isNull || col("cand") < col("dist"))
-          .select(col("node"), col("cand").as("dist")), checkpointDir)
-      dist = truncate(
-        dist.unionAll(improved).groupBy("node").agg(min("dist").as("dist")),
-        checkpointDir)
+          .select(col("node"), col("cand").as("dist")))
+      dist = tr(
+        dist.unionAll(improved).groupBy("node").agg(min("dist").as("dist")))
       frontier = improved
     }
-    dist
+    tr.seal(dist)
   }
 
   /** Community detection via synchronous label propagation (Raghavan et
@@ -628,20 +685,21 @@ object GraphOps {
     val adj = truncate(
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         .distinct(), checkpointDir)
-    var labels = truncate(
+    val tr = new RoundTruncator(checkpointDir)
+    var labels = tr(
       adj.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("label")), checkpointDir)
+        .select(col("node"), col("node").as("label")))
     var round = 0
     while (round < rounds) {
       round += 1
-      labels = truncate(
+      labels = tr(
         adj.join(labels.withColumnRenamed("node", "v"), "v")
           .groupBy(col("u").as("node"), col("label")).agg(count(lit(1)).as("n"))
           .groupBy("node")
           .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("neg")))
-            .as("label")), checkpointDir)
+            .as("label")))
     }
-    labels
+    tr.seal(labels)
   }
 
   /** Common-neighbor pair counting (the wedge-center join behind

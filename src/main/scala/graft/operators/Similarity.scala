@@ -322,12 +322,15 @@ object Similarity {
     */
   def trainOpqRotation(corpus: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int, ksub: Int, opqIters: Int = 3,
-                       seed: Long = 42L): Array[Array[Double]] = {
+                       seed: Long = 42L,
+                       knownN: Option[Long] = None): Array[Array[Double]] = {
     import breeze.linalg.{svd, DenseMatrix}
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
     val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
-    val n = full.count()
+    // callers with footer/catalog row counts skip the sizing scan (the
+    // trainIvfCentroids/trainPqCodebooks convention)
+    val n = knownN.getOrElse(full.count())
     val cap = 256L * ksub
     val sampled = if (n <= cap) full
     else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
@@ -405,8 +408,10 @@ object Similarity {
   def pqTopKOpq(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, m: Int = 8,
                 ksub: Int = 16, iters: Int = 3, opqIters: Int = 3,
-                seed: Long = 42L, rerank: Int = 0): DataFrame = {
-    val rot = lit(flatF32(trainOpqRotation(corpus, idCol, vecCol, dim, m, ksub, opqIters, seed)))
+                seed: Long = 42L, rerank: Int = 0,
+                knownN: Option[Long] = None): DataFrame = {
+    val rot = lit(flatF32(trainOpqRotation(corpus, idCol, vecCol, dim, m, ksub,
+      opqIters, seed, knownN)))
     def rotate(df: DataFrame): DataFrame =
       df.withColumn(vecCol, graft.plans.MatVecF32.matVecF32(rot, col(vecCol)))
     pqTopK(rotate(corpus), rotate(queries), idCol, vecCol, k, dim, m, ksub,

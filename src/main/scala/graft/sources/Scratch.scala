@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JVM scratch allocator for queries that materialize an
+  * intermediate layout inside the gate (z-order/partitioned/compacted
+  * parquet, bucketed tables, jsonl round-trips, persisted index
+  * artifacts).
+  *
+  * Two properties, both load-bearing:
+  *
+  *  - every path/table name is unique PER CALL (pid + counter + a
+  *    JVM-startup nonce), so concurrent gate/bench runs over the same
+  *    source dir can never overwrite a layout another run is mid-read
+  *    on, and the 32-bit `dir.hashCode` collision class is gone;
+  *  - everything lives under one per-JVM root (plus any registered
+  *    bucketed-table warehouse directories) deleted by a shutdown
+  *    hook. The queries themselves CANNOT clean up — the DataFrame
+  *    they return lazily reads the materialized files until the
+  *    caller is done — so JVM exit is the earliest safe point, and it
+  *    bounds the /tmp leak at one JVM's worth instead of unbounded
+  *    accumulation across gate/bench invocations.
+  */
+object Scratch {
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val extraDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.io.File]())
+
+  private lazy val root: java.io.File = {
+    val f = new java.io.File("/tmp/graft_scratch_" +
+      ProcessHandle.current().pid() + "_" +
+      java.lang.Long.toHexString(System.nanoTime()))
+    f.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      deleteRecursively(f)
+      extraDirs.forEach(d => deleteRecursively(d))
+    }))
+    f
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** A fresh, never-before-returned scratch directory path. */
+  def dir(tag: String): String =
+    new java.io.File(root,
+      s"${tag.replaceAll("[^A-Za-z0-9._-]", "_")}_${counter.incrementAndGet()}"
+    ).getAbsolutePath
+
+  /** A fresh per-call table name for bucketed `saveAsTable` layouts.
+    * The in-memory catalog entry dies with the JVM; the table's
+    * warehouse DIRECTORY would not, so it is registered for the same
+    * shutdown-hook deletion as [[dir]] paths.
+    */
+  def tableName(spark: SparkSession, tag: String): String = {
+    root // force hook registration
+    val name = (s"${tag.replaceAll("[^A-Za-z0-9_]", "_")}_" +
+      s"${ProcessHandle.current().pid()}_${counter.incrementAndGet()}").toLowerCase
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    extraDirs.add(new java.io.File(loc))
+    name
+  }
+}

@@ -486,21 +486,19 @@ object EventStream {
       val marked = batch.toDF().withColumn("violations", violations)
         .withColumn("batch_id", lit(batchId))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dynKey = "spark.sql.sources.partitionOverwriteMode"
-      val spark = batch.sparkSession
-      val prevMode = spark.conf.getOption(dynKey)
-      spark.conf.set(dynKey, "dynamic")
+      // per-WRITE overwrite mode, not session conf: two streams (or a
+      // stream plus a concurrent batch write) sharing the SparkSession
+      // could interleave a set/restore and run an unrelated overwrite
+      // under the wrong mode
       try {
         marked.filter(col("violations") === "").drop("violations")
-          .write.mode("overwrite").partitionBy("batch_id").parquet(cleanPath)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(cleanPath)
         marked.filter(col("violations") =!= "")
-          .write.mode("overwrite").partitionBy("batch_id").parquet(rejectPath)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(rejectPath)
       } finally {
-        marked.unpersist()
-        prevMode match {
-          case Some(v) => spark.conf.set(dynKey, v)
-          case None    => spark.conf.unset(dynKey)
-        }
+        marked.unpersist(); ()
       }
     }
     events.writeStream.foreachBatch(split)

@@ -675,18 +675,23 @@ class DedupSpec extends SparkSpec {
     // cluster A (ids 1..3 identical + 4 near at cos ~0.999), cluster B
     // far from A, plus TWO zero vectors — cosine NaN everywhere, so
     // both must survive in BOTH forms (never collapsed, never dropped)
+    // ids 9/10: NULL embeddings — cosine is null against everything, so
+    // the direct form never drops them; the layered form must route
+    // them through with the zero-norm rows (the r8 ADVICE gap: null
+    // nrm2 failed both the >0 rep filter and the ===0 pass-through)
     val vecs = Seq(
       (1L, v(1f, 0f, 0f, 0f)), (2L, v(1f, 0f, 0f, 0f)), (3L, v(1f, 0f, 0f, 0f)),
       (4L, v(1f, 0.02f, 0f, 0f)),
       (5L, v(0f, 0f, 1f, 0f)), (6L, v(0f, 0f, 1f, 0f)),
-      (7L, v(0f, 0f, 0f, 0f)), (8L, v(0f, 0f, 0f, 0f))
+      (7L, v(0f, 0f, 0f, 0f)), (8L, v(0f, 0f, 0f, 0f)),
+      (9L, null.asInstanceOf[Array[Float]]), (10L, null.asInstanceOf[Array[Float]])
     ).toDF("vec_id", "embedding")
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
     val direct = ids(Dedup.embeddingDedup(vecs, "vec_id", "embedding", 0.45))
     val layered = ids(Dedup.embeddingDedupLayered(vecs, "vec_id", "embedding", 0.45))
     assert(direct == layered, s"diverged: direct=$direct layered=$layered")
-    assert(layered == Set(1L, 5L, 7L, 8L), s"unexpected survivors: $layered")
+    assert(layered == Set(1L, 5L, 7L, 8L, 9L, 10L), s"unexpected survivors: $layered")
     // and on the real embeddings at the q48 gate threshold
     val emb = Tables.embeddings(spark, sf)
     val dReal = ids(Dedup.embeddingDedup(emb, "vec_id", "embedding", 0.45))
