@@ -1011,18 +1011,20 @@ object LlmQueries {
       .orderBy("merge_rank")
   }
 
-  val q175Sql: String = {
-    val n = 8
-    // symbol-aligned encoding: chr(1) at each end, chr(1)chr(1) between
-    // symbols — split strips the end separators then cuts on the double
+  /** The unrolled training chain shared by q175Sql and q176Sql:
+    * `w0, c1, m1, w1, …, wn` CTE bodies over the symbol-aligned
+    * encoding (chr(1) at each end, chr(1)chr(1) between symbols —
+    * split strips the end separators then cuts on the double; the
+    * apply replace anchors on whole symbols exactly like the engine).
+    * MATERIALIZED is load-bearing: each m_i is referenced several
+    * times (two scalar subqueries in w_i plus the consumers); without
+    * it DuckDB re-inlines the whole chain per reference and the
+    * evaluation tree grows exponentially in the iteration count. */
+  private def bpeTrainCtes(n: Int): String = {
     val pairList =
       "list_transform(range(1, len(l)), i -> l[CAST(i AS INTEGER)] || chr(1) || l[CAST(i AS INTEGER) + 1])"
     val splitSyms =
       "string_split(substr(s, 2, length(s) - 2), chr(1) || chr(1))"
-    // MATERIALIZED is load-bearing: each m_i is referenced several
-    // times (two scalar subqueries in w_i plus the output row); without
-    // it DuckDB re-inlines the whole chain per reference and the
-    // evaluation tree grows exponentially in the iteration count.
     val iters = (1 to n).map { i =>
       s"""c$i AS MATERIALIZED (
            SELECT p, count(*) AS cnt FROM (
@@ -1038,20 +1040,109 @@ object LlmQueries {
            FROM w${i - 1}
          )"""
     }.mkString(", ")
-    val outRows = (1 to n).map { i =>
-      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_rank,
-           string_split((SELECT p FROM m$i), chr(1))[1] AS lhs,
-           string_split((SELECT p FROM m$i), chr(1))[2] AS rhs"""
-    }.mkString(" UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
          SELECT chr(1) || array_to_string(list_transform(range(1, length(w) + 1),
                   i -> substr(w, CAST(i AS INTEGER), 1)), chr(1) || chr(1)) || chr(1) AS s
          FROM (SELECT unnest(regexp_extract_all(substr(text, 1, 200),
                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
                FROM documents WHERE doc_id % 5 = 0)
          WHERE length(w) > 1
-       ), $iters
+       ), $iters"""
+  }
+
+  val q175Sql: String = {
+    val n = 8
+    val outRows = (1 to n).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_rank,
+           string_split((SELECT p FROM m$i), chr(1))[1] AS lhs,
+           string_split((SELECT p FROM m$i), chr(1))[2] AS rhs"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(n)}
        $outRows
        ORDER BY merge_rank"""
+  }
+
+  // q176: the BPE TRAIN→PERSIST→APPLY pipeline in ONE gated query —
+  // train the 8-merge vocabulary on the q175 corpus, persist it via
+  // writeMerges (the train-once/apply-many artifact contract), reload
+  // it through readMerges' validation, and meter a disjoint bounded
+  // corpus slice with the q173 codegen kernel. Previously the
+  // composition was spec'd but not oracle-gated; here the DuckDB side
+  // re-derives the SAME vocabulary with the unrolled training chain,
+  // folds it into a rank MAP, and walks the same greedy lowest-rank
+  // merge recursion — so a drift anywhere in train, artifact
+  // round-trip, or apply hash-mismatches the gate. Corpus bounds
+  // (train: doc_id % 5, 200 chars; apply: doc_id % 15, 160 chars)
+  // keep the oracle's recursion off the gate's critical path.
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Bpe
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(substring(col("text"), 1, 200).as("head"))
+    val merges = Bpe.trainMerges(corpus, "head", nMerges = 8)
+    val vocabDir = graft.sources.Scratch.dir("bpe_vocab")
+    Bpe.writeMerges(spark, merges, vocabDir)
+    val loaded = Bpe.readMerges(spark, vocabDir)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 160).as("head"))
+      .select(col("doc_id"),
+        Bpe.bpeTokenCount(col("head"), loaded).as("bpe_tokens"),
+        TextFunctions.bpeishTokenCount(col("head")).cast(LongType).as("pre_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q176Sql: String = {
+    val n = 8
+    val kv = (1 to n).map { i =>
+      s"SELECT (SELECT p FROM m$i) AS p, ${i - 1} AS r"
+    }.mkString(" UNION ALL ")
+    // rank lookup through the TRAINED map (keys are the m_i pair
+    // strings verbatim, chr(1)-joined like the engine's); missing
+    // pairs coalesce to the same 1000000 sentinel q173 uses
+    val rankList = """list_transform(range(1, len(syms)), i ->
+           coalesce(rk[syms[CAST(i AS INTEGER)] || chr(1) || syms[CAST(i AS INTEGER) + 1]][1],
+                    1000000))"""
+    s"""WITH RECURSIVE ${bpeTrainCtes(n)}, vocab AS MATERIALIZED (
+         SELECT map(list(p ORDER BY r), list(r ORDER BY r)) AS rk
+         FROM ($kv)
+       ), sel AS (
+         SELECT doc_id, substr(text, 1, 160) AS head
+         FROM documents WHERE doc_id % 15 = 0
+       ), words AS (
+         SELECT doc_id,
+           unnest(regexp_extract_all(head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM sel
+       ), steps AS (
+         SELECT doc_id,
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+         FROM words
+         UNION ALL
+         SELECT doc_id,
+           syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:] AS syms
+         FROM (
+           SELECT doc_id, syms,
+             $rankList AS ranks,
+             list_aggregate(ranks, 'min') AS minr,
+             list_position(ranks, minr) AS pos
+           FROM steps, vocab)
+         WHERE minr < 1000000
+       ), finals AS (
+         SELECT doc_id, len(syms) AS n
+         FROM (
+           SELECT doc_id, syms,
+             $rankList AS ranks,
+             coalesce(list_aggregate(ranks, 'min'), 1000000) AS minr
+           FROM steps, vocab)
+         WHERE minr >= 1000000
+       )
+       SELECT s.doc_id,
+         CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+         CAST(len(regexp_extract_all(s.head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS pre_tokens
+       FROM sel s
+       LEFT JOIN (SELECT doc_id, SUM(n) AS bpe_tokens FROM finals GROUP BY doc_id) c
+         USING (doc_id)
+       ORDER BY s.doc_id"""
   }
 }
