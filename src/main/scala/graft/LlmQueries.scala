@@ -398,6 +398,37 @@ object LlmQueries {
     Multimodal.decodeStub(Multimodal.asMedia(Tables.documents(spark, dir)))
       .orderBy("doc_id")
 
+  // q177: IMAGE near-dup dedup (rows-only — SQL cannot decode pixels;
+  // survivor semantics spec-gated in ImageDedupSpec on hand-built
+  // fixtures). The corpus is synthesized deterministically INSIDE the
+  // gate: one smooth 64×64 BMP per sampled doc whose pixels derive
+  // from an MD5 of the text (text clones ⇒ byte-identical images),
+  // plus a 48px resized re-encoded PNG variant of each (the classic
+  // thumbnail near-dup). Dedup = real JDK pixel decode → dHash →
+  // exhaustive combination-blocked Hamming candidates → exact luma
+  // verify → min-id survivor (Dedup.imageDedupDHash). Expected
+  // structure: every resized variant collapses onto its original,
+  // every text-clone group collapses to its min doc_id, distinct
+  // content survives — the spec asserts exactly this; the gate pins
+  // row determinism.
+  def q177(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 12 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, head) =>
+        val seed = java.security.MessageDigest.getInstance("MD5")
+          .digest(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.operators.MediaRow(id, Multimodal.syntheticBmp(seed, 64, 64), 64, 64, "bmp")
+      }).toDF()
+    val variants = Multimodal.resizeImage(base, targetWidth = 48)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    graft.operators.Dedup.imageDedupDHash(base.unionByName(variants))
+      .select(col("doc_id"), col("fmt"), col("width"))
+      .orderBy("doc_id")
+  }
+
   // q31: gap-based sessionization (batch twin of the streaming
   // flatMapGroupsWithState path in graft.streaming.EventStream).
   def q31(spark: SparkSession, dir: String): DataFrame = {

@@ -212,7 +212,17 @@ object Dedup {
     */
   def simhashCandidatesCombination(docs: DataFrame, idCol: String, textCol: String,
                                    maxHamming: Int, blocks: Int = 16,
-                                   agreeBlocks: Int = 2): DataFrame = {
+                                   agreeBlocks: Int = 2): DataFrame =
+    hammingCombinationPairs(
+      docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig")),
+      maxHamming, blocks, agreeBlocks)
+
+  /** The combination-blocking pair join over ANY (id, sig) 64-bit
+    * fingerprint frame — shared by text SimHash and image dHash; the
+    * exhaustiveness argument is the signature-agnostic part of
+    * [[simhashCandidatesCombination]]'s doc. */
+  private def hammingCombinationPairs(sig: DataFrame, maxHamming: Int,
+                                      blocks: Int, agreeBlocks: Int): DataFrame = {
     require(64 % blocks == 0, s"blocks=$blocks must divide the 64-bit signature")
     require(agreeBlocks >= 1 && agreeBlocks <= blocks, "agreeBlocks out of range")
     require(maxHamming <= blocks - agreeBlocks,
@@ -220,7 +230,6 @@ object Dedup {
         s"hamming <= ${blocks - agreeBlocks}; maxHamming=$maxHamming breaks the guarantee")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig"))
     def blockVal(b: Int): Column = shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
     // every r-subset of block indices, enumerated deterministically
     val subsets = (0 until blocks).combinations(agreeBlocks).toSeq
@@ -238,6 +247,53 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming) // before the dedup exchange, as above
       .distinct()
+  }
+
+  /** IMAGE near-dup dedup — the q22 SimHash layout applied to PIXELS
+    * (r8 verdict #3): perceptual dHash over real decoded images
+    * ([[graft.operators.Multimodal.imageDHash]]: JDK decode →
+    * deterministic 9×8 nearest-neighbor luma grid → 64-bit gradient
+    * hash), candidate pairs from the SAME exhaustive combination
+    * blocking as text SimHash (a pair within `maxHamming` must agree
+    * exactly on some `agreeBlocks`-subset of blocks), then an EXACT
+    * pixel verify on the carried luma grids — total absolute luma
+    * difference over the 72 samples, integer-exact — before the
+    * smaller id survives. Re-encoded and resized clones land within a
+    * few gradient-bit flips and tiny luma drift; distinct content
+    * diverges by ~32 bits. Undecodable payloads (webp pixels /
+    * corrupt bytes — the declared stub boundary) pass through
+    * untouched, the null-embedding convention.
+    *
+    * Scale shape: decode and hashing are map-side; candidates shuffle
+    * (id, 64-bit sig) rows only; the luma verify joins 72-int grids
+    * onto the candidate pairs, never onto the corpus product. Never
+    * all-pairs.
+    *
+    * @param media MediaRow-shaped frame (doc_id, payload, width,
+    *              height, fmt)
+    * @param maxHamming dHash Hamming bound for candidate pairs
+    * @param maxMeanAbsDiff exact-verify bound: mean absolute luma
+    *        difference over the 9×8 grids, in 0-255 luma units
+    */
+  def imageDedupDHash(media: DataFrame, maxHamming: Int = 10,
+                      maxMeanAbsDiff: Int = 16,
+                      blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+    val hashed = graft.operators.Multimodal.imageDHash(media)
+    val decoded = hashed.filter(col("decoded"))
+    val pairs = hammingCombinationPairs(
+      decoded.select(col("doc_id").as("id"), col("dhash").as("sig")),
+      maxHamming, blocks, agreeBlocks)
+    val lumas = decoded.select(col("doc_id"), col("luma"))
+    // integer-exact verify: Σ|la_i − lb_i| <= 72 · maxMeanAbsDiff
+    val totalAbs = aggregate(
+      zip_with(col("la"), col("lb"), (a, b) => abs(a - b)),
+      lit(0), (s, v) => s + v)
+    val dupes = pairs
+      .join(lumas.select(col("doc_id").as("id_a"), col("luma").as("la")), "id_a")
+      .join(lumas.select(col("doc_id").as("id_b"), col("luma").as("lb")), "id_b")
+      .filter(totalAbs <= lit(72 * maxMeanAbsDiff))
+      .select(col("id_b").as("doc_id")).distinct()
+    media.join(dupes, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash dedup: survivors after dropping the larger id of every

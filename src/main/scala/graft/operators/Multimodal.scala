@@ -277,6 +277,111 @@ object Multimodal {
       math.max((m.height.toDouble / scale).toInt, 1), m.fmt)
   }
 
+  // ---- Perceptual fingerprinting (r9): dHash over decoded pixels -------
+
+  /** Per-image perceptual-hash output: 64-bit dHash + the 9×8 luma
+    * sample grid it was computed from (the grid is the exact-pixel
+    * verify evidence — 72 bytes/image, cheap to carry). */
+  case class ImageHash(doc_id: Long, dhash: Long, luma: Array[Int], decoded: Boolean)
+
+  /** 9×8 luma sample grid by the same deterministic nearest-neighbor
+    * kernel as [[resizeImage]] (integer source picks, no Java2D
+    * filtering): luma = (77·R + 150·G + 29·B) >> 8, the integer
+    * BT.601 weights — identical on any JVM. */
+  private[operators] def lumaGrid9x8(img: java.awt.image.BufferedImage): Array[Int] = {
+    val out = new Array[Int](72)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * img.getHeight / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val sx = (x.toLong * img.getWidth / 9).toInt
+        val rgb = img.getRGB(sx, sy)
+        out(y * 9 + x) =
+          (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Difference hash (dHash, Krawetz): bit (r,c) set iff the luma
+    * GRADIENT at (r,c) is positive — luma(r,c+1) > luma(r,c) over the
+    * 9×8 grid, 8 comparisons per row × 8 rows = 64 bits. Gradients
+    * survive re-encoding and resampling (absolute levels don't), which
+    * is what makes the fingerprint collide for re-encoded/resized
+    * clones while distinct content diverges by ~32 bits. */
+  private[operators] def dHash64(grid: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual fingerprints for an opaque media frame: decode through
+    * the real JDK codecs, sample the 9×8 luma grid, dHash it.
+    * Undecodable payloads (webp pixels / corrupt bytes — the declared
+    * stub boundary) come back `decoded=false` with a zero hash so
+    * callers can route them around the dedup (the null-embedding
+    * pass-through convention). Partition-batched map-side, no shuffle.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      val img =
+        if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp")
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        else null
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val grid = lumaGrid9x8(img)
+        ImageHash(m.doc_id, dHash64(grid), grid, decoded = true)
+      } else ImageHash(m.doc_id, 0L, Array.emptyIntArray, decoded = false)
+    }).toDF()
+  }
+
+  /** Deterministic SMOOTH grayscale test image: a 4×4 seed grid
+    * (bytes 0-15 of `seed`, cycled) upscaled bilinearly with integer
+    * math, encoded as 24-bit BMP via the JDK. Smoothness is the point:
+    * dHash compares adjacent luma samples, so a smooth image's
+    * fingerprint is stable under [[resizeImage]]'s nearest-neighbor
+    * resample (the near-dup fixture), while different seeds flip ~half
+    * the 64 gradient signs. Fixture/demo generator — a real corpus
+    * brings its own images.
+    */
+  def syntheticBmp(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(seed.nonEmpty && w > 1 && h > 1, "seed non-empty, dims > 1")
+    def s(i: Int, j: Int) = seed(((i & 3) * 4 + (j & 3)) % seed.length) & 0xff
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      // fixed-point bilinear: position in seed-grid units, scaled by 256
+      val fy = y * 3 * 256 / (h - 1); val iy = math.min(fy >> 8, 2); val ty = fy - (iy << 8)
+      var x = 0
+      while (x < w) {
+        val fx = x * 3 * 256 / (w - 1); val ix = math.min(fx >> 8, 2); val tx = fx - (ix << 8)
+        val top = s(iy, ix) * (256 - tx) + s(iy, ix + 1) * tx
+        val bot = s(iy + 1, ix) * (256 - tx) + s(iy + 1, ix + 1) * tx
+        val v = ((top * (256 - ty) + bot * ty) >> 16) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   /** Frame sampling: one output row per k-th frame of each asset —
     * the video-at-scale shape (a 2-hour clip explodes to thousands of
     * frame rows; sampling must happen AT explode time so unsampled

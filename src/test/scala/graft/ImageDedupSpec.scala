@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, MediaRow, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image dedup: hand-built near-identical images
+  * (byte clones, re-encoded clones, resized thumbnails) must collapse
+  * to their min-id original; distinct content must survive. The
+  * fixtures are the smooth synthetic BMPs q177 uses — deterministic
+  * pixels, real JDK decode/encode end to end.
+  */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(tag: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def bmp(id: Long, tag: String, w: Int = 64, h: Int = 64): MediaRow =
+    MediaRow(id, Multimodal.syntheticBmp(seed(tag), w, h), w, h, "bmp")
+
+  private def survivors(media: org.apache.spark.sql.DataFrame): Set[Long] =
+    Dedup.imageDedupDHash(media).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("dHash is stable under re-encode and resize, distinct under new content") {
+    val rows = Seq(bmp(1, "alpha"), bmp(2, "alpha"), bmp(3, "beta")).toDF()
+    val hashes = Multimodal.imageDHash(rows)
+      .select("doc_id", "dhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // byte-identical clones: identical hash
+    assert(hashes(1) == hashes(2))
+    // distinct content: far apart (the ~32-bit expectation, loosely gated)
+    val d13 = java.lang.Long.bitCount(hashes(1) ^ hashes(3))
+    assert(d13 > 10, s"distinct images too close: hamming $d13")
+    // a 48px re-encoded PNG thumbnail of image 1 stays within the bound
+    val resized = Multimodal.resizeImage(Seq(bmp(4, "alpha")).toDF(), 48)
+    val h4 = Multimodal.imageDHash(resized).select("dhash").head().getLong(0)
+    assert(java.lang.Long.bitCount(hashes(1) ^ h4) <= 10,
+      s"resized clone drifted: hamming ${java.lang.Long.bitCount(hashes(1) ^ h4)}")
+  }
+
+  test("clones, re-encodes and thumbnails collapse to the min id; distinct survive") {
+    val base = Seq(
+      bmp(10, "groupA"), bmp(11, "groupA"),          // byte clones
+      bmp(20, "groupB"),
+      bmp(30, "groupC")
+    ).toDF()
+    // 48px re-encoded PNG thumbnails of A and B (ids above the originals)
+    val thumbs = Multimodal.resizeImage(
+      Seq(bmp(12, "groupA"), bmp(21, "groupB")).toDF(), 48)
+    val got = survivors(base.unionByName(thumbs))
+    assert(got == Set(10L, 20L, 30L), s"unexpected survivors: $got")
+  }
+
+  test("undecodable payloads pass through untouched") {
+    val junk = MediaRow(99, "not an image".getBytes, 64, 64, "bmp")
+    val webp = MediaRow(98, Array[Byte](1, 2, 3), 64, 64, "webp")
+    val got = survivors(Seq(bmp(1, "x"), bmp(2, "x")).toDF()
+      .unionByName(Seq(junk, webp).toDF()))
+    assert(got == Set(1L, 98L, 99L), s"unexpected survivors: $got")
+  }
+
+  test("broken exhaustiveness parameters are rejected") {
+    val df = Seq(bmp(1, "x")).toDF()
+    intercept[IllegalArgumentException] {
+      Dedup.imageDedupDHash(df, maxHamming = 15, blocks = 16, agreeBlocks = 2).collect()
+    }
+  }
+
+  test("q177 runs, is deterministic, and drops every thumbnail variant") {
+    val a = LlmQueries.q177(spark, sf).collect()
+    val b = LlmQueries.q177(spark, sf).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // every surviving id is an original (< 1000000): each resized
+    // variant collapsed onto its base image
+    assert(a.forall(_.getLong(0) < 1000000L),
+      s"thumbnail variants survived: ${a.map(_.getLong(0)).filter(_ >= 1000000L).mkString(",")}")
+  }
+}
