@@ -43,18 +43,25 @@ object CorpusPipeline {
   def ingest(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
              dedupThreshold: Double = 0.5, shingleN: Int = 3,
-             bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+             bands: Int = 16, rowsPerBand: Int = 4,
+             bpeMerges: Option[Seq[(String, String)]] = None): (DataFrame, DataFrame) = {
     val scrubbed = batch.withColumn(textCol, CorpusOps.redactPii(col(textCol)))
     val judged = scrubbed
       .filter(size(TextFunctions.tokens(col(textCol))) >= minTokens &&
         CorpusOps.dupTokenRatio(col(textCol)) <= maxDupTokenRatio)
     val (kept, indexRows) = Dedup.dedupIncrement(index, judged, idCol, textCol,
       dedupThreshold, shingleN, bands, rowsPerBand)
-    val delta = kept
+    val annotated = kept
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tok", TextFunctions.wordCount(col(textCol)).cast(LongType))
       .withColumn("dup_token_ratio", CorpusOps.dupTokenRatio(col(textCol)))
       .withColumn("n_pii", CorpusOps.piiCount(col(textCol)))
+    // REAL token meter (r9): the q173 codegen kernel under a trained
+    // vocabulary — map-side on the scrubbed survivor text, the number
+    // a training-data pipeline actually bills by
+    val delta = bpeMerges.fold(annotated)(m =>
+      annotated.withColumn("bpe_tok",
+        graft.plans.Bpe.bpeTokenCount(col(textCol), m)))
     (delta, indexRows)
   }
 
@@ -73,14 +80,27 @@ object CorpusPipeline {
     * delta; run the output through the MERGE sink or dedup on `idCol`
     * downstream if the source cannot guarantee exactly-once.
     */
+  /** With `bpeMerges` set, survivors carry a `bpe_tok` column; with
+    * `meterPath` also set (requires `bpeMerges`), each micro-batch
+    * additionally lands ONE meter row — (batch_id, n_docs,
+    * bpe_tokens) — in its own `batch_id=<id>` partition with per-write
+    * dynamic overwrite, the quarantineSink exactly-once convention: a
+    * replayed batch REPLACES its meter row instead of double-counting
+    * the corpus bill. The totals are collected via `observe` on the
+    * same job that writes the delta — metering adds zero extra passes.
+    */
   def ingestSink(docs: DataFrame, indexPath: String, deltaPath: String,
                  idCol: String, textCol: String,
                  minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
                  dedupThreshold: Double = 0.5, shingleN: Int = 3,
-                 bands: Int = 16, rowsPerBand: Int = 4)
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 bpeMerges: Option[Seq[(String, String)]] = None,
+                 meterPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(meterPath.isEmpty || bpeMerges.nonEmpty,
+      "meterPath needs bpeMerges: the meter bills BPE tokens")
     val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => {
+      (batch, batchId) => {
         val spark = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexPath)
         val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,10 +109,25 @@ object CorpusPipeline {
           else Dedup.minhashIndex(batch.toDF().limit(0), idCol, textCol,
             shingleN, bands, rowsPerBand)
         val (delta, idx) = ingest(index, batch.toDF(), idCol, textCol,
-          minTokens, maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand)
+          minTokens, maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand,
+          bpeMerges)
         // materialize the delta BEFORE the index append below changes
         // what `index` lazily reads
-        delta.write.mode("append").parquet(deltaPath)
+        meterPath match {
+          case Some(mp) =>
+            val obs = org.apache.spark.sql.Observation()
+            delta.observe(obs, count(lit(1)).as("n_docs"),
+                coalesce(sum(col("bpe_tok")), lit(0L)).as("bpe_tokens"))
+              .write.mode("append").parquet(deltaPath)
+            import spark.implicits._
+            Seq((batchId, obs.get("n_docs").asInstanceOf[Long],
+                obs.get("bpe_tokens").asInstanceOf[Long]))
+              .toDF("batch_id", "n_docs", "bpe_tokens")
+              .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(mp)
+          case None =>
+            delta.write.mode("append").parquet(deltaPath)
+        }
         idx.write.mode("append").parquet(indexPath)
       }
     docs.writeStream.foreachBatch(step)
@@ -105,7 +140,8 @@ object CorpusPipeline {
   def ingestAll(batches: Seq[DataFrame], idCol: String, textCol: String,
                 minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
                 dedupThreshold: Double = 0.5, shingleN: Int = 3,
-                bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+                bands: Int = 16, rowsPerBand: Int = 4,
+                bpeMerges: Option[Seq[(String, String)]] = None): (DataFrame, DataFrame) = {
     require(batches.nonEmpty, "need at least one batch")
     // seed the empty index from the caller's own schema (as ingestSink
     // does) so non-Long ids / extra columns don't break unionByName
@@ -114,7 +150,7 @@ object CorpusPipeline {
     var delta: Option[DataFrame] = None
     batches.foreach { b =>
       val (d, idx) = ingest(index, b, idCol, textCol, minTokens,
-        maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand)
+        maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand, bpeMerges)
       index = index.unionByName(idx).localCheckpoint(eager = true)
       delta = Some(delta.map(_.unionByName(d)).getOrElse(d))
     }

@@ -99,6 +99,55 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 3L, 4L, 5L), s"index: $indexed")
   }
 
+  test("metered streaming ingest: 3 micro-batches == one shot, token counts byte-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = graft.plans.Bpe.demoMerges
+    val base = s"/tmp/graft_cpmeter_${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.ingestSink(in.toDF().toDF("doc_id", "text"),
+        s"$base/index", s"$base/delta", "doc_id", "text",
+        bpeMerges = Some(vocab), meterPath = Some(s"$base/meter"))
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.filter(_._1 <= 2).toSeq: _*); q.processAllAvailable()
+      in.addData(rows.filter(t => t._1 >= 3 && t._1 <= 5).toSeq: _*); q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= 6).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // per-doc token counts: streamed delta == one-shot ingestAll, exactly
+    val streamed = spark.read.parquet(s"$base/delta")
+      .select("doc_id", "bpe_tok").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = CorpusPipeline.ingestAll(Seq(corpus), "doc_id", "text",
+        bpeMerges = Some(vocab))._1
+      .select("doc_id", "bpe_tok").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+    // the meter: one row per micro-batch in its own batch_id partition
+    // (the idempotent-replay layout), totals summing to the corpus bill
+    val meter = spark.read.parquet(s"$base/meter")
+      // partition-column inference types batch_id as int; normalize
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .orderBy("batch_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bpe_tokens"))).toSeq
+    assert(meter.map(_._1) == Seq(0L, 1L, 2L), s"meter rows: $meter")
+    assert(meter.map(_._3).sum == oneShot.map(_._2).sum,
+      s"meter total ${meter.map(_._3).sum} != corpus total ${oneShot.map(_._2).sum}")
+    assert(meter.map(_._2).sum == oneShot.size.toLong)
+    // partition layout on disk: batch_id=<id> directories
+    val dirs = new java.io.File(s"$base/meter").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch_id=0", "batch_id=1", "batch_id=2"), s"dirs: $dirs")
+    // meterPath without a vocabulary is rejected loudly
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.ingestSink(in.toDF().toDF("doc_id", "text"),
+        s"$base/i2", s"$base/d2", "doc_id", "text", meterPath = Some(s"$base/m2"))
+    }
+  }
+
   test("a later batch cannot resurrect a near-dup of an earlier batch") {
     val b1 = corpus.filter(col("doc_id") === 1L)
     val replay = Seq((100L, span(2))).toDF("doc_id", "text") // J(1,100) ≈ 0.77
