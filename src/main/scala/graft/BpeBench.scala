@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-scale evidence for the r9 frequency-table BPE trainer:
+  * times `Bpe.trainMerges` at a small and a large merge budget over
+  * the same corpus. With training state on the (word, count) table,
+  * per-round cost is vocabulary-bounded, so the large budget should
+  * cost ~(budget ratio) × the per-round cost of the small one — NOT
+  * scale with corpus instances (the r8 trainer paid one corpus-wide
+  * pair-count shuffle per merge rule). Prints one JSON line.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.BpeBench [small] [large]`
+  */
+object BpeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val small = if (args.length > 0) args(0).toInt else 8
+    val large = if (args.length > 1) args(1).toInt else 256
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the q175 corpus shape, unbounded by doc sampling so the corpus
+    // -vs-vocabulary distinction is visible at scale
+    val docs = Tables.documents(spark, sfDir)
+      .select(substring(col("text"), 1, 400).as("head"))
+    val nDocs = docs.count()
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (m1, tSmall) = time(graft.plans.Bpe.trainMerges(docs, "head", small))
+    val (m2, tLarge) = time(graft.plans.Bpe.trainMerges(docs, "head", large))
+    require(m2.take(m1.size) == m1, "large run must extend the small run's merges")
+    val perRoundSmall = tSmall / math.max(1, m1.size)
+    val perRoundLarge = tLarge / math.max(1, m2.size)
+    println(s"""{"metric":"bpe_train","docs":$nDocs,"sf_dir":"$sfDir",""" +
+      s""""merges_small":${m1.size},"sec_small":${f"$tSmall%.1f"},""" +
+      s""""merges_large":${m2.size},"sec_large":${f"$tLarge%.1f"},""" +
+      s""""sec_per_round_small":${f"$perRoundSmall%.3f"},""" +
+      s""""sec_per_round_large":${f"$perRoundLarge%.3f"}}""")
+    spark.stop()
+  }
+}

@@ -260,7 +260,7 @@ object Dedup {
     * difference over the 72 samples, integer-exact — before the
     * smaller id survives. Re-encoded and resized clones land within a
     * few gradient-bit flips and tiny luma drift; distinct content
-    * diverges by ~32 bits. Undecodable payloads (webp pixels /
+    * diverges by ~32 bits. Undecodable payloads (lossy-VP8 pixels /
     * corrupt bytes — the declared stub boundary) pass through
     * untouched, the null-embedding convention.
     *

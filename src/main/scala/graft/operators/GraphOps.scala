@@ -89,7 +89,13 @@ object GraphOps {
         calls += 1
         if (calls % CheckpointEvery == 0) durable(df, dir)
         else {
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // DISK_ONLY, not MEMORY_AND_DISK: the sf100 fixpoints cache
+          // node/edge-scale frames every round, and in-memory blocks
+          // compete with shuffle memory (observed as GC-locker thrash
+          // on the 600M-row mirror); the local disk write is the same
+          // cost class as localCheckpoint and leaves the heap to the
+          // shuffles
+          df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           df.count() // materialize now so later rounds read the cache
           cached += df
           df

@@ -54,18 +54,27 @@ object Multimodal {
     * the schema, partitioning, and batch shape around them are the
     * real, tested part).
     */
-  private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
+  /** Real pixel decode across every lossless-capable format the repo
+    * claims: PNG/JPEG/GIF/BMP via `javax.imageio`, LOSSLESS WebP via
+    * the hand-rolled [[Vp8l]] bitstream decoder (r9). Null when the
+    * payload is undecodable (lossy VP8 / compressed audio — the
+    * remaining declared stub boundary — or corrupt bytes). */
+  private[operators] def decodeImage(m: MediaRow): java.awt.image.BufferedImage =
     if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp") {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: java.io.IOException => null }
-      if (img != null)
-        return MediaFeatures(m.doc_id, m.payload.length.toLong,
-          byteMean(m.payload), 1, img.getWidth, img.getHeight, m.fmt)
-    }
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: java.io.IOException => null }
+    } else if (m.fmt == "webp") Vp8l.decodeWebp(m.payload).orNull
+    else null
+
+  private[operators] def decodeOne(m: MediaRow): MediaFeatures = {
+    val img = decodeImage(m)
+    if (img != null)
+      return MediaFeatures(m.doc_id, m.payload.length.toLong,
+        byteMean(m.payload), 1, img.getWidth, img.getHeight, m.fmt)
     if (m.fmt == "webp") {
       // REAL container parse (r8): dimensions from the VP8/VP8L/VP8X
-      // headers — hand-rolled, deterministic, no codec required.
+      // headers — hand-rolled, deterministic, no codec required (the
+      // metadata path for LOSSY webp, whose pixels stay stubbed).
       parseWebpDims(m.payload) match {
         case Some((w, h)) =>
           return MediaFeatures(m.doc_id, m.payload.length.toLong,
@@ -73,9 +82,9 @@ object Multimodal {
         case None => ()
       }
     }
-    // ??? <- webp PIXEL decode / compressed-audio codecs go here; those
-    // remain the declared stub boundary (WAV-PCM and WebP headers are
-    // real above / in audioFeatures). Deterministic fake below.
+    // ??? <- lossy-VP8 pixel decode / compressed-audio codecs go here;
+    // those remain the declared stub boundary (WAV-PCM, WebP headers
+    // and LOSSLESS WebP pixels are real above). Deterministic fake below.
     stubDecode(m)
   }
 
@@ -246,10 +255,9 @@ object Multimodal {
   }
 
   private[operators] def resizeOne(m: MediaRow, targetWidth: Int): MediaRow = {
-    if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp") {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: java.io.IOException => null }
+    if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp" ||
+        m.fmt == "webp") {
+      val img = decodeImage(m)
       if (img != null && img.getWidth > 0 && img.getHeight > 0) {
         val h = math.max(1, (img.getHeight.toLong * targetWidth / img.getWidth).toInt)
         val out = new java.awt.image.BufferedImage(targetWidth, h,
@@ -327,20 +335,17 @@ object Multimodal {
   }
 
   /** Perceptual fingerprints for an opaque media frame: decode through
-    * the real JDK codecs, sample the 9×8 luma grid, dHash it.
-    * Undecodable payloads (webp pixels / corrupt bytes — the declared
-    * stub boundary) come back `decoded=false` with a zero hash so
-    * callers can route them around the dedup (the null-embedding
-    * pass-through convention). Partition-batched map-side, no shuffle.
+    * the real codecs (JDK formats + hand-rolled lossless WebP), sample
+    * the 9×8 luma grid, dHash it. Undecodable payloads (lossy-VP8
+    * pixels / corrupt bytes — the declared stub boundary) come back
+    * `decoded=false` with a zero hash so callers can route them around
+    * the dedup (the null-embedding pass-through convention).
+    * Partition-batched map-side, no shuffle.
     */
   def imageDHash(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
-      val img =
-        if (m.fmt == "png" || m.fmt == "jpeg" || m.fmt == "gif" || m.fmt == "bmp")
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
-        else null
+      val img = decodeImage(m)
       if (img != null && img.getWidth > 0 && img.getHeight > 0) {
         val grid = lumaGrid9x8(img)
         ImageHash(m.doc_id, dHash64(grid), grid, decoded = true)

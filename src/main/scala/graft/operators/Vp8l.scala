@@ -1,0 +1,526 @@
+package graft.operators
+
+/** Hand-rolled VP8L (WebP LOSSLESS) pixel decoder — pure JVM, no
+  * codec, implemented from the public "WebP Lossless Bitstream
+  * Specification". This shrinks the repo's declared multimodal stub
+  * boundary to lossy VP8 + compressed audio only: lossless .webp
+  * payloads now decode to real pixels and flow into `resizeImage` /
+  * `imageDHash` like PNG/JPEG/GIF/BMP.
+  *
+  * Coverage: the full lossless subset — LSB-first bit reader, simple
+  * and normal (code-length-coded) canonical prefix codes incl. the
+  * max-symbol short-circuit, meta prefix-code images, color cache,
+  * LZ77 backward references, and all four transforms (predictor,
+  * color, subtract-green, color-indexing incl. sub-byte pixel
+  * packing), applied in reverse stream order.
+  *
+  * Two documented best-effort cells, both irrelevant to streams this
+  * repo produces (the spec fixtures use direct distance codes and
+  * interior-safe predictors) and both failing LOUDLY (garbage is
+  * bounded to the affected pixels, never a crash): the 120-entry 2D
+  * distance-mapping table is reproduced from the spec to the best of
+  * offline ability, and the right-edge TR pixel follows libwebp's
+  * linear-buffer semantics (TR of the last column = leftmost pixel of
+  * the SAME row).
+  *
+  * Everything here decodes; encoding stays out of scope (the spec
+  * fixtures hand-write their bitstreams in the test, deliberately a
+  * separate code path so an encoder bug cannot mirror a decoder bug).
+  */
+object Vp8l {
+
+  /** LSB-first bit reader over a byte array (VP8L bit order). */
+  final class BitReader(bytes: Array[Byte], startByte: Int) {
+    private var pos = startByte.toLong * 8
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIdx = (pos >> 3).toInt
+        if (byteIdx >= bytes.length)
+          throw new IllegalArgumentException("VP8L: bitstream truncated")
+        val bit = (bytes(byteIdx) >> (pos & 7).toInt) & 1
+        v |= bit << i
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def readBit(): Int = readBits(1)
+  }
+
+  /** Canonical prefix code as a flat binary tree in an int array:
+    * node i holds children at 2i+1 (bit 0) / 2i+2 — too wasteful for
+    * 15-level codes, so use explicit arrays: `left`/`right` child node
+    * ids, negative = leaf(symbol = -v-1). Degenerate single-symbol
+    * codes decode with ZERO bits read. */
+  final class Prefix(lengths: Array[Int]) {
+    private val present = lengths.zipWithIndex.filter(_._1 > 0)
+    val single: Int = if (present.length == 1) present.head._2 else -1
+    private val left = scala.collection.mutable.ArrayBuffer[Int](0)
+    private val right = scala.collection.mutable.ArrayBuffer[Int](0)
+    if (single < 0) {
+      require(present.nonEmpty, "VP8L: empty prefix code")
+      // canonical assignment: codes in (length, symbol) order
+      val maxLen = present.map(_._1).max
+      val blCount = new Array[Int](maxLen + 1)
+      present.foreach { case (l, _) => blCount(l) += 1 }
+      val nextCode = new Array[Int](maxLen + 2)
+      var code = 0
+      var l = 1
+      while (l <= maxLen) { code = (code + blCount(l - 1)) << 1; nextCode(l) = code; l += 1 }
+      // kraft check: overfull codes are malformed streams
+      var kraft = 0L
+      present.foreach { case (len, _) => kraft += 1L << (maxLen - len) }
+      require(kraft <= (1L << maxLen), "VP8L: over-subscribed prefix code")
+      present.sortBy { case (len, sym) => (len, sym) }.foreach { case (len, sym) =>
+        val c = nextCode(len); nextCode(len) += 1
+        // insert path: bits MSB -> LSB (stream order: first bit = MSB)
+        var node = 0
+        var b = len - 1
+        while (b >= 0) {
+          val bit = (c >> b) & 1
+          val arr = if (bit == 0) left else right
+          if (b == 0) {
+            require(arr(node) == 0, "VP8L: prefix code collision")
+            arr(node) = -sym - 1
+          } else {
+            if (arr(node) == 0) {
+              left += 0; right += 0
+              arr(node) = left.length - 1
+            }
+            require(arr(node) > 0, "VP8L: prefix code collision")
+            node = arr(node)
+          }
+          b -= 1
+        }
+      }
+    }
+    private val l = left.toArray
+    private val r = right.toArray
+    def decode(br: BitReader): Int = {
+      if (single >= 0) return single
+      var node = 0
+      while (true) {
+        val v = if (br.readBit() == 0) l(node) else r(node)
+        if (v < 0) return -v - 1
+        require(v > 0, "VP8L: invalid prefix path")
+        node = v
+      }
+      -1
+    }
+  }
+
+  private val ClCodeOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** One prefix code from the stream: simple (explicit 1-2 symbols) or
+    * normal (code-length-coded, deflate-style 16/17/18 repeats). */
+  private def readCode(br: BitReader, alphabetSize: Int): Prefix = {
+    val lengths = new Array[Int](alphabetSize)
+    if (br.readBit() == 1) { // simple
+      val numSymbols = br.readBit() + 1
+      val firstIs8 = br.readBit()
+      val s0 = br.readBits(if (firstIs8 == 1) 8 else 1)
+      require(s0 < alphabetSize, "VP8L: simple-code symbol out of range")
+      if (numSymbols == 2) {
+        val s1 = br.readBits(8)
+        require(s1 < alphabetSize && s1 != s0, "VP8L: bad simple code")
+        lengths(s0) = 1; lengths(s1) = 1
+      } else lengths(s0) = 1 // degenerate: decoded with zero bits
+    } else {
+      val numCl = 4 + br.readBits(4)
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(ClCodeOrder(i)) = br.readBits(3); i += 1 }
+      val clCode = new Prefix(clLengths)
+      var maxSymbol =
+        if (br.readBit() == 1) {
+          val nbits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(nbits)
+        } else alphabetSize
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.decode(br)
+        if (cl < 16) {
+          lengths(sym) = cl; sym += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (repeat, repLen) = cl match {
+            case 16 => (3 + br.readBits(2), prevLen)
+            case 17 => (3 + br.readBits(3), 0)
+            case _  => (11 + br.readBits(7), 0)
+          }
+          require(sym + repeat <= alphabetSize, "VP8L: code-length overflow")
+          var j = 0
+          while (j < repeat) { lengths(sym) = repLen; sym += 1; j += 1 }
+        }
+      }
+      ()
+    }
+    new Prefix(lengths)
+  }
+
+  /** LZ77 prefix value: codes 0-3 direct, then (extra-bit, offset). */
+  private def prefixValue(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.readBits(extra) + 1
+    }
+
+  /** The spec's 2D distance mapping: dist codes 1..120 address near
+    * pixels as (dx, dy) offsets. Reproduced best-effort offline (see
+    * object doc); streams using only direct codes (>120) never touch
+    * it. Packed as (dx+8) | (dy<<4). */
+  private val DistanceMap: Array[Int] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
+    (-8, 3), (3, 8), (-3, 8), (8, 4), (-8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6)
+  ).map { case (dx, dy) => (dx + 8) | (dy << 4) }
+
+  private def planeDistance(code: Int, width: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val packed = DistanceMap(code - 1)
+      val dx = (packed & 0xf) - 8
+      val dy = packed >> 4
+      math.max(1, dy * width + dx)
+    }
+
+  /** Entropy-coded ARGB image. `isMain` gates the meta-prefix-code
+    * image (only the top-level spatially-coded image carries one). */
+  private def decodeEntropyImage(br: BitReader, width: Int, height: Int,
+                                 isMain: Boolean): Array[Int] = {
+    // color cache
+    val cacheBits = if (br.readBit() == 1) {
+      val b = br.readBits(4)
+      require(b >= 1 && b <= 11, s"VP8L: bad color-cache bits $b")
+      b
+    } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = new Array[Int](cacheSize)
+
+    // meta prefix codes
+    var metaBits = 0
+    var metaImage: Array[Int] = null
+    var numGroups = 1
+    if (isMain && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      val mw = (width + (1 << metaBits) - 1) >> metaBits
+      val mh = (height + (1 << metaBits) - 1) >> metaBits
+      metaImage = decodeEntropyImage(br, mw, mh, isMain = false)
+      numGroups = metaImage.map(p => ((p >> 8) & 0xffff)).max + 1
+    }
+
+    val greenAlphabet = 256 + 24 + cacheSize
+    val groups = Array.fill(numGroups) {
+      Array(readCode(br, greenAlphabet), readCode(br, 256), readCode(br, 256),
+        readCode(br, 256), readCode(br, 40))
+    }
+
+    val out = new Array[Int](width * height)
+    def insertCache(argb: Int): Unit =
+      if (cacheBits > 0)
+        cache(((0x1e35a7bd * argb) >>> (32 - cacheBits)).toInt) = argb
+
+    var pos = 0
+    val n = width * height
+    while (pos < n) {
+      val x = pos % width; val y = pos / width
+      val g =
+        if (metaImage == null) groups(0)
+        else {
+          val mw = (width + (1 << metaBits) - 1) >> metaBits
+          val idx = (y >> metaBits) * mw + (x >> metaBits)
+          groups((metaImage(idx) >> 8) & 0xffff)
+        }
+      val s = g(0).decode(br)
+      if (s < 256) {
+        val green = s
+        val red = g(1).decode(br)
+        val blue = g(2).decode(br)
+        val alpha = g(3).decode(br)
+        val argb = (alpha << 24) | (red << 16) | (green << 8) | blue
+        out(pos) = argb; insertCache(argb); pos += 1
+      } else if (s < 256 + 24) {
+        val length = prefixValue(s - 256, br)
+        val distCode = prefixValue(g(4).decode(br), br)
+        val dist = planeDistance(distCode, width)
+        require(pos - dist >= 0 && pos + length <= n, "VP8L: backref out of range")
+        var i = 0
+        while (i < length) {
+          val argb = out(pos - dist)
+          out(pos) = argb; insertCache(argb); pos += 1; i += 1
+        }
+      } else {
+        require(cacheBits > 0, "VP8L: cache symbol without cache")
+        val argb = cache(s - 256 - 24)
+        out(pos) = argb; pos += 1 // cache hits do NOT re-insert
+      }
+    }
+    out
+  }
+
+  // ---- transforms -------------------------------------------------------
+
+  private def avg2(a: Int, b: Int): Int = {
+    // per-channel average
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val ca = (a >>> sh) & 0xff; val cb = (b >>> sh) & 0xff
+      out |= ((ca + cb) / 2) << sh
+      sh += 8
+    }
+    out
+  }
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def addPixels(a: Int, b: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      out |= ((((a >>> sh) & 0xff) + ((b >>> sh) & 0xff)) & 0xff) << sh
+      sh += 8
+    }
+    out
+  }
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    // predict the one of L/T whose (manhattan, per-channel) delta to
+    // L+T-TL is smaller
+    var pl = 0; var pt = 0
+    var sh = 0
+    while (sh < 32) {
+      val cl = (l >>> sh) & 0xff; val ct = (t >>> sh) & 0xff; val ctl = (tl >>> sh) & 0xff
+      val p = cl + ct - ctl
+      pl += math.abs(p - cl); pt += math.abs(p - ct)
+      sh += 8
+    }
+    if (pl <= pt) l else t
+  }
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val v = clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+      out |= v << sh
+      sh += 8
+    }
+    out
+  }
+  private def clampAddSubtractHalf(ave: Int, tl: Int): Int = {
+    var out = 0
+    var sh = 0
+    while (sh < 32) {
+      val a = (ave >>> sh) & 0xff; val c = (tl >>> sh) & 0xff
+      val v = clamp255(a + (a - c) / 2)
+      out |= v << sh
+      sh += 8
+    }
+    out
+  }
+
+  private def applyPredictorInverse(pix: Array[Int], w: Int, h: Int,
+                                    bits: Int, modes: Array[Int]): Unit = {
+    val bw = (w + (1 << bits) - 1) >> bits
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) pix(pos - 1)           // top row: L
+          else if (x == 0) pix(pos - w)           // left column: T
+          else {
+            val mode = (modes((y >> bits) * bw + (x >> bits)) >> 8) & 0xff
+            val l = pix(pos - 1); val t = pix(pos - w)
+            val tl = pix(pos - w - 1); val tr = pix(pos - w + 1) // x=w-1: leftmost of SAME row (linear semantics)
+            mode match {
+              case 0  => 0xff000000
+              case 1  => l
+              case 2  => t
+              case 3  => tr
+              case 4  => tl
+              case 5  => avg2(avg2(l, tr), t)
+              case 6  => avg2(l, tl)
+              case 7  => avg2(l, t)
+              case 8  => avg2(tl, t)
+              case 9  => avg2(t, tr)
+              case 10 => avg2(avg2(l, tl), avg2(t, tr))
+              case 11 => select(l, t, tl)
+              case 12 => clampAddSubtractFull(l, t, tl)
+              case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+              case m  => throw new IllegalArgumentException(s"VP8L: bad predictor $m")
+            }
+          }
+        pix(pos) = addPixels(pix(pos), pred)
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def colorDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  private def applyColorInverse(pix: Array[Int], w: Int, h: Int,
+                                bits: Int, elems: Array[Int]): Unit = {
+    val bw = (w + (1 << bits) - 1) >> bits
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = elems((y >> bits) * bw + (x >> bits))
+        val g2r = e & 0xff; val g2b = (e >> 8) & 0xff; val r2b = (e >> 16) & 0xff
+        val p = pix(pos)
+        val green = (p >> 8) & 0xff
+        var red = (p >> 16) & 0xff
+        var blue = p & 0xff
+        red = (red + colorDelta(g2r, green)) & 0xff
+        blue = (blue + colorDelta(g2b, green)) & 0xff
+        blue = (blue + colorDelta(r2b, red)) & 0xff
+        pix(pos) = (p & 0xff00ff00) | (red << 16) | blue
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def applySubtractGreenInverse(pix: Array[Int]): Unit = {
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      val g = (p >> 8) & 0xff
+      val r = (((p >> 16) & 0xff) + g) & 0xff
+      val b = ((p & 0xff) + g) & 0xff
+      pix(i) = (p & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  private sealed trait Transform
+  private case class PredictorT(bits: Int, data: Array[Int]) extends Transform
+  private case class ColorT(bits: Int, data: Array[Int]) extends Transform
+  private case object SubtractGreenT extends Transform
+  private case class PaletteT(palette: Array[Int], packedWidth: Int,
+                              widthBits: Int) extends Transform
+
+  /** Decode a raw VP8L stream (signature byte onward). Returns ARGB
+    * pixels + dims; throws on malformed input (callers catch). */
+  def decodeStream(bytes: Array[Byte], offset: Int): (Array[Int], Int, Int) = {
+    val br = new BitReader(bytes, offset)
+    require(br.readBits(8) == 0x2f, "VP8L: bad signature")
+    val width = br.readBits(14) + 1
+    val height = br.readBits(14) + 1
+    br.readBit() // alpha hint
+    require(br.readBits(3) == 0, "VP8L: unsupported version")
+
+    var w = width
+    val transforms = scala.collection.mutable.ArrayBuffer[Transform]()
+    var seen = Set.empty[Int]
+    while (br.readBit() == 1) {
+      val t = br.readBits(2)
+      require(!seen.contains(t), "VP8L: duplicate transform")
+      seen += t
+      t match {
+        case 0 =>
+          val bits = br.readBits(3) + 2
+          val bw = (w + (1 << bits) - 1) >> bits
+          val bh = (height + (1 << bits) - 1) >> bits
+          transforms += PredictorT(bits, decodeEntropyImage(br, bw, bh, isMain = false))
+        case 1 =>
+          val bits = br.readBits(3) + 2
+          val bw = (w + (1 << bits) - 1) >> bits
+          val bh = (height + (1 << bits) - 1) >> bits
+          transforms += ColorT(bits, decodeEntropyImage(br, bw, bh, isMain = false))
+        case 2 =>
+          transforms += SubtractGreenT
+        case 3 =>
+          val size = br.readBits(8) + 1
+          val raw = decodeEntropyImage(br, size, 1, isMain = false)
+          // palette entries are stored as component deltas
+          var i = 1
+          while (i < size) { raw(i) = addPixels(raw(i), raw(i - 1)); i += 1 }
+          val widthBits = if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
+          val packed = (w + (1 << widthBits) - 1) >> widthBits
+          transforms += PaletteT(raw, w, widthBits)
+          w = packed
+      }
+    }
+
+    var pix = decodeEntropyImage(br, w, height, isMain = true)
+
+    // inverse transforms, reverse stream order
+    transforms.reverseIterator.foreach {
+      case PaletteT(palette, fullWidth, widthBits) =>
+        val bpp = 8 >> widthBits
+        val mask = (1 << bpp) - 1
+        val outArr = new Array[Int](fullWidth * height)
+        var y = 0
+        val packedW = (fullWidth + (1 << widthBits) - 1) >> widthBits
+        while (y < height) {
+          var x = 0
+          while (x < fullWidth) {
+            val packedPix = pix(y * packedW + (x >> widthBits))
+            val sub = if (widthBits == 0) (packedPix >> 8) & 0xff
+            else ((packedPix >> 8) & 0xff) >> ((x & ((1 << widthBits) - 1)) * bpp) & mask
+            require(sub < palette.length, "VP8L: palette index out of range")
+            outArr(y * fullWidth + x) = palette(sub)
+            x += 1
+          }
+          y += 1
+        }
+        pix = outArr
+        w = fullWidth
+      case PredictorT(bits, data) => applyPredictorInverse(pix, w, height, bits, data)
+      case ColorT(bits, data)     => applyColorInverse(pix, w, height, bits, data)
+      case SubtractGreenT         => applySubtractGreenInverse(pix)
+    }
+    (pix, w, height)
+  }
+
+  /** RIFF entry: find the VP8L chunk in a .webp payload and decode it
+    * to a BufferedImage; None when the container is not lossless or
+    * the stream is malformed. */
+  def decodeWebp(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    try {
+      if (payload.length < 20 ||
+          payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+          payload(8) != 'W' || payload(9) != 'E' || payload(10) != 'B' || payload(11) != 'P')
+        return None
+      var pos = 12
+      while (pos + 8 <= payload.length) {
+        val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = (payload(pos + 4) & 0xff) | ((payload(pos + 5) & 0xff) << 8) |
+          ((payload(pos + 6) & 0xff) << 16) | ((payload(pos + 7) & 0xff) << 24)
+        if (size < 0 || pos + 8 + size > payload.length) return None
+        if (id == "VP8L") {
+          val (pix, w, h) = decodeStream(payload, pos + 8)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          img.setRGB(0, 0, w, h, pix, 0, w)
+          return Some(img)
+        }
+        pos += 8 + size + (size & 1)
+      }
+      None
+    } catch { case _: RuntimeException => None }
+  }
+}

@@ -1,0 +1,377 @@
+package graft
+
+import graft.operators.{MediaRow, Multimodal, Vp8l}
+import org.apache.spark.sql.functions._
+
+/** Hand-built VP8L bitstreams against the hand-rolled decoder. The
+  * writer below is a test-only bit packer — deliberately a separate
+  * code path from the decoder: each fixture writes the exact fields
+  * the public lossless spec prescribes, and the assertions pin the
+  * exact ARGB pixel grid.
+  */
+class Vp8lSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** LSB-first bit writer (VP8L bit order). */
+  private final class BitWriter {
+    private val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def write(value: Int, n: Int): this.type = {
+      var i = 0
+      while (i < n) {
+        cur |= ((value >> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { bytes += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+      this
+    }
+    /** prefix-code bits go MSB-first into the LSB-first stream */
+    def writeCode(code: Int, len: Int): this.type = {
+      var b = len - 1
+      while (b >= 0) { write((code >> b) & 1, 1); b -= 1 }
+      this
+    }
+    def toBytes: Array[Byte] = {
+      val out = bytes.clone()
+      if (nbits > 0) out += cur.toByte
+      out.toArray
+    }
+  }
+
+  private def riffWebp(vp8l: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String) = out.write(s.getBytes("ISO-8859-1"))
+    def le32(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    ascii("RIFF"); le32(4 + 8 + vp8l.length + (vp8l.length & 1))
+    ascii("WEBP"); ascii("VP8L"); le32(vp8l.length)
+    out.write(vp8l); if ((vp8l.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def header(bw: BitWriter, w: Int, h: Int): BitWriter =
+    bw.write(0x2f, 8).write(w - 1, 14).write(h - 1, 14).write(0, 1).write(0, 3)
+
+  /** textbook canonical codes for a sparse length map (deflate rule:
+    * codes assigned in (length, symbol) order) */
+  private def canonical(lens: Map[Int, Int]): Map[Int, (Int, Int)] = {
+    val maxLen = lens.values.max
+    val blCount = new Array[Int](maxLen + 1)
+    lens.values.foreach(l => blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var c = 0
+    for (l <- 1 to maxLen) { c = (c + blCount(l - 1)) << 1; nextCode(l) = c }
+    lens.toSeq.sortBy { case (s, l) => (l, s) }.map { case (s, l) =>
+      val cc = nextCode(l); nextCode(l) += 1; s -> (cc, l)
+    }.toMap
+  }
+
+  /** a 2-symbol SIMPLE code (8-bit symbols, 1 bit each; codes: lower
+    * symbol -> 0) */
+  private def simple2(bw: BitWriter, s0: Int, s1: Int): Unit = {
+    require(s0 < 256 && s1 < 256)
+    bw.write(1, 1).write(1, 1).write(1, 1).write(s0, 8).write(s1, 8); ()
+  }
+  /** a 1-symbol SIMPLE code (degenerate: zero bits per decode) */
+  private def simple1(bw: BitWriter, s0: Int): Unit = {
+    require(s0 < 256)
+    bw.write(1, 1).write(0, 1).write(1, 1).write(s0, 8); ()
+  }
+
+  private val ClOrder = Seq(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** NORMAL code: writes the code-length code + run-length-coded
+    * lengths for an arbitrary sparse map (symbols >= 256 allowed —
+    * the simple-code form cannot name those), using the max_symbol
+    * short-circuit for the tail. Returns the canonical (code, len)
+    * per symbol for emitting payload bits. */
+  private def writeNormal(bw: BitWriter, lens: Map[Int, Int]): Map[Int, (Int, Int)] = {
+    require(lens.nonEmpty && lens.values.forall(l => l >= 1 && l <= 8))
+    val maxSym = lens.keys.max
+    // build ops over symbols 0..maxSym: Lit(len) | zero runs via 17/18/Lit(0)
+    sealed trait Op
+    case class Lit(len: Int) extends Op
+    case class Rep17(n: Int) extends Op // 3..10 zeros
+    case class Rep18(n: Int) extends Op // 11..138 zeros
+    val ops = scala.collection.mutable.ArrayBuffer[Op]()
+    var s = 0
+    while (s <= maxSym) {
+      lens.get(s) match {
+        case Some(l) => ops += Lit(l); s += 1
+        case None =>
+          var run = 0
+          while (s <= maxSym && !lens.contains(s)) { run += 1; s += 1 }
+          while (run >= 11) { val take = math.min(138, run); ops += Rep18(take); run -= take }
+          if (run >= 3) { ops += Rep17(run); run = 0 }
+          while (run > 0) { ops += Lit(0); run -= 1 }
+      }
+    }
+    // CL alphabet: every distinct literal length (incl. 0 if used) + 17/18 if used
+    val clSyms = (ops.collect { case Lit(l) => l } ++
+      ops.collect { case _: Rep17 => 17 } ++
+      ops.collect { case _: Rep18 => 18 }).distinct.sorted
+    var clBits = 1
+    while ((1 << clBits) < clSyms.length) clBits += 1
+    val clLens = clSyms.map(_ -> clBits).toMap
+    val clCodes = canonical(clLens)
+    bw.write(0, 1) // normal code
+    val numCl = ClOrder.zipWithIndex.filter { case (sym, _) => clLens.contains(sym) }
+      .map(_._2).max + 1
+    bw.write(numCl - 4, 4)
+    for (i <- 0 until numCl) bw.write(clLens.getOrElse(ClOrder(i), 0), 3)
+    // max_symbol counts CODE-LENGTH READS (the spec decode loop
+    // decrements once per read, and one 17/18 op fills a whole run),
+    // so the budget is the op count — the remaining slots stay zero
+    val maxSymbol = ops.length
+    bw.write(1, 1)
+    var k = 0
+    while ((1 << (2 + 2 * k)) <= maxSymbol - 2) k += 1
+    bw.write(k, 3)
+    bw.write(maxSymbol - 2, 2 + 2 * k)
+    ops.foreach {
+      case Lit(l)   => val (c, n) = clCodes(l); bw.writeCode(c, n)
+      case Rep17(r) => val (c, n) = clCodes(17); bw.writeCode(c, n); bw.write(r - 3, 3)
+      case Rep18(r) => val (c, n) = clCodes(18); bw.writeCode(c, n); bw.write(r - 11, 7)
+    }
+    canonical(lens)
+  }
+
+  /** inverse of the LZ77 prefix-value scheme: (code, extraVal, nExtra) */
+  private def toPrefix(v: Int): (Int, Int, Int) = {
+    if (v <= 4) return (v - 1, 0, 0)
+    var code = 4
+    while (true) {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      if (v >= offset + 1 && v <= offset + (1 << extra)) return (code, v - offset - 1, extra)
+      code += 1
+    }
+    throw new IllegalStateException
+  }
+
+  private def decode(bw: BitWriter): java.awt.image.BufferedImage = {
+    val img = Vp8l.decodeWebp(riffWebp(bw.toBytes))
+    assert(img.isDefined, "VP8L decode failed on a hand-built stream")
+    img.get
+  }
+
+  test("literal image through simple codes decodes to the exact pixel grid") {
+    // 2x2, no transforms/cache/meta: green in {10, 20}, r/b/a constant
+    val bw = new BitWriter
+    header(bw, 2, 2)
+    bw.write(0, 1).write(0, 1).write(0, 1)
+    simple2(bw, 10, 20)  // green: 10 -> 0, 20 -> 1
+    simple1(bw, 30); simple1(bw, 40); simple1(bw, 255) // red, blue, alpha
+    simple1(bw, 0)       // distance (never used)
+    bw.write(0, 1).write(1, 1).write(1, 1).write(0, 1) // g: 10 20 20 10
+    val i = decode(bw)
+    assert(i.getWidth == 2 && i.getHeight == 2)
+    val p10 = 0xff1e0a28; val p20 = 0xff1e1428
+    assert(i.getRGB(0, 0) == p10 && i.getRGB(1, 1) == p10, f"${i.getRGB(0, 0)}%08x")
+    assert(i.getRGB(1, 0) == p20 && i.getRGB(0, 1) == p20, f"${i.getRGB(1, 0)}%08x")
+  }
+
+  test("LZ77 backref through a normal green code and a direct distance code") {
+    // 6x1: literal g=50, literal g=60, then backref length 4 distance 2
+    // -> 50 60 50 60 50 60
+    val bw = new BitWriter
+    header(bw, 6, 1)
+    bw.write(0, 1).write(0, 1).write(0, 1)
+    val (lenCode, lenExtra, lenExtraBits) = toPrefix(4)  // copy length 4
+    val greenCodes = writeNormal(bw,
+      Map(50 -> 2, 60 -> 2, (256 + lenCode) -> 1))
+    simple1(bw, 5); simple1(bw, 6); simple1(bw, 255)
+    // distance value 2 + 120 = 122 (direct code)
+    val (dCode, dExtra, dExtraBits) = toPrefix(122)
+    simple1(bw, dCode)
+    def g(sym: Int): Unit = { val (c, n) = greenCodes(sym); bw.writeCode(c, n); () }
+    g(50); g(60)
+    g(256 + lenCode); bw.write(lenExtra, lenExtraBits)
+    bw.write(dExtra, dExtraBits) // distance symbol itself is degenerate (0 bits)
+    val i = decode(bw)
+    val a = 0xff053206; val b = 0xff053c06
+    val got = (0 until 6).map(x => i.getRGB(x, 0))
+    assert(got == Seq(a, b, a, b, a, b), got.map(v => f"$v%08x").mkString(","))
+  }
+
+  test("color cache: a repeated color comes back through its cache slot") {
+    // 3x1, cache_bits=2: literal C, literal D, cache-hit of C
+    val cacheBits = 2
+    def hash(argb: Int) = ((0x1e35a7bd * argb) >>> (32 - cacheBits)).toInt
+    val C = 0xff05030a // a=255 r=5 g=3 b=10
+    val D = 0xff050c0a // g=12
+    assert(hash(C) != hash(D), "fixture needs distinct cache slots")
+    val cacheSym = 256 + 24 + hash(C)
+    val bw = new BitWriter
+    header(bw, 3, 1)
+    bw.write(0, 1)
+    bw.write(1, 1).write(cacheBits, 4)
+    bw.write(0, 1)
+    val greenCodes = writeNormal(bw, Map(3 -> 2, 12 -> 2, cacheSym -> 1))
+    simple1(bw, 5); simple1(bw, 10); simple1(bw, 255)
+    simple1(bw, 0)
+    def g(sym: Int): Unit = { val (c, n) = greenCodes(sym); bw.writeCode(c, n); () }
+    g(3); g(12); g(cacheSym)
+    val i = decode(bw)
+    val got = (0 until 3).map(x => i.getRGB(x, 0))
+    assert(got == Seq(C, D, C), got.map(v => f"$v%08x").mkString(","))
+  }
+
+  test("subtract-green transform is inverted") {
+    // 1x1, SUBTRACT_GREEN: stored r=10 g=100 b=20 -> actual r=110 b=120
+    val bw = new BitWriter
+    header(bw, 1, 1)
+    bw.write(1, 1).write(2, 2) // transform: subtract green
+    bw.write(0, 1)             // no more transforms
+    bw.write(0, 1).write(0, 1)
+    simple1(bw, 100); simple1(bw, 10); simple1(bw, 20); simple1(bw, 255)
+    simple1(bw, 0)
+    // single literal: all codes degenerate -> zero payload bits
+    val i = decode(bw)
+    assert(i.getRGB(0, 0) == 0xff6e6478, f"${i.getRGB(0, 0)}%08x")
+  }
+
+  test("predictor transform: mode T propagates the first row down") {
+    // 2x2, PREDICTOR with one 4x4 block (size_bits=2): mode 2 (T).
+    // residuals: row0 full pixels predicted from L-chain rules; row1
+    // zero residuals -> copies row0 through mode T.
+    val bw = new BitWriter
+    header(bw, 2, 2)
+    bw.write(1, 1).write(0, 2) // transform: predictor
+    bw.write(0, 3)             // size_bits field: 0 -> blocks of 4 -> 1x1 image
+    // predictor sub-image (1x1): mode in GREEN channel = 2.
+    // sub-images carry ONLY the cache bit (no meta-prefix bit)
+    bw.write(0, 1)
+    simple1(bw, 2); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.write(0, 1)             // no more transforms
+    // main image: residuals. (0,0) base 0xff000000: residual adds the
+    // pixel; (1,0) predicted by L; (0,1) by T (left column rule);
+    // (1,1) by block mode T.
+    bw.write(0, 1).write(0, 1)
+    // want final grid: (0,0)=(a255 g9), (1,0)=(a255 g9) -> residual g0 a0,
+    // row1 copies row0 -> residuals 0
+    val greenCodes = writeNormal(bw, Map(9 -> 1, 0 -> 1))
+    simple1(bw, 0); simple1(bw, 0)
+    val alphaCodes = writeNormal(bw, Map(255 -> 1, 0 -> 1))
+    simple1(bw, 0)
+    def g(sym: Int): Unit = { val (c, n) = greenCodes(sym); bw.writeCode(c, n); () }
+    def a(sym: Int): Unit = { val (c, n) = alphaCodes(sym); bw.writeCode(c, n); () }
+    g(9); a(255)  // (0,0): +g9 +a255 over base 0xff000000 -> a=254? see assert
+    g(0); a(0)    // (1,0): L -> copy
+    g(0); a(0)    // (0,1): T -> copy
+    g(0); a(0)    // (1,1): block mode T -> copy
+    val i = decode(bw)
+    // base 0xff000000 + residual (a=255) wraps: (0xff + 0xff) & 0xff = 0xfe
+    val expect = 0xfe000900
+    val got = Seq(i.getRGB(0, 0), i.getRGB(1, 0), i.getRGB(0, 1), i.getRGB(1, 1))
+    assert(got.forall(_ == expect), got.map(v => f"$v%08x").mkString(","))
+  }
+
+  test("color-indexing: a 4-color palette with 2-bit packed pixels") {
+    // 5x1 image, palette of 4 colors -> widthBits=2, packed width = 2
+    val bw = new BitWriter
+    header(bw, 5, 1)
+    bw.write(1, 1).write(3, 2) // transform: color indexing
+    bw.write(4 - 1, 8)         // palette size 4
+    // palette entropy image (4x1), DELTA coded: entries d0..d3 with
+    // palette[i] = sum of deltas. Choose deltas g=1 each -> greens 1,2,3,4.
+    // sub-image: cache bit only
+    bw.write(0, 1)
+    simple1(bw, 1); simple1(bw, 0); simple1(bw, 0); simple1(bw, 255)
+    simple1(bw, 0)
+    // 4 literal pixels, all codes degenerate -> zero payload bits...
+    // alpha delta 255 each would overflow; palette alpha = 255, 254(?)
+    // keep it simple: alpha delta 255 then 0,0,0 needs two symbols ->
+    // rewrite with simple2 on alpha below instead.
+    bw.write(0, 1)             // no more transforms
+    // packed main image (2x1): indices 0,1,2,3,0 -> bytes: (0|1<<2|2<<4|3<<6),
+    // (0) in green channel
+    bw.write(0, 1).write(0, 1)
+    val packed0 = 0 | (1 << 2) | (2 << 4) | (3 << 6)
+    simple2(bw, 0, packed0)    // green: 0 -> code 0? canonical: 0 -> 0, 228 -> 1
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.write(1, 1)             // green 228 (packed0)
+    bw.write(0, 1)             // green 0
+    val i = decode(bw)
+    // palette alpha: delta alpha=255 at entry 0 then +255 would wrap —
+    // but we wrote alpha delta 255 for EVERY entry via the degenerate
+    // code: alphas 255, 254(510&0xff=254)... compute: 255, (255+255)&255=254,
+    // 253, 252. greens 1..4.
+    val expect = Seq(0xff000100, 0xfe000200, 0xfd000300, 0xfc000400, 0xff000100)
+    val got = (0 until 5).map(x => i.getRGB(x, 0))
+    assert(got == expect,
+      got.map(v => f"$v%08x").mkString(",") + " vs " + expect.map(v => f"$v%08x").mkString(","))
+  }
+
+  test("color transform inverse applies the green-to-red/blue deltas") {
+    // 1x1, COLOR transform, one block, element {g2r=16, g2b=0, r2b=0}:
+    // stored r=10 g=64 b=5 -> red += (16*64)>>5 = 32 -> 42
+    val bw = new BitWriter
+    header(bw, 1, 1)
+    bw.write(1, 1).write(1, 2) // transform: color
+    bw.write(0, 3)             // size_bits field: 0 -> blocks of 4, 1x1 sub-image
+    bw.write(0, 1)             // sub-image: cache bit only
+    // element pixel: g2r in BLUE channel, g2b in GREEN, r2b in RED
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 16); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.write(0, 1)             // no more transforms
+    bw.write(0, 1).write(0, 1)
+    simple1(bw, 64); simple1(bw, 10); simple1(bw, 5); simple1(bw, 255)
+    simple1(bw, 0)
+    val i = decode(bw)
+    assert(i.getRGB(0, 0) == 0xff2a4005, f"${i.getRGB(0, 0)}%08x")
+  }
+
+  test("lossless webp flows through resizeImage and imageDHash like any format") {
+    // build a 8x8 two-tone VP8L image and the SAME pixels as PNG; the
+    // perceptual pipeline must treat them identically
+    val bw = new BitWriter
+    header(bw, 8, 8)
+    bw.write(0, 1).write(0, 1).write(0, 1)
+    simple2(bw, 40, 200) // green two-tone
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 255)
+    simple1(bw, 0)
+    val pattern = (0 until 64).map(i => if ((i / 8 + i % 8) % 2 == 0) 0 else 1)
+    pattern.foreach(b => bw.write(b, 1))
+    val webpBytes = riffWebp(bw.toBytes)
+    val img = Vp8l.decodeWebp(webpBytes).get
+    // same pixels as PNG
+    val bos = new java.io.ByteArrayOutputStream()
+    val rgbImg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) rgbImg.setRGB(x, y, img.getRGB(x, y) & 0xffffff)
+    javax.imageio.ImageIO.write(rgbImg, "png", bos)
+    val media = Seq(
+      MediaRow(1L, webpBytes, 8, 8, "webp"),
+      MediaRow(2L, bos.toByteArray, 8, 8, "png")).toDF()
+    val hashes = Multimodal.imageDHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("dhash"), r.getAs[Boolean]("decoded"))).toMap
+    assert(hashes(1L)._2 && hashes(2L)._2, s"decode flags: $hashes")
+    assert(hashes(1L)._1 == hashes(2L)._1, "dHash diverged between webp and png of identical pixels")
+    // and resizeImage decodes + re-encodes it (fmt becomes png)
+    val resized = Multimodal.resizeImage(media.filter(col("doc_id") === 1L), 4)
+      .collect().head
+    assert(resized.getAs[String]("fmt") == "png" && resized.getAs[Int]("width") == 4)
+    // q30's metadata path is unchanged for NON-lossless payloads:
+    // text bytes under fmt=webp still stub cleanly
+    val stub = Multimodal.decodeStub(Seq(
+      MediaRow(9L, "not an image".getBytes, 33, 44, "webp")).toDF()).collect().head
+    assert(stub.getAs[Int]("width") == 33 && stub.getAs[Int]("height") == 44)
+  }
+
+  test("decodeWebp rejects lossy webp and garbage without throwing") {
+    val lossy = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.webp"))
+    assert(Vp8l.decodeWebp(lossy).isEmpty)
+    assert(Vp8l.decodeWebp("RIFFjunkWEBP????".getBytes).isEmpty)
+    assert(Vp8l.decodeWebp(Array[Byte](1, 2, 3)).isEmpty)
+    // truncated valid header: clean None, no exception
+    val bw = new BitWriter
+    header(bw, 100, 100)
+    assert(Vp8l.decodeWebp(riffWebp(bw.toBytes)).isEmpty)
+  }
+}
