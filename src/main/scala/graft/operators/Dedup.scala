@@ -727,4 +727,79 @@ object Dedup {
       .filter(lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
+
+  // ---- Exact-substring duplicate spans (ExactSubstr) ---------------------
+
+  /** EXACT duplicated-substring spans at word-`k`-gram granularity —
+    * the distributed answer to the suffix-array ExactSubstr pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): a position is *duplicated* when its k-token
+    * window occurs >= `minCount` times in the whole corpus (across OR
+    * within documents, as in the paper); runs of duplicated positions
+    * merge into maximal spans per document. A single-node suffix array
+    * cannot shard; k-gram collision counting is the same predicate
+    * restricted to >= k-token repeats and is three shuffles of
+    * wordcount shape.
+    *
+    * Exactness at 100 TB without shuffling gram text: a corpus that
+    * size holds ~10^13 k-grams, where 64-bit fingerprints collide in
+    * the millions (birthday at 2^32), so hashing alone is NOT exact.
+    * Phase A counts 8-byte `xxhash64` keys (map-side combine; the gram
+    * strings never enter this exchange) to find *candidate* hashes
+    * with >= minCount occurrences — no false negatives, collisions
+    * only ADD candidates. A Bloom prefilter + semi-join then keeps only
+    * candidate positions (in deduplicated corpora a small fraction),
+    * and phase B re-counts those by the *gram string itself*,
+    * discarding collision artifacts: exact string semantics, with the
+    * expensive text shuffle paid only on the candidate subset. All
+    * instances of a candidate gram share its hash, so phase-B counts
+    * are complete, never partial.
+    *
+    * Span merge is gaps-and-islands per document: windows at positions
+    * p < p' overlap or touch iff p' <= p + k, so a new island starts
+    * exactly when the gap exceeds k; spans are [min(pos), max(pos)+k-1]
+    * per island. The window runs partitioned by document id — never a
+    * global sort.
+    *
+    * Scoped to documents with >= k tokens (shorter documents have no
+    * k-gram; [[graft.functions.TextFunctions.wordShingles]] would
+    * return the whole text as a degenerate shingle).
+    *
+    * @return DataFrame(idCol, span_start, span_end, span_len, n_hits):
+    *         1-based token positions, inclusive; n_hits = duplicated
+    *         window starts inside the span.
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 2, s"window must span >= 2 tokens, got $k")
+    require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
+    val toked = docs.filter(size(tokens(col(textCol))) >= k)
+    val grams = toked
+      .select(col(idCol).as("did"),
+        posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
+      .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"), col("g"),
+        xxhash64(col("g")).as("gh"))
+    // Phase A: candidate 8-byte hashes (wordcount shape, partial agg).
+    val dupHashes = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("gh")
+    // Candidate positions: Bloom prefilter drops non-duplicated grams
+    // map-side BEFORE the join exchange, then the equi-join is exact.
+    val cand = BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh")
+    // Phase B: exact confirm on the gram STRING, candidates only.
+    val dupGrams = cand.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("g")
+    val dupPos = cand.join(dupGrams, Seq("g"), "left_semi").select("did", "pos")
+    val w = Window.partitionBy("did").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("did", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select(col("did").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
+  }
 }
