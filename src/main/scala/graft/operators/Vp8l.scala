@@ -29,6 +29,10 @@ package graft.operators
   */
 object Vp8l {
 
+  /** Decode budget: 16.7M pixels (4096x4096 ARGB = 64 MiB) — far above
+    * any corpus thumbnail, far below the header-expressible 1 GiB. */
+  val DefaultMaxPixels: Long = 1L << 24
+
   /** LSB-first bit reader over a byte array (VP8L bit order). */
   final class BitReader(bytes: Array[Byte], startByte: Int) {
     private var pos = startByte.toLong * 8
@@ -175,7 +179,9 @@ object Vp8l {
   /** The spec's 2D distance mapping: dist codes 1..120 address near
     * pixels as (dx, dy) offsets. Reproduced best-effort offline (see
     * object doc); streams using only direct codes (>120) never touch
-    * it. Packed as (dx+8) | (dy<<4). */
+    * it. Packed as (dy<<5) | (dx+8) — dx spans -8..8 (17 values), so
+    * the x field needs 5 bits; a 4-bit nibble silently corrupts the
+    * dx=8 and dx=-8 rows. */
   private val DistanceMap: Array[Int] = Array(
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -193,14 +199,14 @@ object Vp8l {
     (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
     (-8, 3), (3, 8), (-3, 8), (8, 4), (-8, 4), (6, 7), (-6, 7), (7, 6),
     (-7, 6)
-  ).map { case (dx, dy) => (dx + 8) | (dy << 4) }
+  ).map { case (dx, dy) => (dy << 5) | (dx + 8) }
 
   private def planeDistance(code: Int, width: Int): Int =
     if (code > 120) code - 120
     else {
       val packed = DistanceMap(code - 1)
-      val dx = (packed & 0xf) - 8
-      val dy = packed >> 4
+      val dx = (packed & 0x1f) - 8
+      val dy = packed >> 5
       math.max(1, dy * width + dx)
     }
 
@@ -303,7 +309,8 @@ object Vp8l {
   }
   private def select(l: Int, t: Int, tl: Int): Int = {
     // predict the one of L/T whose (manhattan, per-channel) delta to
-    // L+T-TL is smaller
+    // L+T-TL is smaller; the spec breaks ties toward T (`if (pL < pT)
+    // return L else return T`)
     var pl = 0; var pt = 0
     var sh = 0
     while (sh < 32) {
@@ -312,7 +319,7 @@ object Vp8l {
       pl += math.abs(p - cl); pt += math.abs(p - ct)
       sh += 8
     }
-    if (pl <= pt) l else t
+    if (pl < pt) l else t
   }
   private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
     var out = 0
@@ -424,11 +431,20 @@ object Vp8l {
 
   /** Decode a raw VP8L stream (signature byte onward). Returns ARGB
     * pixels + dims; throws on malformed input (callers catch). */
-  def decodeStream(bytes: Array[Byte], offset: Int): (Array[Int], Int, Int) = {
+  def decodeStream(bytes: Array[Byte], offset: Int,
+                   maxPixels: Long = DefaultMaxPixels): (Array[Int], Int, Int) = {
     val br = new BitReader(bytes, offset)
     require(br.readBits(8) == 0x2f, "VP8L: bad signature")
     val width = br.readBits(14) + 1
     val height = br.readBits(14) + 1
+    // The 5-byte header can claim up to 16384x16384 (1 GiB of ARGB
+    // ints); cap BEFORE allocating so a tiny corrupt/adversarial webp
+    // in an untrusted corpus throws (-> decodeWebp returns None)
+    // instead of OOMing the executor task. A payload-size bound would
+    // be unsound — degenerate prefix codes legitimately decode whole
+    // images with zero payload bits — so this is a fixed pixel budget.
+    require(width.toLong * height <= maxPixels,
+      s"VP8L: ${width}x$height exceeds the $maxPixels-pixel decode budget")
     br.readBit() // alpha hint
     require(br.readBits(3) == 0, "VP8L: unsupported version")
 

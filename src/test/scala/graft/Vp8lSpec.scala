@@ -270,6 +270,75 @@ class Vp8lSpec extends SparkSpec {
     assert(got.forall(_ == expect), got.map(v => f"$v%08x").mkString(","))
   }
 
+  test("predictor mode 11 (Select) breaks Manhattan-distance ties toward T") {
+    // 2x2, predictor transform, one block, mode 11. Greens: TL=(0,0)=5,
+    // T=(1,0)=6, L=(0,1)=4 -> p = L+T-TL = 5, |p-L| = |p-T| = 1: a
+    // constructed tie with L != T. The spec rule `if (pL < pT) L else T`
+    // returns T on ties, so (1,1) must predict green 6, not 4.
+    val bw = new BitWriter
+    header(bw, 2, 2)
+    bw.write(1, 1).write(0, 2) // transform: predictor
+    bw.write(0, 3)             // size_bits field: 0 -> one 4x4 block -> 1x1 sub-image
+    bw.write(0, 1)             // sub-image: cache bit only
+    simple1(bw, 11); simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    bw.write(0, 1)             // no more transforms
+    bw.write(0, 1).write(0, 1) // main: no cache, no meta
+    // residuals (green): (0,0)=5 over base a=0xff; (1,0)=+1 over L;
+    // (0,1)=+255 (wraps 5 -> 4) over T; (1,1)=0 over the mode-11 pick
+    val greenCodes = writeNormal(bw, Map(5 -> 2, 1 -> 2, 255 -> 2, 0 -> 2))
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 0)
+    simple1(bw, 0)
+    def g(sym: Int): Unit = { val (c, n) = greenCodes(sym); bw.writeCode(c, n); () }
+    g(5); g(1); g(255); g(0)
+    val i = decode(bw)
+    assert(i.getRGB(0, 0) == 0xff000500 && i.getRGB(1, 0) == 0xff000600 &&
+      i.getRGB(0, 1) == 0xff000400,
+      Seq(i.getRGB(0, 0), i.getRGB(1, 0), i.getRGB(0, 1)).map(v => f"$v%08x").mkString(","))
+    assert(i.getRGB(1, 1) == 0xff000600, // T, not L
+      f"tie broke toward L: ${i.getRGB(1, 1)}%08x")
+  }
+
+  test("2D distance code with dx=8 resolves to distance 8, not width-8") {
+    // 10x1: nine literals (greens 0..8), then a backref of length 1
+    // through plane code 97 = (dx=8, dy=0) -> distance 0*width+8 = 8,
+    // so pixel 9 copies pixel 1 (green 1). The old 4-bit (dx+8)
+    // packing overflowed into the dy nibble and unpacked (8,0) as
+    // (-8,1) = distance width-8 = 2, which would copy pixel 7.
+    val bw = new BitWriter
+    header(bw, 10, 1)
+    bw.write(0, 1)             // no transforms
+    bw.write(0, 1).write(0, 1) // no cache, no meta
+    val (lenCode, lenExtra, lenExtraBits) = toPrefix(1) // copy length 1
+    val greenCodes = writeNormal(bw,
+      ((0 to 8).map(_ -> 4) :+ ((256 + lenCode) -> 4)).toMap)
+    simple1(bw, 0); simple1(bw, 0); simple1(bw, 255)
+    val (dCode, dExtra, dExtraBits) = toPrefix(97) // plane code 97 = (8, 0)
+    simple1(bw, dCode)
+    def g(sym: Int): Unit = { val (c, n) = greenCodes(sym); bw.writeCode(c, n); () }
+    (0 to 8).foreach(g)
+    g(256 + lenCode); bw.write(lenExtra, lenExtraBits)
+    bw.write(dExtra, dExtraBits) // distance symbol itself degenerate (0 bits)
+    val i = decode(bw)
+    val greens = (0 until 10).map(x => (i.getRGB(x, 0) >> 8) & 0xff)
+    assert(greens.take(9) == (0 to 8), greens.mkString(","))
+    assert(greens(9) == 1, s"dx=8 backref copied green ${greens(9)}, want 1")
+  }
+
+  test("header claiming a huge image is rejected before allocation") {
+    // 16384x16384 from a 5-byte header = 1 GiB of ARGB ints; the
+    // decode budget must throw (decodeWebp -> None) without allocating
+    val bw = new BitWriter
+    header(bw, 16384, 16384)
+    val bytes = bw.toBytes
+    intercept[IllegalArgumentException](Vp8l.decodeStream(bytes, 0))
+    assert(Vp8l.decodeWebp(riffWebp(bytes)).isEmpty)
+    // an explicit budget override admits the same dims header (and then
+    // fails on the truncated bitstream, proving the cap was the gate)
+    intercept[IllegalArgumentException](
+      Vp8l.decodeStream(bytes, 0, maxPixels = 16384L * 16384))
+  }
+
   test("color-indexing: a 4-color palette with 2-bit packed pixels") {
     // 5x1 image, palette of 4 colors -> widthBits=2, packed width = 2
     val bw = new BitWriter
@@ -364,8 +433,19 @@ class Vp8lSpec extends SparkSpec {
   }
 
   test("decodeWebp rejects lossy webp and garbage without throwing") {
-    val lossy = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.webp"))
+    // minimal hand-built lossy container: RIFF/WEBP with a 'VP8 '
+    // (note the space: lossy VP8, not VP8L) chunk of stub bytes — no
+    // dependency on any file outside the repo
+    val lossy = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String) = out.write(s.getBytes("ISO-8859-1"))
+      def le32(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      val stub = Array.fill[Byte](10)(0x42)
+      ascii("RIFF"); le32(4 + 8 + stub.length); ascii("WEBP")
+      ascii("VP8 "); le32(stub.length); out.write(stub)
+      out.toByteArray
+    }
     assert(Vp8l.decodeWebp(lossy).isEmpty)
     assert(Vp8l.decodeWebp("RIFFjunkWEBP????".getBytes).isEmpty)
     assert(Vp8l.decodeWebp(Array[Byte](1, 2, 3)).isEmpty)
