@@ -190,5 +190,32 @@ if os.path.isdir(q101_path):
         print(f"ok   q101_theta_overlap [property: {len(got)} pairs, distinct & "
               f"theta-intersection within 30%]")
 
+# q177: image near-dup dedup (rows-only — SQL cannot decode pixels).
+# But the gate corpus is synthesized DETERMINISTICALLY from documents
+# (one 64x64 BMP per doc_id%12==0 doc, pixels seeded by md5 of the
+# first 80 chars, plus a 48px thumbnail variant at doc_id+1000000), so
+# the expected survivor set IS computable relationally: every thumbnail
+# must collapse onto its original (no survivor id >= 1000000) and every
+# identical-text class must collapse to exactly its min doc_id (the
+# exact luma verify keeps distinct content apart).
+q177_path = f"{OUT}/q177_image_dedup"
+if os.path.isdir(q177_path):
+    got = con.sql(f"SELECT doc_id FROM read_parquet('{q177_path}/*.parquet')").df()
+    exp = con.sql(
+        "SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 12 = 0 "
+        "GROUP BY substr(text, 1, 80)").df()
+    got_ids = sorted(got.doc_id.tolist()); exp_ids = sorted(exp.doc_id.tolist())
+    thumbs = [i for i in got_ids if i >= 1000000]
+    if thumbs or got_ids != exp_ids:
+        fails.append("q177_image_dedup")
+        extra = sorted(set(got_ids) - set(exp_ids))[:5]
+        lost = sorted(set(exp_ids) - set(got_ids))[:5]
+        print(f"FAIL q177_image_dedup: thumbnail survivors {thumbs[:5]}, "
+              f"unexpected survivors {extra}, collapsed-away originals {lost} "
+              f"(got {len(got_ids)}, exp {len(exp_ids)})")
+    else:
+        print(f"ok   q177_image_dedup [property: {len(got_ids)} survivors == min-id "
+              f"per text-class, zero thumbnail survivors]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, TypedAggs}
-import graft.operators.CorpusOps
+import graft.operators.{CorpusOps, Dedup}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -921,4 +921,87 @@ object TrainingQueries {
          $total AS n_pii
        FROM documents ORDER BY doc_id"""
   }
+
+  /** Shared DuckDB rendering of the ExactSubstr span detection
+    * (Dedup.exactSubstrSpans at k=8, minCount=2): exact corpus-wide
+    * 8-gram counts, then per-doc gaps-and-islands over the duplicated
+    * window starts — the engine's two-phase hash-candidate/string-
+    * confirm is an execution strategy, not a semantics change, so the
+    * oracle counts gram STRINGS directly. */
+  private val exactSubstrSpansSql =
+    s"""toks AS (
+          SELECT doc_id, $toksSql AS ts FROM documents
+        ), grams AS (
+          SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g
+          FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(pos)
+          WHERE len(ts) >= 8
+        ), dup AS (
+          SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        ), dp AS (
+          SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+        ), brk AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                 THEN 0 ELSE 1 END AS b
+          FROM dp
+        ), isl AS (
+          SELECT doc_id, pos,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+          FROM brk
+        ), spans AS (
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                 count(*) AS n_hits
+          FROM isl GROUP BY doc_id, island
+        )"""
+
+  // q178: ExactSubstr duplicated-span DETECTION (Lee et al. ACL'22) —
+  // a token position is duplicated when its 8-token window occurs >= 2
+  // times corpus-wide (within OR across documents); runs of duplicated
+  // positions merge into maximal per-doc spans. The engine counts
+  // 8-byte xxhash64 fingerprints first (gram text never enters the
+  // phase-A exchange) and re-counts candidate gram STRINGS to discard
+  // collisions — exact semantics, candidate-only text shuffle.
+  def q178(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrSpans(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id", "span_start")
+
+  val q178Sql: String =
+    s"""WITH $exactSubstrSpansSql
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_len, n_hits
+        FROM spans ORDER BY doc_id, span_start"""
+
+  // q179: the ExactSubstr CUT pass — the paper's actual output: the
+  // corpus rebuilt with EVERY duplicated span removed (token-level,
+  // whitespace/case-normalized like the detection pass). clean_md5
+  // hashes the rebuilt text (q80's convention: the oracle proves the
+  // rebuild byte-exact without shipping long strings through the
+  // compare); token counts drop by exactly the span lengths.
+  def q179(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cutDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        md5(col("clean_text").cast(BinaryType)).as("clean_md5"),
+        col("n_tok"), col("n_kept"), col("n_cut"), col("n_spans"))
+      .orderBy("doc_id")
+
+  val q179Sql: String =
+    s"""WITH $exactSubstrSpansSql, agg AS (
+          SELECT doc_id, list([span_start, span_end]) AS sp
+          FROM spans GROUP BY doc_id
+        ), cut AS (
+          SELECT t.doc_id, ts,
+            list_filter(ts, (x, i) ->
+              len(list_filter(coalesce(sp, CAST([] AS BIGINT[][])),
+                              r -> i >= r[1] AND i <= r[2])) = 0) AS kept,
+            coalesce(len(sp), 0) AS n_spans
+          FROM toks t LEFT JOIN agg USING (doc_id)
+        )
+        SELECT doc_id,
+               md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+               CAST(len(ts) AS BIGINT) AS n_tok,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(len(ts) - len(kept) AS BIGINT) AS n_cut,
+               CAST(n_spans AS BIGINT) AS n_spans
+        FROM cut ORDER BY doc_id"""
 }

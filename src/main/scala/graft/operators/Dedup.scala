@@ -802,4 +802,48 @@ object Dedup {
       .select(col("did").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
   }
+
+  /** The ExactSubstr CUT pass — the actual output of Lee et al. ACL'22:
+    * the corpus rebuilt with every duplicated span removed (the paper's
+    * released dedup cuts EVERY occurrence of a duplicated substring,
+    * not all-but-one; so do we). Composes [[exactSubstrSpans]] with a
+    * token-level rebuild: tokens whose 1-based position falls inside
+    * any flagged span are dropped, the rest re-join on single spaces —
+    * i.e. the rebuild is whitespace/case-normalized exactly like the
+    * detection pass, so span positions and text positions agree.
+    *
+    * Scale shape: the expensive part is the span detection (see
+    * [[exactSubstrSpans]]); the rebuild is one left join of documents
+    * against the per-doc aggregated span list (tiny relative to the
+    * corpus — only duplicated docs carry rows) plus a codegen'd
+    * higher-order `filter`/`exists` per token, O(tokens x spans-per-doc)
+    * with spans-per-doc bounded by doc length / k. No extra shuffle
+    * beyond the per-doc span aggregation.
+    *
+    * @return DataFrame(idCol, clean_text, n_tok, n_kept, n_cut,
+    *         n_spans): every input document appears exactly once;
+    *         documents without duplicated spans pass through with the
+    *         normalized token join and n_cut = 0.
+    */
+  def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val inSpan = (i: Column) =>
+      exists(col("spans"), s =>
+        i >= s.getField("span_start") && i <= s.getField("span_end"))
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (t, i0) => !inSpan(i0 + 1))))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_cut"),
+        coalesce(size(col("spans")), lit(0)).cast(LongType).as("n_spans"))
+  }
 }

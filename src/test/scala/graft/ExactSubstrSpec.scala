@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computed fixtures for the ExactSubstr pass (Lee et al. ACL'22):
+  * `Dedup.exactSubstrSpans` (duplicated-span detection) and
+  * `Dedup.cutDuplicateSpans` (the cut rebuild). Every expected span is
+  * derived by hand at k=4, minCount=2 — within-doc repeats, cross-doc
+  * repeats, overlapping runs, BOTH gap boundaries (gap == k merges,
+  * gap == k+1 splits), the exactly-k-token doc, and sub-k docs.
+  */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tokens() lowercases — doc 1 is deliberately mixed-case to pin that
+  // detection and rebuild share the normalization
+  private lazy val docs: DataFrame = Seq(
+    // within-doc repeat, far apart: "a b c d" at pos 1 and 8
+    (1L, "A b C d x Y z a B c D"),
+    // cross-doc overlapping run with doc 3: "p q r s","q r s t" shared
+    (2L, "p q r s t u"),
+    (3L, "z p q r s t"),
+    // exactly-k gap: dup windows at pos 1 and 5 (5 - 1 == k) MERGE
+    (4L, "ga gb gc gd ha hb hc hd"),
+    (5L, "ga gb gc gd ua ub uc ud ue ha hb hc hd"),
+    // k+1 gap: dup windows at pos 1 and 6 (6 - 1 == k+1) SPLIT
+    (6L, "fa fb fc fd xx fe ff fg fh"),
+    (7L, "fa fb fc fd yy fe ff fg fh"),
+    // exactly k tokens, fully duplicated (3rd occurrence of "a b c d")
+    (8L, "a b c d"),
+    // under k tokens: no k-gram, excluded from detection, passes cut
+    (9L, "a b c")
+  ).toDF("doc_id", "text")
+
+  private def spans(minCount: Long = 2): Seq[(Long, Long, Long, Long, Long)] =
+    Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 4, minCount = minCount)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  test("spans: within/cross-doc repeats, both gap boundaries, k-token doc") {
+    assert(spans() == Seq(
+      (1L, 1L, 4L, 4L, 1L), (1L, 8L, 11L, 4L, 1L), // far repeat: two spans
+      (2L, 1L, 5L, 5L, 2L),                        // overlapping run merges
+      (3L, 2L, 6L, 5L, 2L),
+      (4L, 1L, 8L, 8L, 2L),                        // gap == k: ONE span
+      (5L, 1L, 4L, 4L, 1L), (5L, 10L, 13L, 4L, 1L),
+      (6L, 1L, 4L, 4L, 1L), (6L, 6L, 9L, 4L, 1L),  // gap == k+1: TWO spans
+      (7L, 1L, 4L, 4L, 1L), (7L, 6L, 9L, 4L, 1L),
+      (8L, 1L, 4L, 4L, 1L)                         // doc 9 (<k tokens): absent
+    ))
+  }
+
+  test("minCount=3 keeps only the triply-occurring gram") {
+    // "a b c d" occurs 3x (doc1 pos1, doc1 pos8, doc8 pos1); every
+    // other duplicated gram occurs exactly twice
+    assert(spans(minCount = 3) == Seq(
+      (1L, 1L, 4L, 4L, 1L), (1L, 8L, 11L, 4L, 1L),
+      (8L, 1L, 4L, 4L, 1L)
+    ))
+  }
+
+  test("cut: flagged token ranges removed, counts drop by span lengths") {
+    val got = Dedup.cutDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "x y z", 11L, 3L, 8L, 2L),          // lowercased rebuild
+      (2L, "u", 6L, 1L, 5L, 1L),
+      (3L, "z", 6L, 1L, 5L, 1L),
+      (4L, "", 8L, 0L, 8L, 1L),                // merged span cuts all
+      (5L, "ua ub uc ud ue", 13L, 5L, 8L, 2L),
+      (6L, "xx", 9L, 1L, 8L, 2L),
+      (7L, "yy", 9L, 1L, 8L, 2L),
+      (8L, "", 4L, 0L, 4L, 1L),
+      (9L, "a b c", 3L, 3L, 0L, 0L)            // sub-k doc passes through
+    ))
+  }
+
+  test("a corpus with no duplicated k-grams yields no spans and no cuts") {
+    val uniq = Seq((1L, "one two three four five"), (2L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(uniq, "doc_id", "text", k = 4).count() == 0)
+    val cut = Dedup.cutDuplicateSpans(uniq, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(cut.map(_.getString(1)).toSeq ==
+      Seq("one two three four five", "six seven eight nine ten"))
+    assert(cut.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
+}

@@ -551,6 +551,37 @@ class PlanRegressionSpec extends SparkSpec {
       s"q155 must shuffle once on the key (plus the output sort), got ${shuffles.size}")
   }
 
+  test("q178: ExactSubstr phase A counts 8-byte hashes — gram/raw text never in its exchange") {
+    // exchanges only exist in the EXECUTED plan (EnsureRequirements),
+    // and under AQE they hide inside materialized query stages — so
+    // run the query, then walk the adaptive tree through stage
+    // boundaries (sparkPlan-level collect sees zero exchanges).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }).flatMap(allNodes)
+    val df = TrainingQueries.q178(spark, sf)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(exchanges.nonEmpty, "expected at least the phase-A wordcount shuffle")
+    assert(exchanges.flatMap(_.output).forall(_.name != "text"),
+      "raw document text must never enter an exchange")
+    // the phase-A wordcount shuffle keys on the 8-byte xxhash64 and
+    // must NOT carry the gram string (phase B re-counts strings on the
+    // candidate subset only — that exchange legitimately carries g)
+    val phaseA = exchanges.filter(e =>
+      e.output.exists(_.name == "gh") && e.output.forall(_.name != "g"))
+    assert(phaseA.nonEmpty, "phase-A hash-count exchange (gh without gram text) missing")
+    assert(nodes.collect { case a: BaseAggregateExec => a }
+      .exists(_.aggregateExpressions.exists(_.toString.contains("partial_count"))),
+      "phase-A count must combine map-side")
+  }
+
   test("q168: ancestor rollup pre-aggregates map-side; q169: the band join broadcasts") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
