@@ -80,21 +80,34 @@ object GraphOps {
     *
     * Without `checkpointDir`: `localCheckpoint` per round, unchanged.
     */
-  private final class RoundTruncator(checkpointDir: Option[String]) {
+  private final class RoundTruncator(checkpointDir: Option[String],
+      every: Int = CheckpointEvery) {
     private var calls = 0
     private val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def apply(df: DataFrame): DataFrame = checkpointDir match {
       case None => df.localCheckpoint(eager = true)
       case Some(dir) =>
         calls += 1
-        if (calls % CheckpointEvery == 0) durable(df, dir)
+        if (calls % every == 0) durable(df, dir)
         else {
           // DISK_ONLY, not MEMORY_AND_DISK: the sf100 fixpoints cache
           // node/edge-scale frames every round, and in-memory blocks
           // compete with shuffle memory (observed as GC-locker thrash
           // on the 600M-row mirror); the local disk write is the same
           // cost class as localCheckpoint and leaves the heap to the
-          // shuffles
+          // shuffles.
+          //
+          // `every` is PER-LOOP: frontier-style loops (CC, PageRank,
+          // SSSP, label-prop) amortize at CheckpointEvery and won big
+          // at sf100 (SSSP -60%, label-prop -58%). Loops whose
+          // per-round frames are RE-READ BY JOINS every subsequent
+          // round (BFS's visited anti-join, k-core's survivor
+          // semi-joins) pass every=1 — durable each round, exactly the
+          // pre-amortization policy: under amortization their rounds
+          // re-pay cached-batch scans where vectorized reads of the
+          // checkpoint win (r9 measured BFS 44.8 -> 68.7 s and k-core
+          // 75.8 -> 90.1 s at sf100; MEMORY_AND_DISK in between was
+          // measured too — r10 — and only recovered k-core, BFS 70.0).
           df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           df.count() // materialize now so later rounds read the cache
           cached += df
@@ -545,7 +558,9 @@ object GraphOps {
       edges.toDF("u", "v").filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct(), checkpointDir)
-    val tr = new RoundTruncator(checkpointDir)
+    // join-reread loop: e and deg feed joins every round (see
+    // RoundTruncator) — durable every round beats amortized caching
+    val tr = new RoundTruncator(checkpointDir, every = 1)
     var deg = tr(degreesOf(e))
     var rounds = 0
     while (rounds < maxRounds && !deg.filter(col("d") < k).isEmpty) {
@@ -584,7 +599,9 @@ object GraphOps {
     val adj = truncate(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
-    val tr = new RoundTruncator(checkpointDir)
+    // join-reread loop: visited anti-joins every later round (see
+    // RoundTruncator) — durable every round beats amortized caching
+    val tr = new RoundTruncator(checkpointDir, every = 1)
     var visited = Seq((source, 0L)).toDF("node", "dist")
     var frontier = visited.select("node")
     var depth = 0

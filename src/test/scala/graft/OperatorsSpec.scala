@@ -296,6 +296,22 @@ class GraphOpsSpec extends SparkSpec {
     val prReliable = GraphOps.pageRankInt(pe, iters = 3, checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prLocal == prReliable, s"checkpoint mode changed ranks: $prReliable")
+    // BFS and k-core run the join-reread truncator policy
+    // (MEMORY_AND_DISK between durable rounds) — results must still be
+    // identical to the localCheckpoint path
+    val ge = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 6L), (10L, 11L)).toDF("src", "dst")
+    val bfsLocal = GraphOps.bfsLevels(ge, source = 1L, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfsReliable = GraphOps.bfsLevels(ge, source = 1L, maxDepth = 8,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfsLocal == bfsReliable, s"checkpoint mode changed BFS: $bfsReliable")
+    val kcLocal = GraphOps.kCore(ge, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kcReliable = GraphOps.kCore(ge, k = 3, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kcLocal == kcReliable, s"checkpoint mode changed k-core: $kcReliable")
     // the reliable run actually wrote checkpoint state to the store
     def rddFiles(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(rddFiles).sum
