@@ -15,6 +15,20 @@ class PlanRegressionSpec extends SparkSpec {
 
   private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
 
+  /** Every node of the EXECUTED plan, walking through AQE stage
+    * boundaries (exchanges only exist post-EnsureRequirements, and AQE
+    * hides materialized stages behind QueryStageExec leaves). Callers
+    * must have executed the DataFrame first. */
+  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }).flatMap(walk)
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("q01: filter is pushed into the parquet scan and columns are pruned") {
     val scan = plan(Queries.q01(spark, sf)).collectLeaves()
       .collectFirst { case f: FileSourceScanExec => f }.get
@@ -557,16 +571,10 @@ class PlanRegressionSpec extends SparkSpec {
     // run the query, then walk the adaptive tree through stage
     // boundaries (sparkPlan-level collect sees zero exchanges).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }).flatMap(allNodes)
     val df = TrainingQueries.q178(spark, sf)
     df.collect()
-    val nodes = allNodes(df.queryExecution.executedPlan)
+    val nodes = executedNodes(df)
     val exchanges = nodes.collect { case s: ShuffleExchangeLike => s }
     assert(exchanges.nonEmpty, "expected at least the phase-A wordcount shuffle")
     assert(exchanges.flatMap(_.output).forall(_.name != "text"),
@@ -580,6 +588,35 @@ class PlanRegressionSpec extends SparkSpec {
     assert(nodes.collect { case a: BaseAggregateExec => a }
       .exists(_.aggregateExpressions.exists(_.toString.contains("partial_count"))),
       "phase-A count must combine map-side")
+  }
+
+  test("q176: the BPE apply side is exchange-free — one presentation sort, no joins/aggs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // trainMerges runs eagerly when q176 builds, so the returned
+    // DataFrame's plan IS the apply side: scan -> native
+    // bpe_token_count projection -> presentation sort. Nothing else.
+    val df = LlmQueries.q176(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df)
+    assert(nodes.collect { case j: BaseJoinExec => j }.isEmpty,
+      "the apply side must not join (vocabulary rides inside the native expression)")
+    assert(nodes.collect { case a: BaseAggregateExec => a }.isEmpty,
+      "the apply side must not aggregate")
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"apply side must shuffle at most once (the ORDER BY), got ${shuffles.size}")
+  }
+
+  test("q177: image dedup never plans an all-pairs join") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val df = LlmQueries.q177(spark, sf)
+    df.collect()
+    val nodes = executedNodes(df)
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty &&
+      nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "candidate generation must stay blocked equi-joins — all-pairs found")
   }
 
   test("q168: ancestor rollup pre-aggregates map-side; q169: the band join broadcasts") {
