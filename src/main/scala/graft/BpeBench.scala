@@ -29,9 +29,25 @@ object BpeBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // the q175 corpus shape, unbounded by doc sampling so the corpus
-    // -vs-vocabulary distinction is visible at scale
-    val docs = Tables.documents(spark, sfDir)
-      .select(substring(col("text"), 1, 400).as("head"))
+    // -vs-vocabulary distinction is visible at scale. The testdata
+    // corpus runs dry near ~112 merges (DataGen replicates names
+    // verbatim, so the distinct-word table is tiny); a third arg
+    // switches to a synthetic high-entropy corpus — `synthDocs` docs of
+    // 50 pseudo-random 12-hex-char words over a 100k-word vocabulary,
+    // all derived from md5(ids) (deterministic, no RNG) — whose pair
+    // statistics sustain 1000+ merges, so the vocabulary-bounded
+    // per-round claim is measurable past the toy regime.
+    val synthDocs = if (args.length > 2) args(2).toLong else 0L
+    val docs =
+      if (synthDocs > 0)
+        spark.range(synthDocs).select(
+          concat_ws(" ", transform(sequence(lit(1L), lit(50L)), j =>
+            substring(md5(
+              pmod(xxhash64(col("id") * 50 + j), lit(100000L)).cast("string")),
+              1, 12))).as("head"))
+      else
+        Tables.documents(spark, sfDir)
+          .select(substring(col("text"), 1, 400).as("head"))
     val nDocs = docs.count()
 
     def time[A](f: => A): (A, Double) = {

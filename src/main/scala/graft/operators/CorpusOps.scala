@@ -148,6 +148,37 @@ object CorpusOps {
       .otherwise(0.0)
   }
 
+  /** WITHIN-document duplicated k-gram window stats as EXACT integers:
+    * `struct(dup_windows, n_windows)` where `dup_windows` counts the
+    * k-token window starts whose gram occurs ≥ 2 times in the SAME
+    * document and `n_windows` is the total window-start count (0 for
+    * sub-k docs — the degenerate whole-text shingle is excluded).
+    *
+    * This is the Gopher duplicate-n-gram-fraction family (Rae et al.
+    * 2021 §A.1.1) at ExactSubstr granularity (Lee et al. ACL'22): the
+    * within-doc restriction keeps it a pure per-row function — so the
+    * ingest pipeline's batching-invisibility contract survives — while
+    * corpus-WIDE span detection stays the batch operator
+    * [[Dedup.exactSubstrSpans]] (q178). Computed by sorting the gram
+    * array and counting occurrences equal to a sorted neighbor:
+    * O(n log n) per doc, whole-stage codegen, no shuffle, no UDF.
+    */
+  def dupWindowStats(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val grams = when(size(toks) >= k, TextFunctions.wordShingles(text, k))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val sorted = array_sort(grams)
+    val n = size(sorted)
+    // eqNext(i) = sorted(i) == sorted(i+1); zip_with pads the shorter
+    // side with null and <=> makes the last element compare false
+    val eqNext = zip_with(sorted, slice(sorted, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => x <=> y)
+    val eqPrev = concat(array(lit(false)),
+      slice(eqNext, lit(1), greatest(n - 1, lit(0))))
+    val dup = size(filter(zip_with(eqNext, eqPrev, (a, b) => a || b), x => x))
+    struct(dup.cast(LongType).as("dup_windows"), n.cast(LongType).as("n_windows"))
+  }
+
   // -------------------------------------------------------- decontaminate
 
   /** Drop training docs whose normalized content exactly matches any

@@ -40,22 +40,46 @@ import org.apache.spark.sql.types.LongType
   */
 object CorpusPipeline {
 
+  /** Integer ppm of duplicated windows — exact floor division (the
+    * SURVEY §6 ratio convention), 0 when the doc has no window. */
+  private val spanDupPpm =
+    expr("CASE WHEN __sd.n_windows > 0 THEN " +
+      "(__sd.dup_windows * 1000000L) div __sd.n_windows ELSE 0L END")
+
+  /** With `spanDupK` set, the quality gate (stage 2) additionally
+    * rejects docs whose WITHIN-doc duplicated-k-gram window fraction
+    * ([[CorpusOps.dupWindowStats]] — the ExactSubstr signal restricted
+    * to one doc, so it stays a pure per-row function and the
+    * batching-invisibility contract survives) exceeds
+    * `maxSpanDupPpm` (exact integer ppm, default = accept all), and
+    * survivors carry `span_dup_windows` / `span_dup_ppm` annotations.
+    */
   def ingest(index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
              dedupThreshold: Double = 0.5, shingleN: Int = 3,
              bands: Int = 16, rowsPerBand: Int = 4,
-             bpeMerges: Option[Seq[(String, String)]] = None): (DataFrame, DataFrame) = {
+             bpeMerges: Option[Seq[(String, String)]] = None,
+             spanDupK: Option[Int] = None,
+             maxSpanDupPpm: Long = 1000000L): (DataFrame, DataFrame) = {
     val scrubbed = batch.withColumn(textCol, CorpusOps.redactPii(col(textCol)))
-    val judged = scrubbed
+    val judged0 = scrubbed
       .filter(size(TextFunctions.tokens(col(textCol))) >= minTokens &&
         CorpusOps.dupTokenRatio(col(textCol)) <= maxDupTokenRatio)
+    val judged = spanDupK.fold(judged0)(k =>
+      judged0.withColumn("__sd", CorpusOps.dupWindowStats(col(textCol), k))
+        .filter(spanDupPpm <= maxSpanDupPpm))
     val (kept, indexRows) = Dedup.dedupIncrement(index, judged, idCol, textCol,
       dedupThreshold, shingleN, bands, rowsPerBand)
-    val annotated = kept
+    val annotated0 = kept
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tok", TextFunctions.wordCount(col(textCol)).cast(LongType))
       .withColumn("dup_token_ratio", CorpusOps.dupTokenRatio(col(textCol)))
       .withColumn("n_pii", CorpusOps.piiCount(col(textCol)))
+    val annotated = spanDupK.fold(annotated0)(_ =>
+      annotated0
+        .withColumn("span_dup_windows", col("__sd.dup_windows"))
+        .withColumn("span_dup_ppm", spanDupPpm)
+        .drop("__sd"))
     // REAL token meter (r9): the q173 codegen kernel under a trained
     // vocabulary — map-side on the scrubbed survivor text, the number
     // a training-data pipeline actually bills by
@@ -95,7 +119,9 @@ object CorpusPipeline {
                  dedupThreshold: Double = 0.5, shingleN: Int = 3,
                  bands: Int = 16, rowsPerBand: Int = 4,
                  bpeMerges: Option[Seq[(String, String)]] = None,
-                 meterPath: Option[String] = None)
+                 meterPath: Option[String] = None,
+                 spanDupK: Option[Int] = None,
+                 maxSpanDupPpm: Long = 1000000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(meterPath.isEmpty || bpeMerges.nonEmpty,
       "meterPath needs bpeMerges: the meter bills BPE tokens")
@@ -110,19 +136,32 @@ object CorpusPipeline {
             shingleN, bands, rowsPerBand)
         val (delta, idx) = ingest(index, batch.toDF(), idCol, textCol,
           minTokens, maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand,
-          bpeMerges)
+          bpeMerges, spanDupK, maxSpanDupPpm)
         // materialize the delta BEFORE the index append below changes
         // what `index` lazily reads
         meterPath match {
           case Some(mp) =>
+            // with spanDupK set, the meter row ALSO bills the batch's
+            // duplicated-window count — same observe, same job, zero
+            // extra passes, same idempotent dynamic-overwrite layout
             val obs = org.apache.spark.sql.Observation()
+            val spanAgg =
+              if (spanDupK.isDefined)
+                Seq(coalesce(sum(col("span_dup_windows")), lit(0L)).as("span_dup_windows"))
+              else Seq.empty
             delta.observe(obs, count(lit(1)).as("n_docs"),
-                coalesce(sum(col("bpe_tok")), lit(0L)).as("bpe_tokens"))
+                (coalesce(sum(col("bpe_tok")), lit(0L)).as("bpe_tokens") +: spanAgg): _*)
               .write.mode("append").parquet(deltaPath)
             import spark.implicits._
-            Seq((batchId, obs.get("n_docs").asInstanceOf[Long],
+            val meterBase = Seq((batchId, obs.get("n_docs").asInstanceOf[Long],
                 obs.get("bpe_tokens").asInstanceOf[Long]))
               .toDF("batch_id", "n_docs", "bpe_tokens")
+            val meterRow =
+              if (spanDupK.isDefined)
+                meterBase.withColumn("span_dup_windows",
+                  lit(obs.get("span_dup_windows").asInstanceOf[Long]))
+              else meterBase
+            meterRow
               .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id").parquet(mp)
           case None =>
@@ -141,7 +180,9 @@ object CorpusPipeline {
                 minTokens: Int = 5, maxDupTokenRatio: Double = 0.6,
                 dedupThreshold: Double = 0.5, shingleN: Int = 3,
                 bands: Int = 16, rowsPerBand: Int = 4,
-                bpeMerges: Option[Seq[(String, String)]] = None): (DataFrame, DataFrame) = {
+                bpeMerges: Option[Seq[(String, String)]] = None,
+                spanDupK: Option[Int] = None,
+                maxSpanDupPpm: Long = 1000000L): (DataFrame, DataFrame) = {
     require(batches.nonEmpty, "need at least one batch")
     // seed the empty index from the caller's own schema (as ingestSink
     // does) so non-Long ids / extra columns don't break unionByName
@@ -150,7 +191,8 @@ object CorpusPipeline {
     var delta: Option[DataFrame] = None
     batches.foreach { b =>
       val (d, idx) = ingest(index, b, idCol, textCol, minTokens,
-        maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand, bpeMerges)
+        maxDupTokenRatio, dedupThreshold, shingleN, bands, rowsPerBand, bpeMerges,
+        spanDupK, maxSpanDupPpm)
       index = index.unionByName(idx).localCheckpoint(eager = true)
       delta = Some(delta.map(_.unionByName(d)).getOrElse(d))
     }

@@ -103,6 +103,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3).getDouble(1) == 0.0 && out(3).getDouble(2) == 0.0)
   }
 
+  test("dupWindowStats: exact duplicated-window counts on hand fixtures") {
+    val docs = Seq(
+      // k=2 grams: "a b","b c","c a","a b","b c","c a","a b" — counts
+      // 3/2/2, every one of the 7 window starts duplicated
+      (1L, "a b c a b c a b"),
+      (2L, "a b c d"),       // 3 distinct bigrams, none duplicated
+      (3L, "solo"),          // sub-k: zero windows (degenerate excluded)
+      (4L, ""),              // empty doc: zero windows
+      // "p q" at starts 1 and 3; "q p" at 2 — 2 of 3 duplicated
+      (5L, "p q p q")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        CorpusOps.dupWindowStats(col("text"), 2).as("sd"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toSeq
+    assert(got == Seq((1L, 7L, 7L), (2L, 0L, 3L), (3L, 0L, 0L),
+      (4L, 0L, 0L), (5L, 2L, 3L)), got.toString)
+  }
+
   test("decontaminate removes exact benchmark collisions and nothing else") {
     val train = Seq((1L, "the quick brown fox"), (2L, "unique training doc"),
       (3L, "  THE   quick brown FOX ")).toDF("doc_id", "text")

@@ -99,6 +99,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 3L, 4L, 5L), s"index: $indexed")
   }
 
+  test("span-dup gate: rejects repeat-heavy docs, annotates survivors, stays batch-invariant") {
+    // 8 rejects at max 500000 ppm: 16 toks, 13 4-gram windows, 10 of
+    // them duplicated within-doc ("p q r s".."t u v w" twice each) =
+    // 769230 ppm; its dupTokenRatio is 0.5 so the FIXTURE token gate
+    // (loosened to 1.0 here) would keep it — the rejection is the span
+    // gate's alone. 9 is clean prose that passes everything.
+    val extra = Seq(
+      (8L, "p q r s t u v w p q r s t u v w"),
+      (9L, (1 to 16).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionByName(extra)
+    val (delta, _) = CorpusPipeline.ingestAll(Seq(docs), "doc_id", "text",
+      maxDupTokenRatio = 1.0, spanDupK = Some(4), maxSpanDupPpm = 500000L)
+    val rows = delta.select("doc_id", "span_dup_windows", "span_dup_ppm")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(!rows.map(_._1).contains(8L), s"span gate failed to reject doc 8: $rows")
+    assert(rows.map(_._1).contains(9L), s"span gate over-rejected: $rows")
+    val nine = rows.find(_._1 == 9L).get
+    assert(nine._2 == 0L && nine._3 == 0L, s"doc 9 should annotate clean: $nine")
+    // doc 6 (spam x30) survives the loosened token gate but not the
+    // span gate: every 4-gram window is "spam spam spam spam"
+    assert(!rows.map(_._1).contains(6L), s"degenerate doc 6 survived: $rows")
+    // batching invisibility holds WITH the gate + annotations: the
+    // signal is within-doc, so shard boundaries cannot change it
+    val (b3, _) = CorpusPipeline.ingestAll(
+      Seq(docs.filter(col("doc_id") <= 3), docs.filter(col("doc_id") > 3 && col("doc_id") <= 6),
+        docs.filter(col("doc_id") > 6)),
+      "doc_id", "text", maxDupTokenRatio = 1.0,
+      spanDupK = Some(4), maxSpanDupPpm = 500000L)
+    val batched = b3.select("doc_id", "span_dup_windows", "span_dup_ppm")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batched == rows, s"batching changed the span-gated corpus:\n$rows\n$batched")
+  }
+
   test("metered streaming ingest: 3 micro-batches == one shot, token counts byte-identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -107,7 +143,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val q = CorpusPipeline.ingestSink(in.toDF().toDF("doc_id", "text"),
         s"$base/index", s"$base/delta", "doc_id", "text",
-        bpeMerges = Some(vocab), meterPath = Some(s"$base/meter"))
+        bpeMerges = Some(vocab), meterPath = Some(s"$base/meter"),
+        spanDupK = Some(3))
       .option("checkpointLocation", s"$base/ck")
       .start()
     try {
@@ -137,6 +174,14 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(meter.map(_._3).sum == oneShot.map(_._2).sum,
       s"meter total ${meter.map(_._3).sum} != corpus total ${oneShot.map(_._2).sum}")
     assert(meter.map(_._2).sum == oneShot.size.toLong)
+    // the span meter (spanDupK set): per-batch sums of the within-doc
+    // duplicated-window annotation, totalling the delta's own sum
+    val spanMeterTotal = spark.read.parquet(s"$base/meter")
+      .agg(sum("span_dup_windows")).collect().head.getLong(0)
+    val spanDeltaTotal = spark.read.parquet(s"$base/delta")
+      .agg(coalesce(sum("span_dup_windows"), lit(0L))).collect().head.getLong(0)
+    assert(spanMeterTotal == spanDeltaTotal,
+      s"span meter $spanMeterTotal != delta total $spanDeltaTotal")
     // partition layout on disk: batch_id=<id> directories
     val dirs = new java.io.File(s"$base/meter").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
