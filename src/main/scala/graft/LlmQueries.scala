@@ -1176,4 +1176,43 @@ object LlmQueries {
          USING (doc_id)
        ORDER BY s.doc_id"""
   }
+
+  // q183: SemDeDup (Abbas et al. 2023) — semantic dedup through a
+  // coarse embedding clustering: assign every vector to its
+  // nearest-of-16 deterministic centroids (argmax cosine, ties to the
+  // lower centroid id — map-side, the centroids live in the codegen'd
+  // expression), then drop vectors with a smaller-id ≥0.45-cosine
+  // neighbor in the SAME cluster. The cluster restriction is the
+  // method: k independent (N/k)² pair problems instead of N² (q48's
+  // exact form is the unclustered baseline). Engine-exact end to end —
+  // CosineF32's strict left fold matches DuckDB's
+  // list_cosine_similarity over DOUBLE[] bit-for-bit (q24's proof), so
+  // both the assignment argmax and the dedup predicate replay in SQL.
+  def q183(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 16, threshold = 0.45)
+      .select("vec_id", "cluster", "label")
+      .orderBy("vec_id")
+
+  val q183Sql: String =
+    """WITH c AS (
+         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+         FROM embeddings WHERE embedding IS NOT NULL
+         ORDER BY vec_id LIMIT 16
+       ), a AS (
+         SELECT e.vec_id, e.label, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.cid ASC) AS rn
+         FROM embeddings e CROSS JOIN c
+       ), asg AS (
+         SELECT vec_id, label, embedding, cid AS cluster FROM a WHERE rn = 1
+       )
+       SELECT vec_id, cluster, label FROM asg d
+       WHERE NOT EXISTS (
+         SELECT 1 FROM asg e
+         WHERE e.cluster = d.cluster AND e.vec_id < d.vec_id
+           AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(d.embedding AS DOUBLE[])) >= 0.45)
+       ORDER BY vec_id"""
 }

@@ -1004,4 +1004,268 @@ object TrainingQueries {
                CAST(len(ts) - len(kept) AS BIGINT) AS n_cut,
                CAST(n_spans AS BIGINT) AS n_spans
         FROM cut ORDER BY doc_id"""
+
+  // q180: the FULL Gopher document-quality rule suite (Rae et al. 2021
+  // §A.1.1) — seven signals + the composite keep decision, all exact
+  // integers + one IEEE division each (engine-parity convention), all
+  // map-side: the 100 TB pass runs at scan speed.
+  def q180(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        CorpusOps.gopherSignals(col("text")).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.*"))
+      .orderBy("doc_id")
+
+  val q180Sql: String = {
+    val stops = CorpusOps.GopherReqStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (
+          SELECT doc_id, lang,
+            $toksSql AS ts,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                        l -> len(l) > 0) AS lines,
+            length(text) - length(replace(text, '#', '')) AS n_hash,
+            len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
+          FROM documents
+        ), cnt AS (
+          SELECT doc_id, lang,
+            CAST(len(ts) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(ts, x -> len(x))), 0) AS BIGINT) AS sum_len,
+            CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+            CAST(n_hash + n_ell AS BIGINT) AS n_sym,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)' || '$$'))) AS BIGINT) AS n_ellend,
+            CAST(len(list_intersect(list_distinct(ts), [$stops])) AS BIGINT) AS n_req_stop
+          FROM sig
+        )
+        SELECT doc_id, lang, n_words,
+          CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+          CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+          CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+          n_lines,
+          CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
+          CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines END AS ellipsis_frac,
+          n_req_stop,
+          coalesce(n_words BETWEEN 50 AND 100000
+            AND (CAST(sum_len AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0
+            AND (CAST(n_sym AS DOUBLE) / n_words) <= 0.1
+            AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8
+            AND (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9
+            AND (CAST(n_ellend AS DOUBLE) / n_lines) <= 0.3
+            AND n_req_stop >= 2, false) AS keep
+        FROM cnt ORDER BY doc_id"""
+  }
+
+  // q181: C4-style line-level page cleaning (Raffel et al. JMLR 2020
+  // §2.2): terminal-punctuation + ≥5-word + no-"javascript" line
+  // filter, then the page-level gates (≥3 surviving lines, no
+  // "lorem ipsum", no '{'). clean_md5 proves the rebuilt text
+  // byte-exact without shipping long strings through the compare
+  // (q80/q179's convention).
+  //
+  // The synthetic corpus has NO newlines or punctuation (every doc is
+  // one unterminated line, so the raw-text gate would compare
+  // constants), so the query first derives a PAGED corpus
+  // deterministically — every occurrence of the frequent token "line"
+  // becomes "line.\n", giving docs real sentence-terminated line
+  // structure — mirrored verbatim in the oracle (q174's convention:
+  // when the corpus can't exercise a rule, derive an input that does,
+  // identically on both engines). The lorem-ipsum/'{' page gates stay
+  // corpus-constant and are pinned in CorpusOpsSpec instead.
+  def q181(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        CorpusOps.c4CleanLines(regexp_replace(col("text"), "line", "line.\n")).as("c"))
+      .select(col("doc_id"),
+        md5(col("c.clean_text").cast(BinaryType)).as("clean_md5"),
+        col("c.n_lines"), col("c.n_kept"), col("c.page_keep"))
+      .orderBy("doc_id")
+
+  val q181Sql: String =
+    s"""WITH ln AS (
+          SELECT doc_id, replace(text, 'line', 'line.' || chr(10)) AS text
+          FROM documents
+        ), ln2 AS (
+          SELECT doc_id, text,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                        l -> len(l) > 0) AS lines
+          FROM ln
+        ), kp AS (
+          SELECT doc_id, text, lines,
+            list_filter(lines, l ->
+              regexp_matches(l, '[.!?"]' || '$$')
+              AND len(list_filter(string_split_regex(l, '\\s+'), x -> len(x) > 0)) >= 5
+              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM ln2
+        )
+        SELECT doc_id,
+          md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS page_keep
+        FROM kp ORDER BY doc_id"""
+
+  // q182: DSIR importance weights (Xie et al. NeurIPS'23) over
+  // hashed-bigram features — target = lang='en' docs, raw = the whole
+  // corpus, 4096 md5-bucketed features. The weight is the
+  // integer-exact arithmetic-mean surrogate of the likelihood ratio
+  // (see CorpusOps.dsirWeights): exact long sums, DECIMAL(38,0)
+  // cross-multiply, ONE IEEE division. Docs with < 2 tokens have no
+  // features and are omitted on both sides.
+  def q182(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.dsirWeights(Tables.documents(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096)
+      .orderBy("doc_id")
+
+  val q182Sql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, lang, $toksSql AS ts FROM documents
+        ), bk AS (
+          SELECT doc_id, lang,
+            CAST(CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 8) AS BIGINT) % 4096 AS BIGINT) AS b
+          FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2
+        ), g AS (
+          SELECT b, count(*) AS r_c,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_c
+          FROM bk GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(r_c) AS DECIMAL(38,0)) AS n_raw,
+                 CAST(sum(t_c) AS DECIMAL(38,0)) AS n_tgt
+          FROM g
+        ), pd AS (
+          SELECT doc_id, count(*) AS n_feats,
+            CAST(sum(t_c + 1) AS DECIMAL(38,0)) AS num,
+            CAST(sum(r_c + 1) AS DECIMAL(38,0)) AS den
+          FROM bk JOIN g USING (b) GROUP BY 1
+        )
+        SELECT doc_id, n_feats,
+          CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+          CAST(num * (n_raw + 4096) AS DOUBLE) /
+            CAST(den * (n_tgt + 4096) AS DOUBLE) AS weight
+        FROM pd, tot ORDER BY doc_id"""
+
+  // q184: the FULL Gopher repetition rule suite (Rae et al. 2021
+  // §A.1.1, Table A1) — q180's quality rules' complement: duplicate
+  // line/paragraph (char) fractions, top-{2,3,4}-gram char fractions,
+  // duplicate-{5..10}-gram char-cover fractions, composite keep. The
+  // synthetic corpus has no newlines, so the query derives a PAGED
+  // corpus deterministically (q181's convention): "line" → "line\n"
+  // gives lines, "key" → "key\n\n" gives paragraphs — mirrored
+  // verbatim in the oracle; the token stream is whitespace-split so
+  // the gram signals are unchanged by the derivation.
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    val derived = Tables.documents(spark, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), "line", "line\n"),
+        "key", "key\n\n").as("text"))
+    CorpusOps.repetitionSignals(derived, "text").drop("text").orderBy("doc_id")
+  }
+
+  val q184Sql: String = {
+    def gram(n: Int): String =
+      (0 until n).map(k => if (k == 0) "ts[i]" else s"ts[i+$k]").mkString(" || ' ' || ")
+    def segStats(l: String, p: String): String =
+      s"""len($l) AS n_$p,
+         len(list_filter(generate_series(1, len($l)), i ->
+           (i > 1 AND $l[i] = $l[i-1]) OR (i < len($l) AND $l[i] = $l[i+1]))) AS dup_$p,
+         coalesce(list_sum(list_transform($l, x -> len(x))), 0) AS ${p}_chars,
+         coalesce(list_sum(list_transform(generate_series(1, len($l)), i ->
+           CASE WHEN (i > 1 AND $l[i] = $l[i-1]) OR (i < len($l) AND $l[i] = $l[i+1])
+           THEN len($l[i]) ELSE 0 END)), 0) AS dup_${p}_chars"""
+    val gramCtes = (Seq(2, 3, 4) ++ (5 to 10)).map { n =>
+      s"""g$n AS (
+           SELECT doc_id, ts, total_chars,
+             CASE WHEN len(ts) >= $n
+               THEN list_transform(range(1, len(ts) - $n + 2), i -> ${gram(n)})
+               ELSE CAST([] AS VARCHAR[]) END AS g
+           FROM tot
+         )"""
+    }
+    val topCtes = Seq(2, 3, 4).map { n =>
+      s"""t$n AS (
+           SELECT doc_id, cnt AS bc$n, len(gram) - ${n - 1} AS bl$n
+           FROM (SELECT doc_id, gram, count(*) AS cnt
+                 FROM (SELECT doc_id, unnest(g) AS gram FROM g$n) GROUP BY 1, 2)
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY cnt DESC, len(gram) DESC) = 1
+         )"""
+    }
+    val covCtes = (5 to 10).map { n =>
+      s"""c$n AS (
+           SELECT doc_id,
+             coalesce(list_sum(list_transform(generate_series(1, len(ts)), i ->
+               CASE WHEN len(list_filter(list_slice(ds,
+                   greatest(i - ${n - 1}, 1), least(i, len(ds))), b -> b)) > 0
+               THEN len(ts[i]) ELSE 0 END)), 0) AS cov$n
+           FROM (SELECT doc_id, ts,
+                   list_transform(g, x -> list_contains(dv, x)) AS ds
+                 FROM (SELECT doc_id, ts, g,
+                         list_distinct(list_filter(
+                           list_transform(generate_series(2, len(sg)), j ->
+                             CASE WHEN sg[j] = sg[j-1] THEN sg[j] END),
+                           x -> x IS NOT NULL)) AS dv
+                       FROM (SELECT doc_id, ts, g, list_sort(g) AS sg FROM g$n)))
+         )"""
+    }
+    val topFracs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, _) =>
+      s"""CASE WHEN total_chars > 0
+            THEN CAST(coalesce(bc$n, 0) * coalesce(bl$n, 0) AS DOUBLE) / total_chars
+            ELSE 0.0 END AS top${n}_char_frac"""
+    }
+    val dupFracs = (5 to 10).map { n =>
+      s"""CASE WHEN total_chars > 0 THEN CAST(cov$n AS DOUBLE) / total_chars
+            ELSE 0.0 END AS dup${n}_char_frac"""
+    }
+    val keepTerms = Seq(
+      "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
+      "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20") ++
+      Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, c) =>
+        s"top${n}_char_frac <= $c" } ++
+      Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+        .map { case (n, c) => s"dup${n}_char_frac <= $c" }
+    s"""WITH base AS (
+          SELECT doc_id,
+            replace(replace(text, 'line', 'line' || chr(10)),
+                    'key', 'key' || chr(10) || chr(10)) AS text
+          FROM documents
+        ), tot AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts,
+            list_sort(list_filter(list_transform(string_split(text, chr(10)),
+              l -> trim(l)), l -> len(l) > 0)) AS ls,
+            list_sort(list_filter(list_transform(string_split_regex(text, '\\n{2,}'),
+              p -> trim(p, ' ' || chr(10))), p -> len(p) > 0)) AS ps,
+            coalesce(list_sum(list_transform(
+              list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+              x -> len(x))), 0) AS total_chars
+          FROM base
+        ), seg AS (
+          SELECT doc_id, total_chars,
+            ${segStats("ls", "lines")},
+            ${segStats("ps", "paras")}
+          FROM tot
+        ), ${gramCtes.mkString(", ")}, ${topCtes.mkString(", ")},
+        ${covCtes.mkString(", ")}, fr AS (
+          SELECT seg.doc_id,
+            CAST(n_lines AS BIGINT) AS n_lines,
+            CASE WHEN n_lines > 0 THEN CAST(dup_lines AS DOUBLE) / n_lines
+              ELSE 0.0 END AS dup_line_frac,
+            CASE WHEN lines_chars > 0 THEN CAST(dup_lines_chars AS DOUBLE) / lines_chars
+              ELSE 0.0 END AS dup_line_char_frac,
+            CAST(n_paras AS BIGINT) AS n_paras,
+            CASE WHEN n_paras > 0 THEN CAST(dup_paras AS DOUBLE) / n_paras
+              ELSE 0.0 END AS dup_para_frac,
+            CASE WHEN paras_chars > 0 THEN CAST(dup_paras_chars AS DOUBLE) / paras_chars
+              ELSE 0.0 END AS dup_para_char_frac,
+            ${topFracs.mkString(", ")},
+            ${dupFracs.mkString(", ")}
+          FROM seg
+            LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
+            ${(5 to 10).map(n => s"JOIN c$n USING (doc_id)").mkString(" ")}
+        )
+        SELECT *, ${keepTerms.mkString(" AND ")} AS keep
+        FROM fr ORDER BY doc_id"""
+  }
 }

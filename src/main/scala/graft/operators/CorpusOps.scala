@@ -179,6 +179,343 @@ object CorpusOps {
     struct(dup.cast(LongType).as("dup_windows"), n.cast(LongType).as("n_windows"))
   }
 
+  /** The full Gopher document-quality rule suite (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", §A.1.1) as one map-side struct of EXACT-integer
+    * signals plus the composite keep decision:
+    *
+    *   - `n_words` in [50, 100000]
+    *   - `mean_word_len` (chars per word) in [3, 10]
+    *   - `symbol_ratio` ((`#` + `...`/`…` occurrences) / words) ≤ 0.1
+    *   - `alpha_frac` (words containing ≥1 alphabetic char) ≥ 0.8
+    *   - `bullet_frac` (lines starting `-`/`*`/`•`) ≤ 0.9
+    *   - `ellipsis_frac` (lines ending `...`/`…`) ≤ 0.3
+    *   - `n_req_stop` (distinct hits among the, be, to, of, and, that,
+    *     have, with) ≥ 2
+    *
+    * Every ratio is one IEEE division of exact integer counts (the
+    * suite's engine-parity convention); lines are the non-blank
+    * `\n`-splits so a trailing newline cannot shift a fraction. Pure
+    * per-row Column composition — no UDF, no shuffle: at 100 TB this
+    * runs at scan speed and the filter pushes into the pipeline like
+    * any other predicate.
+    */
+  val GopherReqStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nWords = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast(LongType)
+    val nEll = regexp_count(text, lit("\\.\\.\\.|…")).cast(LongType)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines).cast(LongType)
+    val nBullet = size(filter(lines, l => l.rlike("^[-*•]"))).cast(LongType)
+    val nEllEnd = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast(LongType)
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherReqStopwords.map(lit): _*))).cast(LongType)
+    val wordsD = nWords.cast(DoubleType)
+    val meanLen = when(nWords > 0, sumLen.cast(DoubleType) / wordsD)
+    val symRatio = when(nWords > 0, (nHash + nEll).cast(DoubleType) / wordsD)
+    val alphaFrac = when(nWords > 0, nAlpha.cast(DoubleType) / wordsD)
+    val linesD = nLines.cast(DoubleType)
+    val bulletFrac = when(nLines > 0, nBullet.cast(DoubleType) / linesD)
+    val ellFrac = when(nLines > 0, nEllEnd.cast(DoubleType) / linesD)
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 && alphaFrac >= 0.8 &&
+      bulletFrac <= 0.9 && ellFrac <= 0.3 && nStop >= 2
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nLines.as("n_lines"), bulletFrac.as("bullet_frac"),
+      ellFrac.as("ellipsis_frac"), nStop.as("n_req_stop"),
+      coalesce(keep, lit(false)).as("keep"))
+  }
+
+  /** C4-style line-level page cleaning (Raffel et al. JMLR 2020, §2.2):
+    * keep only lines that end in terminal punctuation (`.` `!` `?` `"`)
+    * AND contain ≥ 5 words AND don't mention "javascript"; then drop
+    * the whole page when fewer than 3 lines survive, or the raw text
+    * contains "lorem ipsum" or a `{`. Returns
+    * `struct(clean_text, n_lines, n_kept, page_keep)` — `clean_text`
+    * is the surviving lines re-joined with `\n` (empty when none).
+    *
+    * Like [[gopherSignals]] this is a pure per-row Column composition
+    * (split → filter lambdas → concat) so the 100 TB pass is map-side
+    * codegen with no shuffle; the page filter is an ordinary pushable
+    * predicate on the struct field.
+    */
+  def c4CleanLines(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), t => length(t) > 0)) >= 5 &&
+        !lower(l).contains("javascript"))
+    val nKept = size(kept).cast(LongType)
+    val pageKeep = nKept >= 3 &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+    struct(
+      concat_ws("\n", kept).as("clean_text"),
+      size(lines).cast(LongType).as("n_lines"),
+      nKept.as("n_kept"),
+      pageKeep.as("page_keep"))
+  }
+
+  // ------------------------------------------- Gopher repetition suite
+
+  /** Gopher repetition-filter thresholds (Rae et al. 2021 Table A1):
+    * top-n-gram char-fraction caps for n=2,3,4 and duplicate-n-gram
+    * char-fraction caps for n=5..10. */
+  val GopherTopNgramCaps: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupNgramCaps: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The full Gopher REPETITION rule suite (Rae et al. 2021 §A.1.1,
+    * Table A1) — the complement of [[gopherSignals]]' quality rules —
+    * appended to `df` as exact signal columns plus the composite keep:
+    *
+    *   - `dup_line_frac` / `dup_para_frac` ≤ 0.30: fraction of
+    *     non-blank lines (`\n` splits) / paragraphs (`\n{2,}` splits)
+    *     that exactly equal another segment in the same doc;
+    *   - `dup_line_char_frac` / `dup_para_char_frac` ≤ 0.20: the
+    *     character mass those duplicate segments carry;
+    *   - `topN_char_frac` (n=2,3,4): characters contained in the
+    *     occurrences of the MOST FREQUENT word n-gram / total token
+    *     chars, caps 0.20/0.18/0.16. Most-frequent = max count, ties
+    *     broken to the longer gram (deterministic without naming the
+    *     gram); gram chars exclude the n−1 joining spaces;
+    *   - `dupN_char_frac` (n=5..10): characters of tokens COVERED by
+    *     any word n-gram occurring ≥2 times in the doc / total token
+    *     chars, caps 0.15..0.10. Token-position cover counts each
+    *     character once however many overlapping duplicated grams span
+    *     it (the paper's "not counting characters twice");
+    *   - `keep`: every cap satisfied. Empty docs / missing segments
+    *     score 0.0 (pass) — emptiness is [[gopherSignals]]' word-count
+    *     rule, not a repetition signal.
+    *
+    * Every fraction is exact integer counts + ONE IEEE division (the
+    * suite's engine-parity convention). No UDF, no shuffle — the
+    * 100 TB pass is a tower of map-side projections at scan speed, and
+    * `keep` is an ordinary pushable predicate.
+    *
+    * WHY a DataFrame operator and not one Column: interpreted
+    * higher-order-function trees have NO common-subexpression
+    * elimination — a single-Column form that references the gram
+    * pipeline from many sub-expressions re-tokenizes the document
+    * hundreds of times per row (measured: 500 sf0.001 docs took >15
+    * minutes). Staging each intermediate as a projection column makes
+    * every downstream reference a row-field read, and Catalyst's
+    * CollapseProject keeps non-cheap aliases referenced ≥2× staged, so
+    * the tokenizer runs ONCE per row. Same reason every lambda body
+    * below touches only its lambda variables — a free sub-expression
+    * inside a lambda is re-evaluated per ELEMENT ([[TextFunctions
+    * .wordShingles]]' caveat).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+
+    def dupFlagsOf(sorted: String): Column = {
+      val s = col(sorted)
+      val m = size(s)
+      val eqNext = zip_with(s, slice(s, lit(2), greatest(m - 1, lit(0))),
+        (x, y) => x <=> y)
+      zip_with(eqNext,
+        concat(array(lit(false)), slice(eqNext, lit(1), greatest(m - 1, lit(0)))),
+        (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
+    }
+    def segCols(segs: String, sorted: String, flags: String): Seq[Column] = Seq(
+      size(col(segs)).as(s"__n_$segs"),
+      size(filter(col(flags), x => x)).as(s"__dup_$segs"),
+      aggregate(col(sorted), lit(0L), (a, x) => a + length(x).cast(LongType))
+        .as(s"__chars_$segs"),
+      aggregate(zip_with(col(flags), col(sorted),
+          (f, x) => when(f, length(x)).otherwise(lit(0))),
+        lit(0L), (a, v) => a + v.cast(LongType)).as(s"__dupchars_$segs"))
+
+    val topNs = GopherTopNgramCaps.keys.toSeq.sorted
+    val dupNs = GopherDupNgramCaps.keys.toSeq.sorted
+
+    // stage 1: tokenize + segment ONCE; stage 2: sorted copies; stage
+    // 3: per-segment duplicate flags + per-n gram arrays; then per-n
+    // position-tagged sorts, duplicate-start flags, dilation covers.
+    val s1 = df
+      .withColumn("__toks", TextFunctions.tokens(text))
+      .withColumn("__lines",
+        filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0))
+      .withColumn("__paras",
+        filter(transform(split(text, "\n{2,}"), p => trim(p, " \n")),
+          p => length(p) > 0))
+    val s2 = s1
+      .withColumn("__tok_lens", transform(col("__toks"), x => length(x)))
+      .withColumn("__lsort", array_sort(col("__lines")))
+      .withColumn("__psort", array_sort(col("__paras")))
+    val s3 = (topNs ++ dupNs).foldLeft(s2
+        .withColumn("__total_chars",
+          aggregate(col("__tok_lens"), lit(0L), (a, x) => a + x.cast(LongType)))
+        .withColumn("__lflags", dupFlagsOf("__lsort"))
+        .withColumn("__pflags", dupFlagsOf("__psort"))) { (d, n) =>
+      d.withColumn(s"__g$n", TextFunctions.shinglesFromTokens(col("__toks"), n))
+    }
+    // per dup-n: sp (position-tagged gram sort), ga (sorted gram texts),
+    // en (equal-to-next flags), ds (duplicate flags in POSITION order),
+    // cov (chars of tokens covered by a duplicated gram, via right
+    // dilation: gram start j covers tokens j..j+n-1)
+    val s4 = dupNs.foldLeft(s3) { (d, n) =>
+      val g = col(s"__g$n")
+      d.withColumn(s"__sp$n", array_sort(zip_with(g,
+          when(size(g) >= 1, sequence(lit(1), size(g)))
+            .otherwise(array().cast(ArrayType(IntegerType))),
+          (x, i) => struct(x.as("g"), i.as("i")))))
+        .withColumn(s"__ga$n", transform(col(s"__sp$n"), p => p.getField("g")))
+        .withColumn(s"__en$n", {
+          val ga = col(s"__ga$n")
+          zip_with(ga, slice(ga, lit(2), greatest(size(ga) - 1, lit(0))),
+            (x, y) => x <=> y)
+        })
+        .withColumn(s"__ds$n", {
+          val en = col(s"__en$n")
+          val dupSorted = zip_with(en,
+            concat(array(lit(false)), slice(en, lit(1), greatest(size(en) - 1, lit(0)))),
+            (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
+          transform(array_sort(zip_with(col(s"__sp$n"), dupSorted,
+              (p, f) => struct(p.getField("i").as("i"), coalesce(f, lit(false)).as("f")))),
+            s => s.getField("f"))
+        })
+        .withColumn(s"__cov$n", {
+          val ds = col(s"__ds$n")
+          val covered = (1 until n).foldLeft(ds) { (acc, k) =>
+            zip_with(acc, concat(array_repeat(lit(false), k), ds),
+              (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
+          }
+          aggregate(zip_with(covered, col("__tok_lens"),
+              (c, l) => when(c, l).otherwise(lit(0))),
+            lit(0L), (a, v) => a + v.cast(LongType))
+        })
+    }
+    // per top-n: run-length fold over the (already gram-sorted) __ga of
+    // dup ns is unavailable for n=2..4, so sort __gN directly — one
+    // reference, inlined without duplication. Count ties break to the
+    // LONGER gram.
+    val s5 = topNs.foldLeft(s4) { (d, n) =>
+      d.withColumn(s"__top$n", {
+        val zero = struct(lit("").as("prev"), lit(0).as("run"),
+          lit(0).as("bc"), lit(0).as("bl"))
+        val st = aggregate(array_sort(col(s"__g$n")), zero, (acc, x) => {
+          val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          val xlen = length(x) - lit(n - 1)
+          val better = run2 > acc.getField("bc")
+          val tie = run2 === acc.getField("bc")
+          struct(x.as("prev"), run2.as("run"),
+            when(better, run2).otherwise(acc.getField("bc")).as("bc"),
+            when(better, xlen)
+              .when(tie, greatest(acc.getField("bl"), xlen))
+              .otherwise(acc.getField("bl")).as("bl"))
+        })
+        when(col("__total_chars") > 0,
+          (st.getField("bc").cast(LongType) * st.getField("bl").cast(LongType))
+            .cast(DoubleType) / col("__total_chars").cast(DoubleType))
+          .otherwise(lit(0.0))
+      })
+    }
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType)).otherwise(lit(0.0))
+    val s6 = s5
+      .select((s5.columns.map(col) ++ segCols("__lines", "__lsort", "__lflags")
+        ++ segCols("__paras", "__psort", "__pflags")): _*)
+      .withColumn("__dlf", frac(col("__dup___lines"), col("__n___lines")))
+      .withColumn("__dlcf", frac(col("__dupchars___lines"), col("__chars___lines")))
+      .withColumn("__dpf", frac(col("__dup___paras"), col("__n___paras")))
+      .withColumn("__dpcf", frac(col("__dupchars___paras"), col("__chars___paras")))
+    val s7 = dupNs.foldLeft(s6) { (d, n) =>
+      d.withColumn(s"__dupf$n", frac(col(s"__cov$n"), col("__total_chars")))
+    }
+    val keep = col("__dlf") <= 0.30 && col("__dpf") <= 0.30 &&
+      col("__dlcf") <= 0.20 && col("__dpcf") <= 0.20 &&
+      topNs.map(n => col(s"__top$n") <= GopherTopNgramCaps(n)).reduce(_ && _) &&
+      dupNs.map(n => col(s"__dupf$n") <= GopherDupNgramCaps(n)).reduce(_ && _)
+    s7.select((df.columns.map(col) ++ Seq(
+      col("__n___lines").cast(LongType).as("n_lines"),
+      col("__dlf").as("dup_line_frac"),
+      col("__dlcf").as("dup_line_char_frac"),
+      col("__n___paras").cast(LongType).as("n_paras"),
+      col("__dpf").as("dup_para_frac"),
+      col("__dpcf").as("dup_para_char_frac")) ++
+      topNs.map(n => col(s"__top$n").as(s"top${n}_char_frac")) ++
+      dupNs.map(n => col(s"__dupf$n").as(s"dup${n}_char_frac")) :+
+      keep.as("keep")): _*)
+  }
+
+  // ----------------------------------------------------------------- DSIR
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023) over hashed-bigram bag features: score every raw document by
+    * how much more mass its features carry under the TARGET
+    * distribution than under the RAW distribution.
+    *
+    * Estimator note: DSIR's paper weight is the product-form likelihood
+    * ratio `Π (p_t[b]/p_r[b])^c[b]` — a geometric mean whose log needs
+    * `ln`, which is not bit-stable across engines. This implementation
+    * uses the arithmetic-mean surrogate: with add-one-smoothed bucket
+    * tables `T[b]` (target) and `R[b]` (raw),
+    *
+    *   weight(d) = [Σ_g (T[b(g)]+1) / (N_T+B)] / [Σ_g (R[b(g)]+1) / (N_R+B)]
+    *
+    * — the ratio of the doc's smoothed expected target-bucket mass to
+    * its raw-bucket mass. Both sums are EXACT integers, the
+    * cross-multiplied products are exact DECIMAL(38,0), and the weight
+    * is ONE IEEE division — the suite's engine-parity convention. The
+    * ranking it induces upweights exactly the docs whose features are
+    * relatively target-frequent, which is the resampling signal DSIR
+    * consumes.
+    *
+    * Scale shape: bucket hashing is map-side; the global tables are ONE
+    * bucket-keyed shuffle whose reduce side is ≤ `buckets` rows per
+    * partition (map-side combine collapses the corpus first); the
+    * per-doc score joins those ≤ `buckets` rows back BROADCAST and
+    * aggregates doc-keyed partial sums — the corpus text itself never
+    * enters an exchange. Docs with < 2 tokens have no features and are
+    * omitted (the oracle mirrors this).
+    *
+    * @param isTarget row predicate selecting the target sample (e.g.
+    *                 `col("lang") === "en"`)
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val dec = DecimalType(38, 0)
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), isTarget.as("__is_t"),
+        explode(when(size(toks) >= 2, TextFunctions.wordShingles(col(textCol), 2))
+          .otherwise(array().cast(ArrayType(StringType)))).as("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g").cast(BinaryType)), 1, 8), 16, 10)
+          .cast(LongType) % buckets)
+      .select(col(idCol), col("__is_t"), col("__b"))
+    val global = grams.groupBy("__b").agg(
+      count(lit(1)).as("__r_c"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__t_c"))
+    val totals = global.agg(
+      sum(col("__r_c")).cast(dec).as("__n_raw"),
+      sum(col("__t_c")).cast(dec).as("__n_tgt"))
+    grams.join(broadcast(global), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__t_c") + 1L).cast(dec).as("num"),
+        sum(col("__r_c") + 1L).cast(dec).as("den"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_feats"),
+        col("num").cast(LongType).as("num"),
+        col("den").cast(LongType).as("den"),
+        ((col("num") * (col("__n_raw") + lit(buckets).cast(dec))).cast(DoubleType) /
+          (col("den") * (col("__n_tgt") + lit(buckets).cast(dec))).cast(DoubleType))
+          .as("weight"))
+  }
+
   // -------------------------------------------------------- decontaminate
 
   /** Drop training docs whose normalized content exactly matches any

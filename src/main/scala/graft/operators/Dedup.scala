@@ -461,6 +461,61 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): partition the
+    * embedding space with a coarse clustering, then near-dup dedup
+    * WITHIN each cluster only — the cluster bound turns the quadratic
+    * pair space into k independent (N/k)² problems, which is the whole
+    * point of the method at web scale.
+    *
+    * This implementation keeps every step engine-exact so the DuckDB
+    * oracle can replay it verbatim:
+    *   - centroids = the `k` lowest-id vectors (a deterministic sample
+    *     — SemDeDup's clustering is itself approximate, so any fixed
+    *     centroid rule is a valid instance; k-means-refined centroids
+    *     plug in without changing the downstream semantics);
+    *   - assignment = argmax cosine, ties to the lower centroid id
+    *     (map-side: k is small, the centroid literals live in the
+    *     codegen'd expression — no join, no shuffle);
+    *   - within-cluster near-dup = drop every vector with a SMALLER-id
+    *     neighbor at cosine ≥ `threshold` in the SAME cluster
+    *     ([[embeddingDedup]]'s pairwise min-id rule, restricted).
+    *
+    * Returns the surviving rows with their `cluster` id. Zero-norm and
+    * null embeddings pass through ([[embeddingDedupLayered]]'s
+    * convention): their cosine is 0/null against everything, so they
+    * never match a neighbor; they still get a cluster (ties → lowest
+    * centroid id).
+    *
+    * Scale shape: assignment is scan-speed; the pair join keys on
+    * `cluster` so each cluster's pairs shuffle independently —
+    * production sizing is k ≈ N/⟨cluster size⟩ via
+    * [[graft.sources.Tables.rowCount]] (footer metadata). Size k so
+    * clusters fit an executor's join budget; skewed clusters split
+    * like any skewed join key (salting / AQE).
+    */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, "need at least one centroid")
+    val cents = docs.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()  // bounded: k rows
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cos = cosineOf(docs, vecCol) _
+    // argmax via struct max: highest cosine, then highest -cid = lowest cid
+    val scored = cents.map { case (cid, vec) =>
+      val cvec = array(vec.map(lit): _*)  // array<float> literal
+      struct(cos(col(vecCol), cvec).as("c"), lit(-cid).as("nid"))
+    }
+    val assigned = docs.withColumn("cluster",
+      -array_max(array(scored.toIndexedSeq: _*)).getField("nid"))
+    val l = assigned.select(col(idCol).as("id_a"), col("cluster"), col(vecCol).as("va"))
+    val r = assigned.select(col(idCol).as("id_b"), col("cluster"), col(vecCol).as("vb"))
+    val dupes = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") && cos(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup CLUSTER assignment — the full production fuzzy-dedup
     * shape (SlimPajama / BigCode style): MinHash-LSH candidate pairs,
     * exact n-gram-Jaccard verification, then connected components over

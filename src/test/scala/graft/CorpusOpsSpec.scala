@@ -331,6 +331,224 @@ class CorpusOpsSpec extends SparkSpec {
       s"span-dedup counts changed: $got")
   }
 
+  test("gopherSignals: every rule fires on a hand fixture with hand-computed values") {
+    // 10 words, mean len (3+5+5+3+5+4+4+4+3+4)/10 = 4.0, three required
+    // stopwords (the, that, with), all alphabetic, one line
+    val base = "the quick brown fox jumps over that lazy dog with"
+    val pass = Seq.fill(5)(base).mkString(" ") // 50 words -> keep
+    val rows = Seq(
+      (1L, pass),
+      (2L, base), // 10 words: too short -> keep=false, same ratios
+      (3L, "## # ## " + base), // 5 '#' symbols over 14 words
+      (4L, "wait for it...\nmore... and more...\nplain line here"),
+      (5L, "- one two\n- three four\n* five six\nplain seven eight"),
+      (6L, "12345 67890 999 " + base), // 3 non-alpha of 13 words
+      (7L, ""), // empty: zero words, keep=false, null ratios
+      (8L, "zzz qqq www eee rrr") // no required stopwords
+    ).toDF("doc_id", "text")
+    val g = rows.select(col("doc_id"), CorpusOps.gopherSignals(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).orderBy("doc_id").collect()
+    def L(i: Int, f: String) = g(i).getAs[Long](f)
+    def D(i: Int, f: String) = g(i).getAs[Double](f)
+    def B(i: Int, f: String) = g(i).getAs[Boolean](f)
+    // doc 1: keep
+    assert(L(0, "n_words") == 50L && D(0, "mean_word_len") == 4.0 &&
+      D(0, "symbol_ratio") == 0.0 && D(0, "alpha_frac") == 1.0 &&
+      L(0, "n_req_stop") == 3L && B(0, "keep"), s"doc1: ${g(0)}")
+    // doc 2: identical ratios, 10 words -> rejected on word count alone
+    assert(L(1, "n_words") == 10L && D(1, "mean_word_len") == 4.0 && !B(1, "keep"))
+    // doc 3: 13 words ('##','#','##' count as words), 5 hash symbols
+    assert(L(2, "n_words") == 13L && D(2, "symbol_ratio") == 5.0 / 13.0)
+    // doc 4: 3 lines; lines 1-2 end in '...'
+    assert(L(3, "n_lines") == 3L && D(3, "ellipsis_frac") == 2.0 / 3.0)
+    // doc 5: 4 lines, 3 bullet starts ('-','-','*')
+    assert(L(4, "n_lines") == 4L && D(4, "bullet_frac") == 3.0 / 4.0)
+    // doc 6: 13 words, 10 alphabetic
+    assert(L(5, "n_words") == 13L && D(5, "alpha_frac") == 10.0 / 13.0)
+    // doc 7: empty -> 0 words, null ratios, keep=false
+    assert(L(6, "n_words") == 0L &&
+      g(6).isNullAt(g(6).fieldIndex("mean_word_len")) && !B(6, "keep"))
+    // doc 8: zero required stopwords
+    assert(L(7, "n_req_stop") == 0L && !B(7, "keep"))
+  }
+
+  test("c4CleanLines: line filter, page gates, and rebuilt text on a hand fixture") {
+    val good = Seq(
+      "This is a good line with seven words.",
+      "short line.",                                   // < 5 words
+      "This line has no terminal punctuation here",    // no terminal punct
+      "Another good sentence line with many words!",
+      "Uses javascript for the popup windows here.",   // javascript
+      "A third fine long sentence line goes here.")
+    val rows = Seq(
+      (1L, good.mkString("\n")),
+      (2L, good.mkString("\n") + "\nconfig = {a: 1}"),     // '{' page gate
+      (3L, "Lorem Ipsum dolor sit amet etc etc etc.\n" + good.mkString("\n")),
+      (4L, "Only one surviving line sits right here.\nnope\nnope")  // < 3 kept
+    ).toDF("doc_id", "text")
+    val c = rows.select(col("doc_id"), CorpusOps.c4CleanLines(col("text")).as("c"))
+      .select(col("doc_id"), col("c.*")).orderBy("doc_id").collect()
+    val keptText = Seq(good(0), good(3), good(5)).mkString("\n")
+    assert(c(0).getAs[String]("clean_text") == keptText &&
+      c(0).getAs[Long]("n_lines") == 6L && c(0).getAs[Long]("n_kept") == 3L &&
+      c(0).getAs[Boolean]("page_keep"), s"doc1: ${c(0)}")
+    assert(c(1).getAs[Long]("n_kept") == 3L && !c(1).getAs[Boolean]("page_keep"),
+      "brace page must drop")
+    assert(c(2).getAs[Long]("n_kept") == 4L && !c(2).getAs[Boolean]("page_keep"),
+      "lorem ipsum page must drop")
+    assert(c(3).getAs[Long]("n_kept") == 1L && !c(3).getAs[Boolean]("page_keep"),
+      "<3 kept lines must drop")
+  }
+
+  test("dsirWeights == an in-test reference implementation, exactly") {
+    import java.security.MessageDigest
+    val rnd = new scala.util.Random(42)
+    val vocabT = Seq("alpha", "beta", "gamma", "delta")
+    val vocabR = Seq("kappa", "lambda", "mu", "nu", "xi")
+    def doc(target: Boolean, n: Int): String = {
+      val v = if (target) vocabT ++ vocabR.take(2) else vocabR ++ vocabT.take(1)
+      Seq.fill(n)(v(rnd.nextInt(v.length))).mkString(" ")
+    }
+    val rows = (1L to 40L).map { i =>
+      val t = i % 3 == 0
+      (i, doc(t, 3 + rnd.nextInt(12)), if (t) "en" else "xx")
+    } :+ ((41L, "single", "en")) // < 2 tokens: no features, omitted
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = CorpusOps.dsirWeights(df, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // reference: plain Scala maps, same md5-bucket hash
+    def buckets(text: String): Seq[Long] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).map { bg =>
+        val h = MessageDigest.getInstance("MD5").digest(bg.mkString(" ").getBytes("UTF-8"))
+        val hex = h.take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 64
+      }.toSeq
+    }
+    val all = rows.map { case (id, text, lang) => (id, buckets(text), lang == "en") }
+    val rC = all.flatMap(_._2).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val tC = all.filter(_._3).flatMap(_._2).groupBy(identity)
+      .map { case (b, v) => b -> v.size.toLong }
+    val nR = rC.values.sum; val nT = tC.values.sum
+    val exp = all.filter(_._2.nonEmpty).sortBy(_._1).map { case (id, bs, _) =>
+      val num = bs.map(b => tC.getOrElse(b, 0L) + 1).sum
+      val den = bs.map(b => rC.getOrElse(b, 0L) + 1).sum
+      (id, bs.size.toLong, num, den,
+        (BigDecimal(num) * BigDecimal(nR + 64)).toDouble /
+          (BigDecimal(den) * BigDecimal(nT + 64)).toDouble)
+    }
+    assert(got.toSeq == exp, s"got=${got.toSeq.take(5)} exp=${exp.take(5)}")
+    // the signal points the right way: target-vocab docs upweighted
+    val w = got.map(r => r._1 -> r._5).toMap
+    val tAvg = all.filter(a => a._3 && a._2.nonEmpty).flatMap(a => w.get(a._1))
+    val rAvg = all.filter(a => !a._3 && a._2.nonEmpty).flatMap(a => w.get(a._1))
+    assert(tAvg.sum / tAvg.size > rAvg.sum / rAvg.size,
+      "target docs must average a higher importance weight")
+  }
+
+  test("repetitionSignals: hand-computed line/para/top/cover values") {
+    val rows = Seq(
+      (1L, "aa bb\naa bb\ncc"),          // dup lines, unique paras
+      (2L, "a b c d e a b c d e"),       // repeated 5-gram covers all tokens
+      (3L, ""),                          // empty: all 0.0, keep=true
+      (4L, "aa")                         // single token, no grams
+    ).toDF("doc_id", "text")
+    val g = CorpusOps.repetitionSignals(rows, "text")
+      .drop("text").orderBy("doc_id").collect()
+    def D(i: Int, f: String) = g(i).getAs[Double](f)
+    def L(i: Int, f: String) = g(i).getAs[Long](f)
+    def B(i: Int) = g(i).getAs[Boolean]("keep")
+    // doc 1: lines [aa bb, aa bb, cc] -> 2/3 dup, 10/12 chars; 1 para;
+    // tokens [aa,bb,aa,bb,cc] total 10 chars; top2 = "aa bb" x2 = 8/10;
+    // top3: all once, len 6 -> 6/10; top4: len 8 -> 8/10; no dup 5-grams
+    assert(L(0, "n_lines") == 3L && D(0, "dup_line_frac") == 2.0 / 3.0 &&
+      D(0, "dup_line_char_frac") == 10.0 / 12.0 && L(0, "n_paras") == 1L &&
+      D(0, "dup_para_frac") == 0.0, s"doc1 segs: ${g(0)}")
+    assert(D(0, "top2_char_frac") == 0.8 && D(0, "top3_char_frac") == 0.6 &&
+      D(0, "top4_char_frac") == 0.8 && D(0, "dup5_char_frac") == 0.0 && !B(0),
+      s"doc1 grams: ${g(0)}")
+    // doc 2: "a b c d e" twice -> every token covered by a dup 5-gram;
+    // top2 2*2/10, top3 2*3/10, top4 2*4/10; dup6..10 all unique
+    assert(D(1, "top2_char_frac") == 0.4 && D(1, "top3_char_frac") == 0.6 &&
+      D(1, "top4_char_frac") == 0.8 && D(1, "dup5_char_frac") == 1.0 &&
+      D(1, "dup6_char_frac") == 0.0 && D(1, "dup10_char_frac") == 0.0 && !B(1),
+      s"doc2: ${g(1)}")
+    // doc 3: empty -> zero everything, keep=true (emptiness is q180's rule)
+    assert(L(2, "n_lines") == 0L && D(2, "dup_line_frac") == 0.0 &&
+      D(2, "top2_char_frac") == 0.0 && D(2, "dup5_char_frac") == 0.0 && B(2))
+    // doc 4: one token -> no grams at any n, clean keep
+    assert(L(3, "n_lines") == 1L && D(3, "top2_char_frac") == 0.0 && B(3))
+  }
+
+  test("repetitionSignals == a plain-Scala reference on seeded random docs") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("ab", "cde", "f", "ghij", "kl", "mn", "opq", "r")
+    def doc(): String = {
+      val parts = (0 until (3 + rnd.nextInt(5))).map { _ =>
+        val base = Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        // sometimes repeat a phrase to exercise dup covers
+        val words = if (rnd.nextBoolean()) base ++ base.take(rnd.nextInt(base.size))
+                    else base
+        words.mkString(" ")
+      }
+      parts.mkString(if (rnd.nextBoolean()) "\n" else "\n\n")
+    }
+    val rows = (1L to 30L).map(i => (i, doc()))
+    val got = CorpusOps.repetitionSignals(rows.toDF("doc_id", "text"), "text")
+      .drop("text").orderBy("doc_id").collect()
+
+    def segStats(segs: Seq[String]): (Long, Double, Double) = {
+      val counts = segs.groupBy(identity).map { case (k, v) => k -> v.size }
+      val dups = segs.filter(counts(_) >= 2)
+      val chars = segs.map(_.length).sum
+      (segs.size.toLong,
+        if (segs.nonEmpty) dups.size.toDouble / segs.size else 0.0,
+        if (chars > 0) dups.map(_.length).sum.toDouble / chars else 0.0)
+    }
+    rows.zip(got).foreach { case ((id, text), row) =>
+      assert(row.getLong(0) == id)
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val total = toks.map(_.length).sum
+      def trimSN(s: String): String = s.dropWhile(c => c == ' ' || c == '\n')
+        .reverse.dropWhile(c => c == ' ' || c == '\n').reverse
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val paras = text.split("\n{2,}").map(trimSN).filter(_.nonEmpty).toSeq
+      val (nl, dlf, dlcf) = segStats(lines)
+      val (np, dpf, dpcf) = segStats(paras)
+      assert(row.getAs[Long]("n_lines") == nl && row.getAs[Double]("dup_line_frac") == dlf
+        && row.getAs[Double]("dup_line_char_frac") == dlcf, s"doc $id lines")
+      assert(row.getAs[Long]("n_paras") == np && row.getAs[Double]("dup_para_frac") == dpf
+        && row.getAs[Double]("dup_para_char_frac") == dpcf, s"doc $id paras")
+      def grams(n: Int): Seq[String] =
+        if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq else Seq.empty
+      for (n <- Seq(2, 3, 4)) {
+        val cnt = grams(n).groupBy(identity).map { case (k, v) => k -> v.size }
+        val exp =
+          if (total == 0 || cnt.isEmpty) 0.0
+          else {
+            val bc = cnt.values.max
+            val bl = cnt.filter(_._2 == bc).keys.map(_.length - (n - 1)).max
+            bc.toLong * bl / total.toDouble
+          }
+        assert(row.getAs[Double](s"top${n}_char_frac") == exp, s"doc $id top$n")
+      }
+      for (n <- 5 to 10) {
+        val gs = grams(n)
+        val cnt = gs.groupBy(identity).map { case (k, v) => k -> v.size }
+        val dupSet = cnt.filter(_._2 >= 2).keySet
+        val exp = if (total == 0) 0.0
+          else toks.indices.filter { i0 =>
+            val i = i0 + 1
+            (math.max(1, i - n + 1) to math.min(i, gs.size))
+              .exists(j => dupSet.contains(gs(j - 1)))
+          }.map(i0 => toks(i0).length).sum.toDouble / total
+        assert(row.getAs[Double](s"dup${n}_char_frac") == exp, s"doc $id dup$n")
+      }
+    }
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)

@@ -619,6 +619,48 @@ class PlanRegressionSpec extends SparkSpec {
       "candidate generation must stay blocked equi-joins — all-pairs found")
   }
 
+  test("q180/q181/q184: the quality/repetition rule passes stay map-side (no join/agg/extra shuffle)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for ((name, df) <- Seq(
+        "q180" -> TrainingQueries.q180(spark, sf),
+        "q181" -> TrainingQueries.q181(spark, sf),
+        "q184" -> TrainingQueries.q184(spark, sf))) {
+      val p = plan(df)
+      assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
+        s"$name is a per-row rule pass — no joins")
+      assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+        s"$name is a per-row rule pass — no aggregation")
+      assert(p.collect { case s: ShuffleExchangeLike => s }.size <= 1,
+        s"$name must shuffle at most once (the presentation ORDER BY)")
+    }
+  }
+
+  test("q182: DSIR's bucket tables join back broadcast — the corpus never sort-merge-joins") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan(TrainingQueries.q182(spark, sf))
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "the ≤buckets-row global tables must broadcast, not sort-merge")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "expected the grams-to-bucket-table broadcast hash join")
+  }
+
+  test("q183: SemDeDup assignment is map-side; the pair join keys on cluster") {
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+    val df = LlmQueries.q183(spark, sf)
+    val p = plan(df)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "semantic dedup must never plan an all-pairs join")
+    val equiJoins = p.collect {
+      case s: SortMergeJoinExec => s.leftKeys
+      case b: BroadcastHashJoinExec => b.leftKeys
+    }
+    assert(equiJoins.exists(_.exists(_.toString.contains("cluster"))),
+      "the candidate-pair join must key on the cluster id")
+  }
+
   test("q168: ancestor rollup pre-aggregates map-side; q169: the band join broadcasts") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec

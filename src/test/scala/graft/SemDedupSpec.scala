@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023) — Dedup.semanticDedup: cluster
+  * assignment, the within-cluster dedup rule, cross-cluster immunity
+  * (the method's defining approximation), degenerate k, and a seeded
+  * randomized cross-check against a plain-Scala reference.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  test("semanticDedup: assignment, within-cluster drop, cross-cluster immunity") {
+    val df = vecs(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),        // centroid A
+      (2L, Seq(0f, 1f, 0f, 0f), 0),        // centroid B
+      (3L, Seq(0.9f, 0.1f, 0f, 0f), 0),    // cluster 1
+      (4L, Seq(0.9f, 0.11f, 0f, 0f), 0),   // ~= v3, same cluster -> dropped
+      (5L, Seq(0.1f, 0.9f, 0f, 0f), 0),    // cluster 2
+      (6L, Seq(0.72f, 0.69f, 0f, 0f), 0),  // near the bisector, side A
+      (7L, Seq(0.69f, 0.72f, 0f, 0f), 0)   // near the bisector, side B
+    )
+    // sanity: the bisector pair is a near-dup by cosine but splits clusters
+    // (and satellites sit at ~0.994 cosine to their centroid — below tau)
+    assert(cosRef(Seq(0.72f, 0.69f, 0f, 0f), Seq(0.69f, 0.72f, 0f, 0f)) > 0.999)
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", k = 2, threshold = 0.999)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // v4 dropped (v3 is the smaller-id 0.999-cosine neighbor in cluster 1);
+    // v6/v7 BOTH survive: the near-dup pair straddles the cluster boundary,
+    // which is exactly SemDeDup's accepted approximation
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L), (5L, 2L), (6L, 1L), (7L, 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("semanticDedup with k=1 == embeddingDedup (the cluster restriction vanishes)") {
+    val rnd = new scala.util.Random(7)
+    val df = vecs((1L to 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f), 0)
+    }: _*)
+    val sem = Dedup.semanticDedup(df, "vec_id", "embedding", k = 1, threshold = 0.8)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val exact = Dedup.embeddingDedup(df, "vec_id", "embedding", threshold = 0.8)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(sem == exact)
+  }
+
+  test("semanticDedup == plain-Scala reference on seeded random vectors") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 80L).map { i =>
+      // low-dim + offset makes high-cosine pairs common enough to exercise drops
+      (i, Seq.fill(3)(rnd.nextFloat() * 0.8f + 0.2f), 0)
+    }
+    val k = 5; val tau = 0.995
+    val df = vecs(rows: _*)
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", k = k, threshold = tau)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference
+    val cents = rows.sortBy(_._1).take(k)
+    def assign(v: Seq[Float]): Long =
+      cents.map { case (cid, cv, _) => (cosRef(v, cv), -cid) }.max._2 * -1
+    val asg = rows.map { case (id, v, _) => (id, assign(v), v) }
+    val exp = asg.filter { case (id, c, v) =>
+      !asg.exists { case (id2, c2, v2) => c2 == c && id2 < id && cosRef(v2, v) >= tau }
+    }.map { case (id, c, _) => (id, c) }.sortBy(_._1)
+    val nDropped = rows.size - exp.size
+    assert(nDropped > 0, s"fixture must exercise drops (tau=$tau too high?)")
+    assert(got == exp, s"got=${got.take(10)}... exp=${exp.take(10)}...")
+  }
+}
