@@ -1016,16 +1016,18 @@ object TrainingQueries {
       .select(col("doc_id"), col("lang"), col("g.*"))
       .orderBy("doc_id")
 
-  val q180Sql: String = {
+  /** Gopher-quality CTE chain (`sig`, `cnt`) reading doc_id, lang, text
+    * from `src` — shared by q180's standalone oracle and q185's funnel. */
+  private def gopherCtes(src: String): String = {
     val stops = CorpusOps.GopherReqStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH sig AS (
+    s"""sig AS (
           SELECT doc_id, lang,
             $toksSql AS ts,
             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                         l -> len(l) > 0) AS lines,
             length(text) - length(replace(text, '#', '')) AS n_hash,
             len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
-          FROM documents
+          FROM $src
         ), cnt AS (
           SELECT doc_id, lang,
             CAST(len(ts) AS BIGINT) AS n_words,
@@ -1037,7 +1039,22 @@ object TrainingQueries {
             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)' || '$$'))) AS BIGINT) AS n_ellend,
             CAST(len(list_intersect(list_distinct(ts), [$stops])) AS BIGINT) AS n_req_stop
           FROM sig
-        )
+        )"""
+  }
+
+  /** The Gopher composite keep over `cnt`'s columns, qualified with `q`
+    * (mirrors CorpusOps.gopherSignals' keep with the same thresholds). */
+  private def gopherKeepExpr(q: String, minWords: Long, minStop: Int): String =
+    s"""coalesce($q.n_words BETWEEN $minWords AND 100000
+            AND (CAST($q.sum_len AS DOUBLE) / $q.n_words) BETWEEN 3.0 AND 10.0
+            AND (CAST($q.n_sym AS DOUBLE) / $q.n_words) <= 0.1
+            AND (CAST($q.n_alpha AS DOUBLE) / $q.n_words) >= 0.8
+            AND (CAST($q.n_bullet AS DOUBLE) / $q.n_lines) <= 0.9
+            AND (CAST($q.n_ellend AS DOUBLE) / $q.n_lines) <= 0.3
+            AND $q.n_req_stop >= $minStop, false)"""
+
+  val q180Sql: String =
+    s"""WITH ${gopherCtes("documents")}
         SELECT doc_id, lang, n_words,
           CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
           CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
@@ -1046,15 +1063,8 @@ object TrainingQueries {
           CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
           CASE WHEN n_lines > 0 THEN CAST(n_ellend AS DOUBLE) / n_lines END AS ellipsis_frac,
           n_req_stop,
-          coalesce(n_words BETWEEN 50 AND 100000
-            AND (CAST(sum_len AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0
-            AND (CAST(n_sym AS DOUBLE) / n_words) <= 0.1
-            AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8
-            AND (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9
-            AND (CAST(n_ellend AS DOUBLE) / n_lines) <= 0.3
-            AND n_req_stop >= 2, false) AS keep
+          ${gopherKeepExpr("cnt", 50, 2)} AS keep
         FROM cnt ORDER BY doc_id"""
-  }
 
   // q181: C4-style line-level page cleaning (Raffel et al. JMLR 2020
   // §2.2): terminal-punctuation + ≥5-word + no-"javascript" line
@@ -1081,15 +1091,14 @@ object TrainingQueries {
         col("c.n_lines"), col("c.n_kept"), col("c.page_keep"))
       .orderBy("doc_id")
 
-  val q181Sql: String =
-    s"""WITH ln AS (
-          SELECT doc_id, replace(text, 'line', 'line.' || chr(10)) AS text
-          FROM documents
-        ), ln2 AS (
+  /** C4 line-cleaning CTE chain (`ln2`, `kp`) reading doc_id, text from
+    * `src` — shared by q181's standalone oracle and q185's funnel. */
+  private def c4Ctes(src: String): String =
+    s"""ln2 AS (
           SELECT doc_id, text,
             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                         l -> len(l) > 0) AS lines
-          FROM ln
+          FROM $src
         ), kp AS (
           SELECT doc_id, text, lines,
             list_filter(lines, l ->
@@ -1097,13 +1106,23 @@ object TrainingQueries {
               AND len(list_filter(string_split_regex(l, '\\s+'), x -> len(x) > 0)) >= 5
               AND NOT contains(lower(l), 'javascript')) AS kept
           FROM ln2
-        )
+        )"""
+
+  /** The C4 page gate over `kp`'s columns, qualified with `q`. */
+  private def pageKeepExpr(q: String): String =
+    s"""(len($q.kept) >= 3 AND NOT contains(lower($q.text), 'lorem ipsum')
+          AND NOT contains($q.text, '{'))"""
+
+  val q181Sql: String =
+    s"""WITH ln AS (
+          SELECT doc_id, replace(text, 'line', 'line.' || chr(10)) AS text
+          FROM documents
+        ), ${c4Ctes("ln")}
         SELECT doc_id,
           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
           CAST(len(lines) AS BIGINT) AS n_lines,
           CAST(len(kept) AS BIGINT) AS n_kept,
-          (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
-            AND NOT contains(text, '{')) AS page_keep
+          ${pageKeepExpr("kp")} AS page_keep
         FROM kp ORDER BY doc_id"""
 
   // q182: DSIR importance weights (Xie et al. NeurIPS'23) over
@@ -1159,10 +1178,18 @@ object TrainingQueries {
     val derived = Tables.documents(spark, dir).select(col("doc_id"),
       regexp_replace(regexp_replace(col("text"), "line", "line\n"),
         "key", "key\n\n").as("text"))
-    CorpusOps.repetitionSignals(derived, "text").drop("text").orderBy("doc_id")
+    // The shipped fixtures are single-row-group parquet, so without a
+    // repartition the whole (shuffle-free) rule pass runs in ONE task;
+    // production inputs arrive in thousands of splits and would skip
+    // this exchange. 23.5 s -> ~2 s at sf0.1.
+    CorpusOps.repetitionSignals(derived.repartition(col("doc_id")), "text")
+      .drop("text").orderBy("doc_id")
   }
 
-  val q184Sql: String = {
+  /** The full repetition CTE chain (`tot`..`fr`) reading doc_id, text
+    * from `src` — shared by q184's standalone oracle and q185's funnel.
+    * `fr` carries doc_id + every fraction with its output name. */
+  private def repCtes(src: String): String = {
     def gram(n: Int): String =
       (0 until n).map(k => if (k == 0) "ts[i]" else s"ts[i+$k]").mkString(" || ' ' || ")
     def segStats(l: String, p: String): String =
@@ -1208,7 +1235,7 @@ object TrainingQueries {
                        FROM (SELECT doc_id, ts, g, list_sort(g) AS sg FROM g$n)))
          )"""
     }
-    val topFracs = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, _) =>
+    val topFracs = Seq(2, 3, 4).map { n =>
       s"""CASE WHEN total_chars > 0
             THEN CAST(coalesce(bc$n, 0) * coalesce(bl$n, 0) AS DOUBLE) / total_chars
             ELSE 0.0 END AS top${n}_char_frac"""
@@ -1217,19 +1244,7 @@ object TrainingQueries {
       s"""CASE WHEN total_chars > 0 THEN CAST(cov$n AS DOUBLE) / total_chars
             ELSE 0.0 END AS dup${n}_char_frac"""
     }
-    val keepTerms = Seq(
-      "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
-      "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20") ++
-      Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, c) =>
-        s"top${n}_char_frac <= $c" } ++
-      Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
-        .map { case (n, c) => s"dup${n}_char_frac <= $c" }
-    s"""WITH base AS (
-          SELECT doc_id,
-            replace(replace(text, 'line', 'line' || chr(10)),
-                    'key', 'key' || chr(10) || chr(10)) AS text
-          FROM documents
-        ), tot AS (
+    s"""tot AS (
           SELECT doc_id,
             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts,
             list_sort(list_filter(list_transform(string_split(text, chr(10)),
@@ -1239,7 +1254,7 @@ object TrainingQueries {
             coalesce(list_sum(list_transform(
               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
               x -> len(x))), 0) AS total_chars
-          FROM base
+          FROM $src
         ), seg AS (
           SELECT doc_id, total_chars,
             ${segStats("ls", "lines")},
@@ -1264,8 +1279,87 @@ object TrainingQueries {
             LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
             LEFT JOIN t4 USING (doc_id)
             ${(5 to 10).map(n => s"JOIN c$n USING (doc_id)").mkString(" ")}
-        )
-        SELECT *, ${keepTerms.mkString(" AND ")} AS keep
-        FROM fr ORDER BY doc_id"""
+        )"""
   }
+
+  /** The repetition composite keep over `fr`'s columns, qualified with
+    * `q` (mirrors CorpusOps.repetitionSignals' keep — Table A1 caps). */
+  private def repKeepExpr(q: String): String = {
+    val terms = Seq(
+      s"$q.dup_line_frac <= 0.30", s"$q.dup_para_frac <= 0.30",
+      s"$q.dup_line_char_frac <= 0.20", s"$q.dup_para_char_frac <= 0.20") ++
+      CorpusOps.GopherTopNgramCaps.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"$q.top${n}_char_frac <= $c" } ++
+      CorpusOps.GopherDupNgramCaps.toSeq.sortBy(_._1).map { case (n, c) =>
+        s"$q.dup${n}_char_frac <= $c" }
+    terms.mkString(" AND ")
+  }
+
+  val q184Sql: String =
+    s"""WITH base AS (
+          SELECT doc_id,
+            replace(replace(text, 'line', 'line' || chr(10)),
+                    'key', 'key' || chr(10) || chr(10)) AS text
+          FROM documents
+        ), ${repCtes("base")}
+        SELECT fr.*, ${repKeepExpr("fr")} AS keep
+        FROM fr ORDER BY doc_id"""
+
+  // q185: the COMPOSED pre-training quality funnel (RefinedWeb /
+  // MassiveText shape): language filter → Gopher quality rules (q180,
+  // corpus-tuned thresholds: minWords=20, minReqStop=1 — the paper's
+  // 50/2 are web-English absolutes every production pass re-tunes) →
+  // Gopher repetition rules (q184) → C4 page cleaning (q181) → exact
+  // dedup of the CLEANED text (min-id canonical). Emits one row per
+  // doc with each stage's verdict plus the canonical flag + clean-text
+  // md5 — the attrition funnel a data team audits. Derivation gives
+  // the newline-free corpus line/paragraph structure WITH terminal
+  // punctuation ("line."/"key.") so the C4 line filter can fire.
+  //
+  // Scale shape: the rule stages are one map-side pass (q180/q181/q184
+  // machinery, rule evaluation at scan speed); dedup is ONE window
+  // over a salted key (md5 for survivors, 1024 bounded reject groups)
+  // — no survivor filter, no join back; see CorpusOps.qualityFunnel
+  // for why the filterless form is load-bearing (PushDownPredicate
+  // re-inlines staged projections into pushed predicates).
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      regexp_replace(regexp_replace(col("text"), "line", "line.\n"),
+        "key", "key.\n\n").as("text"))
+    // single-row-group fixture -> repartition for rule-pass parallelism
+    // (q184's note); production multi-split inputs skip this exchange
+    CorpusOps.qualityFunnel(docs.repartition(col("doc_id")), "doc_id", "text",
+        isTargetLang = col("lang") === "en", minWords = 20, minReqStop = 1)
+      .orderBy("doc_id")
+  }
+
+  val q185Sql: String =
+    s"""WITH base AS (
+          SELECT doc_id, lang,
+            replace(replace(text, 'line', 'line.' || chr(10)),
+                    'key', 'key.' || chr(10) || chr(10)) AS text
+          FROM documents
+        ), ${gopherCtes("base")}, ${c4Ctes("base")}, ${repCtes("base")},
+        flags AS (
+          SELECT b.doc_id, (b.lang = 'en') AS pass_lang,
+            ${gopherKeepExpr("cnt", 20, 1)} AS pass_quality,
+            ${repKeepExpr("fr")} AS pass_repetition,
+            ${pageKeepExpr("kp")} AS pass_page,
+            coalesce(array_to_string(kp.kept, chr(10)), '') AS clean_text
+          FROM base b
+            JOIN cnt ON b.doc_id = cnt.doc_id
+            JOIN fr ON b.doc_id = fr.doc_id
+            JOIN kp ON b.doc_id = kp.doc_id
+        ), canon AS (
+          SELECT doc_id, md5(clean_text) AS h,
+            min(doc_id) OVER (PARTITION BY md5(clean_text)) AS m
+          FROM flags
+          WHERE pass_lang AND pass_quality AND pass_repetition AND pass_page
+        )
+        SELECT f.doc_id, f.pass_lang, f.pass_quality, f.pass_repetition,
+          f.pass_page,
+          coalesce(c.doc_id = c.m, false) AS is_canonical,
+          CASE WHEN c.doc_id = c.m THEN c.h END AS clean_md5
+        FROM flags f LEFT JOIN canon c ON f.doc_id = c.doc_id
+        ORDER BY f.doc_id"""
 }

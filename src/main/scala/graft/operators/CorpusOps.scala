@@ -193,6 +193,11 @@ object CorpusOps {
     *   - `n_req_stop` (distinct hits among the, be, to, of, and, that,
     *     have, with) ≥ 2
     *
+    * `minWords`/`minReqStop` default to the paper's web-English values
+    * (50 words, 2 stopwords) but are tunable — every production rule
+    * pass re-tunes absolute thresholds to its corpus (RedPajama,
+    * Dolma); the signal definitions are the invariant part.
+    *
     * Every ratio is one IEEE division of exact integer counts (the
     * suite's engine-parity convention); lines are the non-blank
     * `\n`-splits so a trailing newline cannot shift a fraction. Pure
@@ -203,7 +208,7 @@ object CorpusOps {
   val GopherReqStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherSignals(text: Column): Column = {
+  def gopherSignals(text: Column, minWords: Long = 50, minReqStop: Int = 2): Column = {
     val toks = TextFunctions.tokens(text)
     val nWords = size(toks).cast(LongType)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
@@ -223,10 +228,10 @@ object CorpusOps {
     val linesD = nLines.cast(DoubleType)
     val bulletFrac = when(nLines > 0, nBullet.cast(DoubleType) / linesD)
     val ellFrac = when(nLines > 0, nEllEnd.cast(DoubleType) / linesD)
-    val keep = nWords >= 50 && nWords <= 100000 &&
+    val keep = nWords >= minWords && nWords <= 100000 &&
       meanLen >= 3.0 && meanLen <= 10.0 &&
       symRatio <= 0.1 && alphaFrac >= 0.8 &&
-      bulletFrac <= 0.9 && ellFrac <= 0.3 && nStop >= 2
+      bulletFrac <= 0.9 && ellFrac <= 0.3 && nStop >= minReqStop
     struct(
       nWords.as("n_words"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
@@ -447,6 +452,55 @@ object CorpusOps {
       topNs.map(n => col(s"__top$n").as(s"top${n}_char_frac")) ++
       dupNs.map(n => col(s"__dupf$n").as(s"dup${n}_char_frac")) :+
       keep.as("keep")): _*)
+  }
+
+  // -------------------------------------------------------- quality funnel
+
+  /** The composed pre-training quality funnel (RefinedWeb/MassiveText
+    * shape): language gate → [[gopherSignals]] quality rules →
+    * [[repetitionSignals]] repetition rules → [[c4CleanLines]] page
+    * cleaning → exact dedup of the CLEANED text (min-id canonical).
+    * One row per input doc with every stage's verdict, `is_canonical`,
+    * and the canonical row's `clean_md5` — the per-stage attrition
+    * audit a data team runs before training.
+    *
+    * Scale shape: all four rule stages are one map-side pass; dedup is
+    * ONE window over a salted key — `md5(clean_text)` for survivors,
+    * `r<hash(id) mod 1024>` for rejected docs, so the rejects spread
+    * over 1024 bounded groups instead of one null-key partition (a
+    * skew wall at 100 TB) and no filter+join-back is needed. The
+    * filterless shape also matters for CORRECTNESS of the plan: a
+    * survivor filter would be pushed below the staged projections by
+    * PushDownPredicate, which substitutes alias definitions into the
+    * predicate with no reference-count or cost guard — re-inlining the
+    * whole rule tower into one mega-expression and resurrecting the
+    * exponential re-evaluation [[repetitionSignals]] stages exist to
+    * prevent (measured: the filter+join form ran >12 min at sf0.1; this
+    * form seconds).
+    */
+  def qualityFunnel(docs: DataFrame, idCol: String, textCol: String,
+      isTargetLang: Column, minWords: Long = 50, minReqStop: Int = 2): DataFrame = {
+    val flags = repetitionSignals(docs, textCol)
+      .select(col(idCol),
+        isTargetLang.as("pass_lang"),
+        gopherSignals(col(textCol), minWords, minReqStop)
+          .getField("keep").as("pass_quality"),
+        col("keep").as("pass_repetition"),
+        c4CleanLines(col(textCol)).getField("page_keep").as("pass_page"),
+        c4CleanLines(col(textCol)).getField("clean_text").as("clean_text"))
+    val passAll = col("pass_lang") && col("pass_quality") &&
+      col("pass_repetition") && col("pass_page")
+    // md5 hex is [0-9a-f]*, the salt prefix 'r' cannot collide with it
+    val keyed = flags.withColumn("__k",
+      when(passAll, md5(col("clean_text").cast(BinaryType)))
+        .otherwise(concat(lit("r"),
+          pmod(xxhash64(col(idCol)), lit(1024L)).cast(StringType))))
+    val isCanon = passAll &&
+      col(idCol) === min(col(idCol)).over(Window.partitionBy(col("__k")))
+    keyed.select(col(idCol), col("pass_lang"), col("pass_quality"),
+      col("pass_repetition"), col("pass_page"),
+      isCanon.as("is_canonical"),
+      when(isCanon, col("__k")).as("clean_md5"))
   }
 
   // ----------------------------------------------------------------- DSIR

@@ -549,6 +549,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityFunnel: per-stage verdicts, min-id canonical, clean_md5 on a hand fixture") {
+    // 42 distinct 6-char words (one swapped for the required stopword
+    // "the"), 7 lines x 6 words each ending '.': passes every gate at
+    // minWords=20/minReqStop=1 and all repetition caps (unique grams,
+    // top4 window ~ 4/42 of chars).
+    val words = (1 to 42).map(i => f"word$i%02d").updated(1, "the")
+    val passText = words.grouped(6).map(_.mkString(" ") + ".").mkString("\n")
+    val repLine = "dup the two three four five."
+    val rows = Seq(
+      (1L, "en", passText),                         // canonical survivor
+      (2L, "en", passText),                         // exact clone -> deduped
+      (3L, "de", passText),                         // language gate
+      (4L, "en", passText + "\n{"),                 // C4 page gate ('{')
+      (5L, "en", Seq.fill(4)(repLine).mkString("\n")), // dup lines -> repetition gate
+      (6L, "en", "tiny the doc words here now.")    // <20 words -> quality gate
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.qualityFunnel(rows, "doc_id", "text",
+        isTargetLang = col("lang") === "en", minWords = 20, minReqStop = 1)
+      .orderBy("doc_id").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val passMd5 = md.digest(passText.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def row(i: Int) = {
+      val r = got(i)
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), Option(r.getString(6)))
+    }
+    assert(row(0) == ((true, true, true, true, true, Some(passMd5))), s"doc1: ${got(0)}")
+    assert(row(1) == ((true, true, true, true, false, None)), s"doc2 (clone): ${got(1)}")
+    assert(row(2) == ((false, true, true, true, false, None)), s"doc3 (lang): ${got(2)}")
+    assert(row(3) == ((true, true, true, false, false, None)), s"doc4 (page gate): ${got(3)}")
+    assert(row(4) == ((true, true, false, true, false, None)), s"doc5 (repetition): ${got(4)}")
+    assert(row(5)._2 == false && row(5)._5 == false, s"doc6 (quality): ${got(5)}")
+  }
+
   test("q61-q66 run end-to-end on the documents fixture with sane shapes") {
     val n = Tables.documents(spark, sf).count()
     assert(TrainingQueries.q61(spark, sf).count() == n)

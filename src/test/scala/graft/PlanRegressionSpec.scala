@@ -623,17 +623,19 @@ class PlanRegressionSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    for ((name, df) <- Seq(
-        "q180" -> TrainingQueries.q180(spark, sf),
-        "q181" -> TrainingQueries.q181(spark, sf),
-        "q184" -> TrainingQueries.q184(spark, sf))) {
+    // q184 budgets one extra exchange: the fixture-parallelism
+    // repartition (single-row-group local inputs; see the query note)
+    for ((name, df, maxShuffles) <- Seq(
+        ("q180", TrainingQueries.q180(spark, sf), 1),
+        ("q181", TrainingQueries.q181(spark, sf), 1),
+        ("q184", TrainingQueries.q184(spark, sf), 2))) {
       val p = plan(df)
       assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
         s"$name is a per-row rule pass — no joins")
       assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
         s"$name is a per-row rule pass — no aggregation")
-      assert(p.collect { case s: ShuffleExchangeLike => s }.size <= 1,
-        s"$name must shuffle at most once (the presentation ORDER BY)")
+      assert(p.collect { case s: ShuffleExchangeLike => s }.size <= maxShuffles,
+        s"$name exceeded its shuffle budget ($maxShuffles)")
     }
   }
 
@@ -659,6 +661,17 @@ class PlanRegressionSpec extends SparkSpec {
     }
     assert(equiJoins.exists(_.exists(_.toString.contains("cluster"))),
       "the candidate-pair join must key on the cluster id")
+  }
+
+  test("q185: the funnel plans NO joins and no filter below the rule tower — one salted window") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.FilterExec
+    val p = plan(TrainingQueries.q185(spark, sf))
+    assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
+      "the salted-window funnel must not join (a survivor filter + join-back " +
+        "re-inlines the staged rule tower via predicate pushdown)")
+    assert(p.collect { case f: FilterExec => f }.isEmpty,
+      "no Filter may appear — pushdown would substitute the rule tower into it")
   }
 
   test("q168: ancestor rollup pre-aggregates map-side; q169: the band join broadcasts") {
