@@ -1181,7 +1181,7 @@ object TrainingQueries {
     // The shipped fixtures are single-row-group parquet, so without a
     // repartition the whole (shuffle-free) rule pass runs in ONE task;
     // production inputs arrive in thousands of splits and would skip
-    // this exchange. 23.5 s -> ~2 s at sf0.1.
+    // this exchange.
     CorpusOps.repetitionSignals(derived.repartition(col("doc_id")), "text")
       .drop("text").orderBy("doc_id")
   }

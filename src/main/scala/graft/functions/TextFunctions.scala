@@ -47,25 +47,6 @@ object TextFunctions {
     }
   }
 
-  /** [[wordShingles]] over an ALREADY-TOKENIZED array column. Use when
-    * the token array is staged as a projection column: interpreted
-    * expression trees have no common-subexpression elimination, so
-    * every textual `wordShingles(text, n)` re-tokenizes — against an
-    * attribute the 2n references here are row-field reads. Returns
-    * position-ordered grams (size − n + 1 of them); EMPTY (not the
-    * whole-doc fallback) when the doc has < n tokens. */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    require(n >= 1, "shingle size must be >= 1")
-    if (n == 1) toks
-    else {
-      val slid = (2 to n).foldLeft(toks) { (acc, k) =>
-        zip_with(acc, slice(toks, lit(k), size(toks)), (a, b) =>
-          when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
-      }
-      when(size(toks) >= n, filter(slid, x => x.isNotNull))
-        .otherwise(array().cast(ArrayType(StringType)))
-    }
-  }
 
   /** Character n-gram shingles of the *raw* text.
     *

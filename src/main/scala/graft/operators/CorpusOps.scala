@@ -289,169 +289,48 @@ object CorpusOps {
     *     character mass those duplicate segments carry;
     *   - `topN_char_frac` (n=2,3,4): characters contained in the
     *     occurrences of the MOST FREQUENT word n-gram / total token
-    *     chars, caps 0.20/0.18/0.16. Most-frequent = max count, ties
-    *     broken to the longer gram (deterministic without naming the
-    *     gram); gram chars exclude the n−1 joining spaces;
+    *     chars, caps 0.20/0.18/0.16 (count ties → the longer gram;
+    *     gram chars exclude the n−1 joining spaces);
     *   - `dupN_char_frac` (n=5..10): characters of tokens COVERED by
     *     any word n-gram occurring ≥2 times in the doc / total token
-    *     chars, caps 0.15..0.10. Token-position cover counts each
-    *     character once however many overlapping duplicated grams span
-    *     it (the paper's "not counting characters twice");
-    *   - `keep`: every cap satisfied. Empty docs / missing segments
-    *     score 0.0 (pass) — emptiness is [[gopherSignals]]' word-count
-    *     rule, not a repetition signal.
+    *     chars, caps 0.15..0.10, counting every character once however
+    *     many overlapping duplicated grams span it;
+    *   - `keep`: every cap satisfied; empty docs score 0.0 everywhere
+    *     and pass (emptiness is [[gopherSignals]]' word-count rule).
     *
-    * Every fraction is exact integer counts + ONE IEEE division (the
-    * suite's engine-parity convention). No UDF, no shuffle — the
-    * 100 TB pass is a tower of map-side projections at scan speed, and
-    * `keep` is an ordinary pushable predicate.
+    * Every fraction is exact integers + ONE IEEE division (the suite's
+    * engine-parity convention); no shuffle — the 100 TB pass runs at
+    * scan speed and `keep` is an ordinary pushable predicate.
     *
-    * WHY a DataFrame operator and not one Column: interpreted
-    * higher-order-function trees have NO common-subexpression
-    * elimination — a single-Column form that references the gram
-    * pipeline from many sub-expressions re-tokenizes the document
-    * hundreds of times per row (measured: 500 sf0.001 docs took >15
-    * minutes). Staging each intermediate as a projection column makes
-    * every downstream reference a row-field read, and Catalyst's
-    * CollapseProject keeps non-cheap aliases referenced ≥2× staged, so
-    * the tokenizer runs ONCE per row. Same reason every lambda body
-    * below touches only its lambda variables — a free sub-expression
-    * inside a lambda is re-evaluated per ELEMENT ([[TextFunctions
-    * .wordShingles]]' caveat).
+    * Signals come from the native kernel
+    * [[graft.plans.RepetitionStats]] — one static call per row inside
+    * whole-stage codegen — staged as ONE struct column so every field
+    * reference is a row read. The declarative history is instructive
+    * (SURVEY §8d): a single-Column HOF form re-evaluated the tokenizer
+    * exponentially (interpreted trees have no common-subexpression
+    * elimination; lambda bodies re-evaluate free sub-expressions per
+    * ELEMENT — >15 min for 500 docs); a 40-column staged-projection
+    * form was correct but still paid ~25 s at sf0.1 in planning +
+    * CodegenFallback interpretation. The kernel is bit-identical to
+    * both (same oracle, same specs) at ~100× their per-row cost.
     */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val text = col(textCol)
-
-    def dupFlagsOf(sorted: String): Column = {
-      val s = col(sorted)
-      val m = size(s)
-      val eqNext = zip_with(s, slice(s, lit(2), greatest(m - 1, lit(0))),
-        (x, y) => x <=> y)
-      zip_with(eqNext,
-        concat(array(lit(false)), slice(eqNext, lit(1), greatest(m - 1, lit(0)))),
-        (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
-    }
-    def segCols(segs: String, sorted: String, flags: String): Seq[Column] = Seq(
-      size(col(segs)).as(s"__n_$segs"),
-      size(filter(col(flags), x => x)).as(s"__dup_$segs"),
-      aggregate(col(sorted), lit(0L), (a, x) => a + length(x).cast(LongType))
-        .as(s"__chars_$segs"),
-      aggregate(zip_with(col(flags), col(sorted),
-          (f, x) => when(f, length(x)).otherwise(lit(0))),
-        lit(0L), (a, v) => a + v.cast(LongType)).as(s"__dupchars_$segs"))
-
+    import graft.plans.RepetitionStats.repetitionStats
+    val staged = df.withColumn("__rep", repetitionStats(col(textCol)))
+    val r = col("__rep")
     val topNs = GopherTopNgramCaps.keys.toSeq.sorted
     val dupNs = GopherDupNgramCaps.keys.toSeq.sorted
-
-    // stage 1: tokenize + segment ONCE; stage 2: sorted copies; stage
-    // 3: per-segment duplicate flags + per-n gram arrays; then per-n
-    // position-tagged sorts, duplicate-start flags, dilation covers.
-    val s1 = df
-      .withColumn("__toks", TextFunctions.tokens(text))
-      .withColumn("__lines",
-        filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0))
-      .withColumn("__paras",
-        filter(transform(split(text, "\n{2,}"), p => trim(p, " \n")),
-          p => length(p) > 0))
-    val s2 = s1
-      .withColumn("__tok_lens", transform(col("__toks"), x => length(x)))
-      .withColumn("__lsort", array_sort(col("__lines")))
-      .withColumn("__psort", array_sort(col("__paras")))
-    val s3 = (topNs ++ dupNs).foldLeft(s2
-        .withColumn("__total_chars",
-          aggregate(col("__tok_lens"), lit(0L), (a, x) => a + x.cast(LongType)))
-        .withColumn("__lflags", dupFlagsOf("__lsort"))
-        .withColumn("__pflags", dupFlagsOf("__psort"))) { (d, n) =>
-      d.withColumn(s"__g$n", TextFunctions.shinglesFromTokens(col("__toks"), n))
-    }
-    // per dup-n: sp (position-tagged gram sort), ga (sorted gram texts),
-    // en (equal-to-next flags), ds (duplicate flags in POSITION order),
-    // cov (chars of tokens covered by a duplicated gram, via right
-    // dilation: gram start j covers tokens j..j+n-1)
-    val s4 = dupNs.foldLeft(s3) { (d, n) =>
-      val g = col(s"__g$n")
-      d.withColumn(s"__sp$n", array_sort(zip_with(g,
-          when(size(g) >= 1, sequence(lit(1), size(g)))
-            .otherwise(array().cast(ArrayType(IntegerType))),
-          (x, i) => struct(x.as("g"), i.as("i")))))
-        .withColumn(s"__ga$n", transform(col(s"__sp$n"), p => p.getField("g")))
-        .withColumn(s"__en$n", {
-          val ga = col(s"__ga$n")
-          zip_with(ga, slice(ga, lit(2), greatest(size(ga) - 1, lit(0))),
-            (x, y) => x <=> y)
-        })
-        .withColumn(s"__ds$n", {
-          val en = col(s"__en$n")
-          val dupSorted = zip_with(en,
-            concat(array(lit(false)), slice(en, lit(1), greatest(size(en) - 1, lit(0)))),
-            (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
-          transform(array_sort(zip_with(col(s"__sp$n"), dupSorted,
-              (p, f) => struct(p.getField("i").as("i"), coalesce(f, lit(false)).as("f")))),
-            s => s.getField("f"))
-        })
-        .withColumn(s"__cov$n", {
-          val ds = col(s"__ds$n")
-          val covered = (1 until n).foldLeft(ds) { (acc, k) =>
-            zip_with(acc, concat(array_repeat(lit(false), k), ds),
-              (a, b) => coalesce(a, lit(false)) || coalesce(b, lit(false)))
-          }
-          aggregate(zip_with(covered, col("__tok_lens"),
-              (c, l) => when(c, l).otherwise(lit(0))),
-            lit(0L), (a, v) => a + v.cast(LongType))
-        })
-    }
-    // per top-n: run-length fold over the (already gram-sorted) __ga of
-    // dup ns is unavailable for n=2..4, so sort __gN directly — one
-    // reference, inlined without duplication. Count ties break to the
-    // LONGER gram.
-    val s5 = topNs.foldLeft(s4) { (d, n) =>
-      d.withColumn(s"__top$n", {
-        val zero = struct(lit("").as("prev"), lit(0).as("run"),
-          lit(0).as("bc"), lit(0).as("bl"))
-        val st = aggregate(array_sort(col(s"__g$n")), zero, (acc, x) => {
-          val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1))
-          val xlen = length(x) - lit(n - 1)
-          val better = run2 > acc.getField("bc")
-          val tie = run2 === acc.getField("bc")
-          struct(x.as("prev"), run2.as("run"),
-            when(better, run2).otherwise(acc.getField("bc")).as("bc"),
-            when(better, xlen)
-              .when(tie, greatest(acc.getField("bl"), xlen))
-              .otherwise(acc.getField("bl")).as("bl"))
-        })
-        when(col("__total_chars") > 0,
-          (st.getField("bc").cast(LongType) * st.getField("bl").cast(LongType))
-            .cast(DoubleType) / col("__total_chars").cast(DoubleType))
-          .otherwise(lit(0.0))
-      })
-    }
-    def frac(num: Column, den: Column): Column =
-      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType)).otherwise(lit(0.0))
-    val s6 = s5
-      .select((s5.columns.map(col) ++ segCols("__lines", "__lsort", "__lflags")
-        ++ segCols("__paras", "__psort", "__pflags")): _*)
-      .withColumn("__dlf", frac(col("__dup___lines"), col("__n___lines")))
-      .withColumn("__dlcf", frac(col("__dupchars___lines"), col("__chars___lines")))
-      .withColumn("__dpf", frac(col("__dup___paras"), col("__n___paras")))
-      .withColumn("__dpcf", frac(col("__dupchars___paras"), col("__chars___paras")))
-    val s7 = dupNs.foldLeft(s6) { (d, n) =>
-      d.withColumn(s"__dupf$n", frac(col(s"__cov$n"), col("__total_chars")))
-    }
-    val keep = col("__dlf") <= 0.30 && col("__dpf") <= 0.30 &&
-      col("__dlcf") <= 0.20 && col("__dpcf") <= 0.20 &&
-      topNs.map(n => col(s"__top$n") <= GopherTopNgramCaps(n)).reduce(_ && _) &&
-      dupNs.map(n => col(s"__dupf$n") <= GopherDupNgramCaps(n)).reduce(_ && _)
-    s7.select((df.columns.map(col) ++ Seq(
-      col("__n___lines").cast(LongType).as("n_lines"),
-      col("__dlf").as("dup_line_frac"),
-      col("__dlcf").as("dup_line_char_frac"),
-      col("__n___paras").cast(LongType).as("n_paras"),
-      col("__dpf").as("dup_para_frac"),
-      col("__dpcf").as("dup_para_char_frac")) ++
-      topNs.map(n => col(s"__top$n").as(s"top${n}_char_frac")) ++
-      dupNs.map(n => col(s"__dupf$n").as(s"dup${n}_char_frac")) :+
-      keep.as("keep")): _*)
+    val keep = r.getField("dup_line_frac") <= 0.30 &&
+      r.getField("dup_para_frac") <= 0.30 &&
+      r.getField("dup_line_char_frac") <= 0.20 &&
+      r.getField("dup_para_char_frac") <= 0.20 &&
+      topNs.map(n => r.getField(s"top${n}_char_frac") <= GopherTopNgramCaps(n))
+        .reduce(_ && _) &&
+      dupNs.map(n => r.getField(s"dup${n}_char_frac") <= GopherDupNgramCaps(n))
+        .reduce(_ && _)
+    val fields = graft.plans.RepetitionImpl.schema.fieldNames.toSeq
+    staged.select((df.columns.map(col) ++
+      fields.map(f => r.getField(f).as(f)) :+ keep.as("keep")): _*)
   }
 
   // -------------------------------------------------------- quality funnel

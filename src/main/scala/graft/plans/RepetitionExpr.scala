@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for the full Gopher repetition rule suite (Rae et al.
+  * 2021 §A.1.1, Table A1) — one imperative pass per document shared by
+  * interpreted eval and generated code (the [[WinnowImpl]] precedent).
+  *
+  * Bit-identical to the declarative formulation it replaces (and to
+  * the DuckDB oracle): tokens are the non-empty `\s+` splits of the
+  * LOWERCASED text (exactly `TextFunctions.tokens`); lines are the
+  * space-trimmed non-blank `\n` splits of the RAW text (exactly
+  * `trim`, which trims spaces only); paragraphs the `[ \n]`-trimmed
+  * non-blank `\n{2,}` splits (exactly `trim(p, " \n")`); character
+  * counts are codepoint counts (exactly `length`); every fraction is
+  * exact integer counts + ONE IEEE division with 0.0 on an empty
+  * denominator. Top-n-gram ties break to the longer gram; duplicate
+  * n-gram cover marks token positions so overlapping duplicated grams
+  * never double-count a character.
+  *
+  * WHY a native kernel: this is the suite's hottest per-row operator.
+  * The declarative form needs ~40 staged projection columns of
+  * higher-order functions (staging is load-bearing — interpreted
+  * expression trees have no common-subexpression elimination, and
+  * lambda bodies re-evaluate free sub-expressions per element; the
+  * naive single-Column form ran >15 min on 500 docs). Even staged,
+  * HOFs are CodegenFallback and the 40-column tower cost ~25 s at
+  * sf0.1 between planning and per-element interpretation. This kernel
+  * is one static call per row inside whole-stage codegen.
+  */
+object RepetitionImpl {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("n_paras", LongType, nullable = false),
+    StructField("dup_para_frac", DoubleType, nullable = false),
+    StructField("dup_para_char_frac", DoubleType, nullable = false),
+    StructField("top2_char_frac", DoubleType, nullable = false),
+    StructField("top3_char_frac", DoubleType, nullable = false),
+    StructField("top4_char_frac", DoubleType, nullable = false),
+    StructField("dup5_char_frac", DoubleType, nullable = false),
+    StructField("dup6_char_frac", DoubleType, nullable = false),
+    StructField("dup7_char_frac", DoubleType, nullable = false),
+    StructField("dup8_char_frac", DoubleType, nullable = false),
+    StructField("dup9_char_frac", DoubleType, nullable = false),
+    StructField("dup10_char_frac", DoubleType, nullable = false)))
+
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  private def trimSpaceNl(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && (s.charAt(b) == ' ' || s.charAt(b) == '\n')) b += 1
+    while (e > b && (s.charAt(e - 1) == ' ' || s.charAt(e - 1) == '\n')) e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Codepoint count — exactly Spark's `length` on strings. */
+  private def chars(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** (n, dupN, chars, dupChars) over a segment array: segments equal to
+    * another segment of the same doc, and the character mass they carry. */
+  private def segStats(segs: Array[String]): (Long, Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Int](segs.length * 2)
+    segs.foreach(s => counts.merge(s, 1, Integer.sum _))
+    var dupN = 0L; var cs = 0L; var dupCs = 0L
+    segs.foreach { s =>
+      val c = chars(s); cs += c
+      if (counts.get(s) >= 2) { dupN += 1; dupCs += c }
+    }
+    (segs.length.toLong, dupN, cs, dupCs)
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val tokLens = toks.map(chars)
+    val totalChars = tokLens.sum
+    val t = toks.length
+    val lines = raw.split("\n", -1).map(trimSpaces).filter(_.nonEmpty)
+    val paras = raw.split("\n{2,}", -1).map(trimSpaceNl).filter(_.nonEmpty)
+
+    def grams(n: Int): Array[String] =
+      if (t >= n) {
+        Array.tabulate(t - n + 1) { i =>
+          val sb = new java.lang.StringBuilder
+          var k = 0
+          while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+          sb.toString
+        }
+      } else Array.empty[String]
+
+    def gramCounts(g: Array[String]): java.util.HashMap[String, Int] = {
+      val counts = new java.util.HashMap[String, Int](g.length * 2)
+      g.foreach(x => counts.merge(x, 1, Integer.sum _))
+      counts
+    }
+
+    // top n-gram char fraction: occurrences of the most frequent gram x
+    // its token chars (ties -> longer gram) over total token chars
+    def topFrac(n: Int): Double = {
+      if (totalChars <= 0) return 0.0
+      val g = grams(n)
+      if (g.isEmpty) return 0.0
+      val counts = gramCounts(g)
+      var bc = 0; var bl = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val l = chars(e.getKey) - (n - 1)
+        if (c > bc) { bc = c; bl = l }
+        else if (c == bc && l > bl) bl = l
+      }
+      (bc.toLong * bl).toDouble / totalChars.toDouble
+    }
+
+    // duplicate n-gram char fraction: chars of token positions covered
+    // by any gram occurring >= 2 times, over total token chars
+    def dupFrac(n: Int): Double = {
+      if (totalChars <= 0) return 0.0
+      val g = grams(n)
+      if (g.isEmpty) return 0.0
+      val counts = gramCounts(g)
+      val covered = new Array[Boolean](t)
+      var j = 0
+      while (j < g.length) {
+        if (counts.get(g(j)) >= 2) {
+          var p = j; val end = j + n
+          while (p < end) { covered(p) = true; p += 1 }
+        }
+        j += 1
+      }
+      var cc = 0L; var i = 0
+      while (i < t) { if (covered(i)) cc += tokLens(i); i += 1 }
+      cc.toDouble / totalChars.toDouble
+    }
+
+    val (nL, dupL, lcs, dupLcs) = segStats(lines)
+    val (nP, dupP, pcs, dupPcs) = segStats(paras)
+    def frac(a: Long, b: Long): Double = if (b > 0) a.toDouble / b.toDouble else 0.0
+    new GenericInternalRow(Array[Any](
+      nL, frac(dupL, nL), frac(dupLcs, lcs),
+      nP, frac(dupP, nP), frac(dupPcs, pcs),
+      topFrac(2), topFrac(3), topFrac(4),
+      dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10)))
+  }
+}
+
+/** Native Catalyst expression: `RepetitionStats(text) -> struct` of the
+  * fifteen Gopher repetition signals (see [[RepetitionImpl]]). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionImpl.schema
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RepetitionImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+}
