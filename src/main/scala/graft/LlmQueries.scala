@@ -1189,7 +1189,7 @@ object LlmQueries {
   // list_cosine_similarity over DOUBLE[] bit-for-bit (q24's proof), so
   // both the assignment argmax and the dedup predicate replay in SQL.
   def q183(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Dedup.semanticDedupLayered(Tables.embeddings(spark, dir), "vec_id", "embedding",
         k = 16, threshold = 0.45)
       .select("vec_id", "cluster", "label")
       .orderBy("vec_id")

@@ -495,11 +495,25 @@ object Dedup {
     * like any skewed join key (salting / AQE).
     */
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
-                    k: Int, threshold: Double): DataFrame = {
+                    k: Int, threshold: Double): DataFrame =
+    semanticDedupWith(docs, idCol, vecCol,
+      semanticCentroids(docs, idCol, vecCol, k), threshold)
+
+  /** The k lowest-id non-null vectors — [[semanticDedup]]'s
+    * deterministic centroid rule, exposed so the layered form can pick
+    * centroids from the ORIGINAL corpus (a clone among the k lowest
+    * ids would otherwise shift the representative run's centroid set
+    * and break result-identity). */
+  def semanticCentroids(docs: DataFrame, idCol: String, vecCol: String,
+                        k: Int): Array[(Long, Seq[Float])] = {
     require(k >= 1, "need at least one centroid")
-    val cents = docs.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(k)
+    docs.filter(col(vecCol).isNotNull).orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast(LongType), col(vecCol)).collect()  // bounded: k rows
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+  }
+
+  private def semanticDedupWith(docs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Float])], threshold: Double): DataFrame = {
     val cos = cosineOf(docs, vecCol) _
     // argmax via struct max: highest cosine, then highest -cid = lowest cid
     val scored = cents.map { case (cid, vec) =>
@@ -514,6 +528,38 @@ object Dedup {
       .filter(col("id_a") < col("id_b") && cos(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     assigned.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] with exact-duplicate clone collapse — the
+    * layered discipline every clone-sensitive dedup form here follows
+    * (mirrored corpora turn clone groups into C(clones,2) intra-cluster
+    * pairs; collapsing byte-identical vectors to their min-id
+    * representative makes the pair stage clone-count-invariant).
+    *
+    * Result-identical to the direct form, by the same argument as
+    * [[embeddingDedupLayered]] plus one clustering-specific leg:
+    * centroids are taken from the ORIGINAL corpus (same k lowest ids ⇒
+    * same centroid literals ⇒ identical assignment for any vector), a
+    * dropped clone dies in the direct form too (its representative has
+    * a smaller id, the identical vector, hence the same cluster and
+    * cosine ≈ 1 ≥ τ), and a representative's direct-form killer j is
+    * either a representative itself or has one with a yet-smaller id
+    * and the same vector/cluster. Zero-norm and null vectors pass
+    * through uncollapsed (they never match anything — cosine 0/null).
+    * τ = 1.0 is rejected for [[embeddingDedupLayered]]'s ulp reason.
+    */
+  def semanticDedupLayered(docs: DataFrame, idCol: String, vecCol: String,
+                           k: Int, threshold: Double): DataFrame = {
+    require(threshold < 1.0, "semanticDedupLayered requires threshold < 1.0")
+    val cents = semanticCentroids(docs, idCol, vecCol, k)
+    val nrm2 = aggregate(transform(col(vecCol), x => x.cast("double") * x),
+      lit(0.0), (a, v) => a + v)
+    val repIds = docs.filter(nrm2 > 0.0)
+      .groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
+      .select(col("__rep").as(idCol))
+    val reps = docs.join(repIds, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(nrm2.isNull || nrm2 === 0.0))
+    semanticDedupWith(reps, idCol, vecCol, cents, threshold)
   }
 
   /** Near-dup CLUSTER assignment — the full production fuzzy-dedup

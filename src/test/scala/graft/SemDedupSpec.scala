@@ -60,6 +60,27 @@ class SemDedupSpec extends SparkSpec {
     assert(sem == exact)
   }
 
+  test("semanticDedupLayered == direct on a clone-heavy mirrored fixture") {
+    val rnd = new scala.util.Random(19)
+    val bases = (0 until 15).map(_ => Seq.fill(4)(rnd.nextFloat() * 0.8f + 0.2f))
+    // 10 interleaved clones per base (ids striped so clones are NOT
+    // id-contiguous and some land among the k lowest), plus zero/null
+    val rows = (for {
+      rep <- 0 until 10
+      (b, i) <- bases.zipWithIndex
+    } yield ((rep * bases.size + i + 1).toLong, b, 0)) ++ Seq(
+      (9001L, Seq(0f, 0f, 0f, 0f), 0))
+    val df = vecs(rows: _*)
+    val direct = Dedup.semanticDedup(df, "vec_id", "embedding", k = 4, threshold = 0.97)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val layered = Dedup.semanticDedupLayered(df, "vec_id", "embedding", k = 4, threshold = 0.97)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct.nonEmpty && direct.size < rows.size, "fixture must drop clones")
+    assert(layered == direct, s"layered=${layered.take(8)} direct=${direct.take(8)}")
+  }
+
   test("semanticDedup == plain-Scala reference on seeded random vectors") {
     val rnd = new scala.util.Random(13)
     val rows = (1L to 80L).map { i =>
