@@ -279,21 +279,68 @@ object Dedup {
                       maxMeanAbsDiff: Int = 16,
                       blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
     val hashed = graft.operators.Multimodal.imageDHash(media)
+    media.join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The ids that DIE under the dHash near-dup rule, from an
+    * [[graft.operators.Multimodal.imageDHash]] frame: exhaustive
+    * combination-blocked Hamming candidates, integer-exact luma verify
+    * (Σ|la_i − lb_i| ≤ 72 · maxMeanAbsDiff), smaller id survives. */
+  private def dHashDupes(hashed: DataFrame, maxHamming: Int,
+                         maxMeanAbsDiff: Int, blocks: Int,
+                         agreeBlocks: Int): DataFrame = {
     val decoded = hashed.filter(col("decoded"))
     val pairs = hammingCombinationPairs(
       decoded.select(col("doc_id").as("id"), col("dhash").as("sig")),
       maxHamming, blocks, agreeBlocks)
     val lumas = decoded.select(col("doc_id"), col("luma"))
-    // integer-exact verify: Σ|la_i − lb_i| <= 72 · maxMeanAbsDiff
     val totalAbs = aggregate(
       zip_with(col("la"), col("lb"), (a, b) => abs(a - b)),
       lit(0), (s, v) => s + v)
-    val dupes = pairs
+    pairs
       .join(lumas.select(col("doc_id").as("id_a"), col("luma").as("la")), "id_a")
       .join(lumas.select(col("doc_id").as("id_b"), col("luma").as("lb")), "id_b")
       .filter(totalAbs <= lit(72 * maxMeanAbsDiff))
       .select(col("id_b").as("doc_id")).distinct()
-    media.join(dupes, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[imageDedupDHash]] with BYTE-IDENTICAL clone collapse — the
+    * layered discipline, applied where it pays most: decode is the
+    * dominant per-row cost, so collapsing identical payloads (md5 of
+    * the bytes, q20's exact-dedup convention) to their min-id
+    * representative both skips the redundant decodes AND keeps clone
+    * groups from turning into C(clones,2) candidate pairs.
+    *
+    * Result-identical to the direct form: decodability, dhash, and
+    * luma are functions of the BYTES, so a byte-identical clone of a
+    * decodable representative always dies to it in the direct form
+    * (Hamming 0 candidates are exhaustively generated, luma diff 0
+    * verifies), and any direct-form killer j of a representative
+    * implies rep(j) ≤ j with the same signature — so the surviving
+    * representative set is unchanged. Undecodable payloads never die
+    * in the direct form, so their clones are RESTORED to the output;
+    * null payloads pass through uncollapsed.
+    */
+  def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
+                             maxMeanAbsDiff: Int = 16,
+                             blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+    val keyed = media.withColumn("__ch", md5(col("payload")))
+    val repMap = keyed.filter(col("__ch").isNotNull)
+      .groupBy(col("__ch")).agg(min(col("doc_id")).as("__rep"))
+    val reps = media
+      .join(repMap.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(media.filter(col("payload").isNull))
+    val hashed = graft.operators.Multimodal.imageDHash(reps)
+    val repState = hashed.select(col("doc_id").as("__rep"), col("decoded").as("__rd"))
+      .join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+        .select(col("doc_id").as("__rep")), Seq("__rep"), "left_anti")
+    val kept = keyed.filter(col("__ch").isNotNull)
+      .join(repMap, Seq("__ch"))
+      .join(repState, Seq("__rep")) // inner: rows of SURVIVING representatives
+      .filter(col("doc_id") === col("__rep") || !col("__rd"))
+      .select(media.columns.map(col).toIndexedSeq: _*)
+    kept.unionByName(media.filter(col("payload").isNull))
   }
 
   /** SimHash dedup: survivors after dropping the larger id of every

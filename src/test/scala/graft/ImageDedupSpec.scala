@@ -66,6 +66,26 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("imageDedupDHashLayered == direct, incl. undecodable-clone restoration") {
+    val base = Seq(
+      bmp(10, "groupA"), bmp(11, "groupA"), bmp(12, "groupA"), // byte clones
+      bmp(20, "groupB"), bmp(30, "groupC")).toDF()
+    val thumbs = Multimodal.resizeImage(
+      Seq(bmp(13, "groupA"), bmp(21, "groupB")).toDF(), 48)
+    val junkBytes = "not an image".getBytes
+    val junk = Seq(
+      MediaRow(97, junkBytes, 64, 64, "bmp"),
+      MediaRow(98, junkBytes, 64, 64, "bmp"), // byte-identical undecodables: BOTH pass
+      MediaRow(99, Array[Byte](9, 9), 64, 64, "webp")).toDF()
+    val media = base.unionByName(thumbs).unionByName(junk)
+    val direct = Dedup.imageDedupDHash(media)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val layered = Dedup.imageDedupDHashLayered(media)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct == Set(10L, 20L, 30L, 97L, 98L, 99L), s"direct: $direct")
+    assert(layered == direct, s"layered $layered != direct $direct")
+  }
+
   test("q177 runs, is deterministic, and drops every thumbnail variant") {
     val a = LlmQueries.q177(spark, sf).collect()
     val b = LlmQueries.q177(spark, sf).collect()
