@@ -963,7 +963,7 @@ object TrainingQueries {
   // phase-A exchange) and re-counts candidate gram STRINGS to discard
   // collisions — exact semantics, candidate-only text shuffle.
   def q178(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactSubstrSpans(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.exactSubstrSpansAdaptive(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "span_start")
 
   val q178Sql: String =
@@ -979,7 +979,8 @@ object TrainingQueries {
   // rebuild byte-exact without shipping long strings through the
   // compare); token counts drop by exactly the span lengths.
   def q179(spark: SparkSession, dir: String): DataFrame =
-    Dedup.cutDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.cutDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
+        adaptive = true)
       .select(col("doc_id"),
         md5(col("clean_text").cast(BinaryType)).as("clean_md5"),
         col("n_tok"), col("n_kept"), col("n_cut"), col("n_spans"))

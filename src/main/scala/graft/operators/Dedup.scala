@@ -973,9 +973,98 @@ object Dedup {
     *         documents without duplicated spans pass through with the
     *         normalized token join and n_cut = 0.
     */
+  /** [[exactSubstrSpans]] with byte-identical clone collapse BEFORE
+    * the gram explode: group the corpus to distinct texts with their
+    * clone multiplicities, run the whole pass once per distinct text
+    * with phases A/B counting `sum(multiplicity)` (= the direct
+    * corpus-wide counts, by definition), then fan the spans back out
+    * to every clone's id through a (16-byte hash → id) join.
+    * Result-identical to the direct form.
+    *
+    * Trade-off, measured at the ×100 mirrored sf10 fixture: this form
+    * ships each distinct TEXT through one exchange (the distinct-text
+    * groupBy) — the one exchange the direct form's plan never has —
+    * and in return the gram explode, both count phases, and the
+    * island window shrink by the clone factor: 51 s → 11 s. On a
+    * clone-FREE corpus the text exchange is pure overhead. Collapsing
+    * anywhere AFTER the explode does not pay: phases A/B already
+    * combine map-side, so a (text, pos)-keyed candidate collapse
+    * ships candidate gram rows uncombined and measured SLOWER than
+    * direct. Use [[exactSubstrSpansAdaptive]] to route on measured
+    * clone evidence (the q83 discipline).
+    */
+  def exactSubstrSpansLayered(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 2, s"window must span >= 2 tokens, got $k")
+    require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
+    val keyed = docs.select(col(idCol), col(textCol),
+      md5(col(textCol).cast(BinaryType)).as("__tk"))
+    val dd = keyed.groupBy(col("__tk"), col(textCol))
+      .agg(count(lit(1)).as("__mult"))
+      .filter(size(tokens(col(textCol))) >= k)
+    val grams = dd
+      .select(col("__tk"), col("__mult"),
+        posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
+      .select(col("__tk"), col("__mult"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("g"), xxhash64(col("g")).as("gh"))
+    val dupHashes = grams.groupBy("gh").agg(sum(col("__mult")).as("n"))
+      .filter(col("n") >= minCount).select("gh")
+    val cand = BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh")
+    val dupGrams = cand.groupBy("g").agg(sum(col("__mult")).as("n"))
+      .filter(col("n") >= minCount).select("g")
+    val dupPos = cand.join(dupGrams, Seq("g"), "left_semi").select("__tk", "pos")
+    val w = Window.partitionBy("__tk").orderBy("pos")
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("__tk", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+    keyed.select(col(idCol), col("__tk")).join(spans, Seq("__tk"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
+  }
+
+  /** Evidence-gated ExactSubstr (the q83 adaptive discipline): measure
+    * the clone factor (docs per distinct text md5) on a DETERMINISTIC
+    * id-hash sample, then route — clone-heavy corpora (factor ≥
+    * `minCloneFactor`) take [[exactSubstrSpansLayered]]'s
+    * collapse-before-explode form, everything else the direct
+    * text-exchange-free [[exactSubstrSpans]]. Both branches are
+    * result-identical, so routing can never change an answer — which
+    * is exactly why a SAMPLE is sound here: a miss costs performance,
+    * never correctness, and sampling by doc id UNDER-counts clone
+    * factors (clones of a sampled doc mostly fall outside the sample),
+    * biasing the router toward the always-reasonable direct form.
+    * `sampleFraction = 1.0` measures exactly (tests; small corpora).
+    */
+  def exactSubstrSpansAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int = 8, minCount: Long = 2,
+                               minCloneFactor: Double = 1.5,
+                               sampleFraction: Double = 0.1): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) docs
+      else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit(math.round(sampleFraction * 1000000L)))
+    val m = sampled.agg(count(lit(1)).as("n"),
+      countDistinct(md5(col(textCol).cast(BinaryType))).as("d")).head()
+    val (n, d) = (m.getLong(0), m.getLong(1))
+    if (d > 0 && n.toDouble / d >= minCloneFactor)
+      exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
+    else exactSubstrSpans(docs, idCol, textCol, k, minCount)
+  }
+
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, minCount: Long = 2): DataFrame = {
-    val spans = exactSubstrSpans(docs, idCol, textCol, k, minCount)
+                        k: Int = 8, minCount: Long = 2,
+                        adaptive: Boolean = false): DataFrame = {
+    val spans =
+      (if (adaptive) exactSubstrSpansAdaptive(docs, idCol, textCol, k, minCount)
+       else exactSubstrSpans(docs, idCol, textCol, k, minCount))
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val inSpan = (i: Column) =>

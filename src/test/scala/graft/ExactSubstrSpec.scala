@@ -82,6 +82,44 @@ class ExactSubstrSpec extends SparkSpec {
     ))
   }
 
+  test("layered == direct on the hand corpus and on a x7 mirrored clone corpus") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def run(df: DataFrame, layered: Boolean) = {
+      val out =
+        if (layered) Dedup.exactSubstrSpansLayered(df, "doc_id", "text", k = 4)
+        else Dedup.exactSubstrSpans(df, "doc_id", "text", k = 4)
+      out.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    }
+    // multiplicity-1 path: every text distinct
+    assert(run(docs, layered = true) == run(docs, layered = false))
+    // clone path: 7 byte-identical copies of every doc — cloning makes
+    // EVERY window corpus-duplicated, the degenerate mirrored shape
+    val mirrored = (0 until 7)
+      .map(r => docs.select((col("doc_id") + lit(r * 100L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val l = run(mirrored, layered = true)
+    val d = run(mirrored, layered = false)
+    assert(l.nonEmpty && l == d, s"layered ${l.take(4)} != direct ${d.take(4)}")
+    // the adaptive router gives the same answer on BOTH corpus shapes
+    // (clone factor 1.0 -> direct branch; 7.0 -> layered branch)
+    def adaptive(df: DataFrame) =
+      Dedup.exactSubstrSpansAdaptive(df, "doc_id", "text", k = 4,
+          sampleFraction = 1.0) // exact measurement on the tiny fixture
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    assert(adaptive(docs) == run(docs, layered = false))
+    assert(adaptive(mirrored) == d)
+    // the cut pass composes with adaptive spans identically
+    val cutA = Dedup.cutDuplicateSpans(mirrored, "doc_id", "text", k = 4,
+      adaptive = true).orderBy("doc_id").collect().toSeq
+    val cutD = Dedup.cutDuplicateSpans(mirrored, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(cutA == cutD)
+  }
+
   test("a corpus with no duplicated k-grams yields no spans and no cuts") {
     val uniq = Seq((1L, "one two three four five"), (2L, "six seven eight nine ten"))
       .toDF("doc_id", "text")
