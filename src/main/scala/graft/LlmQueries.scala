@@ -424,7 +424,7 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    graft.operators.Dedup.imageDedupDHashLayered(base.unionByName(variants))
+    graft.operators.Dedup.imageDedupDHashAdaptive(base.unionByName(variants))
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")
   }

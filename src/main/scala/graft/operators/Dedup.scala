@@ -343,6 +343,36 @@ object Dedup {
     kept.unionByName(media.filter(col("payload").isNull))
   }
 
+  /** Evidence-gated image dedup ([[exactSubstrSpansAdaptive]]'s
+    * discipline): measure the byte-identical clone factor on a
+    * deterministic 10% doc-id-hash sample, route clone-heavy corpora
+    * through [[imageDedupDHashLayered]] (collapse-before-decode) and
+    * everything else through the direct [[imageDedupDHash]] — whose
+    * plan skips the layered form's md5-group and join-back stages (a
+    * measured 2.3× overhead on a clone-free corpus). Both branches
+    * are result-identical, so a routing miss costs performance, never
+    * correctness; id-sampling under-counts clones, biasing toward the
+    * always-reasonable direct form.
+    */
+  def imageDedupDHashAdaptive(media: DataFrame, maxHamming: Int = 10,
+                              maxMeanAbsDiff: Int = 16,
+                              blocks: Int = 16, agreeBlocks: Int = 2,
+                              minCloneFactor: Double = 1.5,
+                              sampleFraction: Double = 0.1): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) media
+      else media.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+        lit(math.round(sampleFraction * 1000000L)))
+    val m = sampled.filter(col("payload").isNotNull)
+      .agg(count(lit(1)).as("n"), countDistinct(md5(col("payload"))).as("d")).head()
+    val (n, d) = (m.getLong(0), m.getLong(1))
+    if (d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction))
+      imageDedupDHashLayered(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+    else imageDedupDHash(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+  }
+
   /** SimHash dedup: survivors after dropping the larger id of every
     * near-dup pair. */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -1054,10 +1084,23 @@ object Dedup {
     val m = sampled.agg(count(lit(1)).as("n"),
       countDistinct(md5(col(textCol).cast(BinaryType))).as("d")).head()
     val (n, d) = (m.getLong(0), m.getLong(1))
-    if (d > 0 && n.toDouble / d >= minCloneFactor)
+    if (d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction))
       exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
     else exactSubstrSpans(docs, idCol, textCol, k, minCount)
   }
+
+  /** What a true clone factor `c` LOOKS LIKE at sample rate `p`: a
+    * c-clone group keeps Binomial(c, p) members, so the sampled
+    * docs-per-distinct ratio concentrates near p·c / (1 − (1−p)^c) —
+    * far below c (a 10-clone group at p=0.1 measures ≈1.54). The
+    * routing threshold must live in SAMPLE space: a clone-free corpus
+    * measures exactly 1.0 (id-sampling keeps texts distinct), so any
+    * sampled duplication is real signal, and comparing against the
+    * transformed threshold detects clone-heaviness the raw comparison
+    * would need a ~10× larger factor to see. */
+  private def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
+    if (p >= 1.0) minCloneFactor
+    else (p * minCloneFactor) / (1.0 - math.pow(1.0 - p, minCloneFactor))
 
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minCount: Long = 2,

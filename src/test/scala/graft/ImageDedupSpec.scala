@@ -84,6 +84,15 @@ class ImageDedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(direct == Set(10L, 20L, 30L, 97L, 98L, 99L), s"direct: $direct")
     assert(layered == direct, s"layered $layered != direct $direct")
+    // the adaptive router gives the same answer on both branches:
+    // this fixture's clone factor (10/7) routes layered at exact
+    // measurement; forcing an impossible factor routes direct
+    val viaLayered = Dedup.imageDedupDHashAdaptive(media, sampleFraction = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaDirect = Dedup.imageDedupDHashAdaptive(media, sampleFraction = 1.0,
+        minCloneFactor = 99.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaLayered == direct && viaDirect == direct)
   }
 
   test("q177 runs, is deterministic, and drops every thumbnail variant") {
