@@ -424,7 +424,17 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    graft.operators.Dedup.imageDedupDHashAdaptive(base.unionByName(variants))
+    // The corpus is an EXPENSIVE DERIVED plan (synthesis + PNG
+    // re-encode), so materialize it once: the router's sample pass
+    // populates the cache as a side effect and the dedup's three
+    // payload reads (keying / rep decode / survivor recovery) hit it
+    // instead of re-synthesizing — exactly the "materialize first"
+    // caller contract imageDedupDHashAdaptive's scaladoc states. A
+    // parquet-backed production corpus skips this (columnar re-reads
+    // are the cheap case).
+    val media = base.unionByName(variants)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.imageDedupDHashAdaptive(media)
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")
   }
@@ -1188,21 +1198,42 @@ object LlmQueries {
   // CosineF32's strict left fold matches DuckDB's
   // list_cosine_similarity over DOUBLE[] bit-for-bit (q24's proof), so
   // both the assignment argmax and the dedup predicate replay in SQL.
-  def q183(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedupLayered(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 16, threshold = 0.45)
+  // r11: adaptive routing + self-sized k. The embeddings fixture is
+  // clone-free, so the router measures factor 1.0 and takes the DIRECT
+  // plan — no collapse-groupBy overhead (the r10 verdict's q183 gap);
+  // a mirrored corpus would route layered, result-identically
+  // (SemDedupSpec proves both shapes through the router). k comes from
+  // the footer row count via Dedup.semanticK (k ≈ N/32): N=500 at the
+  // driver's sf0.01 gives k=16, which the static oracle LIMIT pins —
+  // the spec asserts semanticK(500)==16 so a fixture regen that moves
+  // N past the 480..512 bracket fails loudly rather than hash-drifting.
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.semanticK(Tables.rowCount(spark, dir, "embeddings"))
+    Dedup.semanticDedupAdaptive(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = k, threshold = 0.45)
       .select("vec_id", "cluster", "label")
       .orderBy("vec_id")
+  }
 
-  val q183Sql: String =
-    """WITH c AS (
+  // Oracle cosine is wrapped NaN→0.0 to pin the ENGINE convention
+  // (CosineF32 returns 0.0 on a zero-norm denominator; DuckDB's
+  // list_cosine_similarity yields NaN, which its total order ranks
+  // above every number — a zero vector would win the argmax and
+  // satisfy the dedup predicate in the oracle only). The fixture has
+  // no zero-norm vectors today; the guard makes parity hold even if a
+  // regen adds one (r10 ADVICE).
+  val q183Sql: String = {
+    def cos(a: String, b: String) =
+      s"""(CASE WHEN isnan(list_cosine_similarity($a, $b))
+            THEN 0.0 ELSE list_cosine_similarity($a, $b) END)"""
+    s"""WITH c AS (
          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
          FROM embeddings WHERE embedding IS NOT NULL
          ORDER BY vec_id LIMIT 16
        ), a AS (
          SELECT e.vec_id, e.label, e.embedding, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+             ORDER BY ${cos("CAST(e.embedding AS DOUBLE[])", "c.cvec")} DESC,
                       c.cid ASC) AS rn
          FROM embeddings e CROSS JOIN c
        ), asg AS (
@@ -1212,7 +1243,8 @@ object LlmQueries {
        WHERE NOT EXISTS (
          SELECT 1 FROM asg e
          WHERE e.cluster = d.cluster AND e.vec_id < d.vec_id
-           AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(d.embedding AS DOUBLE[])) >= 0.45)
+           AND ${cos("CAST(e.embedding AS DOUBLE[])",
+                     "CAST(d.embedding AS DOUBLE[])")} >= 0.45)
        ORDER BY vec_id"""
+  }
 }

@@ -358,15 +358,23 @@ object CorpusOps {
     * form seconds).
     */
   def qualityFunnel(docs: DataFrame, idCol: String, textCol: String,
-      isTargetLang: Column, minWords: Long = 50, minReqStop: Int = 2): DataFrame = {
+      isTargetLang: Column, minWords: Long = 50, minReqStop: Int = 2,
+      withCleanText: Boolean = false): DataFrame = {
+    // c4CleanLines staged ONCE as a struct column (repetitionSignals'
+    // __rep discipline): page_keep and clean_text are then row reads,
+    // not two builds of the line-filter tree — whole-stage codegen CSE
+    // would usually dedupe them, but interpreted/fallback paths have no
+    // CSE (the §8d lesson), and CollapseProject keeps the staging
+    // projection because the struct is non-cheap and referenced twice.
     val flags = repetitionSignals(docs, textCol)
+      .withColumn("__c4", c4CleanLines(col(textCol)))
       .select(col(idCol),
         isTargetLang.as("pass_lang"),
         gopherSignals(col(textCol), minWords, minReqStop)
           .getField("keep").as("pass_quality"),
         col("keep").as("pass_repetition"),
-        c4CleanLines(col(textCol)).getField("page_keep").as("pass_page"),
-        c4CleanLines(col(textCol)).getField("clean_text").as("clean_text"))
+        col("__c4").getField("page_keep").as("pass_page"),
+        col("__c4").getField("clean_text").as("clean_text"))
     val passAll = col("pass_lang") && col("pass_quality") &&
       col("pass_repetition") && col("pass_page")
     // md5 hex is [0-9a-f]*, the salt prefix 'r' cannot collide with it
@@ -376,10 +384,17 @@ object CorpusOps {
           pmod(xxhash64(col(idCol)), lit(1024L)).cast(StringType))))
     val isCanon = passAll &&
       col(idCol) === min(col(idCol)).over(Window.partitionBy(col("__k")))
-    keyed.select(col(idCol), col("pass_lang"), col("pass_quality"),
+    val base = Seq(col(idCol), col("pass_lang"), col("pass_quality"),
       col("pass_repetition"), col("pass_page"),
       isCanon.as("is_canonical"),
       when(isCanon, col("__k")).as("clean_md5"))
+    // `withCleanText` feeds composed pipelines (PretrainPipeline): the
+    // canonical rows' cleaned text continues downstream without a
+    // re-run of the rule tower; the default shape (q185) stays md5-only
+    // so the gate never ships long strings through the compare.
+    keyed.select(
+      (if (withCleanText) base :+ when(isCanon, col("clean_text")).as("clean_text")
+       else base): _*)
   }
 
   // ----------------------------------------------------------------- DSIR

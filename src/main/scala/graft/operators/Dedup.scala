@@ -321,26 +321,48 @@ object Dedup {
     * representative set is unchanged. Undecodable payloads never die
     * in the direct form, so their clones are RESTORED to the output;
     * null payloads pass through uncollapsed.
+    *
+    * Input-scan discipline (r10 lesson): the payload column — the widest
+    * in the corpus — is read exactly THREE times: once to compute the
+    * 16-byte content key, once to decode the representatives, and once
+    * to recover the surviving rows. TWO narrow frames are persisted
+    * (lazily — no eager action at construction): the `(doc_id, __ch)`
+    * keying projection, so the rep-map groupBy, clone fan-out, and
+    * null-payload pass-through read ~48 bytes/row from cache; and the
+    * `(doc_id, dhash, luma, decoded)` decode result, so the survivor
+    * anti-join and [[dHashDupes]]'s pair-gen + two luma joins (4 plan
+    * references) share ONE decode pass instead of four. The unpersisted
+    * r10 form re-scanned (and re-decoded) the payload ~5×, which
+    * doubled q177 when its input was an in-query synthesis. Neither
+    * cache is explicitly unpersisted — both are narrow (id+hash /
+    * id+72-int luma), LRU-evictable, and scoped to the session.
     */
   def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
                              maxMeanAbsDiff: Int = 16,
                              blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
-    val keyed = media.withColumn("__ch", md5(col("payload")))
-    val repMap = keyed.filter(col("__ch").isNotNull)
-      .groupBy(col("__ch")).agg(min(col("doc_id")).as("__rep"))
+    // payload read 1/3: content keying, then the narrow frame is cached
+    val keyed = media.select(col("doc_id"), md5(col("payload")).as("__ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repGroups = keyed.filter(col("__ch").isNotNull)
+      .groupBy(col("__ch"))
+      .agg(min(col("doc_id")).as("__rep"), collect_list(col("doc_id")).as("__ids"))
+    // payload read 2/3: decode ONLY the min-id representatives; the
+    // narrow hash/luma result is cached so its four consumers share it
     val reps = media
-      .join(repMap.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
-      .unionByName(media.filter(col("payload").isNull))
+      .join(repGroups.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val hashed = graft.operators.Multimodal.imageDHash(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repState = hashed.select(col("doc_id").as("__rep"), col("decoded").as("__rd"))
       .join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
         .select(col("doc_id").as("__rep")), Seq("__rep"), "left_anti")
-    val kept = keyed.filter(col("__ch").isNotNull)
-      .join(repMap, Seq("__ch"))
-      .join(repState, Seq("__rep")) // inner: rows of SURVIVING representatives
+    val keptIds = repGroups
+      .join(repState, Seq("__rep")) // inner: groups of SURVIVING representatives
+      .select(col("__rep"), col("__rd"), explode(col("__ids")).as("doc_id"))
       .filter(col("doc_id") === col("__rep") || !col("__rd"))
-      .select(media.columns.map(col).toIndexedSeq: _*)
-    kept.unionByName(media.filter(col("payload").isNull))
+      .select("doc_id")
+      .unionByName(keyed.filter(col("__ch").isNull).select("doc_id"))
+    // payload read 3/3: recover the full surviving rows in one semi-join
+    media.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
   /** Evidence-gated image dedup ([[exactSubstrSpansAdaptive]]'s
@@ -353,22 +375,39 @@ object Dedup {
     * are result-identical, so a routing miss costs performance, never
     * correctness; id-sampling under-counts clones, biasing toward the
     * always-reasonable direct form.
+    *
+    * EAGER measurement contract: unless `knownCloneFactor` is supplied,
+    * the routing sample runs a Spark action AT CONSTRUCTION TIME — the
+    * returned frame is lazy, but building it executes one
+    * count/countDistinct job over the (sampled) upstream plan, the
+    * routing decision is frozen then, and upstream failures surface
+    * then. Callers whose input is an expensive derived plan (a decode
+    * or in-query synthesis) should either materialize it first or pass
+    * `knownCloneFactor` from catalog stats — a supplied factor is in
+    * TRUE corpus space (rows per distinct payload) and skips the scan
+    * entirely, keeping construction action-free.
     */
   def imageDedupDHashAdaptive(media: DataFrame, maxHamming: Int = 10,
                               maxMeanAbsDiff: Int = 16,
                               blocks: Int = 16, agreeBlocks: Int = 2,
                               minCloneFactor: Double = 1.5,
-                              sampleFraction: Double = 0.1): DataFrame = {
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction in (0, 1], got $sampleFraction")
-    val sampled =
-      if (sampleFraction >= 1.0) media
-      else media.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-        lit(math.round(sampleFraction * 1000000L)))
-    val m = sampled.filter(col("payload").isNotNull)
-      .agg(count(lit(1)).as("n"), countDistinct(md5(col("payload"))).as("d")).head()
-    val (n, d) = (m.getLong(0), m.getLong(1))
-    if (d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction))
+                              sampleFraction: Double = 0.1,
+                              knownCloneFactor: Option[Double] = None): DataFrame = {
+    val layered = knownCloneFactor match {
+      case Some(f) => f >= minCloneFactor
+      case None =>
+        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val sampled =
+          if (sampleFraction >= 1.0) media
+          else media.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+            lit(math.round(sampleFraction * 1000000L)))
+        val m = sampled.filter(col("payload").isNotNull)
+          .agg(count(lit(1)).as("n"), countDistinct(md5(col("payload"))).as("d")).head()
+        val (n, d) = (m.getLong(0), m.getLong(1))
+        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
+    }
+    if (layered)
       imageDedupDHashLayered(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
     else imageDedupDHash(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
   }
@@ -637,6 +676,63 @@ object Dedup {
     val reps = docs.join(repIds, Seq(idCol), "left_semi")
       .unionByName(docs.filter(nrm2.isNull || nrm2 === 0.0))
     semanticDedupWith(reps, idCol, vecCol, cents, threshold)
+  }
+
+  /** Production sizing for [[semanticDedup]]'s cluster count — the
+    * k ≈ N/⟨cluster size⟩ rule (the IVF `nlist` convention,
+    * [[graft.operators.Similarity]]): the within-cluster pair stage is
+    * k independent (N/k)² problems, so fixing the EXPECTED cluster
+    * size fixes the per-cluster join budget regardless of corpus
+    * scale. Feed `n` from `Tables.rowCount` (parquet footer metadata —
+    * no scan). Default 32 targets ~32²/2 ≈ 512 cosine pairs per
+    * cluster per batch of its size.
+    */
+  def semanticK(n: Long, targetClusterSize: Int = 32): Int = {
+    require(targetClusterSize >= 1, "targetClusterSize must be positive")
+    math.max(1L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+  }
+
+  /** Evidence-gated SemDeDup (the q177/q178 adaptive discipline,
+    * closing the r10 gap: [[semanticDedupLayered]] ran unconditionally
+    * in q183, paying the collapse groupBy on clone-free corpora):
+    * measure the exact-duplicate VECTOR clone factor on a
+    * deterministic 10% id-hash sample and route clone-heavy corpora
+    * through the layered collapse, everything else through the direct
+    * form. Both branches are result-identical (the layered form's
+    * proof), so a routing miss costs performance, never correctness;
+    * id-sampling under-counts clones, biasing toward direct.
+    * τ = 1.0 inputs always route direct (the layered form's ulp
+    * restriction).
+    *
+    * EAGER measurement contract: as [[imageDedupDHashAdaptive]] — the
+    * sample is a construction-time action unless `knownCloneFactor`
+    * (TRUE corpus space: rows per distinct non-null vector) is
+    * supplied. Note [[semanticCentroids]] already makes BOTH branches
+    * eager (the k-row argmax collect), so the sample does not change
+    * the laziness class of this family.
+    */
+  def semanticDedupAdaptive(docs: DataFrame, idCol: String, vecCol: String,
+                            k: Int, threshold: Double,
+                            minCloneFactor: Double = 1.5,
+                            sampleFraction: Double = 0.1,
+                            knownCloneFactor: Option[Double] = None): DataFrame = {
+    val layered = threshold < 1.0 && (knownCloneFactor match {
+      case Some(f) => f >= minCloneFactor
+      case None =>
+        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val sampled =
+          if (sampleFraction >= 1.0) docs
+          else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+            lit(math.round(sampleFraction * 1000000L)))
+        val m = sampled.filter(col(vecCol).isNotNull)
+          .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col(vecCol))).as("d"))
+          .head()
+        val (n, d) = (m.getLong(0), m.getLong(1))
+        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
+    })
+    if (layered) semanticDedupLayered(docs, idCol, vecCol, k, threshold)
+    else semanticDedup(docs, idCol, vecCol, k, threshold)
   }
 
   /** Near-dup CLUSTER assignment — the full production fuzzy-dedup
@@ -1027,11 +1123,18 @@ object Dedup {
                               k: Int = 8, minCount: Long = 2): DataFrame = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
-    val keyed = docs.select(col(idCol), col(textCol),
-      md5(col(textCol).cast(BinaryType)).as("__tk"))
-    val dd = keyed.groupBy(col("__tk"), col(textCol))
-      .agg(count(lit(1)).as("__mult"))
-      .filter(size(tokens(col(textCol))) >= k)
+    // ONE text scan: the distinct-text groupBy carries the clone ids
+    // alongside the multiplicity, so the span fan-out reads the cached
+    // distinct-text frame instead of re-scanning (and re-md5-ing) the
+    // corpus text a second time (r10's 2-scan form). The cache holds
+    // DISTINCT texts only — the clone-collapsed corpus this form
+    // exists for, i.e. input/cloneFactor rows — and spills to disk;
+    // it is never explicitly unpersisted (session-scoped, LRU).
+    val grouped = docs
+      .groupBy(md5(col(textCol).cast(BinaryType)).as("__tk"), col(textCol))
+      .agg(count(lit(1)).as("__mult"), collect_list(col(idCol)).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dd = grouped.filter(size(tokens(col(textCol))) >= k)
     val grams = dd
       .select(col("__tk"), col("__mult"),
         posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
@@ -1053,7 +1156,8 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"),
         count(lit(1)).as("n_hits"))
-    keyed.select(col(idCol), col("__tk")).join(spans, Seq("__tk"))
+    grouped.select(col("__tk"), explode(col("__ids")).as(idCol))
+      .join(spans, Seq("__tk"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
   }
@@ -1070,22 +1174,33 @@ object Dedup {
     * factors (clones of a sampled doc mostly fall outside the sample),
     * biasing the router toward the always-reasonable direct form.
     * `sampleFraction = 1.0` measures exactly (tests; small corpora).
+    *
+    * EAGER measurement contract: unless `knownCloneFactor` is supplied,
+    * the routing sample runs a Spark action AT CONSTRUCTION TIME (see
+    * [[imageDedupDHashAdaptive]] — same contract). A supplied factor is
+    * in TRUE corpus space (docs per distinct text) and skips the scan,
+    * keeping construction action-free.
     */
   def exactSubstrSpansAdaptive(docs: DataFrame, idCol: String, textCol: String,
                                k: Int = 8, minCount: Long = 2,
                                minCloneFactor: Double = 1.5,
-                               sampleFraction: Double = 0.1): DataFrame = {
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction in (0, 1], got $sampleFraction")
-    val sampled =
-      if (sampleFraction >= 1.0) docs
-      else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-        lit(math.round(sampleFraction * 1000000L)))
-    val m = sampled.agg(count(lit(1)).as("n"),
-      countDistinct(md5(col(textCol).cast(BinaryType))).as("d")).head()
-    val (n, d) = (m.getLong(0), m.getLong(1))
-    if (d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction))
-      exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
+                               sampleFraction: Double = 0.1,
+                               knownCloneFactor: Option[Double] = None): DataFrame = {
+    val layered = knownCloneFactor match {
+      case Some(f) => f >= minCloneFactor
+      case None =>
+        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val sampled =
+          if (sampleFraction >= 1.0) docs
+          else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+            lit(math.round(sampleFraction * 1000000L)))
+        val m = sampled.agg(count(lit(1)).as("n"),
+          countDistinct(md5(col(textCol).cast(BinaryType))).as("d")).head()
+        val (n, d) = (m.getLong(0), m.getLong(1))
+        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
+    }
+    if (layered) exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
     else exactSubstrSpans(docs, idCol, textCol, k, minCount)
   }
 

@@ -112,6 +112,16 @@ class ExactSubstrSpec extends SparkSpec {
         .toSeq
     assert(adaptive(docs) == run(docs, layered = false))
     assert(adaptive(mirrored) == d)
+    // a SUPPLIED clone factor (knownCloneFactor, catalog stats) routes
+    // identically to a measured one and skips the sample scan
+    def known(df: DataFrame, f: Double) =
+      Dedup.exactSubstrSpansAdaptive(df, "doc_id", "text", k = 4,
+          knownCloneFactor = Some(f))
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    assert(known(docs, 1.0) == run(docs, layered = false))
+    assert(known(mirrored, 7.0) == d)
     // the cut pass composes with adaptive spans identically
     val cutA = Dedup.cutDuplicateSpans(mirrored, "doc_id", "text", k = 4,
       adaptive = true).orderBy("doc_id").collect().toSeq

@@ -93,6 +93,15 @@ class ImageDedupSpec extends SparkSpec {
         minCloneFactor = 99.0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaLayered == direct && viaDirect == direct)
+    // a SUPPLIED clone factor (catalog stats) routes identically to a
+    // measured one, in TRUE corpus space, with no sample scan
+    val viaKnownLayered = Dedup.imageDedupDHashAdaptive(media,
+        knownCloneFactor = Some(2.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaKnownDirect = Dedup.imageDedupDHashAdaptive(media,
+        knownCloneFactor = Some(1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaKnownLayered == direct && viaKnownDirect == direct)
   }
 
   test("q177 runs, is deterministic, and drops every thumbnail variant") {

@@ -619,6 +619,44 @@ class PlanRegressionSpec extends SparkSpec {
       "candidate generation must stay blocked equi-joins — all-pairs found")
   }
 
+  test("layered dedup forms: the wide input column is scanned once per logical need (r10 fix)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    // image form: the only payload file scan VISIBLE in the final plan
+    // is the survivor-recovery semi-join; the keying scan and the
+    // rep-decode scan live inside the two cache builds (keyed /
+    // hashed), so every other consumer — rep-map groupBy, null
+    // pass-through, survivor anti-join, dHashDupes' pair-gen + two
+    // luma joins — is an InMemoryTableScan leaf. The r10 form showed
+    // six payload file scans here and re-decoded per reference.
+    val media = Tables.documents(spark, sf).select(col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(64).as("height"), lit("bmp").as("fmt"))
+    val p1 = plan(Dedup.imageDedupDHashLayered(media))
+    val fs1 = p1.collectLeaves().collect { case f: FileSourceScanExec => f }
+    val im1 = p1.collectLeaves().collect { case c: InMemoryTableScanExec => c }
+    assert(fs1.size == 1,
+      s"payload must be file-scanned exactly once in the visible plan (survivor recovery), got ${fs1.size}")
+    val imSchemas = im1.map(_.output.map(_.name).toSet)
+    assert(imSchemas.exists(_.contains("__ch")),
+      "the narrow keying projection must be read from cache")
+    assert(imSchemas.exists(s => s.contains("dhash") || s.contains("decoded")),
+      "the decode result must be read from cache (one decode pass for all four consumers)")
+    // ExactSubstr form: ONE scan total — the distinct-text groupBy is
+    // persisted and both the gram pipeline and the clone fan-out read
+    // the cache (leaves are InMemoryTableScans; the single file scan
+    // lives inside the cached relation's build)
+    val p2 = plan(Dedup.exactSubstrSpansLayered(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    val fs2 = p2.collectLeaves().collect { case f: FileSourceScanExec => f }
+    val im2 = p2.collectLeaves().collect { case c: InMemoryTableScanExec => c }
+    assert(fs2.isEmpty,
+      s"corpus text must be file-scanned only inside the cache build, got ${fs2.size} extra scans")
+    assert(im2.size >= 2,
+      s"gram phases + clone fan-out must all read the distinct-text cache, got ${im2.size}")
+  }
+
   test("q180/q181/q184: the quality/repetition rule passes stay map-side (no join/agg/extra shuffle)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec

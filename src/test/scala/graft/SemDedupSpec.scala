@@ -81,6 +81,45 @@ class SemDedupSpec extends SparkSpec {
     assert(layered == direct, s"layered=${layered.take(8)} direct=${direct.take(8)}")
   }
 
+  test("semanticDedupAdaptive routes both corpus shapes result-identically") {
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 12).map(_ => Seq.fill(4)(rnd.nextFloat() * 0.8f + 0.2f))
+    val cloneFree = vecs(bases.zipWithIndex.map { case (b, i) =>
+      ((i + 1).toLong, b, 0) }: _*)
+    val mirrored = vecs((for {
+      rep <- 0 until 8
+      (b, i) <- bases.zipWithIndex
+    } yield ((rep * bases.size + i + 1).toLong, b, 0)): _*)
+    def run(df: org.apache.spark.sql.DataFrame, layered: Boolean) =
+      (if (layered) Dedup.semanticDedupLayered(df, "vec_id", "embedding", 3, 0.97)
+       else Dedup.semanticDedup(df, "vec_id", "embedding", 3, 0.97))
+        .select("vec_id", "cluster").orderBy("vec_id").collect().toSeq
+    def adaptive(df: org.apache.spark.sql.DataFrame, known: Option[Double] = None) =
+      Dedup.semanticDedupAdaptive(df, "vec_id", "embedding", 3, 0.97,
+          sampleFraction = 1.0, knownCloneFactor = known)
+        .select("vec_id", "cluster").orderBy("vec_id").collect().toSeq
+    // clone-free measures factor 1.0 -> direct; mirrored -> layered;
+    // both equal their branch (and each other's branch, by identity)
+    assert(adaptive(cloneFree) == run(cloneFree, layered = false))
+    assert(adaptive(mirrored) == run(mirrored, layered = true))
+    assert(run(mirrored, layered = true) == run(mirrored, layered = false))
+    // a SUPPLIED clone factor routes identically to a measured one
+    assert(adaptive(mirrored, known = Some(8.0)) == run(mirrored, layered = true))
+    assert(adaptive(cloneFree, known = Some(1.0)) == run(cloneFree, layered = false))
+  }
+
+  test("semanticK: the N/target sizing rule and the q183 oracle bracket") {
+    import graft.operators.Dedup.semanticK
+    // q183's static oracle pins LIMIT 16: the driver's sf0.01 embeddings
+    // table has 500 rows and ceil(500/32)=16 — if a fixture regen moves N
+    // outside (480, 512] this assertion fails before the oracle drifts
+    val n = graft.sources.Tables.rowCount(spark, sf, "embeddings")
+    assert(semanticK(n) == 16, s"fixture rows=$n sized k=${semanticK(n)}; q183Sql pins 16")
+    assert(semanticK(500) == 16 && semanticK(480) == 15 && semanticK(481) == 16)
+    assert(semanticK(1) == 1 && semanticK(0) == 1, "degenerate corpora still get one cluster")
+    assert(semanticK(2000) == 63 && semanticK(1000000, 4096) == 245)
+  }
+
   test("semanticDedup == plain-Scala reference on seeded random vectors") {
     val rnd = new scala.util.Random(13)
     val rows = (1L to 80L).map { i =>
