@@ -40,7 +40,10 @@ object DataGen {
     mode match {
       case "scale" => scaleUp(spark, src, out, if (args.length > 3) args(3).toInt else 10)
       case "skew"  => skew(spark, src, out, if (args.length > 3) args(3).toInt else 30)
-      case other   => sys.error(s"unknown mode '$other' (want scale|skew)")
+      case "docs"  => scaleDocs(spark, src, out,
+        if (args.length > 3) args(3).toInt else 10,
+        if (args.length > 4) args(4) else "mirror")
+      case other   => sys.error(s"unknown mode '$other' (want scale|skew|docs)")
     }
     spark.stop()
   }
@@ -96,6 +99,32 @@ object DataGen {
     write(replicate(emb, factor)((d, r) =>
       d.withColumn("vec_id", col("vec_id") + lit(r * vS))), out, "embeddings")
     println(s"""{"datagen":"scale","factor":$factor,"out":"$out"}""")
+  }
+
+  /** Documents-only scale-up for the text-dedup scale evidence
+    * (ExactSubstr and friends read nothing else), in the two corpus
+    * shapes the adaptive routers distinguish: `mirror` replicates
+    * texts verbatim (clone factor = `factor` — the web-crawl shape),
+    * `distinct` re-skins every token with a per-replica suffix so all
+    * k-gram windows differ ACROSS replicas while each replica keeps
+    * sf-identical within-replica duplication (clone factor 1 — the
+    * curated-corpus shape, `factor`× the direct-form workload).
+    */
+  def scaleDocs(spark: SparkSession, src: String, out: String,
+                factor: Int, shape: String): Unit = {
+    val docs = Tables.documents(spark, src)
+    val dS = stride(docs, "doc_id")
+    val scaled = replicate(docs, factor) { (d, r) =>
+      val keyed = d.withColumn("doc_id", col("doc_id") + lit(r * dS))
+      shape match {
+        case "mirror"   => keyed
+        case "distinct" => keyed.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1x$r"))
+        case other      => sys.error(s"unknown shape '$other' (want mirror|distinct)")
+      }
+    }
+    write(scaled, out, "documents")
+    println(s"""{"datagen":"docs","factor":$factor,"shape":"$shape","out":"$out"}""")
   }
 
   /** The hot key every skewed-join benchmark needs: `hotPct`% of all

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, TypedAggs}
-import graft.operators.{CorpusOps, Dedup}
+import graft.operators.{CorpusOps, Dedup, PretrainPipeline}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -928,9 +928,9 @@ object TrainingQueries {
     * window starts — the engine's two-phase hash-candidate/string-
     * confirm is an execution strategy, not a semantics change, so the
     * oracle counts gram STRINGS directly. */
-  private val exactSubstrSpansSql =
+  private def exactSubstrCtes(src: String): String =
     s"""toks AS (
-          SELECT doc_id, $toksSql AS ts FROM documents
+          SELECT doc_id, $toksSql AS ts FROM $src
         ), grams AS (
           SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g
           FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(pos)
@@ -967,7 +967,7 @@ object TrainingQueries {
       .orderBy("doc_id", "span_start")
 
   val q178Sql: String =
-    s"""WITH $exactSubstrSpansSql
+    s"""WITH ${exactSubstrCtes("documents")}
         SELECT doc_id, span_start, span_end,
                span_end - span_start + 1 AS span_len, n_hits
         FROM spans ORDER BY doc_id, span_start"""
@@ -986,8 +986,11 @@ object TrainingQueries {
         col("n_tok"), col("n_kept"), col("n_cut"), col("n_spans"))
       .orderBy("doc_id")
 
-  val q179Sql: String =
-    s"""WITH $exactSubstrSpansSql, agg AS (
+  /** ExactSubstr CUT CTE chain (`agg`, `cut`) over [[exactSubstrCtes]]'s
+    * `toks`/`spans` — shared by q179's standalone oracle and q186's
+    * composed pipeline. `cut` carries doc_id, ts, kept, n_spans. */
+  private val cutCtes: String =
+    """agg AS (
           SELECT doc_id, list([span_start, span_end]) AS sp
           FROM spans GROUP BY doc_id
         ), cut AS (
@@ -997,7 +1000,10 @@ object TrainingQueries {
                               r -> i >= r[1] AND i <= r[2])) = 0) AS kept,
             coalesce(len(sp), 0) AS n_spans
           FROM toks t LEFT JOIN agg USING (doc_id)
-        )
+        )"""
+
+  val q179Sql: String =
+    s"""WITH ${exactSubstrCtes("documents")}, $cutCtes
         SELECT doc_id,
                md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
                CAST(len(ts) AS BIGINT) AS n_tok,
@@ -1334,20 +1340,31 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
-  val q185Sql: String =
-    s"""WITH base AS (
+  /** q185's text derivation, shared verbatim by q186 (the corpus both
+    * composed queries run on). */
+  private val funnelBaseCte: String =
+    """base AS (
           SELECT doc_id, lang,
             replace(replace(text, 'line', 'line.' || chr(10)),
                     'key', 'key.' || chr(10) || chr(10)) AS text
           FROM documents
-        ), ${gopherCtes("base")}, ${c4Ctes("base")}, ${repCtes("base")},
+        )"""
+
+  /** The full funnel CTE chain (rule towers + `flags` + `canon`) over
+    * `src` — shared by q185's standalone oracle and q186's composed
+    * pipeline (the one-source-of-truth discipline: every rule
+    * rendering lives in exactly one builder). `flags` carries every
+    * verdict + clean_text; `canon` the canonical hash/min-id. */
+  private def funnelCtes(src: String, langExpr: String,
+                         minWords: Long, minStop: Int): String =
+    s"""${gopherCtes(src)}, ${c4Ctes(src)}, ${repCtes(src)},
         flags AS (
-          SELECT b.doc_id, (b.lang = 'en') AS pass_lang,
-            ${gopherKeepExpr("cnt", 20, 1)} AS pass_quality,
+          SELECT b.doc_id, ($langExpr) AS pass_lang,
+            ${gopherKeepExpr("cnt", minWords, minStop)} AS pass_quality,
             ${repKeepExpr("fr")} AS pass_repetition,
             ${pageKeepExpr("kp")} AS pass_page,
             coalesce(array_to_string(kp.kept, chr(10)), '') AS clean_text
-          FROM base b
+          FROM $src b
             JOIN cnt ON b.doc_id = cnt.doc_id
             JOIN fr ON b.doc_id = fr.doc_id
             JOIN kp ON b.doc_id = kp.doc_id
@@ -1356,11 +1373,94 @@ object TrainingQueries {
             min(doc_id) OVER (PARTITION BY md5(clean_text)) AS m
           FROM flags
           WHERE pass_lang AND pass_quality AND pass_repetition AND pass_page
-        )
+        )"""
+
+  val q185Sql: String =
+    s"""WITH $funnelBaseCte, ${funnelCtes("base", "b.lang = 'en'", 20, 1)}
         SELECT f.doc_id, f.pass_lang, f.pass_quality, f.pass_repetition,
           f.pass_page,
           coalesce(c.doc_id = c.m, false) AS is_canonical,
           CASE WHEN c.doc_id = c.m THEN c.h END AS clean_md5
         FROM flags f LEFT JOIN canon c ON f.doc_id = c.doc_id
+        ORDER BY f.doc_id"""
+
+  // q186: the COMPOSED end-to-end pre-training pipeline — q185 funnel
+  // → q179 ExactSubstr cut (over the survivors' CLEANED text) → q64
+  // decontamination (held-out = doc_id % 10 = 0, the q64 convention,
+  // against the same derived corpus) → q65 packing on POST-CUT token
+  // counts → q68 sharding. One audit row per input doc; per-stage
+  // attrition is a count over the stage flags. The seams this gates:
+  // the funnel's clean_text is the cut's input corpus (detection runs
+  // on SURVIVORS only), and the cut's token rebuild feeds the
+  // decontamination hash contract (the rebuild is a normText fixed
+  // point — PretrainPipelineSpec pins that identity; the oracle
+  // normalizes symmetrically so parity never depends on it).
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      regexp_replace(regexp_replace(col("text"), "line", "line.\n"),
+        "key", "key.\n\n").as("text"))
+      .repartition(col("doc_id")) // q185's single-row-group fixture note
+    PretrainPipeline.audit(docs, "doc_id", "text", "lang",
+        isTargetLang = col("lang") === "en",
+        bench = docs.filter(col("doc_id") % 10 === 0),
+        isHeldOut = col("doc_id") % 10 === 0,
+        minWords = 20, minReqStop = 1)
+      .orderBy("doc_id")
+  }
+
+  val q186Sql: String =
+    s"""WITH $funnelBaseCte, ${funnelCtes("base", "b.lang = 'en'", 20, 1)},
+        surv AS (
+          SELECT c.doc_id, f.clean_text AS text
+          FROM canon c JOIN flags f ON c.doc_id = f.doc_id
+          WHERE c.doc_id = c.m
+        ), ${exactSubstrCtes("surv")}, $cutCtes, ct AS (
+          SELECT doc_id, array_to_string(kept, ' ') AS cut_text,
+            CAST(len(ts) AS BIGINT) AS n_clean_tok,
+            CAST(len(kept) AS BIGINT) AS n_kept_tok,
+            CAST(len(ts) - len(kept) AS BIGINT) AS n_cut_tok,
+            CAST(n_spans AS BIGINT) AS n_spans
+          FROM cut
+        ), dec AS (
+          SELECT doc_id, cut_text, n_clean_tok, n_kept_tok, n_cut_tok, n_spans,
+            ((doc_id % 10 <> 0) AND
+             md5(regexp_replace(lower(trim(cut_text)), '\\s+', ' ', 'g')) NOT IN (
+               SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               FROM base WHERE doc_id % 10 = 0)) AS pass_decontam
+          FROM ct
+        ), pk AS (
+          SELECT d.doc_id, b.lang, d.n_kept_tok
+          FROM dec d JOIN base b ON d.doc_id = b.doc_id
+          WHERE d.pass_decontam
+        ), packed AS (
+          SELECT doc_id,
+            CAST(floor(CAST(SUM(n_kept_tok) OVER (PARTITION BY lang
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) - n_kept_tok AS DOUBLE) / 2048) AS BIGINT)
+              AS pack_id
+          FROM pk
+        ), sh AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM pk
+        ), sharded AS (
+          SELECT doc_id,
+            CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+              AS BIGINT) AS shard,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+              ORDER BY hx) AS BIGINT) AS shard_pos
+          FROM sh
+        )
+        SELECT f.doc_id, f.pass_lang, f.pass_quality, f.pass_repetition,
+          f.pass_page,
+          coalesce(c.doc_id = c.m, false) AS is_canonical,
+          CASE WHEN c.doc_id = c.m THEN c.h END AS clean_md5,
+          md5(d.cut_text) AS cut_md5,
+          d.n_clean_tok, d.n_kept_tok, d.n_cut_tok, d.n_spans,
+          d.pass_decontam, p.pack_id, s.shard, s.shard_pos
+        FROM flags f
+          LEFT JOIN canon c ON f.doc_id = c.doc_id
+          LEFT JOIN dec d ON f.doc_id = d.doc_id
+          LEFT JOIN packed p ON f.doc_id = p.doc_id
+          LEFT JOIN sharded s ON f.doc_id = s.doc_id
         ORDER BY f.doc_id"""
 }

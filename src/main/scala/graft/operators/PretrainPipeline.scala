@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** The COMPOSED end-to-end pre-training data pipeline — the engine's
+  * analog of the reference's `process()` driver (stats.py:1094), whose
+  * value is the composition, not the stages: quality funnel →
+  * ExactSubstr cut → benchmark decontamination → sequence packing →
+  * shard shuffle, emitting ONE AUDIT ROW PER INPUT DOCUMENT with every
+  * stage's verdict, so per-stage attrition is a `count(...)` away and a
+  * data team can answer "where did my tokens go" from a single table.
+  *
+  * Stage contracts (each oracle-gated standalone; q186 gates the SEAMS):
+  *
+  *  1. [[CorpusOps.qualityFunnel]] (q185): language → Gopher quality →
+  *     Gopher repetition → C4 page cleaning → exact dedup of the
+  *     cleaned text. Canonical survivors carry `clean_text` forward
+  *     (`withCleanText = true`) — the rule tower runs ONCE.
+  *  2. [[Dedup.cutDuplicateSpans]] (q179) over the SURVIVORS' cleaned
+  *     text: duplicated-span detection + token-exact rebuild. The
+  *     survivor corpus is clone-free BY CONSTRUCTION (canonical = one
+  *     doc per distinct clean text), so this is the one call site
+  *     where the adaptive clone router is provably unnecessary — the
+  *     direct form is always the right plan here.
+  *  3. [[CorpusOps.decontaminate]]'s contract (q64) against the raw
+  *     held-out benchmark, applied to the CUT text. THE SEAM: the cut
+  *     rebuild is lowercase whitespace tokens joined by single spaces,
+  *     a fixed point of [[TextFunctions.normText]], so
+  *     `contentHash(cut_text)` equals `md5(cut_text)` — the rebuild
+  *     feeds the decontamination hash contract unchanged
+  *     (PretrainPipelineSpec pins this; the q186 oracle replays it).
+  *  4. [[CorpusOps.packSequences]] (q65) on the POST-CUT token counts
+  *     (`n_kept_tok` — packing pre-cut counts would overfill windows),
+  *     per language in id order.
+  *  5. [[CorpusOps.shardAssign]] (q68) over the packed survivors.
+  *
+  * Scale shape (100 TB): the funnel is one map-side rule pass plus one
+  * salted-key dedup window; it is persisted ONCE here because it is
+  * the only stage boundary with multiple downstream consumers (the
+  * cut's span detection, its rebuild join-back, and the final audit
+  * assembly) — at production scale this persist is a checkpoint to
+  * parquet between pipeline stages, which also resets lineage. The cut
+  * is the q178/q179 machinery (hash-only phase-A exchange, Bloom
+  * prefilter); decontamination is a broadcast anti-join (the benchmark
+  * is always the small side); pack is one window shuffle on the
+  * mixture key; shard is one window shuffle on the bounded shard key.
+  * Every join back to the audit row is an equi-join on the id.
+  */
+object PretrainPipeline {
+
+  /** Run the composed pipeline, returning one audit row per input doc:
+    *
+    *   - funnel verdicts: `pass_lang`, `pass_quality`,
+    *     `pass_repetition`, `pass_page`, `is_canonical`, `clean_md5`
+    *   - cut results (canonical survivors only, else null): `cut_md5`,
+    *     `n_clean_tok`, `n_kept_tok`, `n_cut_tok`, `n_spans`
+    *   - `pass_decontam` (survivors only): not held out AND the cut
+    *     text's content hash misses every benchmark hash
+    *   - loader assignment (trainable docs only): `pack_id`, `shard`,
+    *     `shard_pos`
+    *
+    * @param bench     held-out benchmark docs (raw text; hashed with
+    *                  [[TextFunctions.contentHash]] and broadcast)
+    * @param isHeldOut predicate over the doc columns marking benchmark
+    *                  MEMBERS inside `docs` (they are never trainable,
+    *                  independent of hash collision)
+    */
+  def audit(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+            isTargetLang: Column, bench: DataFrame, isHeldOut: Column,
+            minWords: Long = 50, minReqStop: Int = 2,
+            k: Int = 8, minCount: Long = 2,
+            capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    // Stage 1 — the only multiply-consumed stage boundary: persist.
+    val funnel = CorpusOps.qualityFunnel(docs, idCol, textCol, isTargetLang,
+        minWords, minReqStop, withCleanText = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = funnel.filter(col("is_canonical"))
+      .select(col(idCol), col("clean_text").as("text"))
+    // Stage 2 — survivors are clone-free by construction: direct form.
+    val cut = Dedup.cutDuplicateSpans(survivors, idCol, "text", k, minCount)
+    // Stage 3 — the seam: the rebuild is a normText fixed point, so
+    // contentHash(clean_text) == md5(clean_text) here.
+    val benchHashes = bench
+      .select(TextFunctions.contentHash(col(textCol)).as("__bh")).distinct()
+    val decon = cut
+      .join(broadcast(benchHashes),
+        TextFunctions.contentHash(col("clean_text")) === col("__bh"), "left")
+      .join(docs.select(col(idCol), col(langCol), isHeldOut.as("__held")),
+        Seq(idCol))
+      .withColumn("pass_decontam", !col("__held") && col("__bh").isNull)
+    // Stages 4+5 — loader assignment over the trainable set.
+    val trainable = decon.filter(col("pass_decontam"))
+      .select(col(idCol), col(langCol), col("n_kept"))
+    val packed = CorpusOps.packSequences(trainable, Seq(langCol), idCol,
+      col("n_kept"), capacity)
+    val assigned = CorpusOps.shardAssign(packed, idCol, nShards)
+      .select(col(idCol), col("pack_id"), col("shard"), col("shard_pos"))
+    funnel.drop("clean_text")
+      .join(decon.select(col(idCol),
+        md5(col("clean_text").cast(BinaryType)).as("cut_md5"),
+        col("n_tok").as("n_clean_tok"), col("n_kept").as("n_kept_tok"),
+        col("n_cut").as("n_cut_tok"), col("n_spans"), col("pass_decontam")),
+        Seq(idCol), "left")
+      .join(assigned, Seq(idCol), "left")
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusOps, Dedup, PretrainPipeline}
+import org.apache.spark.sql.functions._
+
+/** The composed pre-training pipeline (q186): per-stage audit
+  * coherence on a hand-built corpus where every stage does real work,
+  * the q179→q64 seam (the cut rebuild is a normText fixed point, so
+  * the decontamination hash contract is unchanged by composition), and
+  * equivalence of each composed stage with its standalone operator.
+  */
+class PretrainPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Corpus design: every doc that should pass carries >= 3 distinct
+  // lines, each >= 5 words with terminal punctuation (the C4 page
+  // gate), at least one required stopword, and no within-doc repeats
+  // (the Gopher repetition caps). Stage triggers:
+  //  - 1,2: byte-identical -> funnel dedup keeps 1
+  //  - 3 shares `lineA` (12 tokens >= k=8) with 1 -> ExactSubstr cuts
+  //  - 4 wrong language; 5 too short
+  //  - 10: held-out bench member (id%10==0) that FAILS the funnel
+  //    (lang) — bench membership is independent of funnel survival
+  //  - 7: canonical doc whose text is 10's up to CASE: distinct clean
+  //    text (no funnel collapse, no shared spans with survivors), but
+  //    the same contentHash -> decontaminated by hash collision
+  //  - 20: held-out member that passes everything -> never trainable
+  private val lineA =
+    "the quick brown fox jumps over the lazy dog with great enthusiasm today."
+  private val lineB =
+    "a completely different sentence that shares no token window with anything else."
+  private val lineC =
+    "every document needs a third distinct line to satisfy the page rule."
+  private val lineD =
+    "one more short line keeps the char total high and the gram fraction low."
+  private val benchText = Seq(
+    "benchmark question text that must never appear in the training corpus ever.",
+    "a second benchmark line with enough words to pass the filters easily.",
+    "the third benchmark line also carries plenty of words to qualify fine.",
+    "a closing benchmark line adds extra words so the gram caps stay happy.").mkString("\n")
+  private val docs = Seq(
+    (1L, "en", s"$lineA\n$lineB\n$lineC\n$lineD"),
+    (2L, "en", s"$lineA\n$lineB\n$lineC\n$lineD"),
+    (3L, "en", Seq(lineA,
+      "yet another unique closing sentence with many additional trailing words here today.",
+      "this particular document carries its own special ending line for the test.",
+      "a final line of filler words keeps the gram caps low for this doc.").mkString("\n")),
+    (4L, "de", s"$lineB\n$lineC\n$lineA\n$lineD"),
+    (5L, "en", "too short."),
+    (6L, "en", Seq(
+      "the solitary document in this corpus covers gardening tips for spring weather.",
+      "water the seedlings early so roots settle before the midday sun arrives.",
+      "rotate crops each season to keep the soil nutrients balanced and fresh.",
+      "harvest herbs in the morning when their oils are most concentrated overall.").mkString("\n")),
+    (10L, "de", benchText),
+    (7L, "en", benchText.split("\n").map(_.capitalize).mkString("\n")),
+    (20L, "en", Seq(
+      "held out benchmark content that still passes every single quality gate today.",
+      "a further line of held out content with plenty of distinct words present.",
+      "the final held out line completes the page with room to spare honestly.",
+      "one last held out line pads the character count beyond the caps nicely.").mkString("\n"))
+  ).toDF("doc_id", "lang", "text")
+
+  private def run() =
+    PretrainPipeline.audit(docs, "doc_id", "text", "lang",
+        isTargetLang = col("lang") === "en",
+        bench = docs.filter(col("doc_id") % 10 === 0),
+        isHeldOut = col("doc_id") % 10 === 0,
+        minWords = 5, minReqStop = 1, k = 8, minCount = 2,
+        capacity = 16, nShards = 4)
+
+  test("audit rows: one per input doc; stage verdicts coherent and monotone") {
+    val out = run().collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.count())
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    def isNull(id: Long, c: String) = out(id).isNullAt(out(id).fieldIndex(c))
+    // funnel verdicts
+    assert(!b(4L, "pass_lang") && !b(10L, "pass_lang") && !b(5L, "pass_quality"))
+    assert(b(1L, "is_canonical") && !b(2L, "is_canonical"),
+      "min-id canonical of the byte-identical pair")
+    assert(b(7L, "is_canonical") && b(20L, "is_canonical"))
+    // docs that never reach a stage carry nulls there
+    for (id <- Seq(2L, 4L, 5L, 10L);
+         c <- Seq("cut_md5", "pass_decontam", "pack_id", "shard"))
+      assert(isNull(id, c), s"doc $id must be null at $c")
+    // the duplicated span (lineA in survivors 1 and 3) is cut from both
+    assert(out(1L).getAs[Long]("n_cut_tok") > 0 &&
+      out(3L).getAs[Long]("n_cut_tok") > 0)
+    for (id <- Seq(6L, 7L, 20L))
+      assert(out(id).getAs[Long]("n_cut_tok") == 0L, s"doc $id must be uncut")
+    // decontamination: held-out member never trainable; the case-variant
+    // training doc dies to the benchmark hash; clean docs pass
+    assert(!b(20L, "pass_decontam"))
+    assert(!b(7L, "pass_decontam"), "normalized-hash collision with benchmark")
+    assert(b(1L, "pass_decontam") && b(3L, "pass_decontam") && b(6L, "pass_decontam"))
+    // loader assignment exists exactly for the trainable set
+    for (id <- Seq(1L, 3L, 6L))
+      assert(!isNull(id, "pack_id") && !isNull(id, "shard") && !isNull(id, "shard_pos"))
+    for (id <- Seq(7L, 20L))
+      assert(isNull(id, "pack_id") && isNull(id, "shard"))
+    // attrition counts read straight off the audit table
+    val rows = out.values.toSeq
+    assert(rows.count(_.getAs[Boolean]("is_canonical")) == 5)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("pass_decontam")) &&
+      r.getAs[Boolean]("pass_decontam")) == 3)
+  }
+
+  test("the q179->q64 seam: the cut rebuild is a normText fixed point") {
+    // Engine side of the seam, pinned directly: for every canonical
+    // survivor, contentHash(cut text) == md5(cut text) — normalization
+    // is identity on the lowercase single-spaced token rebuild, so the
+    // decontamination stage sees exactly the hash q64's contract
+    // computes over raw text. This is what lets the composed oracle
+    // normalize symmetrically without changing any verdict.
+    val funnel = CorpusOps.qualityFunnel(docs, "doc_id", "text",
+      col("lang") === "en", minWords = 5, minReqStop = 1, withCleanText = true)
+    val cut = Dedup.cutDuplicateSpans(
+      funnel.filter(col("is_canonical"))
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", k = 8, minCount = 2)
+    assert(cut.count() == 5)
+    val mismatches = cut.filter(
+      TextFunctions.contentHash(col("clean_text")) =!=
+        md5(col("clean_text").cast("binary"))).count()
+    assert(mismatches == 0L)
+  }
+
+  test("composed stages equal their standalone operators on the trainable set") {
+    val out = run()
+    // packing: capacity 16, first-fit cumulative windows per lang in
+    // id order — replay in plain Scala over the audit's own counts
+    val packs = out.filter(col("pack_id").isNotNull)
+      .select("doc_id", "n_kept_tok", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var cum = 0L
+    val expected = packs.map { case (id, n, _) =>
+      val p = cum / 16; cum += n; (id, n, p)
+    }
+    assert(packs.toSeq == expected.toSeq)
+    // sharding matches the standalone operator on the same id set
+    val ids = out.filter(col("pack_id").isNotNull).select("doc_id")
+    val standalone = CorpusOps.shardAssign(ids, "doc_id", 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("shard_pos"))).toSet
+    val composed = out.filter(col("shard").isNotNull)
+      .select("doc_id", "shard", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed == standalone)
+  }
+
+  test("q186 runs at fixture scale, is deterministic, and matches its row contract") {
+    val a = TrainingQueries.q186(spark, sf).collect()
+    val b = TrainingQueries.q186(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // every input doc appears exactly once
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(a.length == n)
+  }
+}
