@@ -129,8 +129,11 @@ object LlmQueries {
         (col("doc_id") === col("cluster_id")).as("is_rep"))
       .orderBy("doc_id")
 
-  val q72Sql: String =
-    s"""WITH RECURSIVE $shingleCte, e AS (
+  /** Near-dup connected-component CTE chain (`lab` = per-doc cluster
+    * label, `sizes` = per-cluster size) over [[shingleCte]] — shared by
+    * q72's standalone oracle and q191's duplication report. */
+  private val nearDupCtes: String =
+    s"""$shingleCte, e AS (
          SELECT a.doc_id AS a, b.doc_id AS b FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)) >= 0.5
@@ -148,10 +151,52 @@ object LlmQueries {
          FROM documents d LEFT JOIN comp c USING (doc_id)
        ), sizes AS (
          SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
-       )
+       )"""
+
+  val q72Sql: String =
+    s"""WITH RECURSIVE $nearDupCtes
        SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
          lab.doc_id = lab.cluster_id AS is_rep
        FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id"""
+
+  // q191: corpus DUPLICATION REPORT — the cluster-size histogram every
+  // dedup paper publishes (and every data team reads to size the dedup
+  // pass): per near-dup cluster size, how many clusters, docs, chars,
+  // and what fraction of docs a dedup pass would remove. Composes q72's
+  // cluster machinery (LSH blocks, exact Jaccard decides, CC closes)
+  // with one bounded aggregation: after the per-doc labels exist, the
+  // histogram is a groupBy on cluster_size — at 100 TB the report is
+  // two tiny shuffles past the dedup pass itself.
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.nearDupClustersLayered(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct("cluster_id")).as("n_dup_docs"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("dup_doc_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("cluster_size")
+  }
+
+  val q191Sql: String =
+    s"""WITH RECURSIVE $nearDupCtes, rep AS (
+         SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size, d.n_chars
+         FROM lab JOIN sizes USING (cluster_id)
+           JOIN documents d ON lab.doc_id = d.doc_id
+       )
+       SELECT cluster_size,
+         count(DISTINCT cluster_id) AS n_clusters,
+         count(*) AS n_docs,
+         count(*) - count(DISTINCT cluster_id) AS n_dup_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(*) - count(DISTINCT cluster_id) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_doc_frac
+       FROM rep GROUP BY cluster_size ORDER BY cluster_size"""
 
   // q23: character-set Jaccard between consecutive docs of each source —
   // matches DuckDB's jaccard() exactly (integer set sizes -> exact

@@ -1463,4 +1463,219 @@ object TrainingQueries {
           LEFT JOIN packed p ON f.doc_id = p.doc_id
           LEFT JOIN sharded s ON f.doc_id = s.doc_id
         ORDER BY f.doc_id"""
+
+  /** DuckDB rendering of `wordShingles(text, n)` with per-position
+    * multiplicity (no dedup): n-token windows when the doc has >= n
+    * tokens, the single whole-doc gram otherwise. */
+  private def gramsSql(n: Int): String = {
+    val joined = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $n
+          THEN list_transform(range(1, len(toks) - ${n - 2}), i -> $joined)
+          ELSE [list_aggregate(toks, 'string_agg', ' ')] END"""
+  }
+
+  // q187: PaLM-style contamination REPORT (Chowdhery et al. 2022) —
+  // per training doc, the fraction of its 8-gram POSITIONS whose gram
+  // occurs anywhere in the held-out benchmark (doc_id % 10 = 0, the
+  // q64 convention), plus the >= 70% drop verdict. q64 answers "drop
+  // it?"; this answers "how much overlaps" — the audit a data team
+  // reads before choosing the threshold. Bench gram set broadcast;
+  // the only shuffle is the per-doc (id, two longs) count.
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  val q187Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, ${gramsSql(8)} AS gs FROM t
+        ), bg AS (
+          SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 10 = 0
+        ), tr AS (
+          SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 10 <> 0
+        ), c AS (
+          SELECT tr.doc_id, count(*) AS n_grams, count(bg.g) AS n_hit
+          FROM tr LEFT JOIN bg ON tr.g = bg.g GROUP BY tr.doc_id
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac,
+          (10 * n_hit >= 7 * n_grams) AS flagged
+        FROM c ORDER BY doc_id"""
+
+  // q188: HTML visible-text extraction — the WET stage upstream of
+  // every web-corpus filter. The gate synthesizes a deterministic HTML
+  // page per doc (title/style/script with markup-looking content,
+  // comment, headline, escaped body, entity footer) and the operator
+  // recovers the visible text; the oracle replays BOTH legs with the
+  // same RE2/Java-portable patterns, and CorpusOpsSpec pins the
+  // escape->extract round trip on hand fixtures. Map-side codegen'd
+  // Column chain — the 100 TB pass is scan-speed.
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast(StringType),
+      lit("</title><style>p{margin:0;}</style>" +
+        "<script type=\"text/javascript\">var t = 1 < 2 && \"a\" > \"b\";" +
+        "</script></head><body><!-- source: "), col("source"),
+      lit(" --><h1 class=\"hd\">doc "), col("doc_id").cast(StringType),
+      lit("</h1><p id=\"main\">"), CorpusOps.htmlEscape(col("text")),
+      lit("</p><p>&quot;fin&quot;&nbsp;&amp;&nbsp;&#39;done&#39;</p>" +
+        "</body></html>"))
+    docs.select(col("doc_id"), CorpusOps.htmlExtract(html).as("text_clean"))
+      .withColumn("n_chars", length(col("text_clean")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val q188Sql: String =
+    """WITH h AS (
+         SELECT doc_id,
+           '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>p{margin:0;}</style>' ||
+           '<script type="text/javascript">var t = 1 < 2 && "a" > "b";' ||
+           '</script></head><body><!-- source: ' || source ||
+           ' --><h1 class="hd">doc ' || CAST(doc_id AS VARCHAR) ||
+           '</h1><p id="main">' ||
+           replace(replace(replace(text, '&', '&amp;'),
+                   '<', '&lt;'), '>', '&gt;') ||
+           '</p><p>&quot;fin&quot;&nbsp;&amp;&nbsp;&#39;done&#39;</p>' ||
+           '</body></html>' AS html
+         FROM documents
+       ), x AS (
+         SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', chr(34)), '&#39;', chr(39)), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text_clean
+         FROM h
+       )
+       SELECT doc_id, text_clean, CAST(len(text_clean) AS BIGINT) AS n_chars
+       FROM x ORDER BY doc_id"""
+
+  // q189: FUZZY decontamination audit — best benchmark match by EXACT
+  // 3-gram-shingle Jaccard per training doc + the >= 0.7 drop verdict
+  // (benchmarks leak into crawls reformatted, not byte-identical; the
+  // near-dup complement of q64's exact pass). Bipartite q111 contract:
+  // candidates from the shared-shingle join against the BROADCAST
+  // bench side, decided by exact counts; argmax tiebreaks to the
+  // smallest bench id.
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id")
+  }
+
+  val q189Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, list_distinct(${gramsSql(3)}) AS sh FROM t
+        ), b AS (
+          SELECT doc_id AS bid, len(sh) AS bn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 = 0
+        ), tr AS (
+          SELECT doc_id AS tid, len(sh) AS tn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 <> 0
+        ), p AS (
+          SELECT tid, bid, count(*) AS i,
+            any_value(tn) + any_value(bn) - count(*) AS u
+          FROM tr JOIN b USING (g) GROUP BY tid, bid
+        ), best AS (
+          SELECT tid, bid, i, u,
+            CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS j,
+            row_number() OVER (PARTITION BY tid
+              ORDER BY CAST(i AS DOUBLE) / CAST(u AS DOUBLE) DESC, bid ASC)
+              AS rn
+          FROM p
+        )
+        SELECT d.doc_id, b.bid AS bench_id, CAST(b.i AS BIGINT) AS inter,
+          CAST(b.u AS BIGINT) AS uni, b.j AS jaccard,
+          coalesce(10 * b.i >= 7 * b.u, false) AS dropped
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.tid
+        ORDER BY d.doc_id"""
+
+  // q190: CCNet-style per-line language segmentation (Wenzek et al.
+  // LREC'20) — langid every line, keep the page-language (or und)
+  // lines, re-join. ONE native-kernel call per row (LineLangId, the
+  // q184 RepetitionStats discipline: a transform lambda would be
+  // CodegenFallback, four stopword scans per element), no shuffle.
+  // Lines are manufactured by the q185 base synthesis (the corpus is
+  // newline-free); the oracle replays scores/preds/page/kept with
+  // list lambdas over the same synthesized lines.
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), "line", "line.\n"),
+        "key", "key.\n\n").as("text"))
+    CorpusOps.lineLanguageFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("page_lang"), col("n_lines"), col("n_kept"),
+        col("kept_frac"),
+        md5(col("clean_text").cast(BinaryType)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q190Sql: String = {
+    // Per-line stopword score for one profile over expression `v` —
+    // TextFunctions.LangProfiles is the single source of truth.
+    def hits(v: String, words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower($v), '\\s+'), " +
+        s"x -> len(x) > 0 AND x IN ($inList)))"
+    }
+    val profiles = graft.functions.TextFunctions.LangProfiles
+    val scoreCols = profiles.zipWithIndex.map { case ((_, words), ix) =>
+      s"list_transform(ls, ln -> ${hits("ln", words)}) AS s$ix"
+    }.mkString(",\n            ")
+    val g = "greatest(" + profiles.indices.map(ix => s"s$ix[i]").mkString(", ") + ")"
+    val predCase = "CASE WHEN " + g + " = 0 THEN 'und' " +
+      profiles.init.zipWithIndex.map { case ((lang, _), ix) =>
+        s"WHEN s$ix[i] = $g THEN '$lang' "
+      }.mkString + s"ELSE '${profiles.last._1}' END"
+    val pg = "greatest(" + profiles.indices.map(ix => s"t$ix").mkString(", ") + ")"
+    val pageCase = "CASE WHEN " + pg + " = 0 THEN 'und' " +
+      profiles.init.zipWithIndex.map { case ((lang, _), ix) =>
+        s"WHEN t$ix = $pg THEN '$lang' "
+      }.mkString + s"ELSE '${profiles.last._1}' END"
+    s"""WITH $funnelBaseCte, l AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM base
+        ), sc AS (
+          SELECT doc_id, ls,
+            $scoreCols
+          FROM l
+        ), pr AS (
+          SELECT doc_id, ls,
+            list_transform(range(1, len(ls) + 1), i -> $predCase) AS preds,
+            ${profiles.indices.map(ix => s"coalesce(list_sum(s$ix), 0) AS t$ix")
+              .mkString(", ")}
+          FROM sc
+        ), pg AS (
+          SELECT doc_id, ls, preds, $pageCase AS page_lang FROM pr
+        ), k AS (
+          SELECT doc_id, page_lang, CAST(len(ls) AS BIGINT) AS n_lines,
+            list_filter(ls, (x, i) ->
+              preds[i] = page_lang OR preds[i] = 'und') AS kept
+          FROM pg
+        )
+        SELECT doc_id, page_lang, n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          CAST(len(kept) AS DOUBLE) / CAST(n_lines AS DOUBLE) AS kept_frac,
+          md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''))
+            AS clean_md5
+        FROM k ORDER BY doc_id"""
+  }
 }

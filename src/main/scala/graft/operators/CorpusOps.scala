@@ -594,6 +594,163 @@ object CorpusOps {
       .withColumn("shard_pos", row_number().over(w).cast(LongType))
   }
 
+  // -------------------------------------------------- contamination report
+
+  /** Per-document benchmark-overlap REPORT (the PaLM §App. "contaminated
+    * if ≥70% of 8-grams were seen" audit, Chowdhery et al. 2022): for
+    * every training doc, the fraction of its word n-gram POSITIONS whose
+    * gram occurs anywhere in the benchmark corpus — q64 answers "drop
+    * it?", this answers "how much of it overlaps", which is what a data
+    * team reads before picking the threshold.
+    *
+    * Every window position counts (a doc that repeats a leaked gram is
+    * more contaminated, not equally), so the train side explodes
+    * [[TextFunctions.wordShingles]] WITHOUT dedup; docs shorter than
+    * `n` tokens contribute their single whole-doc gram (the shingle
+    * convention). The verdict is an integer cross-multiplication
+    * (`thrDen·n_hit >= thrNum·n_grams`) and the fraction one IEEE
+    * division of exact longs — both engine-exact.
+    *
+    * Scale: benchmark corpora are MBs against training TBs, so the
+    * distinct bench gram set is BROADCAST (the q64 shape) and matching
+    * is on the gram STRINGS — exact, no collision caveat; hashing the
+    * grams to 64 bits before the probe is the documented production
+    * shrink when the bench set is large. The only shuffle is the
+    * per-doc count aggregation: (id, two longs), combined map-side.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, n: Int = 8,
+                          thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("contam_frac"),
+        (col("n_hit") * thrDen >= col("n_grams") * thrNum).as("flagged"))
+  }
+
+  // -------------------------------------------------- fuzzy decontaminate
+
+  /** FUZZY decontamination audit: for every training doc, its
+    * best-matching benchmark doc by exact shingle-set Jaccard, plus the
+    * drop verdict at `thrNum/thrDen` — the near-duplicate complement of
+    * [[decontaminate]]'s exact pass (benchmarks leak into crawls
+    * reformatted, not byte-identical; Llama/GPT-4-style fuzzy overlap).
+    *
+    * Exact, not probabilistic: candidates are generated by the shared
+    * shingle join and decided by exact |∩|/|∪| — a bipartite version of
+    * the q111 AllPairs contract, with the prefix filter unnecessary
+    * because the BENCH side is broadcast (candidate fan-out is bounded
+    * by true gram overlaps with a tiny corpus, not by |train|²). The
+    * argmax is `max(struct(jaccard, -bench_id))` — deterministic
+    * tiebreak to the smallest benchmark id on equal similarity.
+    *
+    * Output: one row per train doc — `bench_id`/`inter`/`uni`/`jaccard`
+    * null when no shingle overlaps anything (trivially kept), `dropped`
+    * never null. The jaccard is ONE IEEE division of exact longs; the
+    * verdict an integer cross-multiplication — both engine-exact.
+    */
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int = 3,
+                         thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+    def shingled(df: DataFrame, id: String) = df.select(
+      col(idCol).as(id),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("__sh"))
+    val b = shingled(bench, "__bid").withColumn("__bn", size(col("__sh")))
+      .select(col("__bid"), col("__bn"), explode(col("__sh")).as("__g"))
+    val t = shingled(train, "__tid").withColumn("__tn", size(col("__sh")))
+    val pairs = t
+      .select(col("__tid"), col("__tn"), explode(col("__sh")).as("__g"))
+      .join(broadcast(b), Seq("__g"))
+      .groupBy("__tid", "__bid")
+      .agg(count(lit(1)).as("inter"),
+        (first(col("__tn")) + first(col("__bn"))).as("__sum"))
+      .select(col("__tid"), col("__bid"), col("inter"),
+        (col("__sum") - col("inter")).cast(LongType).as("uni"))
+    val best = pairs
+      .groupBy("__tid")
+      .agg(max(struct(
+        (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("j"),
+        (-col("__bid")).as("negb"),
+        col("inter").as("i"), col("uni").as("u"))).as("__best"))
+      .select(col("__tid"),
+        (-col("__best.negb")).cast(LongType).as("bench_id"),
+        col("__best.i").cast(LongType).as("inter"),
+        col("__best.u").as("uni"), col("__best.j").as("jaccard"),
+        (col("__best.i") * thrDen >= col("__best.u") * thrNum).as("__drop"))
+    train.select(col(idCol))
+      .join(best.withColumnRenamed("__tid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
+        col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
+  }
+
+  // ------------------------------------------- line language segmentation
+
+  /** CCNet-style per-line language segmentation (Wenzek et al.
+    * LREC'20): langid every line, langid the page (= the argmax over
+    * the summed line scores, provably identical to langid of the full
+    * text), keep lines whose prediction matches the page language or is
+    * `und`, and re-join the survivors — the "strip the foreign-language
+    * boilerplate" pass between extraction and the quality filters.
+    *
+    * Runs as ONE native-kernel call per row ([[graft.plans.LineLangId]],
+    * the RepetitionStats precedent — a `transform` lambda over lines
+    * would be CodegenFallback and re-evaluate four stopword scans per
+    * element), inside whole-stage codegen, no shuffle: the 100 TB pass
+    * is scan-speed. Emits `page_lang`, exact line counts, one IEEE
+    * `kept_frac` division, and `clean_text` (original case, `\n`-joined).
+    */
+  def lineLanguageFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ll = graft.plans.LineLangId.lineLangId(col(textCol))
+    df.withColumn("__ll", ll)
+      .select(col(idCol), col("__ll.page_lang").as("page_lang"),
+        col("__ll.n_lines").as("n_lines"), col("__ll.n_kept").as("n_kept"),
+        col("__ll.kept_frac").as("kept_frac"),
+        col("__ll.clean_text").as("clean_text"))
+  }
+
+  // ------------------------------------------------------- html extraction
+
+  /** Visible-text extraction from HTML — the WET-file stage upstream of
+    * every web-corpus filter (CommonCrawl WARC → text): drop
+    * script/style blocks WITH their contents, drop comments, drop the
+    * remaining tags, unescape the core entities, collapse whitespace.
+    *
+    * Order matters and is the one real extractors use: entities are
+    * unescaped AFTER tag stripping, so escaped markup in the text
+    * (`&lt;script&gt;`) can never become live markup; `&amp;` is
+    * rewritten LAST so double-escapes resolve one level per pass.
+    * Patterns are Java/RE2-portable (the PII-pattern discipline): lazy
+    * quantifiers + `(?s)` only, no backreferences, entity rewrites as
+    * plain `replace`. Tags here are lowercase-HTML (the synthesized
+    * corpus shape); real-world use adds `(?i)`.
+    *
+    * Pure `Column` chain over builtins — codegen'd, map-side, no UDF:
+    * the 100 TB extraction pass is scan-speed.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** HTML-escape the text content (the inverse leg [[htmlExtract]]
+    * undoes): `&` first so it never double-escapes the others. */
+  def htmlEscape(text: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(text) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+
   // -------------------------------------------------------------- mixture
 
   /** Per-domain resampling weights toward a UNIFORM target mixture:

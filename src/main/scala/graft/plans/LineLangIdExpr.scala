@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextFunctions
+
+/** Static kernel for CCNet-style per-line language segmentation
+  * (Wenzek et al. LREC'20 split pages into paragraphs, langid each,
+  * keep the page-language ones) — one imperative pass per document
+  * shared by interpreted eval and generated code (the
+  * [[RepetitionImpl]] precedent).
+  *
+  * Semantics, mirrored exactly by the DuckDB oracle:
+  *  - lines = `\n` splits of the RAW text (all of them, empties too);
+  *  - per-line stopword scores over [[TextFunctions.LangProfiles]]
+  *    (tokens = non-empty `\s+` splits of the LOWERCASED line, exactly
+  *    `TextFunctions.tokens`); per-line prediction = argmax with
+  *    profile-order tiebreak, `und` on zero hits (exactly
+  *    [[TextFunctions.langId]]);
+  *  - page language = the same argmax over the SUMMED line scores —
+  *    identical to langId of the full text, because `\n` is whitespace
+  *    so no token spans a line boundary (this is what makes the page
+  *    verdict computable in the same single pass);
+  *  - a line is kept when its prediction matches the page language or
+  *    is `und` (unknown lines carry no counter-evidence);
+  *  - `clean_text` = kept lines re-joined with `\n` in order,
+  *    ORIGINAL case; `kept_frac` = ONE IEEE division of exact counts.
+  *
+  * WHY a native kernel: the declarative form is a `transform` lambda
+  * evaluating four stopword-profile scans per LINE — higher-order
+  * functions are CodegenFallback and re-evaluate free sub-expressions
+  * per element (the q184 lesson, SURVEY §8d). This is one static call
+  * per row inside whole-stage codegen.
+  */
+object LineLangIdImpl {
+
+  val schema: StructType = StructType(Seq(
+    StructField("page_lang", StringType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("kept_frac", DoubleType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  private val profiles: Array[(String, java.util.HashSet[String])] =
+    TextFunctions.LangProfiles.map { case (lang, words) =>
+      val s = new java.util.HashSet[String](words.length * 2)
+      words.foreach(s.add)
+      (lang, s)
+    }.toArray
+
+  def compute(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    // Lowercase the WHOLE text once via UTF8String (exactly Spark's
+    // `lower`); '\n' is unaffected, so lowered line i == lower(line i).
+    val lowered = text.toLowerCase.toString
+    val lines = raw.split("\n", -1)
+    val lowLines = lowered.split("\n", -1)
+    val nLang = profiles.length
+    val pageScores = new Array[Int](nLang)
+    val preds = new Array[Int](lines.length) // profile index; -1 = und
+    var li = 0
+    while (li < lines.length) {
+      val scores = new Array[Int](nLang)
+      val toks = lowLines(li).split("\\s+")
+      var ti = 0
+      while (ti < toks.length) {
+        val t = toks(ti)
+        if (t.nonEmpty) {
+          var p = 0
+          while (p < nLang) {
+            if (profiles(p)._2.contains(t)) scores(p) += 1
+            p += 1
+          }
+        }
+        ti += 1
+      }
+      var m = 0
+      var p = 0
+      while (p < nLang) {
+        pageScores(p) += scores(p)
+        if (scores(p) > m) m = scores(p)
+        p += 1
+      }
+      preds(li) =
+        if (m == 0) -1
+        else { var q = 0; while (scores(q) != m) q += 1; q }
+      li += 1
+    }
+    var pm = 0
+    var p = 0
+    while (p < nLang) { if (pageScores(p) > pm) pm = pageScores(p); p += 1 }
+    val page =
+      if (pm == 0) -1
+      else { var q = 0; while (pageScores(q) != pm) q += 1; q }
+    val pageLang = if (page < 0) "und" else profiles(page)._1
+    val sb = new java.lang.StringBuilder
+    var nKept = 0L
+    li = 0
+    while (li < lines.length) {
+      if (preds(li) == page || preds(li) == -1) {
+        if (nKept > 0) sb.append('\n')
+        sb.append(lines(li))
+        nKept += 1
+      }
+      li += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(pageLang), lines.length.toLong, nKept,
+      nKept.toDouble / lines.length.toDouble,
+      UTF8String.fromString(sb.toString)))
+  }
+}
+
+/** Native Catalyst expression: `LineLangId(text) -> struct` of the
+  * per-line language-segmentation verdict (see [[LineLangIdImpl]]). */
+case class LineLangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LineLangIdImpl.schema
+  override def prettyName: String = "line_lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"line_lang_id requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LineLangIdImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LineLangIdImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LineLangId =
+    copy(child = newChild)
+}
+
+object LineLangId {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def lineLangId(text: Column): Column =
+    ColumnBridge.column(LineLangId(ColumnBridge.expression(text)))
+}

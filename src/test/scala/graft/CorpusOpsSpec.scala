@@ -596,4 +596,167 @@ class CorpusOpsSpec extends SparkSpec {
     val mix = TrainingQueries.q66(spark, sf)
     assert(mix.count() > 0)
   }
+
+  test("contaminationReport: hand-computed gram fractions, multiplicity, short docs") {
+    val bench = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 3 distinct 8-grams
+      (200L, "s1 s2")                           // whole-doc gram (< n tokens)
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // 12 tokens -> 5 positions; 3 fall inside the bench run -> 3/5
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x1 x2"),
+      // 9 tokens -> 2 positions, both bench grams -> 1.0, flagged
+      (2L, "w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),          // 1 position, no hit
+      (4L, "s1 s2"),                            // short == short bench doc
+      // 16 tokens -> 9 positions; only pos 1 and 9 are w1..w8 runs ->
+      // straddling windows miss, REPEATED hits count per position
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationReport(train, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 3L, 0.6, false)))
+    assert(out(2L) == ((2L, 2L, 1.0, true)))
+    assert(out(3L) == ((1L, 0L, 0.0, false)))
+    assert(out(4L) == ((1L, 1L, 1.0, true)))
+    assert(out(5L) == ((9L, 2L, 2.0 / 9.0, false)))
+  }
+
+  test("fuzzyDecontaminate: exact Jaccard, min-id tiebreak, boundary threshold, no-overlap nulls") {
+    val bench = Seq(
+      (100L, "a b c d e"),                       // shingles {abc,bcd,cde}
+      (200L, "a b c d e"),                       // identical -> tiebreak target
+      (300L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")       // 7 shingles
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e"),                         // j = 1.0 vs 100 AND 200
+      (2L, "a b c d x"),                         // inter {abc,bcd} -> 2/4
+      (3L, "q r s t u"),                         // no shingle overlap
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 u1 u2 u3") // inter 7, uni 10 -> 0.7
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.fuzzyDecontaminate(train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // identical doc: jaccard 1.0, tiebreak to the SMALLEST bench id
+    assert(byId(1L).getLong(1) == 100L && byId(1L).getDouble(4) == 1.0
+      && byId(1L).getBoolean(5))
+    assert(byId(2L).getLong(1) == 100L && byId(2L).getLong(2) == 2L
+      && byId(2L).getLong(3) == 4L && byId(2L).getDouble(4) == 0.5
+      && !byId(2L).getBoolean(5))
+    assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(4)
+      && !byId(3L).getBoolean(5))
+    // the >= boundary: 7/10 drops at thrNum/thrDen = 7/10
+    assert(byId(4L).getLong(1) == 300L && byId(4L).getDouble(4) == 0.7
+      && byId(4L).getBoolean(5))
+  }
+
+  test("htmlExtract: blocks/comments/tags dropped, entities after tags, escape round trip") {
+    val cases = Seq(
+      (1L, "<p>Hello</p><script>var a = 1 < 2;</script><style>b{color:red}" +
+        "</style><!-- note --><b>World</b> &amp; &lt;tag&gt;"),
+      // lazy matching: text BETWEEN two script blocks survives
+      (2L, "<script>x</script>keep<script>y</script>"),
+      // escaped markup in text never becomes live markup
+      (3L, "&lt;script&gt;evil()&lt;/script&gt;"),
+      (4L, "a\n  b\t c   d"),
+      (5L, "&quot;q&quot; &#39;s&#39; x&nbsp;y")
+    ).toDF("doc_id", "html")
+    val got = cases.select(col("doc_id"),
+        CorpusOps.htmlExtract(col("html")).as("t"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello World & <tag>")
+    assert(got(2L) == "keep")
+    assert(got(3L) == "<script>evil()</script>")
+    assert(got(4L) == "a b c d")
+    assert(got(5L) == "\"q\" 's' x y")
+    // escape -> embed -> extract round-trips whitespace-collapsed text
+    val texts = Seq((1L, "x < y && z > w"), (2L, "a & b  &  c")).toDF("doc_id", "text")
+    val rt = texts.select(col("doc_id"), CorpusOps.htmlExtract(
+        concat(lit("<p>"), CorpusOps.htmlEscape(col("text")), lit("</p>"))).as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(rt(0) == "x < y && z > w" && rt(1) == "a & b & c")
+  }
+
+  test("lineLanguageFilter: page verdict, per-line keeps, und handling, all-dropped corner") {
+    val docs = Seq(
+      // en page, one de line dropped, stopword-free line kept as und
+      (1L, "the cat and the dog is in a house\nder hund ist nicht ein katze mit\nquick brown fox"),
+      // page tiebreak: summed en==de -> profile order picks en; the de
+      // line is dropped even though it outscores its own line's en
+      (2L, "the and of\nder die und"),
+      // all-und doc: page und, everything kept
+      (3L, "lorem ipsum dolor\nsit amet"),
+      (4L, ""),
+      // the all-dropped corner: per-line argmaxes go de and fr, but the
+      // SUMS tie en=de=fr=2 and the page tiebreak picks en — a page
+      // language no line predicts -> zero survivors
+      (5L, "the der die\nthe le la")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineLanguageFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = (out(id).getString(1), out(id).getLong(2),
+      out(id).getLong(3), out(id).getString(5))
+    assert(row(1L) == (("en", 3L, 2L,
+      "the cat and the dog is in a house\nquick brown fox")))
+    assert(row(2L) == (("en", 2L, 1L, "the and of")))
+    assert(row(3L) == (("und", 2L, 2L, "lorem ipsum dolor\nsit amet")))
+    assert(row(4L) == (("und", 1L, 1L, "")))
+    // the load-bearing identity on every doc: page == langId(full text)
+    val full = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.langId(col("text")).as("pl"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L))
+      assert(out(id).getString(1) == full(id),
+        s"page_lang must equal langId(full text) for doc $id")
+    assert(out(5L).getLong(3) == 0L && out(5L).getString(5) == "")
+  }
+
+  test("lineLanguageFilter == per-line declarative langId on the synthesized corpus") {
+    import org.apache.spark.sql.Row
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), "line", "line.\n"),
+        "key", "key.\n\n").as("text")).limit(100)
+    val kernel = CorpusOps.lineLanguageFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // declarative replay: explode lines, langId each, langId the page
+    val replay = docs.collect().map { case Row(id: Long, text: String) =>
+      (id, text.split("\n", -1))
+    }
+    val lineDf = replay.toSeq.flatMap { case (id, lines) =>
+      lines.zipWithIndex.map { case (l, i) => (id, i, l) }
+    }.toDF("doc_id", "pos", "line")
+      .withColumn("pred", graft.functions.TextFunctions.langId(col("line")))
+    val preds = lineDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    val pages = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    kernel.foreach { r =>
+      val id = r.getLong(0)
+      val lines = replay.find(_._1 == id).get._2
+      assert(r.getString(1) == pages(id))
+      val kept = lines.zipWithIndex.filter { case (_, i) =>
+        val p = preds((id, i)); p == pages(id) || p == "und"
+      }.map(_._1)
+      assert(r.getLong(2) == lines.length && r.getLong(3) == kept.length)
+      assert(r.getString(5) == kept.mkString("\n"))
+    }
+  }
+
+  test("q187/q188/q189 run on the fixture with coherent shapes") {
+    val train = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
+    val rep = TrainingQueries.q187(spark, sf)
+    assert(rep.count() == train)
+    assert(rep.filter(col("n_hit") > col("n_grams")).count() == 0)
+    val html = TrainingQueries.q188(spark, sf)
+    assert(html.count() == Tables.documents(spark, sf).count())
+    // every extraction carries the synthesized headline and footer
+    assert(html.filter(!col("text_clean").startsWith("doc ")).count() == 0)
+    val fz = TrainingQueries.q189(spark, sf)
+    assert(fz.count() == train)
+    assert(fz.filter(col("jaccard") > 1.0 || col("jaccard") < 0.0).count() == 0)
+  }
 }

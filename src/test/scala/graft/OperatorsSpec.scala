@@ -630,6 +630,25 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(4L) == 4L)
   }
 
+  test("q191 duplication report == a plain-Scala histogram over q72's labels") {
+    val perDoc = LlmQueries.q72(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chars = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = perDoc.groupBy(_._3).map { case (size, rows) =>
+      val nClusters = rows.map(_._2).distinct.length.toLong
+      size -> ((nClusters, rows.length.toLong, rows.length - nClusters,
+        rows.map(r => chars(r._1)).sum))
+    }
+    val got = LlmQueries.q191(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"histogram diverged:\ngot=$got\nexp=$expected")
+    // the report partitions the corpus
+    assert(got.values.map(_._2).sum == Tables.documents(spark, sf).count())
+  }
+
   test("layered clustering == direct clustering on a clone-heavy corpus") {
     import spark.implicits._
     val ts = (1 to 40).map(i => s"tok$i")

@@ -725,4 +725,30 @@ class PlanRegressionSpec extends SparkSpec {
     assert(bnlj.size == 1,
       "q169's range lookup must be ONE broadcast nested-loop join against the 5-row bands")
   }
+
+  test("q187/q189: the bench side broadcasts; per-doc counts combine map-side") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // q187: bench gram probe is a broadcast join (the training side —
+    // the 100 TB side — never shuffles for the probe), and the per-doc
+    // (n_grams, n_hit) aggregation has a partial (map-side) phase.
+    val p187 = plan(TrainingQueries.q187(spark, sf))
+    assert(p187.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q187's bench gram set must broadcast")
+    assert(p187.collect { case a: BaseAggregateExec => a }
+      .exists(_.aggregateExpressions.exists(_.toString.contains("partial_"))),
+      "q187's per-doc contamination counts must combine map-side")
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+    assert(p187.collect { case c: CartesianProductExec => c }.isEmpty)
+    // q189: the bipartite candidate join broadcasts the exploded bench
+    // shingles — train×bench similarity never plans a cartesian or a
+    // sort-merge join of the training corpus against the benchmark.
+    val p189 = plan(TrainingQueries.q189(spark, sf))
+    assert(p189.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "q189's exploded bench shingles must broadcast")
+    assert(p189.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(!p189.collect { case s: SortMergeJoinExec => s }
+      .exists(_.leftKeys.exists(_.toString.contains("__g"))),
+      "q189's shingle candidate join must not sort-merge the training side " +
+        "(the only SMJ allowed is the ids-only audit join-back)")
+  }
 }
