@@ -1178,8 +1178,13 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  val q176Sql: String = {
-    val n = 8
+  /** q176's full train-then-meter chain as a reusable CTE builder:
+    * trains the n-merge vocabulary ([[bpeTrainCtes]]), folds it into a
+    * rank map, walks the greedy lowest-rank recursion over the metered
+    * slice, and lands per-doc counts in
+    * `metered(doc_id, bpe_tokens, pre_tokens)` — shared by q176's
+    * standalone oracle and q192's fertility report. */
+  private def bpeMeterCtes(n: Int): String = {
     val kv = (1 to n).map { i =>
       s"SELECT (SELECT p FROM m$i) AS p, ${i - 1} AS r"
     }.mkString(" UNION ALL ")
@@ -1189,7 +1194,7 @@ object LlmQueries {
     val rankList = """list_transform(range(1, len(syms)), i ->
            coalesce(rk[syms[CAST(i AS INTEGER)] || chr(1) || syms[CAST(i AS INTEGER) + 1]][1],
                     1000000))"""
-    s"""WITH RECURSIVE ${bpeTrainCtes(n)}, vocab AS MATERIALIZED (
+    s"""${bpeTrainCtes(n)}, vocab AS MATERIALIZED (
          SELECT map(list(p ORDER BY r), list(r ORDER BY r)) AS rk
          FROM ($kv)
        ), sel AS (
@@ -1222,15 +1227,59 @@ object LlmQueries {
              coalesce(list_aggregate(ranks, 'min'), 1000000) AS minr
            FROM steps, vocab)
          WHERE minr >= 1000000
-       )
-       SELECT s.doc_id,
-         CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
-         CAST(len(regexp_extract_all(s.head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS pre_tokens
-       FROM sel s
-       LEFT JOIN (SELECT doc_id, SUM(n) AS bpe_tokens FROM finals GROUP BY doc_id) c
-         USING (doc_id)
-       ORDER BY s.doc_id"""
+       ), metered AS (
+         SELECT s.doc_id,
+           CAST(coalesce(c.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           CAST(len(regexp_extract_all(s.head, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS pre_tokens
+         FROM sel s
+         LEFT JOIN (SELECT doc_id, SUM(n) AS bpe_tokens FROM finals GROUP BY doc_id) c
+           USING (doc_id)
+       )"""
   }
+
+  val q176Sql: String =
+    s"""WITH RECURSIVE ${bpeMeterCtes(8)}
+       SELECT doc_id, bpe_tokens, pre_tokens FROM metered ORDER BY doc_id"""
+
+  // q192: TOKENIZER FERTILITY report — BPE tokens per pre-tokenizer
+  // word, per language, through the same trained 8-merge vocabulary
+  // q176 gates (fertility per language is the number a team reads when
+  // sizing a multilingual vocabulary: high fertility = the vocab
+  // under-serves that language). Exact long sums + ONE IEEE division;
+  // the apply side is the q173 codegen kernel, the aggregation is one
+  // bounded (|langs|-key) shuffle.
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Bpe
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(substring(col("text"), 1, 200).as("head"))
+    val merges = Bpe.trainMerges(corpus, "head", nMerges = 8)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 15 === 0)
+      .select(col("lang"),
+        Bpe.bpeTokenCount(substring(col("text"), 1, 160), merges).as("bt"),
+        TextFunctions.bpeishTokenCount(substring(col("text"), 1, 160))
+          .cast(LongType).as("pt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bt").as("bpe_tokens"), sum("pt").as("pre_tokens"))
+      .withColumn("fertility",
+        when(col("pre_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("pre_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("lang")
+  }
+
+  val q192Sql: String =
+    s"""WITH RECURSIVE ${bpeMeterCtes(8)}
+       SELECT d.lang, count(*) AS n_docs,
+         CAST(sum(m.bpe_tokens) AS BIGINT) AS bpe_tokens,
+         CAST(sum(m.pre_tokens) AS BIGINT) AS pre_tokens,
+         CASE WHEN sum(m.pre_tokens) > 0
+           THEN CAST(sum(m.bpe_tokens) AS DOUBLE) / CAST(sum(m.pre_tokens) AS DOUBLE)
+           ELSE 0.0 END AS fertility
+       FROM metered m JOIN documents d USING (doc_id)
+       GROUP BY d.lang ORDER BY d.lang"""
 
   // q183: SemDeDup (Abbas et al. 2023) — semantic dedup through a
   // coarse embedding clustering: assign every vector to its

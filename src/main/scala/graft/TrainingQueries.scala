@@ -1483,7 +1483,10 @@ object TrainingQueries {
   // the only shuffle is the per-doc (id, two longs) count.
   def q187(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    CorpusOps.contaminationReport(
+    // adaptive: the driver's corpus is clone-free -> direct plan; a
+    // mirrored crawl routes through the clone-collapsed layered form
+    // (result-identical, spec'd)
+    CorpusOps.contaminationReportAdaptive(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 8)
@@ -1573,7 +1576,10 @@ object TrainingQueries {
   // smallest bench id.
   def q189(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    CorpusOps.fuzzyDecontaminate(
+    // adaptive: clone-free gate corpus -> direct; mirrored crawls
+    // route through the clone-collapsed layered form, killing the
+    // trainClones x benchClones candidate blowup (result-identical)
+    CorpusOps.fuzzyDecontaminateAdaptive(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", shingleN = 3)

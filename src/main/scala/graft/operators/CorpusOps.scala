@@ -635,6 +635,73 @@ object CorpusOps {
         (col("n_hit") * thrDen >= col("n_grams") * thrNum).as("flagged"))
   }
 
+  /** Route on the measured normalized-text clone factor (the Dedup
+    * adaptive-router discipline — [[Dedup.imageDedupDHashAdaptive]]):
+    * a deterministic id-hash sample counts rows per distinct
+    * `contentHash(text)`; clone-heavy corpora take the layered
+    * (collapse-before-pair-work) branch. Same eager-measurement
+    * contract: unless `knownCloneFactor` is supplied, ONE
+    * count/countDistinct job runs at construction time; id-sampling
+    * under-counts clones, biasing toward the safe direct form.
+    */
+  private def routeLayered(df: DataFrame, idCol: String, textCol: String,
+                           minCloneFactor: Double, sampleFraction: Double,
+                           knownCloneFactor: Option[Double]): Boolean =
+    knownCloneFactor match {
+      case Some(f) => f >= minCloneFactor
+      case None =>
+        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val sampled =
+          if (sampleFraction >= 1.0) df
+          else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+            lit(math.round(sampleFraction * 1000000L)))
+        val m = sampled
+          .agg(count(lit(1)).as("n"),
+            countDistinct(TextFunctions.contentHash(col(textCol))).as("d"))
+          .head()
+        val (n, d) = (m.getLong(0), m.getLong(1))
+        d > 0 && n.toDouble / d >=
+          Dedup.sampledCloneThreshold(minCloneFactor, sampleFraction)
+    }
+
+  /** Clone-invariant [[contaminationReport]]: the gram explode + bench
+    * probe + per-doc count run ONCE per distinct normalized train text
+    * (all members of a `contentHash` class share the token sequence,
+    * hence the gram positions, hence the whole report row), then the
+    * rows fan back out to every member id with one hash-keyed join.
+    * Provably and spec'd result-identical to the direct form — on a
+    * mirrored web-crawl corpus the probe work drops by the clone
+    * factor. */
+  def contaminationReportLayered(train: DataFrame, bench: DataFrame,
+                                 idCol: String, textCol: String, n: Int = 8,
+                                 thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+    val ch = TextFunctions.contentHash(col(textCol))
+    val keyed = train.select(col(idCol), ch.as("__ch"))
+    val reps = train.select(ch.as("__repid"), col(textCol))
+      .filter(col("__repid").isNotNull)
+      .groupBy("__repid").agg(min(col(textCol)).as(textCol))
+    val repReport = contaminationReport(reps, bench, "__repid", textCol, n, thrNum, thrDen)
+    keyed.join(repReport.withColumnRenamed("__repid", "__ch"), Seq("__ch"))
+      .select(col(idCol), col("n_grams"), col("n_hit"), col("contam_frac"),
+        col("flagged"))
+  }
+
+  /** Evidence-routed [[contaminationReport]]: direct on clone-free
+    * corpora (no collapse/join-back overhead), layered on clone-heavy
+    * ones. Both branches result-identical; see [[routeLayered]] for the
+    * measurement contract. */
+  def contaminationReportAdaptive(train: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String, n: Int = 8,
+                                  thrNum: Int = 7, thrDen: Int = 10,
+                                  minCloneFactor: Double = 1.5,
+                                  sampleFraction: Double = 0.1,
+                                  knownCloneFactor: Option[Double] = None): DataFrame =
+    if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
+        knownCloneFactor))
+      contaminationReportLayered(train, bench, idCol, textCol, n, thrNum, thrDen)
+    else contaminationReport(train, bench, idCol, textCol, n, thrNum, thrDen)
+
   // -------------------------------------------------- fuzzy decontaminate
 
   /** FUZZY decontamination audit: for every training doc, its
@@ -689,6 +756,71 @@ object CorpusOps {
       .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
         col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
   }
+
+  /** Clone-invariant [[fuzzyDecontaminate]]: the candidate join and
+    * exact-Jaccard verify run over DISTINCT normalized texts on BOTH
+    * sides, then rows fan back out by hash. On a mirrored crawl the
+    * direct form's candidate pairs multiply by trainClones×benchClones
+    * per overlapping text pair — the exact blowup the layered dedup
+    * forms exist to kill (SURVEY §8e: 736 s at sf10 mirrored).
+    *
+    * Result-identical by construction: Jaccard depends only on the
+    * token sequence (= the `contentHash` class); the bench side keeps
+    * the MIN id per class, which is exactly what the argmax tiebreak
+    * (smallest bench id on equal similarity) selects among clones —
+    * across classes the `(jaccard, -bench_id)` argmax then agrees with
+    * the direct form, including ties between classes. Null-text train
+    * docs re-enter as trivially-kept rows, matching the direct form's
+    * left join. */
+  def fuzzyDecontaminateLayered(train: DataFrame, bench: DataFrame,
+                                idCol: String, textCol: String, shingleN: Int = 3,
+                                thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+    val ch = TextFunctions.contentHash(col(textCol))
+    val keyed = train.select(col(idCol), ch.as("__ch"))
+    val tReps = train.select(ch.as(idCol), col(textCol))
+      .filter(col(idCol).isNotNull)
+      .groupBy(idCol).agg(min(col(textCol)).as(textCol))
+    val bReps = bench.select(ch.as("__bch"), col(idCol), col(textCol))
+      .filter(col("__bch").isNotNull)
+      .groupBy("__bch")
+      .agg(min(struct(col(idCol), col(textCol))).as("__s"))
+      .select(col(s"__s.$idCol").as(idCol), col(s"__s.$textCol").as(textCol))
+    val repOut = fuzzyDecontaminate(tReps, bReps, idCol, textCol,
+      shingleN, thrNum, thrDen)
+    val joined = keyed.filter(col("__ch").isNotNull)
+      .join(repOut.withColumnRenamed(idCol, "__ch"), Seq("__ch"))
+      .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
+        col("jaccard"), col("dropped"))
+    val nullText = keyed.filter(col("__ch").isNull)
+      .select(col(idCol),
+        lit(null).cast(LongType).as("bench_id"),
+        lit(null).cast(LongType).as("inter"),
+        lit(null).cast(LongType).as("uni"),
+        lit(null).cast(DoubleType).as("jaccard"),
+        lit(false).as("dropped"))
+    joined.unionByName(nullText)
+  }
+
+  /** Evidence-routed [[fuzzyDecontaminate]] (see [[routeLayered]]).
+    * The router samples the TRAIN side — the 100 TB side where clone
+    * evidence decides the plan. A clone-heavy BENCH with a clone-free
+    * train would still blow up the direct form's candidates by the
+    * bench clone factor; benchmarks are curated and small so that
+    * shape is not routed for — callers who have it should pass
+    * `knownCloneFactor` ≥ the threshold to force the layered form
+    * (which collapses both sides). */
+  def fuzzyDecontaminateAdaptive(train: DataFrame, bench: DataFrame,
+                                 idCol: String, textCol: String, shingleN: Int = 3,
+                                 thrNum: Int = 7, thrDen: Int = 10,
+                                 minCloneFactor: Double = 1.5,
+                                 sampleFraction: Double = 0.1,
+                                 knownCloneFactor: Option[Double] = None): DataFrame =
+    if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
+        knownCloneFactor))
+      fuzzyDecontaminateLayered(train, bench, idCol, textCol, shingleN,
+        thrNum, thrDen)
+    else fuzzyDecontaminate(train, bench, idCol, textCol, shingleN,
+      thrNum, thrDen)
 
   // ------------------------------------------- line language segmentation
 

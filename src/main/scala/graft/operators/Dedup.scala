@@ -1213,7 +1213,7 @@ object Dedup {
     * sampled duplication is real signal, and comparing against the
     * transformed threshold detects clone-heaviness the raw comparison
     * would need a ~10× larger factor to see. */
-  private def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
+  private[operators] def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
     if (p >= 1.0) minCloneFactor
     else (p * minCloneFactor) / (1.0 - math.pow(1.0 - p, minCloneFactor))
 

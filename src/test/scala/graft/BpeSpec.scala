@@ -291,4 +291,25 @@ class BpeSpec extends SparkSpec {
     // and the merges actually fire: strictly more subwords than words
     assert(out.exists(r => r.getAs[Long]("bpe_tokens") > r.getAs[Long]("pre_tokens")))
   }
+
+  test("q192 fertility == aggregating q176's per-doc meter rows by language") {
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = LlmQueries.q176(spark, sf).collect()
+      .map(r => (langs(r.getLong(0)), r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("pre_tokens")))
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val (b, p) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      lang -> ((rows.length.toLong, b, p,
+        if (p > 0) b.toDouble / p.toDouble else 0.0))
+    }
+    val got = LlmQueries.q192(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got == expected, s"fertility diverged:\ngot=$got\nexp=$expected")
+    // fertility is >= 1 whenever any pre-token exists (a merge can only
+    // split words into >= 1 subword each)
+    got.values.foreach { case (_, b, p, f) => if (p > 0) assert(f >= 1.0 && b >= p) }
+  }
 }

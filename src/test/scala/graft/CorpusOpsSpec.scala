@@ -746,6 +746,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("layered contamination/fuzzy-decontamination == direct on clone-heavy AND real corpora") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val mirrored = (0 until 5).map(r => base.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    for (corpus <- Seq(base, mirrored)) {
+      val train = corpus.filter(col("doc_id") % 10 =!= 0)
+      val bench = corpus.filter(col("doc_id") % 10 === 0)
+      val crD = CorpusOps.contaminationReport(train, bench, "doc_id", "text")
+        .collect().toSet
+      val crL = CorpusOps.contaminationReportLayered(train, bench, "doc_id", "text")
+        .collect().toSet
+      assert(crD == crL, s"contamination layered diverged (n=${corpus.count()})")
+      val fzD = CorpusOps.fuzzyDecontaminate(train, bench, "doc_id", "text")
+        .collect().toSet
+      val fzL = CorpusOps.fuzzyDecontaminateLayered(train, bench, "doc_id", "text")
+        .collect().toSet
+      assert(fzD == fzL, s"fuzzy layered diverged (n=${corpus.count()})")
+    }
+    // a supplied clone factor routes identically to a measured one
+    val train = mirrored.filter(col("doc_id") % 10 =!= 0)
+    val bench = mirrored.filter(col("doc_id") % 10 === 0)
+    val viaKnown = CorpusOps.fuzzyDecontaminateAdaptive(train, bench,
+      "doc_id", "text", knownCloneFactor = Some(5.0)).collect().toSet
+    val viaMeasured = CorpusOps.fuzzyDecontaminateAdaptive(train, bench,
+      "doc_id", "text").collect().toSet
+    assert(viaKnown == viaMeasured)
+  }
+
   test("q187/q188/q189 run on the fixture with coherent shapes") {
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
     val rep = TrainingQueries.q187(spark, sf)
