@@ -272,7 +272,14 @@ for name, metric, qfilter, floor, eps_floor in ANN_GATES:
     nq = exact.qid.nunique()
     recall = len(exact_pairs & got_pairs) / max(1, len(exact_pairs))
     eps_recall = eps_hits / max(1, len(exact_pairs))
-    if (nq == 0 or got.query_id.nunique() != nq or recall < floor
+    # cardinality: exactly 5 distinct neighbors per query — otherwise a
+    # return-everything (or duplicate-rows) regression makes both
+    # recalls trivially pass
+    bad_card = (len(got) != 5 * nq or len(got_pairs) != 5 * nq)
+    if bad_card:
+        print(f"FAIL {name}: cardinality {len(got)} rows / "
+              f"{len(got_pairs)} distinct pairs, want {5 * nq}")
+    if (nq == 0 or got.query_id.nunique() != nq or bad_card or recall < floor
             or eps_recall < eps_floor):
         fails.append(name)
         print(f"FAIL {name}: recall@5 {recall:.3f} (floor {floor}) / "

@@ -118,8 +118,11 @@ object DataGen {
       val keyed = d.withColumn("doc_id", col("doc_id") + lit(r * dS))
       shape match {
         case "mirror"   => keyed
-        case "distinct" => keyed.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"$$1x$r"))
+        case "distinct" => keyed
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1x$r"))
+          // derived columns must track the rewrite (stale n_chars would
+          // poison any consumer of the general documents schema)
+          .withColumn("n_chars", length(col("text")).cast("long"))
         case other      => sys.error(s"unknown shape '$other' (want mirror|distinct)")
       }
     }

@@ -647,23 +647,19 @@ object CorpusOps {
   private def routeLayered(df: DataFrame, idCol: String, textCol: String,
                            minCloneFactor: Double, sampleFraction: Double,
                            knownCloneFactor: Option[Double]): Boolean =
-    knownCloneFactor match {
-      case Some(f) => f >= minCloneFactor
-      case None =>
-        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-          s"sampleFraction in (0, 1], got $sampleFraction")
-        val sampled =
-          if (sampleFraction >= 1.0) df
-          else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-            lit(math.round(sampleFraction * 1000000L)))
-        val m = sampled
-          .agg(count(lit(1)).as("n"),
-            countDistinct(TextFunctions.contentHash(col(textCol))).as("d"))
-          .head()
-        val (n, d) = (m.getLong(0), m.getLong(1))
-        d > 0 && n.toDouble / d >=
-          Dedup.sampledCloneThreshold(minCloneFactor, sampleFraction)
-    }
+    Dedup.measuredCloneRoute(df, idCol,
+      TextFunctions.contentHash(col(textCol)), col(textCol),
+      minCloneFactor, sampleFraction, knownCloneFactor)
+
+  /** Collapse key for the layered forms: the normalized-text class,
+    * with null text mapped to a SENTINEL class of its own ("∅" — not a
+    * hex md5, so it can never collide with a real class). Null-text
+    * docs then flow the SAME layered path as every other clone class
+    * (their representative's null text reproduces the direct form's
+    * null-text behavior exactly), keeping layered == direct
+    * row-for-row on corpora with null texts. */
+  private def textClassKey(textCol: String): Column =
+    coalesce(TextFunctions.contentHash(col(textCol)), lit("∅"))
 
   /** Clone-invariant [[contaminationReport]]: the gram explode + bench
     * probe + per-doc count run ONCE per distinct normalized train text
@@ -676,10 +672,11 @@ object CorpusOps {
   def contaminationReportLayered(train: DataFrame, bench: DataFrame,
                                  idCol: String, textCol: String, n: Int = 8,
                                  thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
-    val ch = TextFunctions.contentHash(col(textCol))
-    val keyed = train.select(col(idCol), ch.as("__ch"))
-    val reps = train.select(ch.as("__repid"), col(textCol))
-      .filter(col("__repid").isNotNull)
+    val keyed = train.select(col(idCol), textClassKey(textCol).as("__ch"))
+    // any member's text represents the class (same token sequence);
+    // the null-text sentinel class keeps its null representative, so
+    // the direct form's null-text behavior replays exactly
+    val reps = train.select(textClassKey(textCol).as("__repid"), col(textCol))
       .groupBy("__repid").agg(min(col(textCol)).as(textCol))
     val repReport = contaminationReport(reps, bench, "__repid", textCol, n, thrNum, thrDen)
     keyed.join(repReport.withColumnRenamed("__repid", "__ch"), Seq("__ch"))
@@ -726,6 +723,13 @@ object CorpusOps {
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, shingleN: Int = 3,
                          thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+    // the argmax tiebreak negates the bench id (max(struct(j, -id)))
+    // and the audit emits it as a long — a string bench id would cast
+    // to null and silently break the documented min-id tiebreak, so
+    // fail loudly instead (train ids stay generic: never negated)
+    require(bench.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"fuzzyDecontaminate needs a NUMERIC benchmark id column for the " +
+        s"min-id argmax tiebreak; got ${bench.schema(idCol).dataType} for '$idCol'")
     def shingled(df: DataFrame, id: String) = df.select(
       col(idCol).as(id),
       array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("__sh"))
@@ -775,30 +779,23 @@ object CorpusOps {
   def fuzzyDecontaminateLayered(train: DataFrame, bench: DataFrame,
                                 idCol: String, textCol: String, shingleN: Int = 3,
                                 thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
-    val ch = TextFunctions.contentHash(col(textCol))
-    val keyed = train.select(col(idCol), ch.as("__ch"))
-    val tReps = train.select(ch.as(idCol), col(textCol))
-      .filter(col(idCol).isNotNull)
+    val keyed = train.select(col(idCol), textClassKey(textCol).as("__ch"))
+    // null-text docs travel as the sentinel class with a null-text
+    // representative — the direct form's behavior for them (a [""]
+    // shingle that can match empty/null bench texts) replays exactly
+    val tReps = train.select(textClassKey(textCol).as(idCol), col(textCol))
       .groupBy(idCol).agg(min(col(textCol)).as(textCol))
-    val bReps = bench.select(ch.as("__bch"), col(idCol), col(textCol))
-      .filter(col("__bch").isNotNull)
+    val bReps = bench.select(textClassKey(textCol).as("__bch"),
+        col(idCol), col(textCol))
       .groupBy("__bch")
       .agg(min(struct(col(idCol), col(textCol))).as("__s"))
       .select(col(s"__s.$idCol").as(idCol), col(s"__s.$textCol").as(textCol))
     val repOut = fuzzyDecontaminate(tReps, bReps, idCol, textCol,
       shingleN, thrNum, thrDen)
-    val joined = keyed.filter(col("__ch").isNotNull)
+    keyed
       .join(repOut.withColumnRenamed(idCol, "__ch"), Seq("__ch"))
       .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
         col("jaccard"), col("dropped"))
-    val nullText = keyed.filter(col("__ch").isNull)
-      .select(col(idCol),
-        lit(null).cast(LongType).as("bench_id"),
-        lit(null).cast(LongType).as("inter"),
-        lit(null).cast(LongType).as("uni"),
-        lit(null).cast(DoubleType).as("jaccard"),
-        lit(false).as("dropped"))
-    joined.unionByName(nullText)
   }
 
   /** Evidence-routed [[fuzzyDecontaminate]] (see [[routeLayered]]).

@@ -343,9 +343,14 @@ object Dedup {
     // payload read 1/3: content keying, then the narrow frame is cached
     val keyed = media.select(col("doc_id"), md5(col("payload")).as("__ch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no per-class id array: a web-scale clone class (one boilerplate
+    // payload duplicated 10^8 times — exactly the corpus this form
+    // routes for) would build an unbounded single-row aggregation
+    // buffer; the cached narrow `keyed` frame fans ids back out by
+    // hash instead
     val repGroups = keyed.filter(col("__ch").isNotNull)
       .groupBy(col("__ch"))
-      .agg(min(col("doc_id")).as("__rep"), collect_list(col("doc_id")).as("__ids"))
+      .agg(min(col("doc_id")).as("__rep"))
     // payload read 2/3: decode ONLY the min-id representatives; the
     // narrow hash/luma result is cached so its four consumers share it
     val reps = media
@@ -355,9 +360,10 @@ object Dedup {
     val repState = hashed.select(col("doc_id").as("__rep"), col("decoded").as("__rd"))
       .join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
         .select(col("doc_id").as("__rep")), Seq("__rep"), "left_anti")
-    val keptIds = repGroups
-      .join(repState, Seq("__rep")) // inner: groups of SURVIVING representatives
-      .select(col("__rep"), col("__rd"), explode(col("__ids")).as("doc_id"))
+    val keptIds = keyed.filter(col("__ch").isNotNull)
+      // inner: classes whose representative SURVIVES (cache read, not
+      // a payload scan)
+      .join(repGroups.join(repState, Seq("__rep")), Seq("__ch"))
       .filter(col("doc_id") === col("__rep") || !col("__rd"))
       .select("doc_id")
       .unionByName(keyed.filter(col("__ch").isNull).select("doc_id"))
@@ -393,20 +399,9 @@ object Dedup {
                               minCloneFactor: Double = 1.5,
                               sampleFraction: Double = 0.1,
                               knownCloneFactor: Option[Double] = None): DataFrame = {
-    val layered = knownCloneFactor match {
-      case Some(f) => f >= minCloneFactor
-      case None =>
-        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-          s"sampleFraction in (0, 1], got $sampleFraction")
-        val sampled =
-          if (sampleFraction >= 1.0) media
-          else media.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-            lit(math.round(sampleFraction * 1000000L)))
-        val m = sampled.filter(col("payload").isNotNull)
-          .agg(count(lit(1)).as("n"), countDistinct(md5(col("payload"))).as("d")).head()
-        val (n, d) = (m.getLong(0), m.getLong(1))
-        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
-    }
+    val layered = measuredCloneRoute(media, "doc_id",
+      md5(col("payload")), col("payload"),
+      minCloneFactor, sampleFraction, knownCloneFactor)
     if (layered)
       imageDedupDHashLayered(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
     else imageDedupDHash(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
@@ -716,21 +711,9 @@ object Dedup {
                             minCloneFactor: Double = 1.5,
                             sampleFraction: Double = 0.1,
                             knownCloneFactor: Option[Double] = None): DataFrame = {
-    val layered = threshold < 1.0 && (knownCloneFactor match {
-      case Some(f) => f >= minCloneFactor
-      case None =>
-        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-          s"sampleFraction in (0, 1], got $sampleFraction")
-        val sampled =
-          if (sampleFraction >= 1.0) docs
-          else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-            lit(math.round(sampleFraction * 1000000L)))
-        val m = sampled.filter(col(vecCol).isNotNull)
-          .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col(vecCol))).as("d"))
-          .head()
-        val (n, d) = (m.getLong(0), m.getLong(1))
-        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
-    })
+    val layered = threshold < 1.0 && measuredCloneRoute(docs, idCol,
+      xxhash64(col(vecCol)), col(vecCol),
+      minCloneFactor, sampleFraction, knownCloneFactor)
     if (layered) semanticDedupLayered(docs, idCol, vecCol, k, threshold)
     else semanticDedup(docs, idCol, vecCol, k, threshold)
   }
@@ -1123,16 +1106,23 @@ object Dedup {
                               k: Int = 8, minCount: Long = 2): DataFrame = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
-    // ONE text scan: the distinct-text groupBy carries the clone ids
-    // alongside the multiplicity, so the span fan-out reads the cached
-    // distinct-text frame instead of re-scanning (and re-md5-ing) the
-    // corpus text a second time (r10's 2-scan form). The cache holds
-    // DISTINCT texts only — the clone-collapsed corpus this form
-    // exists for, i.e. input/cloneFactor rows — and spills to disk;
-    // it is never explicitly unpersisted (session-scoped, LRU).
+    // TWO narrow frames, both persisted: the (id, text-key) projection
+    // for the span fan-out, and the distinct-text frame (with
+    // multiplicities) for the gram work — input/cloneFactor rows, the
+    // clone-collapsed corpus this form exists for. The text column is
+    // read twice at the source (keying + distinct-build); the r11
+    // review traded that second pushed-down column read away from the
+    // r10 single-scan form, whose per-class collect_list(id) array is
+    // an unbounded single-row aggregation buffer (a 10^8-clone
+    // boilerplate class — exactly the corpus that routes here — would
+    // OOM one executor). Neither cache is explicitly unpersisted
+    // (narrow, session-scoped, LRU).
+    val keyed = docs
+      .select(col(idCol), md5(col(textCol).cast(BinaryType)).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grouped = docs
       .groupBy(md5(col(textCol).cast(BinaryType)).as("__tk"), col(textCol))
-      .agg(count(lit(1)).as("__mult"), collect_list(col(idCol)).as("__ids"))
+      .agg(count(lit(1)).as("__mult"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dd = grouped.filter(size(tokens(col(textCol))) >= k)
     val grams = dd
@@ -1156,7 +1146,7 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"),
         count(lit(1)).as("n_hits"))
-    grouped.select(col("__tk"), explode(col("__ids")).as(idCol))
+    keyed
       .join(spans, Seq("__tk"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
@@ -1186,20 +1176,9 @@ object Dedup {
                                minCloneFactor: Double = 1.5,
                                sampleFraction: Double = 0.1,
                                knownCloneFactor: Option[Double] = None): DataFrame = {
-    val layered = knownCloneFactor match {
-      case Some(f) => f >= minCloneFactor
-      case None =>
-        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-          s"sampleFraction in (0, 1], got $sampleFraction")
-        val sampled =
-          if (sampleFraction >= 1.0) docs
-          else docs.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-            lit(math.round(sampleFraction * 1000000L)))
-        val m = sampled.agg(count(lit(1)).as("n"),
-          countDistinct(md5(col(textCol).cast(BinaryType))).as("d")).head()
-        val (n, d) = (m.getLong(0), m.getLong(1))
-        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
-    }
+    val layered = measuredCloneRoute(docs, idCol,
+      md5(col(textCol).cast(BinaryType)), col(textCol),
+      minCloneFactor, sampleFraction, knownCloneFactor)
     if (layered) exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
     else exactSubstrSpans(docs, idCol, textCol, k, minCount)
   }
@@ -1216,6 +1195,41 @@ object Dedup {
   private[operators] def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
     if (p >= 1.0) minCloneFactor
     else (p * minCloneFactor) / (1.0 - math.pow(1.0 - p, minCloneFactor))
+
+  /** THE shared clone-evidence measurement every adaptive router uses
+    * (image/SemDeDup/ExactSubstr here; contamination/fuzzy-decontam in
+    * CorpusOps): a deterministic id-hash sample, rows-with-a-key per
+    * distinct `distinctKey`, compared against the sample-space
+    * threshold. Null-key rows (null payload/vector/text) are excluded
+    * from BOTH counts — they collapse to nothing and would otherwise
+    * inflate the measured factor toward layered, the opposite of the
+    * documented safe-direct bias.
+    *
+    * EAGER measurement contract: unless `knownCloneFactor` is supplied
+    * (TRUE corpus space — rows per distinct key), one
+    * count/countDistinct action runs when the caller constructs its
+    * frame; id-sampling under-counts clones, biasing toward direct.
+    */
+  private[operators] def measuredCloneRoute(df: DataFrame, idCol: String,
+                                            distinctKey: Column, keySource: Column,
+                                            minCloneFactor: Double,
+                                            sampleFraction: Double,
+                                            knownCloneFactor: Option[Double]): Boolean =
+    knownCloneFactor match {
+      case Some(f) => f >= minCloneFactor
+      case None =>
+        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val sampled =
+          if (sampleFraction >= 1.0) df
+          else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+            lit(math.round(sampleFraction * 1000000L)))
+        val m = sampled.filter(keySource.isNotNull)
+          .agg(count(lit(1)).as("n"), countDistinct(distinctKey).as("d"))
+          .head()
+        val (n, d) = (m.getLong(0), m.getLong(1))
+        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
+    }
 
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minCount: Long = 2,

@@ -41,11 +41,13 @@ import graft.functions.TextFunctions
   *  5. [[CorpusOps.shardAssign]] (q68) over the packed survivors.
   *
   * Scale shape (100 TB): the funnel is one map-side rule pass plus one
-  * salted-key dedup window; it is persisted ONCE here because it is
-  * the only stage boundary with multiple downstream consumers (the
-  * cut's span detection, its rebuild join-back, and the final audit
-  * assembly) — at production scale this persist is a checkpoint to
-  * parquet between pipeline stages, which also resets lineage. The cut
+  * salted-key dedup window; it and the narrow cut+decontamination
+  * result are the two persisted stage boundaries — each has multiple
+  * downstream consumers (the funnel feeds the cut's detection corpus,
+  * its rebuild join-back, and the final audit assembly; the decon
+  * verdicts feed the loader chain and the audit) — at production scale
+  * these persists are checkpoints to parquet between pipeline stages,
+  * which also reset lineage. The cut
   * is the q178/q179 machinery (hash-only phase-A exchange, Bloom
   * prefilter); decontamination is a broadcast anti-join (the benchmark
   * is always the small side); pack is one window shuffle on the
@@ -88,25 +90,34 @@ object PretrainPipeline {
     // contentHash(clean_text) == md5(clean_text) here.
     val benchHashes = bench
       .select(TextFunctions.contentHash(col(textCol)).as("__bh")).distinct()
+    // The cut+decontamination subtree feeds TWO consumers (the
+    // trainable->pack->shard chain and the final audit join), so its
+    // NARROW result (id + hash + counts + verdict — the clean text
+    // itself is folded into cut_md5 here) is the pipeline's second
+    // persisted stage boundary; without it the gram explode, duplicate
+    // counting, rebuild join, and broadcast anti-probe all execute
+    // twice (r11 review finding — ReuseExchange is incidental, not
+    // guaranteed under AQE).
     val decon = cut
       .join(broadcast(benchHashes),
         TextFunctions.contentHash(col("clean_text")) === col("__bh"), "left")
       .join(docs.select(col(idCol), col(langCol), isHeldOut.as("__held")),
         Seq(idCol))
       .withColumn("pass_decontam", !col("__held") && col("__bh").isNull)
+      .select(col(idCol), col(langCol),
+        md5(col("clean_text").cast(BinaryType)).as("cut_md5"),
+        col("n_tok").as("n_clean_tok"), col("n_kept").as("n_kept_tok"),
+        col("n_cut").as("n_cut_tok"), col("n_spans"), col("pass_decontam"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Stages 4+5 — loader assignment over the trainable set.
     val trainable = decon.filter(col("pass_decontam"))
-      .select(col(idCol), col(langCol), col("n_kept"))
+      .select(col(idCol), col(langCol), col("n_kept_tok").as("n_kept"))
     val packed = CorpusOps.packSequences(trainable, Seq(langCol), idCol,
       col("n_kept"), capacity)
     val assigned = CorpusOps.shardAssign(packed, idCol, nShards)
       .select(col(idCol), col("pack_id"), col("shard"), col("shard_pos"))
     funnel.drop("clean_text")
-      .join(decon.select(col(idCol),
-        md5(col("clean_text").cast(BinaryType)).as("cut_md5"),
-        col("n_tok").as("n_clean_tok"), col("n_kept").as("n_kept_tok"),
-        col("n_cut").as("n_cut_tok"), col("n_spans"), col("pass_decontam")),
-        Seq(idCol), "left")
+      .join(decon.drop(langCol), Seq(idCol), "left")
       .join(assigned, Seq(idCol), "left")
   }
 }

@@ -747,7 +747,17 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("layered contamination/fuzzy-decontamination == direct on clone-heavy AND real corpora") {
+    // null-text and empty-text docs included on BOTH sides (ids 50/60
+    // land in the bench split, 51/61 in train): the r11 review found
+    // the first layered forms dropped/re-routed null-text docs where
+    // the direct forms emit [""]-shingle rows — the sentinel text
+    // class must reproduce direct behavior exactly
+    val degenerate = Seq[(Long, String)](
+      (9000000050L, null), (9000000051L, null),
+      (9000000060L, ""), (9000000061L, "")
+    ).toDF("doc_id", "text")
     val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(degenerate)
     val mirrored = (0 until 5).map(r => base.select(
         (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ unionByName _)

@@ -643,18 +643,25 @@ class PlanRegressionSpec extends SparkSpec {
       "the narrow keying projection must be read from cache")
     assert(imSchemas.exists(s => s.contains("dhash") || s.contains("decoded")),
       "the decode result must be read from cache (one decode pass for all four consumers)")
-    // ExactSubstr form: ONE scan total — the distinct-text groupBy is
-    // persisted and both the gram pipeline and the clone fan-out read
-    // the cache (leaves are InMemoryTableScans; the single file scan
-    // lives inside the cached relation's build)
+    // ExactSubstr form: both the narrow (id, text-key) projection and
+    // the distinct-text frame are persisted — every visible leaf is an
+    // InMemoryTableScan; the two file scans (keying + distinct-build)
+    // live inside the cache builds (r11: the r10 single-scan form
+    // carried an unbounded per-class collect_list(id) — traded for one
+    // extra pushed-down column read)
     val p2 = plan(Dedup.exactSubstrSpansLayered(
       Tables.documents(spark, sf), "doc_id", "text"))
     val fs2 = p2.collectLeaves().collect { case f: FileSourceScanExec => f }
     val im2 = p2.collectLeaves().collect { case c: InMemoryTableScanExec => c }
     assert(fs2.isEmpty,
-      s"corpus text must be file-scanned only inside the cache build, got ${fs2.size} extra scans")
+      s"corpus text must be file-scanned only inside the cache builds, got ${fs2.size} extra scans")
     assert(im2.size >= 2,
-      s"gram phases + clone fan-out must all read the distinct-text cache, got ${im2.size}")
+      s"gram phases + clone fan-out must read the caches, got ${im2.size}")
+    // no unbounded per-class id arrays anywhere in either layered plan
+    // (a web-scale clone class would OOM a single aggregation buffer)
+    for ((p, n) <- Seq((p1, "image"), (p2, "exactsubstr")))
+      assert(!p.toString.contains("collect_list"),
+        s"$n layered form must not build per-class id arrays")
   }
 
   test("q180/q181/q184: the quality/repetition rule passes stay map-side (no join/agg/extra shuffle)") {
