@@ -733,6 +733,18 @@ class PlanRegressionSpec extends SparkSpec {
       "q169's range lookup must be ONE broadcast nested-loop join against the 5-row bands")
   }
 
+  test("q186: both stage boundaries (funnel, narrow decon) are cache reads in the audit plan") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val p = plan(TrainingQueries.q186(spark, sf))
+    val caches = p.collectLeaves()
+      .collect { case c: InMemoryTableScanExec => c.output.map(_.name).toSet }
+    assert(caches.exists(_.contains("pass_lang")),
+      "the funnel boundary must be read from cache")
+    assert(caches.exists(_.contains("cut_md5")),
+      "the narrow cut+decontamination boundary must be read from cache " +
+        "(r11 fix: without it the whole ExactSubstr subtree executes twice)")
+  }
+
   test("q187/q189: the bench side broadcasts; per-doc counts combine map-side") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     // q187: bench gram probe is a broadcast join (the training side —
