@@ -276,19 +276,102 @@ for name, metric, qfilter, floor, eps_floor in ANN_GATES:
     # return-everything (or duplicate-rows) regression makes both
     # recalls trivially pass
     bad_card = (len(got) != 5 * nq or len(got_pairs) != 5 * nq)
-    if bad_card:
-        print(f"FAIL {name}: cardinality {len(got)} rows / "
-              f"{len(got_pairs)} distinct pairs, want {5 * nq}")
     if (nq == 0 or got.query_id.nunique() != nq or bad_card or recall < floor
             or eps_recall < eps_floor):
         fails.append(name)
+        card_note = (f", BAD CARDINALITY {len(got)} rows / {len(got_pairs)} "
+                     f"distinct pairs (want {5 * nq})") if bad_card else ""
         print(f"FAIL {name}: recall@5 {recall:.3f} (floor {floor}) / "
               f"eps-recall {eps_recall:.3f} (floor {eps_floor}) "
-              f"({got.query_id.nunique()}/{nq} queries answered, metric={metric})")
+              f"({got.query_id.nunique()}/{nq} queries answered, "
+              f"metric={metric}){card_note}")
     else:
         print(f"ok   {name} [property: recall@5 {recall:.3f} >= {floor}, "
               f"eps{EPS}-recall {eps_recall:.3f} >= {eps_floor} vs "
               f"brute-force {metric} top-5, {nq} queries]")
+
+# q30: multimodal metadata decode (rows-only — the payloads are the
+# documents' UTF-8 text bytes, which no image codec accepts, so EVERY
+# row takes the deterministic stub path: byte_len = UTF-8 length,
+# mean_byte = IEEE mean of the byte values, frame_count = len/1024 + 1,
+# width/height/fmt from the doc_id formulas in Multimodal.asMedia.
+# Expected rows are therefore computable EXACTLY here, making this a
+# full-row relational gate (the q177 precedent; closes the last
+# spec-only rows-only query — r11 verdict item #3).
+q30_path = f"{OUT}/q30_multimodal_meta"
+if os.path.isdir(q30_path):
+    got = con.sql(
+        f"SELECT doc_id, byte_len, mean_byte, frame_count, width, height, fmt "
+        f"FROM read_parquet('{q30_path}/*.parquet') ORDER BY doc_id").df()
+    docs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    bad = []
+    exp_n = len(docs)
+    by_id = dict(zip(got.doc_id, zip(got.byte_len, got.mean_byte,
+                                     got.frame_count, got.width,
+                                     got.height, got.fmt)))
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        b = (text or "").encode("utf-8")
+        L = len(b)
+        exp = (L, (sum(b) / L) if L else 0.0, L // 1024 + 1,
+               doc_id % 640 + 64, doc_id % 480 + 48,
+               {0: "png", 1: "jpeg", 2: "webp"}[doc_id % 3])
+        g = by_id.get(doc_id)
+        if g is None:
+            bad.append((int(doc_id), "missing", exp)); continue
+        gval = (int(g[0]), float(g[1]), int(g[2]), int(g[3]), int(g[4]), g[5])
+        if (gval[0] != exp[0] or abs(gval[1] - exp[1]) > 1e-9 or
+                gval[2:] != exp[2:]):
+            bad.append((int(doc_id), gval, exp))
+    if bad or len(got) != exp_n:
+        fails.append("q30_multimodal_meta")
+        print(f"FAIL q30_multimodal_meta: {len(got)}/{exp_n} rows, "
+              f"mismatches {bad[:3]}")
+    else:
+        print(f"ok   q30_multimodal_meta [property: all {exp_n} rows match the "
+              f"stub-decode formulas exactly]")
+
+# q193: image duplication report (rows-only — SQL cannot decode
+# pixels). Same synthesized corpus as q177 (one 64x64 BMP per
+# doc_id%12==0 doc keyed by md5 of the first 80 chars + a 48px PNG
+# thumbnail at doc_id+1e6), so the expected CLUSTER STRUCTURE is
+# relational: each text-class of size s (plus its s thumbnails) is one
+# near-dup cluster of size 2s, and distinct content never merges (the
+# exact luma verify — the q177 gate's property). The histogram row for
+# cluster_size 2s must therefore show exactly the number of classes of
+# size s; n_bytes is gated for positivity only (thumbnail PNG sizes
+# depend on re-encoded content; the Scala spec pins bytes on hand-built
+# fixtures).
+q193_path = f"{OUT}/q193_image_dup_report"
+if os.path.isdir(q193_path):
+    got = con.sql(
+        f"SELECT cluster_size, n_clusters, n_docs, n_dup_docs, n_bytes, "
+        f"dup_doc_frac FROM read_parquet('{q193_path}/*.parquet') "
+        f"ORDER BY cluster_size").df()
+    exp = con.sql(
+        "SELECT 2 * c AS cluster_size, count(*) AS n_clusters, "
+        "2 * c * count(*) AS n_docs FROM ("
+        "  SELECT count(*) AS c FROM documents WHERE doc_id % 12 = 0 "
+        "  GROUP BY substr(text, 1, 80)"
+        ") GROUP BY c ORDER BY 1").df()
+    bad = []
+    if len(got) != len(exp):
+        bad.append(f"row count {len(got)} want {len(exp)}")
+    else:
+        for g, e in zip(got.itertuples(), exp.itertuples()):
+            if (g.cluster_size != e.cluster_size or g.n_clusters != e.n_clusters
+                    or g.n_docs != e.n_docs
+                    or g.n_dup_docs != e.n_docs - e.n_clusters
+                    or g.n_bytes <= 0
+                    or abs(g.dup_doc_frac - (e.n_docs - e.n_clusters) / e.n_docs)
+                        > 1e-12):
+                bad.append((g.cluster_size, int(g.n_clusters), int(g.n_docs),
+                            "want", int(e.n_clusters), int(e.n_docs)))
+    if bad:
+        fails.append("q193_image_dup_report")
+        print(f"FAIL q193_image_dup_report: {bad[:5]}")
+    else:
+        print(f"ok   q193_image_dup_report [property: histogram == 2s-sized "
+              f"clusters per text-class size s, {len(got)} rows]")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -456,7 +456,19 @@ object LlmQueries {
   // every text-clone group collapses to its min doc_id, distinct
   // content survives — the spec asserts exactly this; the gate pins
   // row determinism.
-  def q177(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic image gate corpus shared by q177 and q193: one
+    * smooth 64×64 BMP per sampled doc whose pixels derive from an MD5
+    * of the text head (text clones ⇒ byte-identical images), plus a
+    * 48px resized re-encoded PNG variant of each (the classic thumbnail
+    * near-dup) at doc_id + 1e6. The corpus is an EXPENSIVE DERIVED plan
+    * (synthesis + PNG re-encode), so it is materialized once: the
+    * router's sample pass populates the cache as a side effect and the
+    * consumers' payload reads hit it instead of re-synthesizing —
+    * exactly the "materialize first" caller contract
+    * imageDedupDHashAdaptive's scaladoc states. A parquet-backed
+    * production corpus skips this (columnar re-reads are the cheap
+    * case). */
+  private def syntheticImageCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .filter(col("doc_id") % 12 === 0)
@@ -469,20 +481,36 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    // The corpus is an EXPENSIVE DERIVED plan (synthesis + PNG
-    // re-encode), so materialize it once: the router's sample pass
-    // populates the cache as a side effect and the dedup's three
-    // payload reads (keying / rep decode / survivor recovery) hit it
-    // instead of re-synthesizing — exactly the "materialize first"
-    // caller contract imageDedupDHashAdaptive's scaladoc states. A
-    // parquet-backed production corpus skips this (columnar re-reads
-    // are the cheap case).
-    val media = base.unionByName(variants)
+    base.unionByName(variants)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.operators.Dedup.imageDedupDHashAdaptive(media)
+  }
+
+  def q177(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.imageDedupDHashAdaptive(syntheticImageCorpus(spark, dir))
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")
-  }
+
+  // q193: IMAGE duplication REPORT (rows-only — SQL cannot decode
+  // pixels; check.py gates the histogram relationally on the
+  // synthesized clone corpus, ImageDedupSpec gates cluster semantics on
+  // hand-built fixtures). q191's cluster-size histogram over q177's
+  // image near-dup clusters: per cluster size — clusters, docs,
+  // payload bytes, and the fraction a dedup pass would remove. The
+  // cluster labels come from Dedup.imageNearDupClusters (byte-identical
+  // collapse → dHash candidates → exact luma verify → connected
+  // components on the verified pair graph); the histogram is one
+  // bounded aggregation past machinery that is itself gated — at
+  // 100 TB the report costs two tiny shuffles beyond the dedup pass.
+  def q193(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.imageNearDupClusters(syntheticImageCorpus(spark, dir))
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct("cluster_id")).as("n_dup_docs"),
+        sum("n_bytes").as("n_bytes"))
+      .withColumn("dup_doc_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("cluster_size")
 
   // q31: gap-based sessionization (batch twin of the streaming
   // flatMapGroupsWithState path in graft.streaming.EventStream).

@@ -1466,12 +1466,17 @@ object TrainingQueries {
 
   /** DuckDB rendering of `wordShingles(text, n)` with per-position
     * multiplicity (no dedup): n-token windows when the doc has >= n
-    * tokens, the single whole-doc gram otherwise. */
+    * tokens, the single whole-doc gram otherwise. The whole-doc gram is
+    * coalesced to '' because DuckDB's string_agg of an EMPTY list is
+    * NULL while Spark's wordShingles yields [""] for a zero-token doc —
+    * without the coalesce an empty/whitespace-only document would make
+    * engine-vs-oracle parity diverge ("" grams can cross-match on the
+    * engine side; NULL never joins in DuckDB). r11 ADVICE. */
   private def gramsSql(n: Int): String = {
     val joined = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
     s"""CASE WHEN len(toks) >= $n
           THEN list_transform(range(1, len(toks) - ${n - 2}), i -> $joined)
-          ELSE [list_aggregate(toks, 'string_agg', ' ')] END"""
+          ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')] END"""
   }
 
   // q187: PaLM-style contamination REPORT (Chowdhery et al. 2022) —

@@ -651,6 +651,25 @@ object CorpusOps {
       TextFunctions.contentHash(col(textCol)), col(textCol),
       minCloneFactor, sampleFraction, knownCloneFactor)
 
+  /** PUBLIC normalized-text clone-factor measurement — the shared
+    * amortization hook for compositions (r11 verdict item #4): a
+    * pipeline that runs several adaptive corpus ops over the SAME
+    * frame (contamination + fuzzy decontamination + duplication report
+    * on one corpus) measures once here and threads the result through
+    * each op's `knownCloneFactor`, replacing one sampling job per op
+    * with one total. Keying matches the routers' exactly
+    * ([[routeLayered]]: `contentHash(text)` distinct key, null text
+    * excluded from both counts), and the returned factor is in TRUE
+    * corpus space — [[Dedup.measureCloneFactor]] inverts the sampled
+    * ratio through the Binomial thinning model — so
+    * `knownCloneFactor = Some(measureTextCloneFactor(df, id, text))`
+    * routes identically to letting each op sample for itself (spec'd).
+    */
+  def measureTextCloneFactor(df: DataFrame, idCol: String, textCol: String,
+                             sampleFraction: Double = 0.1): Double =
+    Dedup.measureCloneFactor(df, idCol,
+      TextFunctions.contentHash(col(textCol)), col(textCol), sampleFraction)
+
   /** Collapse key for the layered forms: the normalized-text class,
     * with null text mapped to a SENTINEL class of its own ("∅" — not a
     * hex md5, so it can never collide with a real class). Null-text
@@ -661,6 +680,46 @@ object CorpusOps {
   private def textClassKey(textCol: String): Column =
     coalesce(TextFunctions.contentHash(col(textCol)), lit("∅"))
 
+  /** The layered forms' shared train-side collapse (r12, closing the
+    * r11 verdict lead item — the Dedup.imageDedupDHashLayered:345 scan
+    * discipline): the corpus text — the widest column — is read TWICE
+    * and hashed ONCE per layered run. Read 1 computes the narrow
+    * `(id, class)` keying frame, which is persisted (or checkpointed)
+    * because the class groupBy AND the final fan-out both consume it;
+    * read 2 fetches ONLY the min-id representatives' texts — Bloom-
+    * prefiltered map-side before the id equi-join, so on the
+    * clone-heavy corpora this form routes for, non-representative
+    * texts never cross the exchange (the r11 form re-derived the
+    * representative frame from the unhashed input with a full second
+    * md5 pass and a `min(text)` shuffle carrying one text per class
+    * per partition).
+    *
+    * Any member's text represents its class (equal `contentHash` ⇒
+    * equal token sequence), and the class's min id IS a member, so the
+    * min-id representative reproduces the r11 `min(text)` semantics
+    * for everything downstream — including the null-text sentinel
+    * class, whose min-id member carries the null text that replays the
+    * direct form's null-text behavior exactly.
+    *
+    * Returns (keying frame `(id, __ch)`, representative frame
+    * `(__ch, text)`).
+    */
+  private def collapsedTrain(train: DataFrame, idCol: String, textCol: String,
+                             checkpointDir: Option[String],
+                             stageKey: String): (DataFrame, DataFrame) = {
+    // text read 1/2 (the one md5 pass), persisted narrow
+    val keyed = StageCaches.boundary(
+      train.select(col(idCol), textClassKey(textCol).as("__ch")),
+      checkpointDir, stageKey)
+    val repGroups = keyed.groupBy("__ch").agg(min(col(idCol)).as(idCol))
+    // text read 2/2: representatives only — Bloom-pruned before the
+    // exchange, no hash recomputation
+    val reps = BloomPrefilter.prefilteredJoin(
+        train.select(col(idCol), col(textCol)), repGroups, idCol)
+      .select(col("__ch"), col(textCol))
+    (keyed, reps)
+  }
+
   /** Clone-invariant [[contaminationReport]]: the gram explode + bench
     * probe + per-doc count run ONCE per distinct normalized train text
     * (all members of a `contentHash` class share the token sequence,
@@ -668,17 +727,17 @@ object CorpusOps {
     * rows fan back out to every member id with one hash-keyed join.
     * Provably and spec'd result-identical to the direct form — on a
     * mirrored web-crawl corpus the probe work drops by the clone
-    * factor. */
+    * factor. Input-scan discipline and `checkpointDir` lifecycle:
+    * [[collapsedTrain]] / [[StageCaches]]. */
   def contaminationReportLayered(train: DataFrame, bench: DataFrame,
                                  idCol: String, textCol: String, n: Int = 8,
-                                 thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
-    val keyed = train.select(col(idCol), textClassKey(textCol).as("__ch"))
-    // any member's text represents the class (same token sequence);
-    // the null-text sentinel class keeps its null representative, so
-    // the direct form's null-text behavior replays exactly
-    val reps = train.select(textClassKey(textCol).as("__repid"), col(textCol))
-      .groupBy("__repid").agg(min(col(textCol)).as(textCol))
-    val repReport = contaminationReport(reps, bench, "__repid", textCol, n, thrNum, thrDen)
+                                 thrNum: Int = 7, thrDen: Int = 10,
+                                 checkpointDir: Option[String] = None): DataFrame = {
+    val (keyed, reps) = collapsedTrain(train, idCol, textCol, checkpointDir,
+      "corpus.contamination.keyed")
+    val repReport = contaminationReport(
+      reps.withColumnRenamed("__ch", "__repid"), bench, "__repid", textCol,
+      n, thrNum, thrDen)
     keyed.join(repReport.withColumnRenamed("__repid", "__ch"), Seq("__ch"))
       .select(col(idCol), col("n_grams"), col("n_hit"), col("contam_frac"),
         col("flagged"))
@@ -693,10 +752,12 @@ object CorpusOps {
                                   thrNum: Int = 7, thrDen: Int = 10,
                                   minCloneFactor: Double = 1.5,
                                   sampleFraction: Double = 0.1,
-                                  knownCloneFactor: Option[Double] = None): DataFrame =
+                                  knownCloneFactor: Option[Double] = None,
+                                  checkpointDir: Option[String] = None): DataFrame =
     if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
         knownCloneFactor))
-      contaminationReportLayered(train, bench, idCol, textCol, n, thrNum, thrDen)
+      contaminationReportLayered(train, bench, idCol, textCol, n, thrNum, thrDen,
+        checkpointDir)
     else contaminationReport(train, bench, idCol, textCol, n, thrNum, thrDen)
 
   // -------------------------------------------------- fuzzy decontaminate
@@ -722,7 +783,22 @@ object CorpusOps {
     */
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, shingleN: Int = 3,
-                         thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+                         thrNum: Int = 7, thrDen: Int = 10): DataFrame =
+    train.select(col(idCol))
+      .join(fuzzyBest(train, bench, idCol, textCol, shingleN, thrNum, thrDen)
+        .withColumnRenamed("__tid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
+        col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
+
+  /** The candidate-join + exact-Jaccard-argmax core shared by the
+    * direct and layered fuzzy forms: one row per TRAIN id that shares
+    * at least one shingle with the benchmark (ids with no overlap are
+    * restored by each caller's left join — the layered caller joins
+    * from its cached keying frame so the rep texts are scanned once).
+    */
+  private def fuzzyBest(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String, shingleN: Int,
+                        thrNum: Int, thrDen: Int): DataFrame = {
     // the argmax tiebreak negates the bench id (max(struct(j, -id)))
     // and the audit emits it as a long — a string bench id would cast
     // to null and silently break the documented min-id tiebreak, so
@@ -744,7 +820,7 @@ object CorpusOps {
         (first(col("__tn")) + first(col("__bn"))).as("__sum"))
       .select(col("__tid"), col("__bid"), col("inter"),
         (col("__sum") - col("inter")).cast(LongType).as("uni"))
-    val best = pairs
+    pairs
       .groupBy("__tid")
       .agg(max(struct(
         (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("j"),
@@ -755,10 +831,6 @@ object CorpusOps {
         col("__best.i").cast(LongType).as("inter"),
         col("__best.u").as("uni"), col("__best.j").as("jaccard"),
         (col("__best.i") * thrDen >= col("__best.u") * thrNum).as("__drop"))
-    train.select(col(idCol))
-      .join(best.withColumnRenamed("__tid", idCol), Seq(idCol), "left")
-      .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
-        col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
   }
 
   /** Clone-invariant [[fuzzyDecontaminate]]: the candidate join and
@@ -778,24 +850,31 @@ object CorpusOps {
     * left join. */
   def fuzzyDecontaminateLayered(train: DataFrame, bench: DataFrame,
                                 idCol: String, textCol: String, shingleN: Int = 3,
-                                thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
-    val keyed = train.select(col(idCol), textClassKey(textCol).as("__ch"))
-    // null-text docs travel as the sentinel class with a null-text
-    // representative — the direct form's behavior for them (a [""]
-    // shingle that can match empty/null bench texts) replays exactly
-    val tReps = train.select(textClassKey(textCol).as(idCol), col(textCol))
-      .groupBy(idCol).agg(min(col(textCol)).as(textCol))
+                                thrNum: Int = 7, thrDen: Int = 10,
+                                checkpointDir: Option[String] = None): DataFrame = {
+    // train side: one md5 pass + a persisted narrow keying frame + a
+    // Bloom-pruned representative fetch (collapsedTrain — the r12 scan
+    // discipline). Null-text docs travel as the sentinel class with a
+    // null-text representative — the direct form's behavior for them
+    // (a [""] shingle that can match empty/null bench texts) replays
+    // exactly.
+    val (keyed, reps) = collapsedTrain(train, idCol, textCol, checkpointDir,
+      "corpus.fuzzydecon.keyed")
+    val tReps = reps.withColumnRenamed("__ch", idCol)
     val bReps = bench.select(textClassKey(textCol).as("__bch"),
         col(idCol), col(textCol))
       .groupBy("__bch")
       .agg(min(struct(col(idCol), col(textCol))).as("__s"))
       .select(col(s"__s.$idCol").as(idCol), col(s"__s.$textCol").as(textCol))
-    val repOut = fuzzyDecontaminate(tReps, bReps, idCol, textCol,
-      shingleN, thrNum, thrDen)
+    // the no-overlap classes are restored from the CACHED keying frame
+    // (left join + coalesce), not from fuzzyDecontaminate's internal
+    // train-id left join — that second consumer of the rep texts would
+    // put a second file scan of the text column back into the plan
+    val best = fuzzyBest(tReps, bReps, idCol, textCol, shingleN, thrNum, thrDen)
     keyed
-      .join(repOut.withColumnRenamed(idCol, "__ch"), Seq("__ch"))
+      .join(best.withColumnRenamed("__tid", "__ch"), Seq("__ch"), "left")
       .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
-        col("jaccard"), col("dropped"))
+        col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
   }
 
   /** Evidence-routed [[fuzzyDecontaminate]] (see [[routeLayered]]).
@@ -811,11 +890,12 @@ object CorpusOps {
                                  thrNum: Int = 7, thrDen: Int = 10,
                                  minCloneFactor: Double = 1.5,
                                  sampleFraction: Double = 0.1,
-                                 knownCloneFactor: Option[Double] = None): DataFrame =
+                                 knownCloneFactor: Option[Double] = None,
+                                 checkpointDir: Option[String] = None): DataFrame =
     if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
         knownCloneFactor))
       fuzzyDecontaminateLayered(train, bench, idCol, textCol, shingleN,
-        thrNum, thrDen)
+        thrNum, thrDen, checkpointDir)
     else fuzzyDecontaminate(train, bench, idCol, textCol, shingleN,
       thrNum, thrDen)
 

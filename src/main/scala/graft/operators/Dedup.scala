@@ -283,13 +283,16 @@ object Dedup {
       Seq("doc_id"), "left_anti")
   }
 
-  /** The ids that DIE under the dHash near-dup rule, from an
+  /** VERIFIED image near-dup pairs (id_a < id_b) from an
     * [[graft.operators.Multimodal.imageDHash]] frame: exhaustive
     * combination-blocked Hamming candidates, integer-exact luma verify
-    * (Σ|la_i − lb_i| ≤ 72 · maxMeanAbsDiff), smaller id survives. */
-  private def dHashDupes(hashed: DataFrame, maxHamming: Int,
-                         maxMeanAbsDiff: Int, blocks: Int,
-                         agreeBlocks: Int): DataFrame = {
+    * (Σ|la_i − lb_i| ≤ 72 · maxMeanAbsDiff). Shared by the dedup rule
+    * ([[dHashDupes]]: smaller id survives) and the cluster report
+    * ([[imageNearDupClusters]]: connected components over the verified
+    * pair graph). */
+  private def dHashVerifiedPairs(hashed: DataFrame, maxHamming: Int,
+                                 maxMeanAbsDiff: Int, blocks: Int,
+                                 agreeBlocks: Int): DataFrame = {
     val decoded = hashed.filter(col("decoded"))
     val pairs = hammingCombinationPairs(
       decoded.select(col("doc_id").as("id"), col("dhash").as("sig")),
@@ -302,7 +305,75 @@ object Dedup {
       .join(lumas.select(col("doc_id").as("id_a"), col("luma").as("la")), "id_a")
       .join(lumas.select(col("doc_id").as("id_b"), col("luma").as("lb")), "id_b")
       .filter(totalAbs <= lit(72 * maxMeanAbsDiff))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The ids that DIE under the dHash near-dup rule, from an
+    * [[graft.operators.Multimodal.imageDHash]] frame: verified pairs,
+    * smaller id survives. */
+  private def dHashDupes(hashed: DataFrame, maxHamming: Int,
+                         maxMeanAbsDiff: Int, blocks: Int,
+                         agreeBlocks: Int): DataFrame =
+    dHashVerifiedPairs(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
       .select(col("id_b").as("doc_id")).distinct()
+
+  /** Per-doc IMAGE near-dup CLUSTER labels — the q72/q191 cluster
+    * machinery applied to pixels (r11 verdict item #7): byte-identical
+    * clone collapse (the [[imageDedupDHashLayered]] discipline — the
+    * payload is decoded once per distinct content), dHash combination-
+    * blocked candidates + exact luma verify between representatives,
+    * connected components over the VERIFIED pair graph only, then the
+    * labels fan back out to every clone by content hash. Returns one
+    * row per input doc: (doc_id, cluster_id, cluster_size, n_bytes),
+    * cluster_id = min doc_id in the cluster (each byte-class's
+    * representative IS its min id, and the CC root is the min rep, so
+    * the root is the min over ALL members). Undecodable and
+    * null-payload docs label themselves byte-identically: clones of an
+    * undecodable payload still share a cluster (the md5 layer sees
+    * them), but no pixel edge can reach them.
+    *
+    * Scale shape: decode map-side on representatives only, candidates
+    * shuffle (id, 64-bit sig), CC iterates on the verified duplicate
+    * subgraph only — never all-pairs, never unbounded per-class
+    * arrays. [[StageCaches]] lifecycle via `checkpointDir`.
+    */
+  def imageNearDupClusters(media: DataFrame, maxHamming: Int = 10,
+                           maxMeanAbsDiff: Int = 16,
+                           blocks: Int = 16, agreeBlocks: Int = 2,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    // payload read 1/2: content keying + byte length in ONE pass over
+    // the wide column, persisted narrow (null payloads key to the
+    // sentinel of their own id — singleton classes, never collapsed)
+    val keyed = StageCaches.boundary(
+      media.select(col("doc_id"),
+        coalesce(md5(col("payload")),
+          concat(lit("∅"), col("doc_id").cast(StringType))).as("__ch"),
+        coalesce(length(col("payload")).cast(LongType), lit(0L)).as("__bytes")),
+      checkpointDir, "dedup.imageclusters.keyed")
+    val repGroups = keyed.groupBy("__ch").agg(min(col("doc_id")).as("__rep"))
+    // payload read 2/2: decode ONLY the representatives of REAL content
+    // classes — null-payload sentinels never reach the decoder (their
+    // singleton label comes from the coalesce below)
+    val reps = media
+      .join(repGroups.filter(!col("__ch").startsWith("∅"))
+        .select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val hashed = StageCaches.boundary(graft.operators.Multimodal.imageDHash(reps),
+      checkpointDir, "dedup.imageclusters.hashed")
+    val edges = dHashVerifiedPairs(hashed, maxHamming, maxMeanAbsDiff,
+      blocks, agreeBlocks)
+    val cc = GraphOps.connectedComponents(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val repLabel = repGroups
+      .join(cc.select(col("node").as("__rep"), col("component").as("__root")),
+        Seq("__rep"), "left")
+      .select(col("__ch"), coalesce(col("__root"), col("__rep")).as("cluster_id"))
+    val labeled = keyed.join(repLabel, Seq("__ch"))
+      .select(col("doc_id"), col("cluster_id"), col("__bytes"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("__bytes").as("n_bytes"))
   }
 
   /** [[imageDedupDHash]] with BYTE-IDENTICAL clone collapse — the
@@ -333,16 +404,20 @@ object Dedup {
     * anti-join and [[dHashDupes]]'s pair-gen + two luma joins (4 plan
     * references) share ONE decode pass instead of four. The unpersisted
     * r10 form re-scanned (and re-decoded) the payload ~5×, which
-    * doubled q177 when its input was an in-query synthesis. Neither
-    * cache is explicitly unpersisted — both are narrow (id+hash /
-    * id+72-int luma), LRU-evictable, and scoped to the session.
+    * doubled q177 when its input was an in-query synthesis. Both
+    * caches are narrow (id+hash / id+72-int luma) and LIFECYCLE-BOUND
+    * through [[StageCaches]] (r12): repeated invocations swap, a
+    * `checkpointDir` turns them into parquet checkpoints (lineage
+    * reset, zero cache entries — the production shape).
     */
   def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
                              maxMeanAbsDiff: Int = 16,
-                             blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+                             blocks: Int = 16, agreeBlocks: Int = 2,
+                             checkpointDir: Option[String] = None): DataFrame = {
     // payload read 1/3: content keying, then the narrow frame is cached
-    val keyed = media.select(col("doc_id"), md5(col("payload")).as("__ch"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = StageCaches.boundary(
+      media.select(col("doc_id"), md5(col("payload")).as("__ch")),
+      checkpointDir, "dedup.image.keyed")
     // no per-class id array: a web-scale clone class (one boilerplate
     // payload duplicated 10^8 times — exactly the corpus this form
     // routes for) would build an unbounded single-row aggregation
@@ -355,8 +430,8 @@ object Dedup {
     // narrow hash/luma result is cached so its four consumers share it
     val reps = media
       .join(repGroups.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val hashed = graft.operators.Multimodal.imageDHash(reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = StageCaches.boundary(graft.operators.Multimodal.imageDHash(reps),
+      checkpointDir, "dedup.image.hashed")
     val repState = hashed.select(col("doc_id").as("__rep"), col("decoded").as("__rd"))
       .join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
         .select(col("doc_id").as("__rep")), Seq("__rep"), "left_anti")
@@ -398,12 +473,14 @@ object Dedup {
                               blocks: Int = 16, agreeBlocks: Int = 2,
                               minCloneFactor: Double = 1.5,
                               sampleFraction: Double = 0.1,
-                              knownCloneFactor: Option[Double] = None): DataFrame = {
+                              knownCloneFactor: Option[Double] = None,
+                              checkpointDir: Option[String] = None): DataFrame = {
     val layered = measuredCloneRoute(media, "doc_id",
       md5(col("payload")), col("payload"),
       minCloneFactor, sampleFraction, knownCloneFactor)
     if (layered)
-      imageDedupDHashLayered(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+      imageDedupDHashLayered(media, maxHamming, maxMeanAbsDiff, blocks,
+        agreeBlocks, checkpointDir)
     else imageDedupDHash(media, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
   }
 
@@ -684,7 +761,15 @@ object Dedup {
     */
   def semanticK(n: Long, targetClusterSize: Int = 32): Int = {
     require(targetClusterSize >= 1, "targetClusterSize must be positive")
-    math.max(1L, math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+    val k = math.max(1L, math.ceil(n.toDouble / targetClusterSize).toLong)
+    // n above ~Int.MaxValue·targetClusterSize (~68B rows at the default
+    // 32 — inside the advertised scale) would wrap a bare toInt
+    // negative and hand k-means an invalid k; fail loudly instead of
+    // silently corrupting the clustering (r11 ADVICE).
+    require(k <= Int.MaxValue,
+      s"semanticK($n, $targetClusterSize) = $k exceeds Int.MaxValue — " +
+        "raise targetClusterSize (k-means cluster count must fit an Int)")
+    k.toInt
   }
 
   /** Evidence-gated SemDeDup (the q177/q178 adaptive discipline,
@@ -1103,7 +1188,8 @@ object Dedup {
     * clone evidence (the q83 discipline).
     */
   def exactSubstrSpansLayered(docs: DataFrame, idCol: String, textCol: String,
-                              k: Int = 8, minCount: Long = 2): DataFrame = {
+                              k: Int = 8, minCount: Long = 2,
+                              checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
     // TWO narrow frames, both persisted: the (id, text-key) projection
@@ -1115,15 +1201,16 @@ object Dedup {
     // r10 single-scan form, whose per-class collect_list(id) array is
     // an unbounded single-row aggregation buffer (a 10^8-clone
     // boilerplate class — exactly the corpus that routes here — would
-    // OOM one executor). Neither cache is explicitly unpersisted
-    // (narrow, session-scoped, LRU).
-    val keyed = docs
-      .select(col(idCol), md5(col(textCol).cast(BinaryType)).as("__tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grouped = docs
+    // OOM one executor). Both caches are lifecycle-bound through
+    // StageCaches (r12): swapped on re-invocation, parquet-checkpointed
+    // under a checkpointDir.
+    val keyed = StageCaches.boundary(docs
+      .select(col(idCol), md5(col(textCol).cast(BinaryType)).as("__tk")),
+      checkpointDir, "dedup.exactsubstr.keyed")
+    val grouped = StageCaches.boundary(docs
       .groupBy(md5(col(textCol).cast(BinaryType)).as("__tk"), col(textCol))
-      .agg(count(lit(1)).as("__mult"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("__mult")),
+      checkpointDir, "dedup.exactsubstr.grouped")
     val dd = grouped.filter(size(tokens(col(textCol))) >= k)
     val grams = dd
       .select(col("__tk"), col("__mult"),
@@ -1175,11 +1262,13 @@ object Dedup {
                                k: Int = 8, minCount: Long = 2,
                                minCloneFactor: Double = 1.5,
                                sampleFraction: Double = 0.1,
-                               knownCloneFactor: Option[Double] = None): DataFrame = {
+                               knownCloneFactor: Option[Double] = None,
+                               checkpointDir: Option[String] = None): DataFrame = {
     val layered = measuredCloneRoute(docs, idCol,
       md5(col(textCol).cast(BinaryType)), col(textCol),
       minCloneFactor, sampleFraction, knownCloneFactor)
-    if (layered) exactSubstrSpansLayered(docs, idCol, textCol, k, minCount)
+    if (layered) exactSubstrSpansLayered(docs, idCol, textCol, k, minCount,
+      checkpointDir)
     else exactSubstrSpans(docs, idCol, textCol, k, minCount)
   }
 
@@ -1192,7 +1281,7 @@ object Dedup {
     * sampled duplication is real signal, and comparing against the
     * transformed threshold detects clone-heaviness the raw comparison
     * would need a ~10× larger factor to see. */
-  private[operators] def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
+  private[graft] def sampledCloneThreshold(minCloneFactor: Double, p: Double): Double =
     if (p >= 1.0) minCloneFactor
     else (p * minCloneFactor) / (1.0 - math.pow(1.0 - p, minCloneFactor))
 
@@ -1218,18 +1307,71 @@ object Dedup {
     knownCloneFactor match {
       case Some(f) => f >= minCloneFactor
       case None =>
-        require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-          s"sampleFraction in (0, 1], got $sampleFraction")
-        val sampled =
-          if (sampleFraction >= 1.0) df
-          else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-            lit(math.round(sampleFraction * 1000000L)))
-        val m = sampled.filter(keySource.isNotNull)
-          .agg(count(lit(1)).as("n"), countDistinct(distinctKey).as("d"))
-          .head()
-        val (n, d) = (m.getLong(0), m.getLong(1))
-        d > 0 && n.toDouble / d >= sampledCloneThreshold(minCloneFactor, sampleFraction)
+        val r = sampledCloneRatio(df, idCol, distinctKey, keySource, sampleFraction)
+        r >= sampledCloneThreshold(minCloneFactor, sampleFraction)
     }
+
+  /** The one sampling job behind every adaptive router and
+    * [[measureCloneFactor]]: rows-with-a-key per distinct `distinctKey`
+    * on the deterministic id-hash sample (0.0 when the sample is
+    * empty or all-null-key — routes direct). */
+  private def sampledCloneRatio(df: DataFrame, idCol: String,
+                                distinctKey: Column, keySource: Column,
+                                sampleFraction: Double): Double = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+        lit(math.round(sampleFraction * 1000000L)))
+    val m = sampled.filter(keySource.isNotNull)
+      .agg(count(lit(1)).as("n"), countDistinct(distinctKey).as("d"))
+      .head()
+    val (n, d) = (m.getLong(0), m.getLong(1))
+    if (d == 0L) 0.0 else n.toDouble / d
+  }
+
+  /** PUBLIC clone-evidence measurement — the amortization hook for
+    * compositions (r11 verdict item #4): run the routers' sampling job
+    * ONCE, get back a TRUE-corpus-space clone factor (rows per distinct
+    * `distinctKey`), and thread it through every adaptive op's
+    * `knownCloneFactor` — a composition of several adaptive operators
+    * over one frame then samples once instead of once per op, and each
+    * op's construction stays action-free.
+    *
+    * The sampled docs-per-distinct ratio is NOT the true factor (a
+    * c-clone group keeps Binomial(c, p) members — see
+    * [[sampledCloneThreshold]]), so the observed ratio is inverted
+    * through that thinning model before returning. Because the model
+    * is strictly monotone in c, `measureCloneFactor(df) >=
+    * minCloneFactor` iff the raw sampled comparison the router would
+    * have made — threading the measurement routes IDENTICALLY to
+    * letting the op sample for itself (spec'd), floating-point at the
+    * exact threshold aside. Same null-key exclusion and deterministic
+    * id-hash sample as the routers.
+    */
+  def measureCloneFactor(df: DataFrame, idCol: String,
+                         distinctKey: Column, keySource: Column,
+                         sampleFraction: Double = 0.1): Double = {
+    val r = sampledCloneRatio(df, idCol, distinctKey, keySource, sampleFraction)
+    if (r <= 0.0) 1.0 else invertSampledRatio(r, sampleFraction)
+  }
+
+  /** Invert the thinning model: the true clone factor c whose expected
+    * sampled ratio [[sampledCloneThreshold]](c, p) equals the observed
+    * ratio `r`. Monotone bisection; f(c) >= p·c bounds the bracket. */
+  private[graft] def invertSampledRatio(r: Double, p: Double): Double = {
+    if (p >= 1.0 || r <= 1.0) return r
+    var lo = 1.0
+    var hi = math.max(2.0, r / p)
+    var i = 0
+    while (i < 200 && (hi - lo) > 1e-12 * hi) {
+      val mid = 0.5 * (lo + hi)
+      if (sampledCloneThreshold(mid, p) < r) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
+  }
 
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minCount: Long = 2,

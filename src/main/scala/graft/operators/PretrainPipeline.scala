@@ -4,17 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType}
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
-/** The COMPOSED end-to-end pre-training data pipeline — the engine's
-  * analog of the reference's `process()` driver (stats.py:1094), whose
-  * value is the composition, not the stages: quality funnel →
+/** The COMPOSED end-to-end pre-training data pipeline: quality funnel →
   * ExactSubstr cut → benchmark decontamination → sequence packing →
   * shard shuffle, emitting ONE AUDIT ROW PER INPUT DOCUMENT with every
   * stage's verdict, so per-stage attrition is a `count(...)` away and a
   * data team can answer "where did my tokens go" from a single table.
+  *
+  * (The reference implements none of these stages — it is a
+  * code-review ETL. What is analogous is only the COMPOSITION-DRIVER
+  * pattern: its `process()` (stats.py:1094) sequences per-table
+  * extract/transform/load steps behind one entry point the same way
+  * `audit` sequences corpus stages behind one call; the stage
+  * semantics here come from the LLM-data literature cited per stage.)
   *
   * Stage contracts (each oracle-gated standalone; q186 gates the SEAMS):
   *
@@ -45,9 +49,11 @@ import graft.functions.TextFunctions
   * result are the two persisted stage boundaries — each has multiple
   * downstream consumers (the funnel feeds the cut's detection corpus,
   * its rebuild join-back, and the final audit assembly; the decon
-  * verdicts feed the loader chain and the audit) — at production scale
-  * these persists are checkpoints to parquet between pipeline stages,
-  * which also reset lineage. The cut
+  * verdicts feed the loader chain and the audit). Their LIFECYCLE is
+  * [[StageCaches]] (r12): by default in-memory persists that repeated
+  * audits swap instead of accumulate; with `checkpointDir` they become
+  * parquet checkpoints between pipeline stages — zero cache entries
+  * and lineage reset, the production shape at 100 TB. The cut
   * is the q178/q179 machinery (hash-only phase-A exchange, Bloom
   * prefilter); decontamination is a broadcast anti-join (the benchmark
   * is always the small side); pack is one window shuffle on the
@@ -72,16 +78,23 @@ object PretrainPipeline {
     * @param isHeldOut predicate over the doc columns marking benchmark
     *                  MEMBERS inside `docs` (they are never trainable,
     *                  independent of hash collision)
+    * @param checkpointDir when set, the two stage boundaries are
+    *                  parquet checkpoints under this directory instead
+    *                  of in-memory persists — lineage reset, no cache
+    *                  entries, EAGER stage writes (see [[StageCaches]];
+    *                  spec'd row-identical to the in-memory default)
     */
   def audit(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             isTargetLang: Column, bench: DataFrame, isHeldOut: Column,
             minWords: Long = 50, minReqStop: Int = 2,
             k: Int = 8, minCount: Long = 2,
-            capacity: Int = 2048, nShards: Int = 8): DataFrame = {
-    // Stage 1 — the only multiply-consumed stage boundary: persist.
-    val funnel = CorpusOps.qualityFunnel(docs, idCol, textCol, isTargetLang,
-        minWords, minReqStop, withCleanText = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+            capacity: Int = 2048, nShards: Int = 8,
+            checkpointDir: Option[String] = None): DataFrame = {
+    // Stage 1 — multiply-consumed stage boundary (StageCaches lifecycle).
+    val funnel = StageCaches.boundary(
+      CorpusOps.qualityFunnel(docs, idCol, textCol, isTargetLang,
+        minWords, minReqStop, withCleanText = true),
+      checkpointDir, "pretrain.funnel")
     val survivors = funnel.filter(col("is_canonical"))
       .select(col(idCol), col("clean_text").as("text"))
     // Stage 2 — survivors are clone-free by construction: direct form.
@@ -98,7 +111,7 @@ object PretrainPipeline {
     // counting, rebuild join, and broadcast anti-probe all execute
     // twice (r11 review finding — ReuseExchange is incidental, not
     // guaranteed under AQE).
-    val decon = cut
+    val decon = StageCaches.boundary(cut
       .join(broadcast(benchHashes),
         TextFunctions.contentHash(col("clean_text")) === col("__bh"), "left")
       .join(docs.select(col(idCol), col(langCol), isHeldOut.as("__held")),
@@ -107,8 +120,8 @@ object PretrainPipeline {
       .select(col(idCol), col(langCol),
         md5(col("clean_text").cast(BinaryType)).as("cut_md5"),
         col("n_tok").as("n_clean_tok"), col("n_kept").as("n_kept_tok"),
-        col("n_cut").as("n_cut_tok"), col("n_spans"), col("pass_decontam"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        col("n_cut").as("n_cut_tok"), col("n_spans"), col("pass_decontam")),
+      checkpointDir, "pretrain.decon")
     // Stages 4+5 — loader assignment over the trainable set.
     val trainable = decon.filter(col("pass_decontam"))
       .select(col(idCol), col(langCol), col("n_kept_tok").as("n_kept"))

@@ -785,6 +785,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaKnown == viaMeasured)
   }
 
+  test("measureTextCloneFactor: threaded factor routes identically and amortizes to one sampling job") {
+    import graft.operators.Dedup
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(200)
+    val mirrored = (0 until 4).map(r => base.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    for ((corpus, tag) <- Seq((base, "clone-free"), (mirrored, "mirrored"));
+         p <- Seq(0.5, 1.0)) {
+      // the TRUE-space estimate must route exactly as the router's own
+      // sampled comparison (monotone inversion of the thinning model)
+      val f = CorpusOps.measureTextCloneFactor(corpus, "doc_id", "text", p)
+      val viaKnown = CorpusOps.contaminationReportAdaptive(
+        corpus, corpus.limit(5), "doc_id", "text",
+        sampleFraction = p, knownCloneFactor = Some(f))
+      val viaSampled = CorpusOps.contaminationReportAdaptive(
+        corpus, corpus.limit(5), "doc_id", "text", sampleFraction = p)
+      assert(viaKnown.queryExecution.analyzed
+          .sameResult(viaSampled.queryExecution.analyzed),
+        s"$tag@$p: measured factor $f routed differently from self-sampling")
+      // sanity of the inversion direction
+      if (tag == "clone-free") assert(f < 1.5, s"clone-free measured $f")
+      else assert(f >= 1.5, s"mirrored(4x) measured $f")
+    }
+    // the thinning inversion is the exact inverse of the threshold map
+    for (c <- Seq(1.5, 4.0, 20.0); p <- Seq(0.05, 0.1, 0.5))
+      assert(math.abs(Dedup.invertSampledRatio(
+        Dedup.sampledCloneThreshold(c, p), p) - c) < 1e-6 * c)
+    // amortization: with the factor supplied, constructing the three
+    // adaptive corpus ops runs ZERO extra Spark jobs (the one sampling
+    // job happened in measureTextCloneFactor)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val f = Some(CorpusOps.measureTextCloneFactor(mirrored, "doc_id", "text"))
+      Thread.sleep(2000) // listener events post async; the bus drains in ms
+      val afterMeasure = jobs
+      CorpusOps.contaminationReportAdaptive(mirrored, base.limit(5),
+        "doc_id", "text", knownCloneFactor = f)
+      CorpusOps.fuzzyDecontaminateAdaptive(mirrored, base.limit(5),
+        "doc_id", "text", knownCloneFactor = f)
+      Dedup.exactSubstrSpansAdaptive(mirrored, "doc_id", "text",
+        knownCloneFactor = f)
+      Thread.sleep(2000)
+      assert(jobs == afterMeasure,
+        s"constructing threaded adaptive ops ran ${jobs - afterMeasure} extra jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q187/q188/q189 run on the fixture with coherent shapes") {
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
     val rep = TrainingQueries.q187(spark, sf)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, MediaRow, Multimodal}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Perceptual-hash image dedup: hand-built near-identical images
@@ -102,6 +103,70 @@ class ImageDedupSpec extends SparkSpec {
         knownCloneFactor = Some(1.0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaKnownLayered == direct && viaKnownDirect == direct)
+  }
+
+  test("imageNearDupClusters: byte clones, re-encodes and thumbnails share a min-id cluster") {
+    val base = Seq(
+      bmp(10, "groupA"), bmp(11, "groupA"),          // byte clones
+      bmp(20, "groupB"), bmp(30, "groupC")).toDF()
+    val thumbs = Multimodal.resizeImage(
+      Seq(bmp(12, "groupA"), bmp(21, "groupB")).toDF(), 48)
+    val junkBytes = "not an image".getBytes
+    val junk = Seq(
+      MediaRow(96, null, 64, 64, "bmp"),      // null payload: singleton, never decoded
+      MediaRow(97, junkBytes, 64, 64, "bmp"),
+      MediaRow(98, junkBytes, 64, 64, "bmp"), // byte-identical undecodables cluster via md5
+      MediaRow(99, Array[Byte](9, 9), 64, 64, "webp")).toDF()
+    val media = base.unionByName(thumbs).unionByName(junk)
+    val got = Dedup.imageNearDupClusters(media)
+      .select("doc_id", "cluster_id", "cluster_size", "n_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 10)
+    assert(got(96L) == ((96L, 1L, 0L)), s"null payload must self-label: ${got(96L)}")
+    // near-dup cluster A = {10, 11, 12}: byte clones + the PNG thumbnail
+    for (id <- Seq(10L, 11L, 12L))
+      assert(got(id)._1 == 10L && got(id)._2 == 3L, s"doc $id: ${got(id)}")
+    // B = {20, 21}; C singleton; undecodable byte-pair {97, 98}; webp singleton
+    for (id <- Seq(20L, 21L)) assert(got(id)._1 == 20L && got(id)._2 == 2L)
+    assert(got(30L) == ((30L, 1L, got(30L)._3)))
+    for (id <- Seq(97L, 98L))
+      assert(got(id)._1 == 97L && got(id)._2 == 2L && got(id)._3 == junkBytes.length.toLong)
+    assert(got(99L) == ((99L, 1L, 2L)))
+    // bytes are per-doc payload lengths (the 64x64 BMP is 54 + 64*64*3)
+    assert(got(10L)._3 == 54L + 64L * 64L * 3L)
+    // clusters never cross distinct content: {10..12} vs {20,21} vs {30}
+    assert(Set(got(10L)._1, got(20L)._1, got(30L)._1).size == 3)
+  }
+
+  test("q193: the image duplication report histogram is exact on the hand fixture") {
+    // via the same machinery: 1 cluster of 3, 2 clusters of 2 (B and
+    // the undecodable byte pair), 2 singletons
+    val base = Seq(
+      bmp(10, "groupA"), bmp(11, "groupA"), bmp(20, "groupB"),
+      bmp(30, "groupC")).toDF()
+    val thumbs = Multimodal.resizeImage(
+      Seq(bmp(12, "groupA"), bmp(21, "groupB")).toDF(), 48)
+    val junkBytes = "junk junk".getBytes
+    val junk = Seq(MediaRow(97, junkBytes, 64, 64, "bmp"),
+      MediaRow(98, junkBytes, 64, 64, "bmp")).toDF()
+    val hist = Dedup.imageNearDupClusters(base.unionByName(thumbs).unionByName(junk))
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"), count(lit(1)).as("n_docs"))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hist == Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)), hist.toString)
+    // and the registered query runs with coherent shape on the fixture
+    val q = LlmQueries.q193(spark, sf).collect()
+    assert(q.nonEmpty)
+    val totalDocs = q.map(_.getAs[Long]("n_docs")).sum
+    val nImages = 2 * Tables.documents(spark, sf)
+      .filter(col("doc_id") % 12 === 0).count()
+    assert(totalDocs == nImages, s"report must cover every image: $totalDocs vs $nImages")
+    q.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
   }
 
   test("q177 runs, is deterministic, and drops every thumbnail variant") {

@@ -664,6 +664,46 @@ class PlanRegressionSpec extends SparkSpec {
         s"$n layered form must not build per-class id arrays")
   }
 
+  test("q187/q189 layered branches: the corpus text is file-scanned once, keyed from cache (r11 fix)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.operators.CorpusOps
+    import graft.sources.Tables
+    import spark.implicits._
+    // The r11 layered forms re-derived keyed (id -> contentHash) and
+    // reps (class -> text) as two separate scans of the train input —
+    // the widest column read and md5-hashed twice per layered run.
+    // r12 discipline (the Dedup.imageDedupDHashLayered:345 pattern):
+    // the narrow (id, __ch) keying frame is persisted and both of its
+    // consumers read the cache; the ONLY text file scan left in the
+    // visible plan is the Bloom-pruned representative fetch. The bench
+    // side is a LocalTableScan here so the count isolates the train
+    // side.
+    val train = Tables.documents(spark, sf).select("doc_id", "text")
+    val bench = Seq((1L, "tiny bench doc with a few words"))
+      .toDF("doc_id", "text")
+    for ((name, df) <- Seq(
+        ("q187-layered",
+          CorpusOps.contaminationReportLayered(train, bench, "doc_id", "text")),
+        ("q189-layered",
+          CorpusOps.fuzzyDecontaminateLayered(train, bench, "doc_id", "text")))) {
+      val p = plan(df)
+      val textScans = p.collectLeaves().collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
+      }
+      assert(textScans.size == 1,
+        s"$name: corpus text must be file-scanned exactly once (the " +
+          s"representative fetch), got ${textScans.size}")
+      val caches = p.collectLeaves().collect {
+        case c: InMemoryTableScanExec => c.output.map(_.name).toSet
+      }
+      assert(caches.count(_.contains("__ch")) >= 2,
+        s"$name: the keying frame must be read from cache by the class " +
+          s"groupBy AND the fan-out, got ${caches.size} cache reads")
+      assert(p.toString.contains("might_contain"),
+        s"$name: the representative fetch must be Bloom-pruned before the exchange")
+    }
+  }
+
   test("q180/q181/q184: the quality/repetition rule passes stay map-side (no join/agg/extra shuffle)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BaseJoinExec
