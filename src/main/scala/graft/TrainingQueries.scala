@@ -1621,6 +1621,78 @@ object TrainingQueries {
           LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.tid
         ORDER BY d.doc_id"""
 
+  // q194: the COMPOSED corpus-contamination audit — q187's gram
+  // contamination + q189's fuzzy best-match + exact-clone structure in
+  // ONE row per training doc, with ONE clone-evidence sampling job
+  // routing both adaptive stages (CorpusOps.corpusAudit — the
+  // measureTextCloneFactor amortization made operational). The oracle
+  // composes q187Sql's and q189Sql's own CTE bodies plus a contentHash
+  // clone CTE — one source of truth, no drift.
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.corpusAudit(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, shingleN = 3)
+      .orderBy("doc_id")
+  }
+
+  val q194Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, ${gramsSql(8)} AS gs FROM t
+        ), bg AS (
+          SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 10 = 0
+        ), tr AS (
+          SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 10 <> 0
+        ), c AS (
+          SELECT tr.doc_id, count(*) AS n_grams, count(bg.g) AS n_hit
+          FROM tr LEFT JOIN bg ON tr.g = bg.g GROUP BY tr.doc_id
+        ), s AS (
+          SELECT doc_id, list_distinct(${gramsSql(3)}) AS sh FROM t
+        ), b AS (
+          SELECT doc_id AS bid, len(sh) AS bn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 = 0
+        ), tr2 AS (
+          SELECT doc_id AS tid, len(sh) AS tn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 <> 0
+        ), p AS (
+          SELECT tid, bid, count(*) AS i,
+            any_value(tn) + any_value(bn) - count(*) AS u
+          FROM tr2 JOIN b USING (g) GROUP BY tid, bid
+        ), best AS (
+          SELECT tid, bid, i, u,
+            CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS j,
+            row_number() OVER (PARTITION BY tid
+              ORDER BY CAST(i AS DOUBLE) / CAST(u AS DOUBLE) DESC, bid ASC)
+              AS rn
+          FROM p
+        ), cl AS (
+          SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+          FROM documents WHERE doc_id % 10 <> 0
+        ), cs AS (
+          SELECT ch, count(*) AS n_clones, min(doc_id) AS rep
+          FROM cl GROUP BY ch
+        )
+        SELECT d.doc_id,
+          CAST(c.n_grams AS BIGINT) AS n_grams,
+          CAST(c.n_hit AS BIGINT) AS n_hit,
+          CAST(c.n_hit AS DOUBLE) / CAST(c.n_grams AS DOUBLE) AS contam_frac,
+          (10 * c.n_hit >= 7 * c.n_grams) AS flagged,
+          bb.bid AS fz_bench_id, CAST(bb.i AS BIGINT) AS fz_inter,
+          CAST(bb.u AS BIGINT) AS fz_uni, bb.j AS fz_jaccard,
+          coalesce(10 * bb.i >= 7 * bb.u, false) AS fz_dropped,
+          CAST(cs.n_clones AS BIGINT) AS n_clones,
+          (cl.doc_id = cs.rep) AS is_canonical
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+          LEFT JOIN c ON d.doc_id = c.doc_id
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) bb ON d.doc_id = bb.tid
+          LEFT JOIN cl ON d.doc_id = cl.doc_id
+          LEFT JOIN cs ON cl.ch = cs.ch
+        ORDER BY d.doc_id"""
+
   // q190: CCNet-style per-line language segmentation (Wenzek et al.
   // LREC'20) — langid every line, keep the page-language (or und)
   // lines, re-join. ONE native-kernel call per row (LineLangId, the

@@ -899,6 +899,61 @@ object CorpusOps {
     else fuzzyDecontaminate(train, bench, idCol, textCol, shingleN,
       thrNum, thrDen)
 
+  /** The COMPOSED corpus-contamination audit (r12, operationalizing the
+    * router amortization the public [[measureTextCloneFactor]] enables):
+    * ONE clone-evidence sampling job routes BOTH adaptive stages, then
+    * one row per training doc joins
+    *
+    *   - the PaLM-style gram contamination report (q187 semantics:
+    *     `n_grams`/`n_hit`/`contam_frac`/`flagged`),
+    *   - the fuzzy best-benchmark-match audit (q189 semantics, `fz_`-
+    *     prefixed: `fz_bench_id`/`fz_inter`/`fz_uni`/`fz_jaccard`/
+    *     `fz_dropped`), and
+    *   - exact-clone structure (`n_clones` = the doc's normalized-text
+    *     class size, `is_canonical` = it is the class min id — q20's
+    *     survivor convention); null-text docs carry nulls here (a null
+    *     hash never joins), matching the SQL oracle's semantics.
+    *
+    * This is the one-table answer to "how leaked and how duplicated is
+    * my corpus against this benchmark" — the three standalone reports
+    * share one measurement pass instead of sampling once per operator,
+    * and callers with catalog stats skip even that via
+    * `knownCloneFactor`. Every column is engine-exact (integer counts,
+    * integer cross-multiplied verdicts, one IEEE division per emitted
+    * double — the q187/q189 contracts).
+    */
+  def corpusAudit(train: DataFrame, bench: DataFrame,
+                  idCol: String, textCol: String,
+                  n: Int = 8, shingleN: Int = 3,
+                  thrNum: Int = 7, thrDen: Int = 10,
+                  minCloneFactor: Double = 1.5,
+                  sampleFraction: Double = 0.1,
+                  knownCloneFactor: Option[Double] = None,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    // the single sampling job (skipped entirely when the caller brings
+    // a factor) — threaded through every adaptive stage below
+    val f = Some(knownCloneFactor.getOrElse(
+      measureTextCloneFactor(train, idCol, textCol, sampleFraction)))
+    val contam = contaminationReportAdaptive(train, bench, idCol, textCol,
+      n, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir)
+    val fuzzy = fuzzyDecontaminateAdaptive(train, bench, idCol, textCol,
+        shingleN, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir)
+      .select(col(idCol), col("bench_id").as("fz_bench_id"),
+        col("inter").as("fz_inter"), col("uni").as("fz_uni"),
+        col("jaccard").as("fz_jaccard"), col("dropped").as("fz_dropped"))
+    val keyed = train.select(col(idCol),
+      TextFunctions.contentHash(col(textCol)).as("__ch"))
+    val classes = keyed.groupBy("__ch")
+      .agg(count(lit(1)).as("n_clones"), min(col(idCol)).as("__rep"))
+    val cloneStats = keyed.join(classes, Seq("__ch"))
+      .select(col(idCol), col("n_clones"),
+        (col(idCol) === col("__rep")).as("is_canonical"))
+    train.select(col(idCol))
+      .join(contam, Seq(idCol), "left")
+      .join(fuzzy, Seq(idCol), "left")
+      .join(cloneStats, Seq(idCol), "left")
+  }
+
   // ------------------------------------------- line language segmentation
 
   /** CCNet-style per-line language segmentation (Wenzek et al.

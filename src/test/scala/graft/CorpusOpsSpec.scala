@@ -837,6 +837,50 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("corpusAudit == its standalone parts on clone-free AND mirrored corpora (one measurement)") {
+    val degenerate = Seq[(Long, String)]((9000000051L, null), (9000000061L, ""))
+      .toDF("doc_id", "text")
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .limit(200).unionByName(degenerate)
+    val mirrored = (0 until 4).map(r => base.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    for (corpus <- Seq(base, mirrored)) {
+      val train = corpus.filter(col("doc_id") % 10 =!= 0)
+      val bench = corpus.filter(col("doc_id") % 10 === 0)
+      val audit = CorpusOps.corpusAudit(train, bench, "doc_id", "text")
+      // contamination block == the standalone report, left-joined
+      assert(audit.select("doc_id", "n_grams", "n_hit", "contam_frac", "flagged")
+        .collect().map(_.toString).sorted.toSeq ==
+        train.select("doc_id")
+          .join(CorpusOps.contaminationReport(train, bench, "doc_id", "text"),
+            Seq("doc_id"), "left")
+          .collect().map(_.toString).sorted.toSeq)
+      // fuzzy block == the standalone audit
+      assert(audit.select("doc_id", "fz_bench_id", "fz_inter", "fz_uni",
+          "fz_jaccard", "fz_dropped")
+        .collect().map(_.toString).sorted.toSeq ==
+        CorpusOps.fuzzyDecontaminate(train, bench, "doc_id", "text")
+          .collect().map(_.toString).sorted.toSeq)
+      // clone block: class sizes and min-id canonicals, nulls for null text
+      val got = audit.select("doc_id", "n_clones", "is_canonical").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getBoolean(2)))))
+        .toMap
+      val classes = train.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+      val byClass = classes.filter(_._2 != null).groupBy(_._2)
+      for ((id, t) <- classes)
+        if (t == null) assert(got(id).isEmpty, s"doc $id: null text must carry nulls")
+        else {
+          val members = byClass(t).map(_._1)
+          assert(got(id).contains((members.length.toLong, id == members.min)),
+            s"doc $id: ${got(id)} vs ${members.length}/${members.min}")
+        }
+    }
+  }
+
   test("q187/q188/q189 run on the fixture with coherent shapes") {
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
     val rep = TrainingQueries.q187(spark, sf)
