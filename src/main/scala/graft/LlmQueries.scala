@@ -481,8 +481,10 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    base.unionByName(variants)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // StageCaches lifecycle (r12): q177 and q193 share one registered
+    // entry (sameResult), and repeated gate runs swap instead of grow
+    graft.operators.StageCaches.stage(base.unionByName(variants),
+      "llm.imagegate.corpus")
   }
 
   def q177(spark: SparkSession, dir: String): DataFrame =

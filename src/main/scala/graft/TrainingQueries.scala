@@ -1693,6 +1693,97 @@ object TrainingQueries {
           LEFT JOIN cs ON cl.ch = cs.ch
         ORDER BY d.doc_id"""
 
+  // q195: q187's contamination report through the HASHED-PROBE scale
+  // path — the broadcast shrink for large benchmark suites, previously
+  // prose in the scaladoc, now a gated branch: both sides probe on the
+  // first 16 hex chars of each gram's md5 (16 bytes vs ~50+ for an
+  // 8-gram string), so the bench-distinct exchange and the broadcast
+  // table shrink ~3-4x and the probe hashmap compares short fixed
+  // keys. The oracle replays the identical hashed probe, so parity is
+  // exact independent of (vanishingly unlikely) collisions; the spec
+  // additionally asserts hashed == exact on the fixture.
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.contaminationReportAdaptive(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, hashedProbe = true)
+      .orderBy("doc_id")
+  }
+
+  val q195Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, ${gramsSql(8)} AS gs FROM t
+        ), bg AS (
+          SELECT DISTINCT substr(md5(g0), 1, 16) AS g
+          FROM (SELECT unnest(gs) AS g0 FROM g WHERE doc_id % 10 = 0)
+        ), tr AS (
+          SELECT doc_id, substr(md5(g0), 1, 16) AS g
+          FROM (SELECT doc_id, unnest(gs) AS g0 FROM g WHERE doc_id % 10 <> 0)
+        ), c AS (
+          SELECT tr.doc_id, count(*) AS n_grams, count(bg.g) AS n_hit
+          FROM tr LEFT JOIN bg ON tr.g = bg.g GROUP BY tr.doc_id
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac,
+          (10 * n_hit >= 7 * n_grams) AS flagged
+        FROM c ORDER BY doc_id"""
+
+  // q196: q189's fuzzy decontamination through the HASHED-PROBE path —
+  // the q195 shrink applied to the exploded, BROADCAST bench shingle
+  // table. The transform preserves shingle-array length so the exact
+  // |A|/|B| set sizes (hence uni and the Jaccard denominators) are
+  // unchanged; the oracle replays the identical hashed probe and the
+  // spec asserts hashed == exact on the fixture, direct and layered.
+  // MEASURED tradeoff (sf100-distinct, 5M docs): 245 -> 279 s — for
+  // SHORT 3-gram shingles (~20 bytes) the per-shingle md5 costs more
+  // wall clock than the 16-byte keys save, unlike q195's 8-grams
+  // (~50+ bytes, 0.92x). The knob is for MEMORY-bound broadcasts
+  // (probe table must fit every executor), not for speed at this
+  // shingle length — the doc comment and SURVEY carry the when-to-use.
+  def q196(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.fuzzyDecontaminateAdaptive(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3, hashedProbe = true)
+      .orderBy("doc_id")
+  }
+
+  val q196Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, list_transform(list_distinct(${gramsSql(3)}),
+            x -> substr(md5(x), 1, 16)) AS sh FROM t
+        ), b AS (
+          SELECT doc_id AS bid, len(sh) AS bn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 = 0
+        ), tr AS (
+          SELECT doc_id AS tid, len(sh) AS tn, unnest(sh) AS g
+          FROM s WHERE doc_id % 10 <> 0
+        ), p AS (
+          SELECT tid, bid, count(*) AS i,
+            any_value(tn) + any_value(bn) - count(*) AS u
+          FROM tr JOIN b USING (g) GROUP BY tid, bid
+        ), best AS (
+          SELECT tid, bid, i, u,
+            CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS j,
+            row_number() OVER (PARTITION BY tid
+              ORDER BY CAST(i AS DOUBLE) / CAST(u AS DOUBLE) DESC, bid ASC)
+              AS rn
+          FROM p
+        )
+        SELECT d.doc_id, b.bid AS bench_id, CAST(b.i AS BIGINT) AS inter,
+          CAST(b.u AS BIGINT) AS uni, b.j AS jaccard,
+          coalesce(10 * b.i >= 7 * b.u, false) AS dropped
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.tid
+        ORDER BY d.doc_id"""
+
   // q190: CCNet-style per-line language segmentation (Wenzek et al.
   // LREC'20) — langid every line, keep the page-language (or und)
   // lines, re-join. ONE native-kernel call per row (LineLangId, the

@@ -613,19 +613,35 @@ object CorpusOps {
     *
     * Scale: benchmark corpora are MBs against training TBs, so the
     * distinct bench gram set is BROADCAST (the q64 shape) and matching
-    * is on the gram STRINGS — exact, no collision caveat; hashing the
-    * grams to 64 bits before the probe is the documented production
-    * shrink when the bench set is large. The only shuffle is the
-    * per-doc count aggregation: (id, two longs), combined map-side.
+    * is on the gram STRINGS — exact, no collision caveat; for LARGE
+    * benchmark suites set `hashedProbe = true` to probe on 64-bit
+    * md5-prefix keys instead (q195's gated scale path — see the note
+    * in the body). The only shuffle is the per-doc count aggregation:
+    * (id, two longs), combined map-side.
     */
   def contaminationReport(train: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String, n: Int = 8,
-                          thrNum: Int = 7, thrDen: Int = 10): DataFrame = {
+                          thrNum: Int = 7, thrDen: Int = 10,
+                          hashedProbe: Boolean = false): DataFrame = {
+    // hashedProbe = the production shrink for LARGE benchmark suites
+    // (r12 — previously prose in this doc): probe on the first 16 hex
+    // chars of the gram's md5 (~60+ bits) instead of the gram string,
+    // cutting the broadcast table and the bench-distinct exchange to
+    // 16 bytes per gram (an 8-gram string is ~50+ bytes). A cross-gram
+    // collision needs two distinct grams sharing 64 hash bits —
+    // ~T·B/2^64 expected over T train × B bench grams, vanishing at
+    // any real scale, and a hit moves one gram POSITION of one doc's
+    // fraction, never the corpus. The oracle replays the same hashed
+    // probe, so engine parity is exact independent of collisions.
+    val gramKey = (g: Column) =>
+      if (hashedProbe) substring(md5(g.cast(BinaryType)), 1, 16) else g
     val benchGrams = bench
-      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g"))
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g0"))
+      .select(gramKey(col("__g0")).as("__g"))
       .distinct()
     train
-      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), n)).as("__g0"))
+      .select(col(idCol), gramKey(col("__g0")).as("__g"))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("__g"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
@@ -732,12 +748,13 @@ object CorpusOps {
   def contaminationReportLayered(train: DataFrame, bench: DataFrame,
                                  idCol: String, textCol: String, n: Int = 8,
                                  thrNum: Int = 7, thrDen: Int = 10,
-                                 checkpointDir: Option[String] = None): DataFrame = {
+                                 checkpointDir: Option[String] = None,
+                                 hashedProbe: Boolean = false): DataFrame = {
     val (keyed, reps) = collapsedTrain(train, idCol, textCol, checkpointDir,
       "corpus.contamination.keyed")
     val repReport = contaminationReport(
       reps.withColumnRenamed("__ch", "__repid"), bench, "__repid", textCol,
-      n, thrNum, thrDen)
+      n, thrNum, thrDen, hashedProbe)
     keyed.join(repReport.withColumnRenamed("__repid", "__ch"), Seq("__ch"))
       .select(col(idCol), col("n_grams"), col("n_hit"), col("contam_frac"),
         col("flagged"))
@@ -753,12 +770,14 @@ object CorpusOps {
                                   minCloneFactor: Double = 1.5,
                                   sampleFraction: Double = 0.1,
                                   knownCloneFactor: Option[Double] = None,
-                                  checkpointDir: Option[String] = None): DataFrame =
+                                  checkpointDir: Option[String] = None,
+                                  hashedProbe: Boolean = false): DataFrame =
     if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
         knownCloneFactor))
       contaminationReportLayered(train, bench, idCol, textCol, n, thrNum, thrDen,
-        checkpointDir)
-    else contaminationReport(train, bench, idCol, textCol, n, thrNum, thrDen)
+        checkpointDir, hashedProbe)
+    else contaminationReport(train, bench, idCol, textCol, n, thrNum, thrDen,
+      hashedProbe)
 
   // -------------------------------------------------- fuzzy decontaminate
 
@@ -783,9 +802,11 @@ object CorpusOps {
     */
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, shingleN: Int = 3,
-                         thrNum: Int = 7, thrDen: Int = 10): DataFrame =
+                         thrNum: Int = 7, thrDen: Int = 10,
+                         hashedProbe: Boolean = false): DataFrame =
     train.select(col(idCol))
-      .join(fuzzyBest(train, bench, idCol, textCol, shingleN, thrNum, thrDen)
+      .join(fuzzyBest(train, bench, idCol, textCol, shingleN, thrNum, thrDen,
+          hashedProbe)
         .withColumnRenamed("__tid", idCol), Seq(idCol), "left")
       .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
         col("jaccard"), coalesce(col("__drop"), lit(false)).as("dropped"))
@@ -798,7 +819,8 @@ object CorpusOps {
     */
   private def fuzzyBest(train: DataFrame, bench: DataFrame,
                         idCol: String, textCol: String, shingleN: Int,
-                        thrNum: Int, thrDen: Int): DataFrame = {
+                        thrNum: Int, thrDen: Int,
+                        hashedProbe: Boolean = false): DataFrame = {
     // the argmax tiebreak negates the bench id (max(struct(j, -id)))
     // and the audit emits it as a long — a string bench id would cast
     // to null and silently break the documented min-id tiebreak, so
@@ -806,9 +828,20 @@ object CorpusOps {
     require(bench.schema(idCol).dataType.isInstanceOf[NumericType],
       s"fuzzyDecontaminate needs a NUMERIC benchmark id column for the " +
         s"min-id argmax tiebreak; got ${bench.schema(idCol).dataType} for '$idCol'")
+    // hashedProbe: the q195 shrink applied to the fuzzy candidate join —
+    // the exploded, BROADCAST bench shingle table carries 16-byte
+    // md5-prefix keys instead of shingle strings (the transform
+    // preserves array length, so the __tn/__bn set sizes are
+    // unchanged; a vanishing cross-shingle collision can perturb one
+    // pair's intersection count, and the oracle replays the identical
+    // hashed probe — parity exact regardless).
+    val shingleKey = (sh: Column) =>
+      if (hashedProbe) transform(sh, g => substring(md5(g.cast(BinaryType)), 1, 16))
+      else sh
     def shingled(df: DataFrame, id: String) = df.select(
       col(idCol).as(id),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleN)).as("__sh"))
+      shingleKey(array_distinct(
+        TextFunctions.wordShingles(col(textCol), shingleN))).as("__sh"))
     val b = shingled(bench, "__bid").withColumn("__bn", size(col("__sh")))
       .select(col("__bid"), col("__bn"), explode(col("__sh")).as("__g"))
     val t = shingled(train, "__tid").withColumn("__tn", size(col("__sh")))
@@ -851,7 +884,8 @@ object CorpusOps {
   def fuzzyDecontaminateLayered(train: DataFrame, bench: DataFrame,
                                 idCol: String, textCol: String, shingleN: Int = 3,
                                 thrNum: Int = 7, thrDen: Int = 10,
-                                checkpointDir: Option[String] = None): DataFrame = {
+                                checkpointDir: Option[String] = None,
+                                hashedProbe: Boolean = false): DataFrame = {
     // train side: one md5 pass + a persisted narrow keying frame + a
     // Bloom-pruned representative fetch (collapsedTrain — the r12 scan
     // discipline). Null-text docs travel as the sentinel class with a
@@ -870,7 +904,8 @@ object CorpusOps {
     // (left join + coalesce), not from fuzzyDecontaminate's internal
     // train-id left join — that second consumer of the rep texts would
     // put a second file scan of the text column back into the plan
-    val best = fuzzyBest(tReps, bReps, idCol, textCol, shingleN, thrNum, thrDen)
+    val best = fuzzyBest(tReps, bReps, idCol, textCol, shingleN, thrNum, thrDen,
+      hashedProbe)
     keyed
       .join(best.withColumnRenamed("__tid", "__ch"), Seq("__ch"), "left")
       .select(col(idCol), col("bench_id"), col("inter"), col("uni"),
@@ -891,13 +926,14 @@ object CorpusOps {
                                  minCloneFactor: Double = 1.5,
                                  sampleFraction: Double = 0.1,
                                  knownCloneFactor: Option[Double] = None,
-                                 checkpointDir: Option[String] = None): DataFrame =
+                                 checkpointDir: Option[String] = None,
+                                 hashedProbe: Boolean = false): DataFrame =
     if (routeLayered(train, idCol, textCol, minCloneFactor, sampleFraction,
         knownCloneFactor))
       fuzzyDecontaminateLayered(train, bench, idCol, textCol, shingleN,
-        thrNum, thrDen, checkpointDir)
+        thrNum, thrDen, checkpointDir, hashedProbe)
     else fuzzyDecontaminate(train, bench, idCol, textCol, shingleN,
-      thrNum, thrDen)
+      thrNum, thrDen, hashedProbe)
 
   /** The COMPOSED corpus-contamination audit (r12, operationalizing the
     * router amortization the public [[measureTextCloneFactor]] enables):

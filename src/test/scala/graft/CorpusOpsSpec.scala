@@ -837,6 +837,31 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("hashedProbe contamination == the exact-string probe, direct and layered") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(300)
+    val mirrored = (0 until 3).map(r => docs.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    for (corpus <- Seq(docs, mirrored)) {
+      val train = corpus.filter(col("doc_id") % 10 =!= 0)
+      val bench = corpus.filter(col("doc_id") % 10 === 0)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(CorpusOps.contaminationReport(train, bench, "doc_id", "text",
+          hashedProbe = true)) ==
+        rows(CorpusOps.contaminationReport(train, bench, "doc_id", "text")))
+      assert(rows(CorpusOps.contaminationReportLayered(train, bench, "doc_id", "text",
+          hashedProbe = true)) ==
+        rows(CorpusOps.contaminationReportLayered(train, bench, "doc_id", "text")))
+      assert(rows(CorpusOps.fuzzyDecontaminate(train, bench, "doc_id", "text",
+          hashedProbe = true)) ==
+        rows(CorpusOps.fuzzyDecontaminate(train, bench, "doc_id", "text")))
+      assert(rows(CorpusOps.fuzzyDecontaminateLayered(train, bench, "doc_id", "text",
+          hashedProbe = true)) ==
+        rows(CorpusOps.fuzzyDecontaminateLayered(train, bench, "doc_id", "text")))
+    }
+  }
+
   test("corpusAudit == its standalone parts on clone-free AND mirrored corpora (one measurement)") {
     val degenerate = Seq[(Long, String)]((9000000051L, null), (9000000061L, ""))
       .toDF("doc_id", "text")
