@@ -373,5 +373,57 @@ if os.path.isdir(q193_path):
         print(f"ok   q193_image_dup_report [property: histogram == 2s-sized "
               f"clusters per text-class size s, {len(got)} rows]")
 
+# q197: audio feature extraction (rows-only — SQL cannot walk RIFF
+# chunks, but the gate corpus is synthesized deterministically:
+# doc_id%30==0 docs carry a 16-bit mono WAV whose sample i is
+# ((md5(text[:80])[i%16]*257 + i*1031) % 65536) - 32768 at
+# n = 64 + id%128 samples, rate = 8000 + (id%4)*4000; the other
+# doc_id%15==0 docs carry junk text bytes that must come back
+# decoded=false with zeroed facts. Every output column is recomputed
+# here exactly, including the IEEE RMS accumulation in sample order.
+q197_path = f"{OUT}/q197_audio_features"
+if os.path.isdir(q197_path):
+    import hashlib, math
+    got = con.sql(
+        f"SELECT doc_id, byte_len, channels, sample_rate, bits, n_samples, "
+        f"duration_ms, rms_milli, decoded FROM read_parquet('{q197_path}/*.parquet') "
+        f"ORDER BY doc_id").df()
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 15 = 0 ORDER BY doc_id").df()
+    bad = []
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        head = (text or "")[:80]
+        g = by_id.get(doc_id)
+        if g is None:
+            bad.append((int(doc_id), "missing")); continue
+        if doc_id % 30 == 0:
+            seed = hashlib.md5(head.encode("utf-8")).digest()
+            n = 64 + int(doc_id % 128)
+            rate = 8000 + int(doc_id % 4) * 4000
+            sum_sq = 0.0
+            for i in range(n):
+                v = ((seed[i % 16] * 257 + i * 1031) % 65536) - 32768
+                s = v / 32768.0
+                sum_sq += s * s
+            rms = math.sqrt(sum_sq / n)
+            exp = (44 + 2 * n, 1, rate, 16, n, n * 1000 // rate,
+                   math.floor(rms * 1000 + 0.5), True)
+        else:
+            exp = (len(head.encode("utf-8")), 0, 0, 0, 0, 0, 0, False)
+        gval = (int(g.byte_len), int(g.channels), int(g.sample_rate), int(g.bits),
+                int(g.n_samples), int(g.duration_ms), int(g.rms_milli),
+                bool(g.decoded))
+        if gval != exp:
+            bad.append((int(doc_id), gval, exp))
+    if bad or len(got) != len(docs):
+        fails.append("q197_audio_features")
+        print(f"FAIL q197_audio_features: {len(got)}/{len(docs)} rows, "
+              f"mismatches {bad[:3]}")
+    else:
+        n_wav = int((docs.doc_id % 30 == 0).sum())
+        print(f"ok   q197_audio_features [property: all {len(docs)} rows match the "
+              f"RIFF-decode formulas exactly ({n_wav} real WAVs, rest junk)]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -492,6 +492,36 @@ object LlmQueries {
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")
 
+  // q197: AUDIO feature extraction over the opaque binary column
+  // (rows-only — SQL cannot walk RIFF chunks; check.py recomputes every
+  // feature from the synthesis formulas, the q30/q177 precedent). The
+  // gate corpus alternates REAL 16-bit WAV-PCM payloads (synthesized
+  // deterministically from the text-head md5 — Multimodal.syntheticWav
+  // documents the exact sample formula) with junk text-byte payloads
+  // that must come back decoded=false with zeroed facts. The decode
+  // itself is the real RIFF walker + the r12 hand-rolled FLAC decoder
+  // behind it (FLAC payloads are spec-gated in FlacSpec on hand-built
+  // streams — the Vp8lSpec discipline); partition-batched map-side, no
+  // shuffle — the 100 TB pass is scan-speed.
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, head) =>
+        val payload =
+          if (id % 30 == 0) {
+            val seed = java.security.MessageDigest.getInstance("MD5")
+              .digest(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Multimodal.syntheticWav(seed, n = 64 + (id % 128).toInt,
+              rate = 8000 + (id % 4).toInt * 4000)
+          } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.operators.MediaRow(id, payload, 0, 0, "wav")
+      }).toDF()
+    Multimodal.audioFeatures(media).orderBy("doc_id")
+  }
+
   // q193: IMAGE duplication REPORT (rows-only — SQL cannot decode
   // pixels; check.py gates the histogram relationally on the
   // synthesized clone corpus, ImageDedupSpec gates cluster semantics on
@@ -503,6 +533,13 @@ object LlmQueries {
   // components on the verified pair graph); the histogram is one
   // bounded aggregation past machinery that is itself gated — at
   // 100 TB the report costs two tiny shuffles beyond the dedup pass.
+  // Scale caveat (measured, sf10 = 83k images: 1023 s with GC-locker
+  // thrash): the GATE synthesizes and re-encodes every image in-query
+  // and javax.imageio's GetPrimitiveArrayCritical serializes under
+  // 32-way decode parallelism — the production path decodes each
+  // payload ONCE into a parquet-backed dHash/luma artifact (the
+  // imageDHash output; IvfPqIndex persist precedent) and this report
+  // then runs on 8-byte signatures only.
   def q193(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.imageNearDupClusters(syntheticImageCorpus(spark, dir))
       .groupBy("cluster_size")

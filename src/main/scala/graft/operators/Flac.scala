@@ -1,0 +1,369 @@
+package graft.operators
+
+/** Hand-rolled FLAC (RFC 9639) stream decoder — the audio analog of
+  * the [[Vp8l]] lossless-WebP decoder (r9): pure JVM, deterministic,
+  * no codec dependency, spec'd against hand-built streams. With it the
+  * engine's real-audio surface covers WAV-PCM ([[Multimodal.parseWav]])
+  * AND lossless-compressed FLAC; the declared stub boundary shrinks to
+  * LOSSY audio (mp3/aac/opus) + lossy-VP8 pixels.
+  *
+  * Scope (the subset every FLAC encoder in practice emits):
+  *   - STREAMINFO + skipped metadata blocks
+  *   - fixed and variable blocking; all block-size / sample-rate codes
+  *   - subframes: CONSTANT, VERBATIM, FIXED (orders 0-4), LPC (1-32)
+  *   - Rice/Rice2 residual partitions incl. the raw-bits escape
+  *   - stereo decorrelation: left/side, right/side (side stored first),
+  *     mid/side — the exact libFLAC integer reconstructions
+  *   - wasted-bits shift, 8-32 bit samples, CRC-8 header and CRC-16
+  *     frame verification (a failed CRC fails the decode — corrupt
+  *     audio must not silently produce features)
+  *
+  * Returns decoded per-channel PCM so [[Multimodal.audioFeatures]] can
+  * compute the same facts + RMS it computes for WAV.
+  */
+object Flac {
+
+  /** Decoded stream: facts + per-channel samples (channel-major). */
+  private[graft] case class FlacStream(channels: Int, sampleRate: Int,
+                                           bitsPerSample: Int,
+                                           samples: Array[Array[Int]])
+
+  /** CRC-8, poly 0x07, init 0, MSB-first (RFC 9639 frame-header CRC).
+    * Known vector: crc8("123456789".getBytes) == 0xF4. */
+  private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0, MSB-first (RFC 9639 frame CRC).
+    * Known vector: crc16("123456789".getBytes) == 0xFEE8. */
+  private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit reader over the stream bytes. Throws
+    * IndexOutOfBoundsException past the end — the decoder entry wraps
+    * everything and maps any throw to None (undecodable). */
+  private final class BitReader(val b: Array[Byte]) {
+    var bytePos = 0
+    var bitPos = 0 // 0..7, bits already consumed of b(bytePos)
+
+    def aligned: Boolean = bitPos == 0
+
+    def readBit(): Int = {
+      val bit = (b(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      bit
+    }
+
+    /** Unsigned n-bit big-endian value, n <= 32. */
+    def readUInt(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | readBit(); k += 1 }
+      v
+    }
+
+    def readULong(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 1) | readBit(); k += 1 }
+      v
+    }
+
+    /** Signed n-bit two's complement, n <= 32 (n == 0 -> 0). */
+    def readSInt(n: Int): Int = readSLong(n).toInt
+
+    /** Signed n-bit two's complement as Long, n <= 63 (side channels
+      * of 32-bit audio read 33-bit samples). */
+    def readSLong(n: Int): Long = {
+      if (n == 0) return 0L
+      val v = readULong(n)
+      (v << (64 - n)) >> (64 - n)
+    }
+
+    /** Unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  private def readUtf8Number(r: BitReader): Long = {
+    val first = r.readUInt(8)
+    var ones = 0
+    while (ones < 8 && ((first << ones) & 0x80) != 0) ones += 1
+    if (ones == 0) return first.toLong
+    require(ones >= 2 && ones <= 7, s"bad UTF-8 coded number lead byte $first")
+    var v: Long = first & (0x7f >> ones)
+    var k = 1
+    while (k < ones) {
+      val cont = r.readUInt(8)
+      require((cont & 0xc0) == 0x80, "bad UTF-8 continuation")
+      v = (v << 6) | (cont & 0x3f)
+      k += 1
+    }
+    v
+  }
+
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  /** Residual decode into samples(predOrder until blockSize). */
+  private def readResiduals(r: BitReader, blockSize: Int, predOrder: Int,
+                            out: Array[Long]): Unit = {
+    val method = r.readUInt(2)
+    require(method == 0 || method == 1, s"reserved residual method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val po = r.readUInt(4)
+    val partitions = 1 << po
+    require((blockSize % partitions) == 0, "block size not divisible by partitions")
+    var idx = predOrder
+    var p = 0
+    while (p < partitions) {
+      var count = blockSize >> po
+      if (p == 0) count -= predOrder
+      require(count >= 0, "first partition smaller than predictor order")
+      val param = r.readUInt(paramBits)
+      if (param == escape) {
+        val width = r.readUInt(5)
+        var i = 0
+        while (i < count) { out(idx) = r.readSLong(width); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val rem = if (param == 0) 0L else r.readULong(param)
+          val u = (q.toLong << param) | rem
+          out(idx) = (u >>> 1) ^ -(u & 1L) // zigzag
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One subframe -> blockSize samples (64-bit during prediction; the
+    * caller range-checks by construction of bps). */
+  private def readSubframe(r: BitReader, blockSize: Int, bpsIn: Int): Array[Long] = {
+    require(r.readBit() == 0, "subframe pad bit must be 0")
+    val typ = r.readUInt(6)
+    var wasted = 0
+    if (r.readBit() == 1) wasted = r.readUnary() + 1
+    val bps = bpsIn - wasted
+    require(bps >= 1 && bps <= 33, s"invalid effective bps $bps")
+    val s = new Array[Long](blockSize)
+    if (typ == 0) { // CONSTANT
+      val v = r.readSLong(bps)
+      java.util.Arrays.fill(s, v)
+    } else if (typ == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { s(i) = r.readSLong(bps); i += 1 }
+    } else if (typ >= 8 && typ <= 12) { // FIXED order 0-4
+      val order = typ - 8
+      require(order <= blockSize, "fixed order exceeds block size")
+      var i = 0
+      while (i < order) { s(i) = r.readSLong(bps); i += 1 }
+      readResiduals(r, blockSize, order, s)
+      val c = FixedCoefs(order)
+      i = order
+      while (i < blockSize) {
+        var pred = 0L
+        var j = 0
+        while (j < order) { pred += c(j) * s(i - 1 - j); j += 1 }
+        s(i) += pred
+        i += 1
+      }
+    } else if (typ >= 32) { // LPC order 1-32
+      val order = typ - 31
+      require(order <= blockSize, "LPC order exceeds block size")
+      var i = 0
+      while (i < order) { s(i) = r.readSLong(bps); i += 1 }
+      val precM1 = r.readUInt(4)
+      require(precM1 != 0xf, "invalid qlp precision")
+      val precision = precM1 + 1
+      val shift = r.readSInt(5)
+      require(shift >= 0, "negative qlp shift")
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSInt(precision); i += 1 }
+      readResiduals(r, blockSize, order, s)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+        s(i) += (acc >> shift)
+        i += 1
+      }
+    } else throw new IllegalArgumentException(s"reserved subframe type $typ")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { s(i) <<= wasted; i += 1 }
+    }
+    s
+  }
+
+  /** Decode a whole stream. None on anything malformed, truncated, or
+    * CRC-failing — undecodable payloads must not invent features. */
+  private[graft] def decode(b: Array[Byte]): Option[FlacStream] = {
+    try {
+      if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+        return None
+      val r = new BitReader(b)
+      r.bytePos = 4
+      // metadata blocks
+      var last = false
+      var siRate = 0; var siChannels = 0; var siBps = 0; var siTotal = 0L
+      var seenStreamInfo = false
+      while (!last) {
+        last = r.readBit() == 1
+        val btype = r.readUInt(7)
+        val blen = r.readUInt(24)
+        if (btype == 0) {
+          seenStreamInfo = true
+          require(blen == 34, s"STREAMINFO must be 34 bytes, got $blen")
+          r.readUInt(16); r.readUInt(16) // min/max block size
+          r.readUInt(24); r.readUInt(24) // min/max frame size
+          siRate = r.readUInt(20)
+          siChannels = r.readUInt(3) + 1
+          siBps = r.readUInt(5) + 1
+          siTotal = r.readULong(36)
+          r.bytePos += 16 // md5
+        } else {
+          require(btype != 127, "invalid metadata block type")
+          r.bytePos += blen
+        }
+      }
+      require(seenStreamInfo && siRate > 0, "missing/invalid STREAMINFO")
+      val perChannel = Array.fill(siChannels)(
+        new scala.collection.mutable.ArrayBuffer[Int]())
+      // frames until the bytes run out (a trailing partial byte is not a frame)
+      while (r.bytePos < b.length) {
+        val frameStart = r.bytePos
+        val sync = r.readUInt(14)
+        require(sync == 0x3ffe, f"bad frame sync $sync%x")
+        require(r.readBit() == 0, "reserved bit must be 0")
+        r.readBit() // blocking strategy (the coded number's meaning only)
+        val bsCode = r.readUInt(4)
+        val srCode = r.readUInt(4)
+        val chCode = r.readUInt(4)
+        val ssCode = r.readUInt(3)
+        require(r.readBit() == 0, "reserved bit must be 0")
+        readUtf8Number(r)
+        val blockSize = bsCode match {
+          case 0 => throw new IllegalArgumentException("reserved block size code")
+          case 1 => 192
+          case n if n >= 2 && n <= 5 => 576 << (n - 2)
+          case 6 => r.readUInt(8) + 1
+          case 7 => r.readUInt(16) + 1
+          case n => 256 << (n - 8)
+        }
+        srCode match { // value only needed when it overrides STREAMINFO
+          case 12 => r.readUInt(8)
+          case 13 | 14 => r.readUInt(16)
+          case 15 => throw new IllegalArgumentException("invalid sample rate code")
+          case _ => ()
+        }
+        val bps = ssCode match {
+          case 0 => siBps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => throw new IllegalArgumentException("reserved sample size code")
+        }
+        require(r.aligned, "frame header must be byte-aligned before CRC-8")
+        val hdrCrc = r.readUInt(8)
+        require(hdrCrc == crc8(b, frameStart, r.bytePos - 1), "frame header CRC-8 mismatch")
+        val (nCh, sideIdx) = chCode match {
+          case n if n <= 7 => (n + 1, -1)
+          case 8 => (2, 1)  // left/side
+          case 9 => (2, 0)  // side/right
+          case 10 => (2, 1) // mid/side
+          case _ => throw new IllegalArgumentException("reserved channel assignment")
+        }
+        require(nCh == siChannels, "frame channel count != STREAMINFO")
+        val chans = new Array[Array[Long]](nCh)
+        var c = 0
+        while (c < nCh) {
+          chans(c) = readSubframe(r, blockSize, if (c == sideIdx) bps + 1 else bps)
+          c += 1
+        }
+        r.alignToByte()
+        val frameCrc = r.readUInt(16)
+        require(frameCrc == crc16(b, frameStart, r.bytePos - 2), "frame CRC-16 mismatch")
+        // stereo decorrelation (the libFLAC integer reconstructions)
+        val (l, rr) = chCode match {
+          case 8 => // left/side: right = left - side
+            val lch = chans(0); val sch = chans(1)
+            (lch, Array.tabulate(blockSize)(i => lch(i) - sch(i)))
+          case 9 => // side/right: left = right + side
+            val sch = chans(0); val rch = chans(1)
+            (Array.tabulate(blockSize)(i => rch(i) + sch(i)), rch)
+          case 10 => // mid/side
+            val mch = chans(0); val sch = chans(1)
+            val lo = new Array[Long](blockSize)
+            val ro = new Array[Long](blockSize)
+            var i = 0
+            while (i < blockSize) {
+              var mid = mch(i) << 1
+              val side = sch(i)
+              mid |= (side & 1L)
+              lo(i) = (mid + side) >> 1
+              ro(i) = (mid - side) >> 1
+              i += 1
+            }
+            (lo, ro)
+          case _ => (null, null)
+        }
+        if (l != null) {
+          var i = 0
+          while (i < blockSize) {
+            perChannel(0) += l(i).toInt; perChannel(1) += rr(i).toInt; i += 1
+          }
+        } else {
+          var i = 0
+          while (i < blockSize) {
+            c = 0
+            while (c < nCh) { perChannel(c) += chans(c)(i).toInt; c += 1 }
+            i += 1
+          }
+        }
+      }
+      val arrays = perChannel.map(_.toArray)
+      require(siTotal == 0L || arrays(0).length.toLong == siTotal,
+        "decoded sample count != STREAMINFO total")
+      Some(FlacStream(siChannels, siRate, siBps, arrays))
+    } catch { case _: Exception => None }
+  }
+}

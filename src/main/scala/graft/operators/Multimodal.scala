@@ -82,9 +82,10 @@ object Multimodal {
         case None => ()
       }
     }
-    // ??? <- lossy-VP8 pixel decode / compressed-audio codecs go here;
-    // those remain the declared stub boundary (WAV-PCM, WebP headers
-    // and LOSSLESS WebP pixels are real above). Deterministic fake below.
+    // ??? <- lossy-VP8 pixel decode / LOSSY-audio codecs (mp3/aac/opus)
+    // go here; those remain the declared stub boundary (WAV-PCM, FLAC
+    // — graft.operators.Flac, r12 —, WebP headers and LOSSLESS WebP
+    // pixels are real). Deterministic fake below.
     stubDecode(m)
   }
 
@@ -127,7 +128,7 @@ object Multimodal {
     * boundary. Word-aligned chunk advance per the RIFF spec; anything
     * truncated or non-PCM returns None.
     */
-  private[operators] def parseWav(b: Array[Byte]): Option[WavInfo] = {
+  private[graft] def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44 ||
         b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
@@ -168,22 +169,74 @@ object Multimodal {
     }
   }
 
+  /** FLAC facts through the hand-rolled [[Flac]] bitstream decoder
+    * (r12 — the audio analog of the VP8L path): decode the per-channel
+    * PCM, then compute the SAME facts/RMS contract as [[parseWav]],
+    * accumulating channel-samples in interleaved frame-major order so
+    * a WAV and a FLAC encoding of identical PCM produce bit-identical
+    * features (spec'd). Full scale is 2^(bps−1), matching the WAV
+    * conventions (32768 at 16-bit; FLAC 8-bit samples are signed, i.e.
+    * exactly the WAV unsigned-8 samples recentered). */
+  private[graft] def parseFlac(b: Array[Byte]): Option[WavInfo] =
+    Flac.decode(b).map { st =>
+      val n = if (st.samples.isEmpty) 0 else st.samples(0).length
+      val full = java.lang.Math.scalb(1.0, st.bitsPerSample - 1)
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < st.channels) {
+          val s = st.samples(c)(i) / full
+          sumSq += s * s
+          c += 1
+        }
+        i += 1
+      }
+      val total = n.toLong * st.channels
+      val rms = if (total == 0) 0.0 else math.sqrt(sumSq / total)
+      WavInfo(st.channels, st.sampleRate, st.bitsPerSample, n.toLong,
+        if (st.sampleRate == 0) 0L else n.toLong * 1000L / st.sampleRate,
+        math.round(rms * 1000))
+    }
+
   /** Audio-feature extraction over the opaque binary column: REAL
     * RIFF/WAVE PCM parsing per row (channels, rate, bit depth, sample
-    * count, duration, RMS), `decoded=false` rows fall through with
-    * zeroed facts (compressed codecs are the remaining declared stub).
-    * Partition-batched map-side like the image decoder — no shuffle.
+    * count, duration, RMS), REAL FLAC decode for `fLaC` payloads
+    * ([[parseFlac]], r12), `decoded=false` rows fall through with
+    * zeroed facts (LOSSY codecs — mp3/aac/opus — are the remaining
+    * declared stub). Partition-batched map-side like the image
+    * decoder — no shuffle.
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
-      parseWav(m.payload) match {
+      parseWav(m.payload).orElse(parseFlac(m.payload)) match {
         case Some(w) => AudioFeatures(m.doc_id, m.payload.length.toLong, w.channels,
           w.sampleRate, w.bitsPerSample, w.nSamples, w.durationMs, w.rmsMilli, decoded = true)
         case None => AudioFeatures(m.doc_id, m.payload.length.toLong,
           0, 0, 0, 0L, 0L, 0L, decoded = false)
       }
     }).toDF()
+  }
+
+  /** Deterministic 16-bit mono WAV-PCM test signal from a seed — the
+    * audio twin of [[syntheticBmp]] (fixture/gate generator; a real
+    * corpus brings its own audio). Sample i is the exact integer
+    * `((seed[i mod len]·257 + i·1031) mod 65536) − 32768`, so a gate
+    * can recompute every decoded feature without parsing the RIFF
+    * bytes. */
+  def syntheticWav(seed: Array[Byte], n: Int, rate: Int): Array[Byte] = {
+    require(seed.nonEmpty && n > 0 && rate > 0, "seed non-empty, n/rate positive")
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = Array.tabulate(n) { i =>
+      ((((seed(i % seed.length) & 0xff) * 257L + i * 1031L) % 65536L) - 32768L).toInt
+    }.flatMap(v => le16(v & 0xffff))
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++
+      le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
   }
 
   private def byteMean(payload: Array[Byte]): Double = {

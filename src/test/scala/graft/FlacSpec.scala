@@ -1,0 +1,344 @@
+package graft
+
+import graft.operators.{Flac, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hand-rolled FLAC decoder, spec'd against hand-BUILT streams
+  * (the Vp8lSpec discipline): an in-test bit-exact encoder emits every
+  * subframe type, residual layout, stereo decorrelation, and header
+  * variant the decoder claims, and the decoded PCM must equal the
+  * source samples exactly. CRC functions are pinned to published check
+  * vectors first so encoder/decoder can't share a broken CRC. Feature
+  * parity: a FLAC encoding and a WAV encoding of identical PCM must
+  * produce bit-identical AudioFeatures.
+  */
+class FlacSpec extends AnyFunSuite {
+
+  // ---- in-test encoder ----------------------------------------------------
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit(((v >> k) & 1L).toInt); k -= 1 }
+    }
+    def unary(q: Int): Unit = { var i = 0; while (i < q) { bit(0); i += 1 }; bit(1) }
+    def align(): Unit = while (nbits != 0) bit(0)
+    def bytesSoFar: Array[Byte] = { require(nbits == 0, "unaligned"); buf.toArray }
+  }
+
+  private def streamHeader(rate: Int, ch: Int, bps: Int, total: Long,
+                           withPadding: Boolean = false): BitWriter = {
+    val w = new BitWriter
+    "fLaC".getBytes.foreach(b => w.bits(b & 0xffL, 8))
+    if (withPadding) { // a skipped metadata block before STREAMINFO
+      w.bit(0); w.bits(1, 7); w.bits(4, 24); w.bits(0xdeadbeefL, 32)
+    }
+    w.bit(1); w.bits(0, 7); w.bits(34, 24) // last, STREAMINFO, 34 bytes
+    w.bits(16, 16); w.bits(65535, 16)      // min/max block size
+    w.bits(0, 24); w.bits(0, 24)           // min/max frame size (unknown)
+    w.bits(rate.toLong, 20); w.bits((ch - 1).toLong, 3); w.bits((bps - 1).toLong, 5)
+    w.bits(total, 36)
+    (0 until 16).foreach(_ => w.bits(0, 8)) // md5 (unset)
+    w
+  }
+
+  private def mask(n: Int): Long = if (n >= 64) -1L else (1L << n) - 1
+
+  private def utf8Number(w: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < 2048, "test encoder supports 1-2 byte coded numbers")
+    if (v < 128) w.bits(v, 8)
+    else { w.bits(0xc0L | (v >> 6), 8); w.bits(0x80L | (v & 0x3f), 8) }
+  }
+
+  /** Rice-code residuals: one param for all 2^po partitions. */
+  private def riceResidual(w: BitWriter, res: Array[Long], param: Int, po: Int,
+                           predOrder: Int, blockSize: Int): Unit = {
+    w.bits(0, 2); w.bits(po.toLong, 4)
+    var idx = 0
+    for (p <- 0 until (1 << po)) {
+      var count = blockSize >> po
+      if (p == 0) count -= predOrder
+      w.bits(param.toLong, 4)
+      for (_ <- 0 until count) {
+        val e = res(idx); idx += 1
+        val u = (e << 1) ^ (e >> 63)
+        w.unary((u >>> param).toInt)
+        if (param > 0) w.bits(u & mask(param), param)
+      }
+    }
+  }
+
+  /** Escape partition: raw `width`-bit residuals, partition order 0. */
+  private def escapeResidual(w: BitWriter, res: Array[Long], width: Int): Unit = {
+    w.bits(0, 2); w.bits(0, 4); w.bits(0xf, 4); w.bits(width.toLong, 5)
+    res.foreach(e => w.bits(e & mask(width), width))
+  }
+
+  private def subConstant(w: BitWriter, v: Long, bps: Int): Unit = {
+    w.bit(0); w.bits(0, 6); w.bit(0); w.bits(v & mask(bps), bps)
+  }
+
+  private def subVerbatim(w: BitWriter, s: Array[Long], bps: Int,
+                          wasted: Int = 0): Unit = {
+    w.bit(0); w.bits(1, 6)
+    if (wasted == 0) w.bit(0)
+    else { w.bit(1); w.unary(wasted - 1) }
+    s.foreach(v => w.bits((v >> wasted) & mask(bps - wasted), bps - wasted))
+  }
+
+  private val FixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  private def subFixed(w: BitWriter, order: Int, s: Array[Long], bps: Int,
+                       param: Int, po: Int, escapeWidth: Int = -1): Unit = {
+    w.bit(0); w.bits((8 + order).toLong, 6); w.bit(0)
+    (0 until order).foreach(i => w.bits(s(i) & mask(bps), bps))
+    val res = (order until s.length).map { i =>
+      var pred = 0L
+      for (j <- 0 until order) pred += FixedCoefs(order)(j) * s(i - 1 - j)
+      s(i) - pred
+    }.toArray
+    if (escapeWidth >= 0) escapeResidual(w, res, escapeWidth)
+    else riceResidual(w, res, param, po, order, s.length)
+  }
+
+  private def subLpc(w: BitWriter, coefs: Array[Int], shift: Int, precision: Int,
+                     s: Array[Long], bps: Int, param: Int): Unit = {
+    val order = coefs.length
+    w.bit(0); w.bits((32 + order - 1).toLong, 6); w.bit(0)
+    (0 until order).foreach(i => w.bits(s(i) & mask(bps), bps))
+    w.bits((precision - 1).toLong, 4)
+    w.bits(shift.toLong & mask(5), 5)
+    coefs.foreach(c => w.bits(c.toLong & mask(precision), precision))
+    val res = (order until s.length).map { i =>
+      var acc = 0L
+      for (j <- 0 until order) acc += coefs(j).toLong * s(i - 1 - j)
+      s(i) - (acc >> shift)
+    }.toArray
+    riceResidual(w, res, param, 0, order, s.length)
+  }
+
+  /** One frame: header (16-bit explicit block size code 7, rate from
+    * STREAMINFO, explicit or STREAMINFO sample size), per-channel
+    * subframe writers, CRCs. */
+  private def frame(w: BitWriter, frameNo: Long, blockSize: Int, chAssign: Int,
+                    ssCode: Int, use192Code: Boolean = false)
+                   (subs: (BitWriter, Int) => Unit): Unit = {
+    val start = w.bytesSoFar.length
+    w.bits(0x3ffe, 14); w.bit(0); w.bit(0) // sync, reserved, fixed blocking
+    w.bits(if (use192Code) 1L else 7L, 4)  // block size code
+    w.bits(0, 4)                            // sample rate: STREAMINFO
+    w.bits(chAssign.toLong, 4)
+    w.bits(ssCode.toLong, 3); w.bit(0)
+    utf8Number(w, frameNo)
+    if (!use192Code) w.bits((blockSize - 1).toLong, 16)
+    val hdr = w.bytesSoFar
+    w.bits(Flac.crc8(hdr, start, hdr.length).toLong, 8)
+    val nCh = if (chAssign <= 7) chAssign + 1 else 2
+    for (c <- 0 until nCh) subs(w, c)
+    w.align()
+    val all = w.bytesSoFar
+    w.bits(Flac.crc16(all, start, all.length).toLong, 16)
+  }
+
+  private def wav(ch: Int, rate: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = samples.flatMap(s => if (bits == 16) le16(s & 0xffff) else Array(s.toByte))
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  // deterministic 16-bit test signal
+  private def sig(n: Int, seed: Int): Array[Long] =
+    Array.tabulate(n)(i => (((seed + i * 2654435761L) % 65536L) - 32768L))
+
+  // ---- specs --------------------------------------------------------------
+
+  test("CRC-8 (0x07) and CRC-16 (0x8005) match the published check vectors") {
+    val v = "123456789".getBytes
+    assert(Flac.crc8(v, 0, v.length) == 0xf4)
+    assert(Flac.crc16(v, 0, v.length) == 0xfee8)
+  }
+
+  test("verbatim mono: decode == samples; features bit-identical to the same PCM as WAV") {
+    val samples = sig(64, 7)
+    val w = streamHeader(8000, 1, 16, 64, withPadding = true)
+    frame(w, 0, 64, chAssign = 0, ssCode = 4)((bw, _) => subVerbatim(bw, samples, 16))
+    val flac = w.bytesSoFar
+    val st = Flac.decode(flac).get
+    assert(st.channels == 1 && st.sampleRate == 8000 && st.bitsPerSample == 16)
+    assert(st.samples(0).map(_.toLong).toSeq == samples.toSeq)
+    val viaFlac = Multimodal.parseFlac(flac).get
+    val viaWav = Multimodal.parseWav(wav(1, 8000, 16, samples.map(_.toInt))).get
+    assert(viaFlac == viaWav, s"$viaFlac vs $viaWav")
+  }
+
+  test("constant + fixed orders 1/2 (rice partitions 0 and 1) reconstruct exactly") {
+    // smooth signal so fixed-predictor residuals stay small
+    val s = Array.tabulate(32)(i => (100 + 3 * i - (i * i) / 4).toLong)
+    val w = streamHeader(16000, 1, 16, 32 + 32 + 192, withPadding = false)
+    frame(w, 0, 32, 0, 4)((bw, _) => subFixed(bw, 1, s, 16, param = 3, po = 0))
+    frame(w, 1, 32, 0, 4)((bw, _) => subFixed(bw, 2, s, 16, param = 2, po = 1))
+    frame(w, 2, 192, 0, 4, use192Code = true)((bw, _) => subConstant(bw, -513, 16))
+    val st = Flac.decode(w.bytesSoFar).get
+    assert(st.samples(0).length == 32 + 32 + 192)
+    assert(st.samples(0).slice(0, 32).map(_.toLong).toSeq == s.toSeq)
+    assert(st.samples(0).slice(32, 64).map(_.toLong).toSeq == s.toSeq)
+    assert(st.samples(0).drop(64).forall(_ == -513))
+  }
+
+  test("LPC subframe, escape partitions, and wasted bits reconstruct exactly") {
+    val s = sig(24, 99).map(v => (v / 4) * 4) // multiples of 4: 2 wasted bits
+    val lpcS = sig(24, 5)
+    val w = streamHeader(22050, 1, 16, 48)
+    frame(w, 0, 24, 0, 4)((bw, _) =>
+      subLpc(bw, coefs = Array(3, -2), shift = 1, precision = 5, lpcS, 16, param = 6))
+    frame(w, 1, 24, 0, 4)((bw, _) => subVerbatim(bw, s, 16, wasted = 2))
+    val st = Flac.decode(w.bytesSoFar).get
+    assert(st.samples(0).slice(0, 24).map(_.toLong).toSeq == lpcS.toSeq)
+    assert(st.samples(0).drop(24).map(_.toLong).toSeq == s.toSeq)
+    // escape-coded residuals round-trip too
+    val w2 = streamHeader(22050, 1, 16, 24)
+    frame(w2, 0, 24, 0, 4)((bw, _) => subFixed(bw, 1, lpcS, 16, 0, 0, escapeWidth = 17))
+    assert(Flac.decode(w2.bytesSoFar).get.samples(0).map(_.toLong).toSeq == lpcS.toSeq)
+  }
+
+  test("all four stereo layouts decode to the same L/R and match the WAV features") {
+    val l = sig(16, 11)
+    val r = sig(16, 42).map(_ / 2)
+    val side = l.zip(r).map { case (a, b) => a - b }
+    val mid = l.zip(r).map { case (a, b) => (a + b) >> 1 }
+    def stream(chAssign: Int)(subs: (BitWriter, Int) => Unit): Array[Byte] = {
+      val w = streamHeader(44100, 2, 16, 16)
+      frame(w, 0, 16, chAssign, ssCode = 0)(subs) // ssCode 0: bps from STREAMINFO
+      w.bytesSoFar
+    }
+    val independent = stream(1) { (bw, c) => subVerbatim(bw, if (c == 0) l else r, 16) }
+    val leftSide = stream(8) { (bw, c) =>
+      if (c == 0) subVerbatim(bw, l, 16) else subVerbatim(bw, side, 17) }
+    val rightSide = stream(9) { (bw, c) =>
+      if (c == 0) subVerbatim(bw, side, 17) else subVerbatim(bw, r, 16) }
+    val midSide = stream(10) { (bw, c) =>
+      if (c == 0) subVerbatim(bw, mid, 16) else subVerbatim(bw, side, 17) }
+    val expected = (l.toSeq, r.toSeq)
+    for ((name, bytes) <- Seq(("independent", independent), ("left/side", leftSide),
+        ("right/side", rightSide), ("mid/side", midSide))) {
+      val st = Flac.decode(bytes).get
+      assert((st.samples(0).map(_.toLong).toSeq, st.samples(1).map(_.toLong).toSeq)
+        == expected, s"$name stereo reconstruction diverged")
+    }
+    // features == the interleaved WAV of the same PCM
+    val inter = (0 until 16).flatMap(i => Seq(l(i).toInt, r(i).toInt)).toArray
+    val viaWav = Multimodal.parseWav(wav(2, 44100, 16, inter)).get
+    assert(Multimodal.parseFlac(midSide).get == viaWav)
+  }
+
+  test("8-bit FLAC features == the 8-bit WAV of the same PCM (unsigned recentering)") {
+    val raw = Array.tabulate(32)(i => (i * 37 + 5) % 256) // WAV unsigned bytes
+    val signed = raw.map(v => (v - 128).toLong)
+    val w = streamHeader(8000, 1, 8, 32)
+    frame(w, 0, 32, 0, ssCode = 1)((bw, _) => subVerbatim(bw, signed, 8))
+    assert(Multimodal.parseFlac(w.bytesSoFar).get ==
+      Multimodal.parseWav(wav(1, 8000, 8, raw)).get)
+  }
+
+  test("corruption never decodes: flipped byte, truncation, junk, bad magic") {
+    val samples = sig(32, 3)
+    val w = streamHeader(8000, 1, 16, 32)
+    frame(w, 0, 32, 0, 4)((bw, _) => subVerbatim(bw, samples, 16))
+    val good = w.bytesSoFar
+    assert(Flac.decode(good).isDefined)
+    for (i <- Seq(50, good.length / 2, good.length - 3)) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x40).toByte
+      assert(Flac.decode(bad).isEmpty, s"flipped byte $i must fail a CRC")
+    }
+    assert(Flac.decode(good.take(good.length - 4)).isEmpty, "truncated")
+    assert(Flac.decode("definitely not a flac stream at all".getBytes).isEmpty)
+    assert(Flac.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // and the audioFeatures route: FLAC decodes, junk stays undecoded
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, good, 0, 0, "flac"),
+      (2L, "junk".getBytes, 0, 0, "flac"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.audioFeatures(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("decoded") && got(0).getAs[Int]("sample_rate") == 8000)
+    assert(!got(1).getAs[Boolean]("decoded"))
+  }
+
+  test("multi-frame streams sum sample counts and enforce the STREAMINFO total") {
+    val a = sig(16, 1); val b = sig(24, 2)
+    val w = streamHeader(8000, 1, 16, 40)
+    frame(w, 0, 16, 0, 4)((bw, _) => subVerbatim(bw, a, 16))
+    frame(w, 1, 24, 0, 4)((bw, _) => subVerbatim(bw, b, 16))
+    val st = Flac.decode(w.bytesSoFar).get
+    assert(st.samples(0).map(_.toLong).toSeq == (a ++ b).toSeq)
+    // a lying STREAMINFO total is rejected
+    val w2 = streamHeader(8000, 1, 16, 99)
+    frame(w2, 0, 16, 0, 4)((bw, _) => subVerbatim(bw, a, 16))
+    assert(Flac.decode(w2.bytesSoFar).isEmpty)
+  }
+
+  test("multi-byte UTF-8 frame numbers parse (frame 300)") {
+    val s = sig(16, 8)
+    val w = streamHeader(8000, 1, 16, 16)
+    frame(w, 300, 16, 0, 4)((bw, _) => subVerbatim(bw, s, 16))
+    assert(Flac.decode(w.bytesSoFar).get.samples(0).map(_.toLong).toSeq == s.toSeq)
+  }
+
+  test("randomized round trips: 60 seeded trials over subframe types, orders, params, partitions") {
+    val rnd = new scala.util.Random(0xf1ac)
+    for (trial <- 0 until 60) {
+      val blockSize = Seq(16, 32, 64, 128)(rnd.nextInt(4))
+      val n = blockSize * (1 + rnd.nextInt(3)) // 1-3 frames
+      val smooth = rnd.nextInt(3) == 0
+      val samples = if (smooth) {
+        var v = rnd.nextInt(2000) - 1000
+        Array.fill(n) { v += rnd.nextInt(9) - 4; v.toLong }
+      } else Array.fill(n)((rnd.nextInt(65536) - 32768).toLong)
+      val w = streamHeader(8000 + rnd.nextInt(40000), 1, 16, n)
+      var off = 0
+      var frameNo = 0
+      while (off < n) {
+        val s = samples.slice(off, off + blockSize)
+        frame(w, frameNo, blockSize, 0, 4) { (bw, _) =>
+          rnd.nextInt(4) match {
+            case 0 => subVerbatim(bw, s, 16)
+            case 1 =>
+              val order = 1 + rnd.nextInt(2)
+              // rice params sized to the residual magnitude so unary
+              // runs stay bounded; po divides blockSize by construction
+              subFixed(bw, order, s, 16,
+                param = if (smooth) 3 + rnd.nextInt(3) else 14,
+                po = rnd.nextInt(3))
+            case 2 => subFixed(bw, 1 + rnd.nextInt(2), s, 16, 0, 0,
+              escapeWidth = 18)
+            case 3 =>
+              val order = 1 + rnd.nextInt(3)
+              val coefs = Array.fill(order)(rnd.nextInt(15) - 7)
+              subLpc(bw, coefs, shift = rnd.nextInt(4),
+                precision = 5 + rnd.nextInt(6), s, 16, param = 15 - 1) // 14: bounded unary
+          }
+        }
+        off += blockSize
+        frameNo += 1
+      }
+      val st = Flac.decode(w.bytesSoFar)
+      assert(st.isDefined, s"trial $trial failed to decode")
+      assert(st.get.samples(0).map(_.toLong).toSeq == samples.toSeq,
+        s"trial $trial: decoded PCM diverged")
+    }
+  }
+}
