@@ -425,5 +425,47 @@ if os.path.isdir(q197_path):
         print(f"ok   q197_audio_features [property: all {len(docs)} rows match the "
               f"RIFF-decode formulas exactly ({n_wav} real WAVs, rest junk)]")
 
+# q198: video container metadata (rows-only). doc_id%20==0 docs carry a
+# deterministic synthetic AVI (w = 160 + id%16*16, h = 120 + id%12*8,
+# frames = 8 + id%32, usPerFrame = 33333 if id%40==0 else 40000,
+# byte_len = 224 + frames*72); the other doc_id%10==0 docs carry junk
+# text bytes -> decoded=false, zeroed facts. All columns recomputed.
+q198_path = f"{OUT}/q198_video_meta"
+if os.path.isdir(q198_path):
+    got = con.sql(
+        f"SELECT doc_id, byte_len, width, height, n_frames, duration_ms, "
+        f"fps_milli, n_streams, n_video, n_audio, decoded "
+        f"FROM read_parquet('{q198_path}/*.parquet') ORDER BY doc_id").df()
+    docs = con.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id").df()
+    bad = []
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        g = by_id.get(doc_id)
+        if g is None:
+            bad.append((int(doc_id), "missing")); continue
+        if doc_id % 20 == 0:
+            frames = 8 + int(doc_id % 32)
+            us = 33333 if doc_id % 40 == 0 else 40000
+            exp = (224 + frames * 72, 160 + int(doc_id % 16) * 16,
+                   120 + int(doc_id % 12) * 8, frames, frames * us // 1000,
+                   1000000000 // us, 1, 1, 0, True)
+        else:
+            exp = (len(((text or "")[:80]).encode("utf-8")), 0, 0, 0, 0, 0,
+                   0, 0, 0, False)
+        gval = (int(g.byte_len), int(g.width), int(g.height), int(g.n_frames),
+                int(g.duration_ms), int(g.fps_milli), int(g.n_streams),
+                int(g.n_video), int(g.n_audio), bool(g.decoded))
+        if gval != exp:
+            bad.append((int(doc_id), gval, exp))
+    if bad or len(got) != len(docs):
+        fails.append("q198_video_meta")
+        print(f"FAIL q198_video_meta: {len(got)}/{len(docs)} rows, "
+              f"mismatches {bad[:3]}")
+    else:
+        n_avi = int((docs.doc_id % 20 == 0).sum())
+        print(f"ok   q198_video_meta [property: all {len(docs)} rows match the "
+              f"AVI-walk formulas exactly ({n_avi} real AVIs, rest junk)]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -551,6 +551,35 @@ object LlmQueries {
         col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
       .orderBy("cluster_size")
 
+  // q198: VIDEO container metadata over the opaque binary column
+  // (rows-only — the q197 discipline for video): real RIFF/AVI chunk
+  // walk (Multimodal.parseAvi) extracting dims, frame count,
+  // exact-integer duration/fps, and the stream inventory; frame PIXELS
+  // stay behind the declared codec stub, because at 100 TB the
+  // metadata-only passes (duration audits, fps histograms) must never
+  // touch a codec. The gate corpus alternates deterministic synthetic
+  // AVIs (Multimodal.syntheticAvi — closed-form sizes) with junk
+  // payloads that must come back decoded=false; check.py recomputes
+  // every column from the id formulas. Map-side, no shuffle.
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, head) =>
+        val payload =
+          if (id % 20 == 0)
+            Multimodal.syntheticAvi(
+              w = 160 + (id % 16).toInt * 16, h = 120 + (id % 12).toInt * 8,
+              frames = 8 + (id % 32).toInt,
+              usPerFrame = if (id % 40 == 0) 33333 else 40000)
+          else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.operators.MediaRow(id, payload, 0, 0, "avi")
+      }).toDF()
+    Multimodal.videoMeta(media).orderBy("doc_id")
+  }
+
   // q31: gap-based sessionization (batch twin of the streaming
   // flatMapGroupsWithState path in graft.streaming.EventStream).
   def q31(spark: SparkSession, dir: String): DataFrame = {

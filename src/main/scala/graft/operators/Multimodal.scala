@@ -440,6 +440,123 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed AVI container facts (no pixel decode — the frame payloads
+    * stay behind the codec stub boundary; the CONTAINER walk is real). */
+  case class AviInfo(width: Int, height: Int, nFrames: Long, usPerFrame: Long,
+                     nStreams: Int, nVideo: Int, nAudio: Int)
+
+  /** REAL RIFF/AVI container parser (r12 — the video analog of
+    * [[parseWav]]/[[parseWebpDims]]): walk the chunk tree, read the
+    * `avih` main header (frame period, total frames, stream count,
+    * canvas dims) and every `strl`'s `strh` stream type. Word-aligned
+    * chunk advance per the RIFF spec; anything truncated, unterminated,
+    * or missing `avih` returns None. Frame PIXELS stay behind the
+    * declared codec stub — a container walk is metadata, and at 100 TB
+    * metadata-only passes (duration audits, fps histograms, stream
+    * inventories) must not touch a codec at all.
+    */
+  private[graft] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    if (b.length < 24 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
+    def le32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def fourcc(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var avih: Option[(Long, Long, Int, Int, Int)] = None // us, frames, streams, w, h
+    var nVideo = 0
+    var nAudio = 0
+    // returns false on malformed structure anywhere in the subtree
+    def walk(start: Int, end: Int, inStrl: Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourcc(pos)
+        val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return false
+        val body = pos + 8
+        if (id == "LIST") {
+          if (size < 4) return false
+          val listType = fourcc(body)
+          if (!walk(body + 4, (body + size).toInt, listType == "strl")) return false
+        } else if (id == "avih") {
+          if (size < 40) return false
+          avih = Some((le32(body), le32(body + 16), le32(body + 24).toInt,
+            le32(body + 32).toInt, le32(body + 36).toInt))
+        } else if (id == "strh" && inStrl) {
+          if (size < 4) return false
+          fourcc(body) match {
+            case "vids" => nVideo += 1
+            case "auds" => nAudio += 1
+            case _ => ()
+          }
+        }
+        pos = (body + size + (size & 1)).toInt
+      }
+      pos == end || pos + 8 > end
+    }
+    val riffEnd = math.min(b.length.toLong, 8L + le32(4)).toInt
+    if (!walk(12, riffEnd, inStrl = false)) return None
+    avih.map { case (us, frames, streams, w, h) =>
+      AviInfo(w, h, frames, us, streams, nVideo, nAudio)
+    }
+  }
+
+  /** Video container metadata over the opaque binary column: one row
+    * per asset with dims, frame count, exact-integer duration and
+    * frame rate (`fps_milli` = 10⁹ / µs-per-frame, integer division —
+    * deterministic), and the stream inventory. Partition-batched
+    * map-side like the other decoders, no shuffle. Undecodable
+    * payloads come back `decoded=false` with zeroed facts.
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions(_.map { m =>
+      parseAvi(m.payload) match {
+        case Some(v) => (m.doc_id, m.payload.length.toLong, v.width, v.height,
+          v.nFrames, v.nFrames * v.usPerFrame / 1000L,
+          if (v.usPerFrame > 0) 1000000000L / v.usPerFrame else 0L,
+          v.nStreams, v.nVideo, v.nAudio, true)
+        case None => (m.doc_id, m.payload.length.toLong, 0, 0, 0L, 0L, 0L,
+          0, 0, 0, false)
+      }
+    }).toDF("doc_id", "byte_len", "width", "height", "n_frames", "duration_ms",
+      "fps_milli", "n_streams", "n_video", "n_audio", "decoded")
+  }
+
+  /** Deterministic minimal AVI (fixture/gate generator, the
+    * [[syntheticWav]] twin): one video stream, `frames` 64-byte `00dc`
+    * frame chunks of zero bytes. Total size is the closed form
+    * `224 + frames·(8 + frameLen)` the gate recomputes. */
+  def syntheticAvi(w: Int, h: Int, frames: Int, usPerFrame: Int,
+                   frameLen: Int = 64): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0 && usPerFrame > 0 && frameLen % 2 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes, 0, 4)
+    val moviSize = 4 + frames * (8 + frameLen)
+    val hdrlSize = 4 + 64 + 124
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)
+    le32(frames); le32(0); le32(1); le32(0)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(116); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("DIB ")
+    (0 until 10).foreach(_ => le32(0))
+    le32(w | (h << 16)); le32(0) // rcFrame (ignored by the parser)
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h); le32(1 | (24 << 16))
+    (0 until 6).foreach(_ => le32(0))
+    tag("LIST"); le32(moviSize); tag("movi")
+    val frameBytes = new Array[Byte](frameLen)
+    (0 until frames).foreach { _ => tag("00dc"); le32(frameLen)
+      out.write(frameBytes, 0, frameLen) }
+    out.toByteArray
+  }
+
   /** Frame sampling: one output row per k-th frame of each asset —
     * the video-at-scale shape (a 2-hour clip explodes to thousands of
     * frame rows; sampling must happen AT explode time so unsampled

@@ -1538,6 +1538,38 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).getAs[Boolean]("decoded"), "junk must not claim decode")
   }
 
+  test("AVI containers parse through the real RIFF walker: dims, frames, fps, streams") {
+    import spark.implicits._
+    val avi = Multimodal.syntheticAvi(w = 320, h = 240, frames = 10, usPerFrame = 40000)
+    assert(avi.length == 224 + 10 * 72, "closed-form size must hold")
+    val v = Multimodal.parseAvi(avi).get
+    assert(v.width == 320 && v.height == 240 && v.nFrames == 10L &&
+      v.usPerFrame == 40000L && v.nStreams == 1 && v.nVideo == 1 && v.nAudio == 0)
+    // stream type comes from strh, not avih: patch vids -> auds
+    val patched = avi.clone()
+    val idx = avi.indexOfSlice("vids".getBytes)
+    "auds".getBytes.zipWithIndex.foreach { case (b, i) => patched(idx + i) = b }
+    val a = Multimodal.parseAvi(patched).get
+    assert(a.nVideo == 0 && a.nAudio == 1)
+    // malformed containers never parse
+    assert(Multimodal.parseAvi(avi.take(60)).isEmpty, "truncated chunk tree")
+    assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty, "not an AVI")
+    assert(Multimodal.parseAvi("plain junk".getBytes).isEmpty)
+    val badSize = avi.clone(); badSize(16) = 0x7f // lie about the hdrl LIST size
+    assert(Multimodal.parseAvi(badSize).isEmpty, "overrunning child chunk")
+    // the DataFrame route: facts + exact-integer duration/fps, junk undecoded
+    val media = Seq(
+      (1L, avi, 0, 0, "avi"),
+      (2L, "not a container".getBytes, 0, 0, "avi"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.videoMeta(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("decoded") && got(0).getAs[Int]("width") == 320)
+    assert(got(0).getAs[Long]("duration_ms") == 400L &&
+      got(0).getAs[Long]("fps_milli") == 25000L)
+    assert(!got(1).getAs[Boolean]("decoded") &&
+      got(1).getAs[Long]("byte_len") == "not a container".getBytes.length.toLong)
+  }
+
   test("WebP dimensions parse from all three container layouts; decode uses them") {
     import spark.implicits._
     def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
