@@ -440,6 +440,80 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed MPEG-audio (Layer III) container facts — frame-header walk
+    * only; the SAMPLES stay behind the declared lossy-codec stub, the
+    * same split as lossy-WebP dims vs pixels. */
+  case class Mp3Info(mpegVersion: String, sampleRate: Int, channels: Int,
+                     nFrames: Long, durationMs: Long, avgBitrateKbps: Int)
+
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+
+  /** REAL MPEG-1/2/2.5 Layer III frame-header walker (r12 — the
+    * lossy-audio METADATA path, mirroring [[parseWebpDims]] for lossy
+    * VP8): skip an ID3v2 tag if present, then walk CBR/VBR frame
+    * headers (sync, version, layer, bitrate/sample-rate tables,
+    * padding) to the end of the payload (an ID3v1 'TAG' trailer is
+    * tolerated). Version/layer/rate/channel-mode must stay constant
+    * across frames (bitrate may vary — VBR); anything malformed,
+    * free-format, reserved, or truncated mid-frame returns None.
+    * Duration and average bitrate are exact integer arithmetic.
+    */
+  private[graft] def parseMp3(b: Array[Byte]): Option[Mp3Info] = {
+    def u8(i: Int) = b(i) & 0xff
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags + 4-byte syncsafe size
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None // not syncsafe
+      pos = 10 + size
+    }
+    if (pos + 4 > b.length) return None
+    var nFrames = 0L
+    var kbpsSum = 0L
+    var version = -1    // 0=2.5, 2=2, 3=1
+    var rate = 0
+    var channels = 0
+    while (pos + 4 <= b.length) {
+      if (b(pos) == 'T' && pos + 128 == b.length &&
+          b(pos + 1) == 'A' && b(pos + 2) == 'G') {
+        pos = b.length // ID3v1 trailer: done
+      } else {
+        val h = (u8(pos) << 24) | (u8(pos + 1) << 16) | (u8(pos + 2) << 8) | u8(pos + 3)
+        if ((h >>> 21) != 0x7ff) return None // lost sync
+        val ver = (h >>> 19) & 3
+        val layer = (h >>> 17) & 3
+        if (ver == 1 || layer != 1) return None // reserved version / not Layer III
+        val brIdx = (h >>> 12) & 0xf
+        val srIdx = (h >>> 10) & 3
+        val padding = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3
+        if (brIdx == 0 || brIdx == 0xf || srIdx == 3) return None // free/bad/reserved
+        val kbps = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+        val sr = (ver match {
+          case 3 => Array(44100, 48000, 32000)
+          case 2 => Array(22050, 24000, 16000)
+          case _ => Array(11025, 12000, 8000)
+        })(srIdx)
+        val ch = if (mode == 3) 1 else 2
+        if (nFrames == 0L) { version = ver; rate = sr; channels = ch }
+        else if (ver != version || sr != rate || ch != channels) return None
+        val frameLen = (if (ver == 3) 144 else 72) * kbps * 1000 / sr + padding
+        if (frameLen <= 4 || pos + frameLen > b.length) return None // truncated
+        nFrames += 1
+        kbpsSum += kbps
+        pos += frameLen
+      }
+    }
+    if (nFrames == 0L || pos != b.length) return None
+    val spf = if (version == 3) 1152L else 576L
+    Some(Mp3Info(version match { case 3 => "1"; case 2 => "2"; case _ => "2.5" },
+      rate, channels, nFrames, nFrames * spf * 1000L / rate,
+      (kbpsSum / nFrames).toInt))
+  }
+
   /** Parsed AVI container facts (no pixel decode — the frame payloads
     * stay behind the codec stub boundary; the CONTAINER walk is real). */
   case class AviInfo(width: Int, height: Int, nFrames: Long, usPerFrame: Long,

@@ -1538,6 +1538,51 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).getAs[Boolean]("decoded"), "junk must not claim decode")
   }
 
+  test("MP3 frame headers walk: CBR/VBR, ID3 tags, all versions; malformed rejected") {
+    // hand-built Layer III frames: header + zero payload of the exact
+    // computed frame length
+    def frame(ver: Int, brIdx: Int, srIdx: Int, pad: Int, mono: Boolean): Array[Byte] = {
+      val h = (0x7ff << 21) | (ver << 19) | (1 << 17) | (1 << 16) |
+        (brIdx << 12) | (srIdx << 10) | (pad << 9) |
+        ((if (mono) 3 else 0) << 6)
+      val kbps = (if (ver == 3) Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                  else Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))(brIdx)
+      val sr = (ver match {
+        case 3 => Seq(44100, 48000, 32000)
+        case 2 => Seq(22050, 24000, 16000)
+        case _ => Seq(11025, 12000, 8000)
+      })(srIdx)
+      val len = (if (ver == 3) 144 else 72) * kbps * 1000 / sr + pad
+      val out = new Array[Byte](len)
+      out(0) = ((h >>> 24) & 0xff).toByte; out(1) = ((h >>> 16) & 0xff).toByte
+      out(2) = ((h >>> 8) & 0xff).toByte; out(3) = (h & 0xff).toByte
+      out
+    }
+    // MPEG1 44.1k mono CBR 128kbps, 3 frames: 417-byte frames, 78 ms
+    val cbr = frame(3, 9, 0, 0, mono = true) ++ frame(3, 9, 0, 0, mono = true) ++
+      frame(3, 9, 0, 0, mono = true)
+    val c = Multimodal.parseMp3(cbr).get
+    assert(c == Multimodal.Mp3Info("1", 44100, 1, 3, 3L * 1152 * 1000 / 44100, 128))
+    // VBR (bitrates vary, avg exact), stereo, with padding on one frame
+    val vbr = frame(3, 9, 0, 0, mono = false) ++ frame(3, 14, 0, 1, mono = false)
+    val v = Multimodal.parseMp3(vbr).get
+    assert(v.nFrames == 2 && v.channels == 2 && v.avgBitrateKbps == (128 + 320) / 2)
+    // MPEG2.5 8kHz (576 samples/frame) + ID3v2 prefix + ID3v1 trailer
+    val id3v2 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 5) ++ Array.fill(5)(0x61.toByte)
+    val id3v1 = ("TAG" + "x" * 125).getBytes
+    val low = id3v2 ++ frame(0, 8, 2, 0, mono = true) ++ id3v1
+    val l = Multimodal.parseMp3(low).get
+    assert(l == Multimodal.Mp3Info("2.5", 8000, 1, 1, 576L * 1000 / 8000, 64))
+    // malformed: junk, truncated mid-frame, version/rate change, free bitrate
+    assert(Multimodal.parseMp3("not audio".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(cbr.take(cbr.length - 10)).isEmpty)
+    assert(Multimodal.parseMp3(
+      frame(3, 9, 0, 0, mono = true) ++ frame(3, 9, 1, 0, mono = true)).isEmpty)
+    val free = frame(3, 9, 0, 0, mono = true)
+    free(2) = (free(2) & 0x0f).toByte // bitrate index 0 = free format
+    assert(Multimodal.parseMp3(free).isEmpty)
+  }
+
   test("AVI containers parse through the real RIFF walker: dims, frames, fps, streams") {
     import spark.implicits._
     val avi = Multimodal.syntheticAvi(w = 320, h = 240, frames = 10, usPerFrame = 40000)
