@@ -1437,4 +1437,73 @@ object LlmQueries {
                      "CAST(d.embedding AS DOUBLE[])")} >= 0.45)
        ORDER BY vec_id"""
   }
+
+  // q200: SEMANTIC decontamination — per training embedding (vec_id %
+  // 10 <> 0, the q64/q187 split convention), the best-cosine benchmark
+  // neighbor (vec_id % 10 = 0), the count of benchmark rows at >= 0.80,
+  // and the contaminated verdict. The embedding-space complement of
+  // q187's n-gram contamination: paraphrased benchmark leakage shares
+  // no 8-gram but still lands next to the benchmark in embedding
+  // space. Bench side broadcast; the per-train argmax is an
+  // associative max(struct(cosine, -bench_id)) — map-side combinable,
+  // ties to the smallest bench id (the q24 tiebreak) — so only
+  // (train_id, two numbers) ever shuffles. Oversized benchmark suites
+  // probe the persisted ANN index instead (backend-independent
+  // consumers, the q131/q162 convention).
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.80)
+      .orderBy("vec_id")
+  }
+
+  // Oracle cosine wraps NaN -> 0.0 (the q183 zero-norm guard: CosineF32
+  // returns 0.0 on a zero denominator, DuckDB NaN-sorts above numbers).
+  val q200Sql: String = {
+    def cos(a: String, b: String) =
+      s"""(CASE WHEN isnan(list_cosine_similarity($a, $b))
+            THEN 0.0 ELSE list_cosine_similarity($a, $b) END)"""
+    val c = cos("CAST(t.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    s"""WITH s AS (
+         SELECT t.vec_id, b.vec_id AS bench_id, $c AS cosine
+         FROM embeddings t CROSS JOIN embeddings b
+         WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+       ), r AS (
+         SELECT vec_id, bench_id, cosine,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, bench_id ASC) AS rn,
+           CAST(sum(CASE WHEN cosine >= 0.80 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY vec_id) AS BIGINT) AS n_bench_hits
+         FROM s
+       )
+       SELECT vec_id, bench_id AS best_bench_id, cosine AS best_cosine,
+         n_bench_hits, cosine >= 0.80 AS contaminated
+       FROM r WHERE rn = 1 ORDER BY vec_id"""
+  }
+
+  // q202: SOFT dedup weights — instead of dropping near-duplicates
+  // (q20/q72) or keeping the best (q160), every member of a near-dup
+  // cluster keeps 1/cluster_size of its loss weight (the SoftDeDup
+  // idea: down-weight, don't delete — the duplicate's gradient mass is
+  // shared, not multiplied). Weight in integer PARTS-PER-MILLION by
+  // truncating division (the q157 micro-unit convention: identical in
+  // both engines, and corpus-level weight sums are exact longs).
+  // Cluster machinery is q72's exactly (LSH blocks, exact Jaccard
+  // decides, CC closes on the duplicate subgraph); the weight is one
+  // map-side expression past labels that are themselves gated.
+  def q202(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClustersLayered(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
+      .orderBy("doc_id")
+
+  val q202Sql: String =
+    s"""WITH RECURSIVE $nearDupCtes
+       SELECT lab.doc_id, lab.cluster_id,
+         CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+         CAST(1000000 // sizes.cluster_size AS BIGINT) AS weight_ppm
+       FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id"""
 }

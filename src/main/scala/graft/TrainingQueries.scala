@@ -1852,4 +1852,131 @@ object TrainingQueries {
             AS clean_md5
         FROM k ORDER BY doc_id"""
   }
+
+  // q199: CCNet-style GLOBAL line dedup — every line kept only at its
+  // first corpus occurrence (min doc_id, then min position; later
+  // copies drop, including within-doc repeats). The boilerplate pass
+  // document dedup can't do. The gate injects newlines after four
+  // high-frequency vocabulary words so lines repeat heavily across
+  // docs (~28% of lines drop at sf0.001, more at larger sf); both
+  // engines split/reassemble with chr(10). The corpus text shuffles
+  // once keyed by md5(line) (bounded 32-hex keys), the winner is an
+  // associative min(struct) — map-side combinable — and reassembly
+  // sorts only each doc's own kept lines.
+  private[graft] def q199Base(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "table ", "table\n"), "value ", "value\n"),
+        "query ", "query\n"), "scan ", "scan\n").as("text"))
+
+  def q199(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.lineDedup(q199Base(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_frac"),
+        md5(col("clean_text").cast(BinaryType)).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val q199Sql: String =
+    """WITH base AS (
+         SELECT doc_id,
+           replace(replace(replace(replace(text,
+             'table ', 'table' || chr(10)), 'value ', 'value' || chr(10)),
+             'query ', 'query' || chr(10)), 'scan ', 'scan' || chr(10)) AS text
+         FROM documents
+       ), l AS (
+         SELECT doc_id, string_split(text, chr(10)) AS ls FROM base
+       ), e AS (
+         SELECT doc_id, u.pos AS pos, u.line AS line
+         FROM (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+                 i -> struct_pack(pos := i, line := ls[i]))) AS u FROM l)
+       ), k AS (
+         SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY md5(line)
+             ORDER BY doc_id, pos) AS rn
+         FROM e
+       ), agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+           list_aggregate(list(line ORDER BY pos), 'string_agg', chr(10)) AS ct
+         FROM k WHERE rn = 1 GROUP BY doc_id
+       )
+       SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+         CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(coalesce(agg.n_kept, 0) AS DOUBLE) / CAST(len(l.ls) AS DOUBLE)
+           AS kept_frac,
+         md5(coalesce(agg.ct, '')) AS clean_md5
+       FROM l LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+  // q201: Heaps'-law vocabulary-growth curve — corpus cut into 10
+  // equal-count slices by doc_id rank; per slice, cumulative tokens,
+  // new vocabulary types, cumulative vocabulary, and the running
+  // type/token ratio. Rank is the DISTRIBUTED GlobalRank (no
+  // single-partition window over the corpus); bucket assignment and
+  // the first-seen slice (min bucket per token — monotone in rank) are
+  // exact integer arithmetic in both engines; the cumulative window
+  // runs over 10 rows.
+  def q201(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.vocabGrowth(Tables.documents(spark, dir), "doc_id", "text",
+        total = Tables.rowCount(spark, dir, "documents"), buckets = 10)
+      .orderBy("bucket")
+
+  val q201Sql: String =
+    s"""WITH d AS (
+         SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rnk
+         FROM documents
+       ), bkt AS (
+         SELECT ((10 * (rnk - 1)) // (SELECT count(*) FROM documents)) + 1
+                  AS bucket,
+                $toksSql AS toks
+         FROM d
+       ), pb AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens
+         FROM bkt GROUP BY bucket
+       ), f AS (
+         SELECT tok, min(bucket) AS bucket
+         FROM (SELECT bucket, unnest(toks) AS tok FROM bkt) GROUP BY tok
+       ), nt AS (
+         SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM f GROUP BY bucket
+       ), j AS (
+         SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+           CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+           CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+             AS cum_vocab
+         FROM pb LEFT JOIN nt USING (bucket)
+       )
+       SELECT bucket, n_docs, n_tokens, cum_tokens, new_types, cum_vocab,
+         CASE WHEN cum_tokens > 0
+           THEN CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+           ELSE 0.0 END AS ttr
+       FROM j ORDER BY bucket"""
+
+  // q203: per-doc n-gram NOVELTY — the fraction of a document's
+  // distinct 8-grams first seen in THIS doc (by doc_id order): the
+  // memorization/novelty readout of a crawl snapshot (novelty collapse
+  // = re-crawling what the corpus already has). Short docs contribute
+  // their whole text as one gram (the wordShingles/gramsSql
+  // convention). One combinable shuffle finds min(doc_id) per distinct
+  // gram, the verdict joins back on the gram key, and the per-doc
+  // rollup combines map-side — the q187 plan with the corpus itself as
+  // the reference side.
+  def q203(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.ngramNovelty(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  val q203Sql: String =
+    s"""WITH t AS (
+          SELECT doc_id, $toksSql AS toks FROM documents
+        ), gr AS (
+          SELECT doc_id, unnest(list_distinct(${gramsSql(8)})) AS g FROM t
+        ), f AS (
+          SELECT g, min(doc_id) AS fid FROM gr GROUP BY g
+        )
+        SELECT gr.doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams_distinct,
+          CAST(sum(CASE WHEN f.fid = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(sum(CASE WHEN f.fid = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS novelty_frac
+        FROM gr JOIN f USING (g)
+        GROUP BY gr.doc_id ORDER BY gr.doc_id"""
 }

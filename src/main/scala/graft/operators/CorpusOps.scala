@@ -1066,4 +1066,148 @@ object CorpusOps {
       .withColumn("share", share)
       .withColumn("samp_weight", (lit(1.0) / count(lit(1)).over(all).cast(DoubleType)) / share)
   }
+
+  // ---------------------------------------------------- line-level dedup
+
+  /** CCNet-style GLOBAL line deduplication (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2020, §3.2): every line of every document is deduplicated across
+    * the whole corpus, keeping only its FIRST occurrence — smallest
+    * (`idCol`, line position) — and dropping every later copy,
+    * including repeats inside the same document. This is the
+    * boilerplate-removal pass (headers, footers, cookie banners,
+    * navigation) that document-level dedup (q20/q21) cannot touch
+    * because the surrounding documents differ.
+    *
+    * Scale shape: lines shuffle ONCE, keyed by `md5(line)` (32 hex
+    * chars — bounded, skew-free keys; the winner per key is a map-side
+    * combinable `min(struct(id, pos))`), and the keep/drop verdict
+    * joins back on the same key. The per-document reassembly sorts a
+    * BOUNDED list (one document's own kept lines) — never a global
+    * sort. At 100 TB this is two exchanges over (hash, id, pos) plus
+    * one scan of the text; the line text itself rides the exchange
+    * only as far as the reassembly needs it.
+    *
+    * Output: one row per input document — `n_lines`, `n_kept`,
+    * `kept_frac`, and `clean_text` (surviving lines joined by \n in
+    * original order; empty string when every line lost).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__lk", md5(col("line").cast(BinaryType)))
+    // first occurrence per line key as a window min — ONE shuffle keyed
+    // by the line hash, no join-back, so the corpus text is scanned
+    // exactly once (a join against a separately-aggregated firsts frame
+    // would re-derive the exploded lines from a second scan)
+    val w = Window.partitionBy("__lk")
+    val marked = lines.withColumn("__keep",
+      struct(col(idCol), col("pos")) ===
+        min(struct(col(idCol), col("pos"))).over(w))
+    // every doc has >= 1 line (split never yields an empty array), so
+    // the per-doc rollup covers the full corpus; collect_list drops the
+    // nulls that non-kept lines become
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .withColumn("kept_frac",
+        col("n_kept").cast(DoubleType) / col("n_lines").cast(DoubleType))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("kept_frac"),
+        col("clean_text"))
+  }
+
+  // --------------------------------------------------- vocabulary growth
+
+  /** Heaps'-law vocabulary-growth curve: documents are ranked by
+    * `idCol` and cut into `buckets` equal-count slices, and each slice
+    * reports cumulative tokens, NEW vocabulary types first seen in that
+    * slice, cumulative vocabulary, and the running type/token ratio —
+    * the "is more data still adding words" readout corpus reports
+    * publish (Heaps 1978; Gopher §A.2 reports the same curve).
+    *
+    * `total` is the corpus row count (pass `Tables.rowCount` — a
+    * parquet-footer read, not a scan). Bucket assignment is EXACT
+    * integer arithmetic on the distributed rank ([[GlobalRank]] — no
+    * single-partition window over the corpus): bucket =
+    * (buckets·(rank−1)) div total + 1. A token's first-seen bucket is
+    * `min(bucket)` over its occurrences — bucket is monotone in rank,
+    * so this IS the first-occurrence bucket without tracking per-token
+    * ranks. Two combinable shuffles (token key, bucket key); the final
+    * cumulative window runs over ≤`buckets` rows.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  total: Long, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && total >= 1, "vocabGrowth needs rows and buckets")
+    val ranked = GlobalRank.withRowNumber(
+        df.select(col(idCol), col(textCol)), Seq(col(idCol)), "__rnk")
+      .withColumn("bucket",
+        expr(s"(($buckets * (__rnk - 1)) div ${total}L) + 1"))
+    // single consumer chain so the corpus text is scanned once: each
+    // doc emits its tokens PLUS one null sentinel row, and everything —
+    // doc counts (null rows), token counts (non-null rows), first-seen
+    // types (min bucket per token) — derives from ONE combinable
+    // (bucket, token) aggregation; the downstream aggs run on the
+    // bounded per-bucket vocabulary, and the cumulative window sees
+    // <= `buckets` rows.
+    val toks = TextFunctions.tokens(col(textCol))
+    val bt = ranked
+      .select(col("bucket"),
+        explode(concat(array(lit(null).cast(StringType)), toks)).as("tok"))
+      .groupBy("bucket", "tok").agg(count(lit(1)).as("__n"))
+    val perBucket = bt.groupBy("bucket")
+      .agg(sum(when(col("tok").isNull, col("__n")).otherwise(0L)).as("n_docs"),
+        sum(when(col("tok").isNotNull, col("__n")).otherwise(0L)).as("n_tokens"))
+    val newTypes = bt.filter(col("tok").isNotNull)
+      .groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_types").over(w))
+      .withColumn("ttr",
+        when(col("cum_tokens") > 0,
+          col("cum_vocab").cast(DoubleType) / col("cum_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .select("bucket", "n_docs", "n_tokens", "cum_tokens",
+        "new_types", "cum_vocab", "ttr")
+  }
+
+  // ------------------------------------------------------ n-gram novelty
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams that appear in NO earlier document (first seen here,
+    * by `idCol` order) — the memorization/novelty signal corpus
+    * analyses report (a crawl snapshot whose novelty collapses is
+    * re-crawling what the corpus already has). Duplicate-heavy docs
+    * score ~0; fresh content scores ~1.
+    *
+    * Short docs (< n tokens) contribute their whole text as ONE gram —
+    * the [[TextFunctions.wordShingles]] convention, mirrored by the
+    * oracle. Scale shape: distinct grams shuffle once to find
+    * `min(id)` per gram (map-side combinable), the verdict joins back
+    * on the gram key, and the per-doc rollup is a second combinable
+    * shuffle — the q187 contamination plan with the corpus itself as
+    * the reference side.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g"))
+    // first-seen doc per gram as a window min — ONE shuffle keyed by
+    // the gram, no join-back (which would re-derive the exploded grams
+    // from a second text scan); per-gram partitions are duplicate
+    // counts, so the window sort is bounded and skew-free
+    val marked = grams.withColumn("__fid",
+      min(col(idCol)).over(Window.partitionBy("__g")))
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams_distinct"),
+        sum(when(col("__fid") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast(DoubleType) / col("n_grams_distinct").cast(DoubleType))
+  }
 }

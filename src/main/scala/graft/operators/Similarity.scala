@@ -771,4 +771,40 @@ object Similarity {
     fwd.join(rev, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("rank_ab"), col("rank_ba"), col(scoreCol))
   }
+
+  /** SEMANTIC decontamination audit: for every training embedding, the
+    * best-cosine benchmark neighbor, the count of benchmark rows above
+    * `threshold`, and the contaminated verdict — the embedding-space
+    * complement of the n-gram contamination report (q187): paraphrased
+    * or re-worded benchmark leakage that shares no 8-gram still lands
+    * next to the benchmark in embedding space (the SemDeDup/"semantic
+    * decontamination" argument, Abbas et al. 2023 §5).
+    *
+    * Scale shape: the benchmark side is broadcast (the q187 assumption
+    * — benchmarks are small; at 100 TB the train side streams past it
+    * map-side), the per-train argmax is an associative
+    * `max(struct(cosine, −bench_id))` — map-side combinable, ties to
+    * the SMALLEST bench id — so nothing but (train_id, two numbers)
+    * ever shuffles. For benchmark suites too large to broadcast, probe
+    * the persisted ANN index instead ([[probeIvfPqIndex]]) and keep the
+    * same verdict columns — the consumers are backend-independent
+    * (the q131/q162 convention).
+    */
+  def semanticContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double): DataFrame = {
+    val cos = cosineOf(train, vecCol) _
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("bv"))
+    t.join(broadcast(b))
+      .withColumn("cosine", cos(col("tv"), col("bv")))
+      .groupBy("train_id")
+      .agg(
+        max(struct(col("cosine").as("c"), (-col("bench_id")).as("nid"))).as("best"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_bench_hits"))
+      .select(col("train_id").as(idCol),
+        (-col("best.nid")).as("best_bench_id"),
+        col("best.c").as("best_cosine"),
+        col("n_bench_hits"),
+        (col("best.c") >= threshold).as("contaminated"))
+  }
 }

@@ -1,0 +1,202 @@
+package graft
+
+import graft.operators.{CorpusOps, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Specs for the r12 corpus-report operators: global line dedup
+  * (CCNet §3.2), the Heaps'-law vocabulary-growth curve, n-gram
+  * novelty, semantic decontamination, and soft-dedup weights.
+  */
+class CorpusReportsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------- lineDedup
+
+  test("lineDedup keeps only the first corpus occurrence of every line") {
+    val docs = Seq(
+      (1L, "a\nb\na"), // within-doc repeat of "a" must also drop
+      (2L, "b\nc"),    // "b" first seen in doc 1
+      (3L, "a\nb"),    // loses every line
+      (4L, ""),        // the single empty line, first occurrence
+      (5L, "")         // duplicate empty line
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out === Array(
+      (1L, 3L, 2L, "a\nb"),
+      (2L, 2L, 1L, "c"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, ""),
+      (5L, 1L, 0L, "")))
+  }
+
+  test("lineDedup kept_frac and order preservation inside a doc") {
+    val docs = Seq(
+      (10L, "x\ny\nz\nx"), // x dropped at pos 3, order of kept = x,y,z
+      (20L, "z\nw")        // z dropped, w kept
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) == "x\ny\nz")
+    assert(math.abs(out(0).getDouble(3) - 0.75) < 1e-12)
+    assert(out(1).getString(4) == "w")
+    assert(math.abs(out(1).getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("q199 drops a large fraction of lines on the injected-newline corpus") {
+    val rows = TrainingQueries.q199(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == docs)
+    val nLines = rows.map(_.getLong(1)).sum
+    val nKept = rows.map(_.getLong(2)).sum
+    // the vocabulary is ~30 words, so injected lines repeat across docs
+    assert(nLines > docs, "newline injection must produce multi-line docs")
+    assert(nKept * 5 < nLines * 4, s"expected real line dedup, kept $nKept/$nLines")
+    // global invariant: every kept line is unique corpus-wide
+    val base = TrainingQueries.q199Base(spark, sf)
+    val kept = CorpusOps.lineDedup(base, "doc_id", "text")
+      .select(explode(split(col("clean_text"), "\n", -1)).as("line"))
+      .filter(length(col("line")) > 0)
+    assert(kept.count() == kept.distinct().count())
+  }
+
+  // ----------------------------------------------------- vocabGrowth
+
+  test("vocabGrowth: exact buckets, new types, and cumulative curve") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "c d"), (4L, "d e a")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.vocabGrowth(docs, "doc_id", "text", total = 4, buckets = 2)
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    // bucket 1 = docs 1,2: 4 tokens, new {a,b,c}
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) ==
+      ((1L, 2L, 4L, 4L, 3L, 3L)))
+    assert(math.abs(out(0).getDouble(6) - 0.75) < 1e-12)
+    // bucket 2 = docs 3,4: 5 tokens, new {d,e}
+    assert((out(1).getLong(0), out(1).getLong(1), out(1).getLong(2),
+      out(1).getLong(3), out(1).getLong(4), out(1).getLong(5)) ==
+      ((2L, 2L, 5L, 9L, 2L, 5L)))
+    assert(math.abs(out(1).getDouble(6) - 5.0 / 9.0) < 1e-12)
+  }
+
+  test("vocabGrowth bucket sizing matches integer-division slicing") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")
+    ).toDF("doc_id", "text")
+    val sizes = CorpusOps.vocabGrowth(docs, "doc_id", "text", total = 4, buckets = 3)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ranks 1,2 -> bucket 1; rank 3 -> 2; rank 4 -> 3
+    assert(sizes === Array((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("q201 covers every doc and the vocabulary curve is monotone") {
+    val rows = TrainingQueries.q201(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+    val cumVocab = rows.map(_.getLong(5))
+    assert(cumVocab.zip(cumVocab.tail).forall { case (a, b) => b >= a })
+    // the fixture vocabulary is tiny, so growth must saturate early:
+    // the last bucket adds (almost) nothing new
+    assert(rows.last.getLong(4) <= rows.head.getLong(4))
+  }
+
+  // ---------------------------------------------------- ngramNovelty
+
+  test("ngramNovelty: first-seen grams by doc order, short-doc whole-gram") {
+    val docs = Seq(
+      (1L, "x y z"), // grams {x y, y z}, both novel
+      (2L, "x y q"), // {x y (seen), y q (novel)}
+      (3L, "x"),     // short doc: whole-text gram "x", novel
+      (4L, "x y z")  // everything seen
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L), (4L, 2L, 0L)))
+  }
+
+  test("q203: novelty over a duplicated corpus halves exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val mirrored = docs.unionAll(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val out = CorpusOps.ngramNovelty(mirrored, "doc_id", "text", n = 8)
+    // every mirror doc's grams were all first seen in the original
+    val mirrorNovel = out.filter(col("doc_id") >= 1000000L)
+      .agg(sum("n_novel")).head().getLong(0)
+    assert(mirrorNovel == 0L)
+    val origRows = out.filter(col("doc_id") < 1000000L).count()
+    assert(origRows == docs.count())
+  }
+
+  // ------------------------------------------- semanticContamination
+
+  test("semanticContamination: argmax, tiebreak, hits, zero-norm convention") {
+    val train = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (4L, Array(0f, 0f)) // zero norm: cosine 0.0 everywhere by convention
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1f, 0f)),
+      (30L, Array(1f, 0f)),          // exact tie with 10 -> best id 10
+      (20L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(train, bench, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect()
+    // train 1: cos(10)=cos(30)=1.0, cos(20)~0.9939 -> 3 hits, best 10
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 10L)
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-6)
+    assert(out(0).getLong(3) == 3L && out(0).getBoolean(4))
+    // train 2: best is 20 at ~0.110, no hits
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 20L)
+    assert(out(1).getLong(3) == 0L && !out(1).getBoolean(4))
+    // train 4 (zero vector): all cosines 0.0, best = smallest bench id
+    assert(out(2).getLong(0) == 4L && out(2).getLong(1) == 10L)
+    assert(out(2).getDouble(2) == 0.0 && out(2).getLong(3) == 0L)
+    assert(!out(2).getBoolean(4))
+  }
+
+  test("q200: a train row duplicating a bench vector is contaminated") {
+    val emb = Tables.embeddings(spark, sf)
+    // plant a train-side copy of bench vector 0 under a fresh train id
+    val bench0 = emb.filter(col("vec_id") === 0)
+      .select(lit(999001L).as("vec_id"), col("embedding"), col("label"))
+    val planted = emb.unionByName(bench0)
+    val out = Similarity.semanticContamination(
+        planted.filter(col("vec_id") % 10 =!= 0),
+        planted.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.80)
+      .filter(col("vec_id") === 999001L).head()
+    assert(out.getLong(1) == 0L, "best neighbor must be the copied bench row")
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-6)
+    assert(out.getBoolean(4))
+  }
+
+  // ------------------------------------------------ softDedupWeights
+
+  test("q202: weights are exact ppm shares of the cluster") {
+    val rows = LlmQueries.q202(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, w) = (r.getLong(2), r.getLong(3))
+      assert(w == 1000000L / size)
+    }
+    // per-cluster totals never exceed one million (truncating division)
+    val byCluster = rows.groupBy(_.getLong(1)).values
+    byCluster.foreach { members =>
+      val total = members.map(_.getLong(3)).sum
+      assert(total <= 1000000L)
+      assert(members.map(_.getLong(2)).distinct.length == 1,
+        "cluster_size must agree across members")
+      assert(members.length.toLong == members.head.getLong(2))
+    }
+    // singletons keep full weight
+    assert(rows.filter(_.getLong(2) == 1L).forall(_.getLong(3) == 1000000L))
+  }
+}

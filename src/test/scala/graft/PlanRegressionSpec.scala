@@ -810,4 +810,44 @@ class PlanRegressionSpec extends SparkSpec {
       "q189's shingle candidate join must not sort-merge the training side " +
         "(the only SMJ allowed is the ids-only audit join-back)")
   }
+
+  test("q199/q201/q203: the corpus text is file-scanned exactly once (r12 single-scan forms)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // q199 lineDedup and q203 ngramNovelty replace the aggregate +
+    // join-back shape (which re-derives the exploded text from a
+    // second scan) with a window min over the line/gram key — one
+    // shuffle, no join, one text scan. q201 vocabGrowth derives doc
+    // counts, token counts, and first-seen types from ONE (bucket,
+    // token) aggregation via a per-doc sentinel row; its two
+    // downstream consumers must reuse that exchange, not re-scan.
+    for ((name, df, joinsAllowed) <- Seq(
+        ("q199", TrainingQueries.q199(spark, sf), 0),
+        ("q203", TrainingQueries.q203(spark, sf), 0))) {
+      df.collect()
+      val nodes = executedNodes(df)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 1,
+        s"$name must file-scan the corpus exactly once, got ${scans.size}")
+      val joins = nodes.collect { case j: BaseJoinExec => j }
+      assert(joins.size <= joinsAllowed,
+        s"$name expected <= $joinsAllowed bounded joins, got ${joins.size}")
+    }
+    // q201: the TEXT is scanned once; GlobalRank's partition-offset
+    // branch legitimately scans a second time but column pruning must
+    // reduce it to the id column alone (cheaper than forcing the wide
+    // range exchange to be reused) — pin both properties.
+    val q201 = TrainingQueries.q201(spark, sf)
+    q201.collect()
+    val nodes201 = executedNodes(q201)
+    val scans201 = nodes201.collect { case f: FileSourceScanExec => f }
+    val wide = scans201.filter(_.requiredSchema.fieldNames.contains("text"))
+    assert(wide.size == 1,
+      s"q201 must scan the text column exactly once, got ${wide.size}")
+    assert(scans201.filterNot(wide.contains)
+      .forall(_.requiredSchema.fieldNames.toSeq == Seq("doc_id")),
+      "q201's extra scan(s) must be pruned to the id column alone")
+    val joins201 = nodes201.collect { case j: BaseJoinExec => j }
+    assert(joins201.size <= 3,
+      s"q201 expected <= 3 bounded-side joins, got ${joins201.size}")
+  }
 }
