@@ -1506,4 +1506,77 @@ object LlmQueries {
          CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
          CAST(1000000 // sizes.cluster_size AS BIGINT) AS weight_ppm
        FROM lab JOIN sizes USING (cluster_id) ORDER BY doc_id"""
+
+  // q206: INCREMENTAL near-dup dedup — the 100 TB ingest contract
+  // (Dedup.minhashIndex/dedupIncrement, previously library-only) made
+  // driver-verifiable: the corpus splits into an already-ingested base
+  // (doc_id % 3 <> 0) whose index is built once, and a new batch
+  // (doc_id % 3 = 0) deduplicated AGAINST that index plus itself
+  // without re-reading any historical text. A new doc survives iff no
+  // SEEN doc (base or batch) with a smaller id reaches 3-gram Jaccard
+  // >= 0.5 — exactly q21's all-pairs predicate restricted to the
+  // batch, which is what the oracle replays (the LSH banding and the
+  // exact-clone index layer prune, never decide; clone families
+  // compare via their representatives losslessly since clones have
+  // identical shingle sets).
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.minhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4)
+    val (survivors, _) = Dedup.dedupIncrement(index,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+    survivors.select("doc_id", "lang", "source").orderBy("doc_id")
+  }
+
+  val q206Sql: String =
+    s"""WITH $shingleCte
+       SELECT d.doc_id, d.lang, d.source FROM documents d
+       WHERE d.doc_id % 3 = 0 AND NOT EXISTS (
+         SELECT 1 FROM s a JOIN s b ON b.doc_id = d.doc_id AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) >= 0.5)
+       ORDER BY doc_id"""
+
+  // q207: MOSS-style fingerprint MATCH report (Schleimer et al.
+  // SIGMOD'03) — document pairs sharing >= 4 winnowed fingerprints
+  // (q29 emits the per-doc fingerprint; this finds the collisions,
+  // i.e. the copy-detection readout: shared normalized runs cannot
+  // hide from a window minimum). Fingerprints hotter than 20 docs drop
+  // BEFORE pair generation (the standard boilerplate mitigation), so
+  // the per-fingerprint fan-out is provably bounded — never an
+  // unbounded collect or an all-pairs join. Both legs replay exactly
+  // in the oracle (substr/md5/list_min windows, same df cap).
+  def q207(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.fingerprintMatches(
+        Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, w = 4, maxChars = 256, minShared = 4, dfCap = 20)
+      .orderBy("id_a", "id_b")
+
+  val q207Sql: String =
+    """WITH n AS (
+         SELECT doc_id,
+           substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 256) AS h
+         FROM documents
+       ), hs AS (
+         SELECT doc_id, list_transform(range(1, greatest(length(h) - 7, 1) + 1),
+                  i -> md5(substr(h, CAST(i AS INTEGER), 8))) AS hashes
+         FROM n
+       ), fp AS (
+         SELECT doc_id, CASE WHEN len(hashes) >= 4
+           THEN list_distinct(list_transform(range(1, len(hashes) - 4 + 2),
+                  j -> list_min(hashes[j:j+3])))
+           ELSE [list_min(hashes)] END AS fps
+         FROM hs
+       ), e AS (
+         SELECT doc_id, unnest(fps) AS f FROM fp
+       ), d AS (
+         SELECT f FROM e GROUP BY f HAVING count(*) BETWEEN 2 AND 20
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM e a JOIN d USING (f) JOIN e b USING (f)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       )
+       SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+       FROM p WHERE n_shared >= 4 ORDER BY id_a, id_b"""
 }

@@ -1979,4 +1979,59 @@ object TrainingQueries {
             / CAST(count(*) AS DOUBLE) AS novelty_frac
         FROM gr JOIN f USING (g)
         GROUP BY gr.doc_id ORDER BY gr.doc_id"""
+
+  // q204: per-shard MANIFEST over q68's deterministic sharding — the
+  // doc/token/char totals and id range a data loader reads to size
+  // its workers and audit shard balance before opening a shard file.
+  // One map-side-combinable shuffle on the shard key (≤16 groups); no
+  // shard_pos window — the manifest needs totals, not positions.
+  def q204(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.shardManifest(Tables.documents(spark, dir), "doc_id", "text",
+        nShards = 8)
+      .orderBy("shard")
+
+  val q204Sql: String =
+    s"""WITH s AS (
+         SELECT (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+           doc_id, len($toksSql) AS nt, len(text) AS nc
+         FROM documents
+       )
+       SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM s GROUP BY shard ORDER BY shard"""
+
+  // q205: hash-trick LINEAR classifier filter — the fastText/DCLM
+  // quality-classifier plumbing (feature hashing, weight lookup,
+  // linear score, threshold keep) with a deterministic zero-mean
+  // md5-derived weight table standing in for trained weights. Exact
+  // long arithmetic both sides (no transcendentals: the keep verdict
+  // thresholds the raw linear score, monotone-equivalent to the
+  // sigmoid). Entirely map-side — the 100 TB pass is scan-speed.
+  def q205(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        CorpusOps.hashClassifierScore(col("text")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+      .orderBy("doc_id")
+
+  val q205Sql: String = {
+    def term(k: Int, scale: Long) =
+      s"CAST((16 * ascii(substr(md5(t), $k, 1)) - 1122) AS BIGINT) * $scale"
+    s"""WITH tk AS (
+         SELECT doc_id, $toksSql AS toks FROM documents
+       )
+       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, t ->
+           ${term(1, 16777216L)} + ${term(2, 65536L)}
+         + ${term(3, 256L)} + ${term(4, 1L)})), 0) AS BIGINT) AS score,
+         CAST(coalesce(list_sum(list_transform(toks, t ->
+           ${term(1, 16777216L)} + ${term(2, 65536L)}
+         + ${term(3, 256L)} + ${term(4, 1L)})), 0) AS BIGINT) >= 0 AS keep
+       FROM tk ORDER BY doc_id"""
+  }
 }

@@ -179,4 +179,15 @@ object TextFunctions {
     */
   def winnowFingerprint(text: Column, k: Int = 8, maxChars: Int = 256): Column =
     graft.plans.WinnowMd5.winnowMd5(substring(normText(text), 1, maxChars), k)
+
+  /** The full winnowed fingerprint SET (Schleimer et al. SIGMOD'03):
+    * distinct minima of every `w`-window over the k-gram MD5 sequence
+    * of the normalized text head, sorted. [[winnowFingerprint]] is the
+    * single global min; this is what fingerprint MATCHING needs (two
+    * documents sharing a long enough run of text are guaranteed to
+    * share a window minimum). Native kernel — one static call per row
+    * inside whole-stage codegen. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4,
+                         maxChars: Int = 256): Column =
+    graft.plans.WinnowSetMd5.winnowSetMd5(substring(normText(text), 1, maxChars), k, w)
 }

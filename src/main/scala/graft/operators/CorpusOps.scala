@@ -594,6 +594,98 @@ object CorpusOps {
       .withColumn("shard_pos", row_number().over(w).cast(LongType))
   }
 
+  /** Per-shard MANIFEST over [[shardAssign]]'s deterministic sharding:
+    * doc/token/char totals and the id range per shard — the table a
+    * data loader reads to size its workers and audit shard balance
+    * before touching a single shard file. ONE map-side-combinable
+    * shuffle on the shard key (no `shard_pos` window — the manifest
+    * needs totals, not positions); at 100 TB this is a wordcount over
+    * ≤16 keys.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16, "nShards must be in [1,16]")
+    val h = md5(col(idCol).cast(StringType).cast(BinaryType))
+    val shard = pmod(instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1, lit(nShards))
+      .cast(LongType)
+    df.select(shard.as("shard"), col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast(LongType).as("__nt"),
+        length(col(textCol)).cast(LongType).as("__nc"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        sum("__nc").as("n_chars"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+  }
+
+  // ------------------------------------------- hash-trick quality filter
+
+  /** Hashing-trick LINEAR document scorer — the fastText/DCLM-style
+    * classifier-filter PLUMBING (feature hashing, per-token weight
+    * lookup, linear score, threshold keep) with a deterministic
+    * md5-derived weight table standing in for trained weights (no
+    * model ships in this container; swapping real weights in changes
+    * one expression).
+    *
+    * Each token's weight combines its md5's first four hex chars as
+    * exactly ZERO-MEAN integers — (16·ascii(c) − 1122) sums to 0 over
+    * the 16 hex digits — scaled by byte position, so corpus-level
+    * score sums are exact longs centered on zero and the keep verdict
+    * splits realistically. Entirely map-side (one higher-order fold
+    * per row, no shuffle): the 100 TB pass is scan-speed, exactly like
+    * the production classifier it stands in for.
+    */
+  // ------------------------------------------------ fingerprint matching
+
+  /** MOSS-style fingerprint MATCHING (Schleimer et al. SIGMOD'03 §4):
+    * document pairs sharing at least `minShared` winnowed fingerprints
+    * — the copy-detection readout (two docs sharing any sufficiently
+    * long run of normalized text are GUARANTEED to share a window
+    * minimum, so real overlap cannot hide; unlike MinHash this detects
+    * containment, not just whole-doc similarity).
+    *
+    * Scale shape: fingerprints explode once; document frequency is a
+    * window count over the fingerprint key and fingerprints hotter
+    * than `dfCap` drop BEFORE any pair generation (boilerplate
+    * fingerprints would otherwise go quadratic — the standard MOSS
+    * mitigation, made executable); the per-fingerprint id list is then
+    * provably ≤ `dfCap`, so the pair fan-out is a bounded in-row
+    * transform, never an unbounded collect or a self-join that would
+    * re-scan the corpus. The groupBy reuses the window's hash
+    * partitioning (one real exchange on the fingerprint key), and the
+    * final (id_a, id_b) rollup is map-side combinable.
+    */
+  def fingerprintMatches(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, maxChars: Int = 256,
+                         minShared: Int = 2, dfCap: Int = 20): DataFrame = {
+    require(minShared >= 1 && dfCap >= 2, "need minShared >= 1 and dfCap >= 2")
+    val fps = df.select(col(idCol),
+      explode(TextFunctions.winnowFingerprints(col(textCol), k, w, maxChars)).as("fp"))
+    val rare = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= dfCap && col("__df") >= 2)
+    val ids = array_sort(collect_list(col(idCol)))
+    val pairs = rare.groupBy("fp")
+      .agg(ids.as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    pairs.select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def hashClassifierScore(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    def charW(h: Column, k: Int, scale: Long): Column =
+      (ascii(substring(h, k, 1)) * 16 - 1122).cast(LongType) * lit(scale)
+    aggregate(toks, lit(0L), (acc, t) => {
+      val h = md5(t.cast(BinaryType))
+      acc + charW(h, 1, 16777216L) + charW(h, 2, 65536L) +
+        charW(h, 3, 256L) + charW(h, 4, 1L)
+    })
+  }
+
   // -------------------------------------------------- contamination report
 
   /** Per-document benchmark-overlap REPORT (the PaLM §App. "contaminated

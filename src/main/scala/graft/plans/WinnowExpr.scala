@@ -88,3 +88,110 @@ object WinnowMd5 {
   def winnowMd5(text: Column, k: Int): Column =
     ColumnBridge.column(WinnowMd5(ColumnBridge.expression(text), k))
 }
+
+/** Full-winnowing kernel: the DISTINCT minima of every `w`-window over
+  * the k-gram MD5 sequence (the actual Schleimer et al. SIGMOD'03
+  * fingerprint SET — [[WinnowImpl.winnowMd5]] is the single global
+  * min), returned lexicographically sorted. A document shorter than
+  * one full window contributes its global min, so every non-null doc
+  * emits at least one fingerprint (the whole-doc convention of
+  * wordShingles/gramsSql applied to winnowing).
+  *
+  * Bit-identical to the declarative formulation (substring windows via
+  * `UTF8String.substringSQL`, UTF-8-byte MD5, lowercase hex, bytewise
+  * comparisons) so the DuckDB oracle can replay it with
+  * substr/md5/list_min exactly.
+  */
+object WinnowSetImpl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val HexChars = "0123456789abcdef".getBytes
+
+  def winnowSetMd5(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numChars()
+    val count = math.max(n - (k - 1), 1)
+    val digest = md.get()
+    val hexes = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) {
+      digest.reset()
+      val d = digest.digest(s.substringSQL(i + 1, k).getBytes)
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(j * 2) = HexChars((d(j) >> 4) & 0xf)
+        hex(j * 2 + 1) = HexChars(d(j) & 0xf)
+        j += 1
+      }
+      hexes(i) = hex
+      i += 1
+    }
+    val mins = new java.util.TreeSet[Array[Byte]](
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compare(a, b))
+    if (count < w) {
+      var best = hexes(0)
+      var x = 1
+      while (x < count) {
+        if (java.util.Arrays.compare(hexes(x), best) < 0) best = hexes(x)
+        x += 1
+      }
+      mins.add(best)
+    } else {
+      var j0 = 0
+      while (j0 <= count - w) {
+        var best = hexes(j0)
+        var x = j0 + 1
+        while (x < j0 + w) {
+          if (java.util.Arrays.compare(hexes(x), best) < 0) best = hexes(x)
+          x += 1
+        }
+        mins.add(best)
+        j0 += 1
+      }
+    }
+    val out = new Array[Any](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromBytes(it.next()); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `WinnowSetMd5(string, k, w) ->
+  * array<string>` — the sorted distinct winnowed fingerprint set. Same
+  * kernel-over-HOF argument as [[WinnowMd5]]: the per-row window loop
+  * is the whole cost of a fingerprint-match pass at scale, and the
+  * declarative ladder (zip_with minima over shifted hash slices) runs
+  * hundreds of interpreted tree steps per row.
+  */
+case class WinnowSetMd5(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_set_md5"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_set_md5 requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSetImpl.winnowSetMd5(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WinnowSetImpl.winnowSetMd5($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSetMd5 =
+    copy(child = newChild)
+}
+
+object WinnowSetMd5 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def winnowSetMd5(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowSetMd5(ColumnBridge.expression(text), k, w))
+}

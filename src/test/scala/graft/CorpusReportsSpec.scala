@@ -199,4 +199,142 @@ class CorpusReportsSpec extends SparkSpec {
     // singletons keep full weight
     assert(rows.filter(_.getLong(2) == 1L).forall(_.getLong(3) == 1000000L))
   }
+
+  // ------------------------------------------------------ shardManifest
+
+  test("q204: manifest totals reconcile exactly with q68's sharding") {
+    val manifest = TrainingQueries.q204(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(manifest.map(_.getLong(1)).sum == docs.count())
+    assert(manifest.map(_.getLong(3)).sum ==
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+    // shard keys agree with q68's assignment per doc
+    val byShard = TrainingQueries.q68(spark, sf).collect()
+      .groupBy(_.getLong(1)).map { case (s, rs) => s -> rs.length.toLong }
+    manifest.foreach { r =>
+      assert(byShard(r.getLong(0)) == r.getLong(1),
+        s"shard ${r.getLong(0)} doc count must match q68")
+    }
+    // id ranges are honest bounds
+    manifest.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+  }
+
+  // ------------------------------------------- hashClassifierScore
+
+  test("hashClassifierScore: exact per-token weights, zero for empty docs") {
+    val rows = Seq((1L, "alpha beta"), (2L, ""), (3L, "alpha alpha")).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        CorpusOps.hashClassifierScore(col("text")).as("s"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // recompute token weight in plain scala from the same md5-hex rule
+    def w(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Seq(16777216L, 65536L, 256L, 1L).zipWithIndex.map { case (sc, i) =>
+        (16L * h.charAt(i).toLong - 1122L) * sc
+      }.sum
+    }
+    assert(out(0) == w("alpha") + w("beta"))
+    assert(out(1) == 0L, "empty doc scores zero (kept by convention)")
+    assert(out(2) == 2 * w("alpha"))
+  }
+
+  test("q205: the keep verdict splits the corpus realistically") {
+    val rows = TrainingQueries.q205(spark, sf).collect()
+    val kept = rows.count(_.getBoolean(3))
+    // zero-mean weights: neither verdict should collapse to a constant
+    assert(kept > rows.length / 10 && kept < rows.length * 9 / 10,
+      s"keep split degenerate: $kept/${rows.length}")
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(2) >= 0)))
+  }
+
+  // ---------------------------------------------- winnowFingerprints
+
+  test("winnowFingerprints matches the declarative window-min formulation") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "tiny"),            // shorter than one k-gram
+      (3L, "exactly8!"),       // 9 chars: two windows of 8
+      (4L, "")                 // empty after normalization
+    ).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    // declarative reference: md5 per window position, min per w-window
+    // (exactly the oracle's shape; fine at test sizes)
+    val hashed = docs
+      .withColumn("h", substring(TextFunctions.normText(col("text")), 1, 256))
+      .withColumn("hs", transform(
+        sequence(lit(1), greatest(length(col("h")) - (k - 1), lit(1))),
+        i => md5(col("h").substr(i, lit(k)).cast("binary"))))
+    val fpsRef = when(size(col("hs")) >= w,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - w + 1),
+          j => array_min(slice(col("hs"), j, lit(w)))))))
+      .otherwise(array(array_min(col("hs"))))
+    val ref = hashed.select(col("doc_id"), fpsRef.as("fps"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toVector)
+    val got = docs.select(col("doc_id"),
+        TextFunctions.winnowFingerprints(col("text"), k, w, 256).as("fps"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toVector)
+    assert(got === ref)
+    // short docs emit exactly their global min, matching winnowFingerprint
+    val single = docs.select(col("doc_id"),
+        TextFunctions.winnowFingerprint(col("text"), k, 256).as("g"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(1) == Vector(single(1)) && got(3) == Vector(single(3)))
+  }
+
+  test("fingerprintMatches finds planted overlap and honors the df cap") {
+    import graft.operators.CorpusOps
+    val shared = "a very distinctive stolen paragraph that travels between documents"
+    val docs = Seq(
+      (1L, s"intro text one $shared closing remarks alpha"),
+      (2L, s"completely different opener $shared and another ending"),
+      (3L, "unrelated content with nothing in common at all whatsoever"),
+      (4L, "another unrelated document about other unrelated things")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.fingerprintMatches(docs, "doc_id", "text",
+      minShared = 2, dfCap = 20).collect()
+    assert(out.length == 1, s"exactly the planted pair, got ${out.length}")
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getLong(2) >= 2L)
+    // a fingerprint present in EVERY doc is boilerplate: cap excludes it
+    val boiler = Seq.tabulate(6)(i =>
+      (i.toLong, s"same boilerplate header everywhere $i")).toDF("doc_id", "text")
+    val capped = CorpusOps.fingerprintMatches(boiler, "doc_id", "text",
+      minShared = 1, dfCap = 3).collect()
+    assert(capped.isEmpty, "fingerprints hotter than dfCap must not pair")
+  }
+
+  // ---------------------------------------------- q206 dedup increment
+
+  test("q206: incremental survivors equal the all-pairs batch predicate") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang", "source")
+    val got = LlmQueries.q206(spark, sf).collect().map(_.getLong(0)).toSet
+    // reference: q21's layered batch dedup keeps a doc iff no earlier
+    // doc reaches Jaccard >= 0.5 — restrict to the new batch
+    val batchSurvivors = Dedup.minhashDedupVerifiedLayered(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
+      .filter(col("doc_id") % 3 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batchSurvivors,
+      "incremental ingest must agree with the full-corpus recompute")
+    // chaining: ingesting the batch in two ID-ORDERED halves gives the
+    // same answer (the incremental contract is id-monotone batch
+    // arrival: a batch never carries ids below already-seen history —
+    // an id-interleaved split would legitimately diverge, since a
+    // later batch cannot retroactively drop an earlier survivor)
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val idx0 = Dedup.minhashIndex(base, "doc_id", "text")
+    val mid = docs.filter(col("doc_id") % 3 === 0)
+      .agg(percentile_approx(col("doc_id"), lit(0.5), lit(100))).head().getLong(0)
+    val h1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") <= mid)
+    val h2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") > mid)
+    val (s1, idx1) = Dedup.dedupIncrement(idx0, h1, "doc_id", "text", threshold = 0.5)
+    val (s2, _) = Dedup.dedupIncrement(idx0.unionByName(idx1), h2, "doc_id", "text",
+      threshold = 0.5)
+    val chained = (s1.collect().map(_.getLong(0)) ++ s2.collect().map(_.getLong(0))).toSet
+    assert(chained == got, "two-batch ingest must equal one-batch ingest")
+  }
 }
