@@ -1579,4 +1579,43 @@ object LlmQueries {
        )
        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
        FROM p WHERE n_shared >= 4 ORDER BY id_a, id_b"""
+
+  // q208: dedup-rate vs threshold CURVE — the tuning readout before
+  // choosing q21's threshold, from ONE pass over the pair evidence
+  // (per-doc max-earlier-Jaccard decides every threshold at once)
+  // instead of one dedup run per candidate value. Clone-invariant
+  // layering (non-rep clones are mj=1.0 by construction; a rep's
+  // earlier partners map to earlier rep partners with equal Jaccard —
+  // the minhashDedupVerifiedLayered argument). The oracle is the
+  // all-pairs max-earlier-Jaccard: the 16x4 banding catches every
+  // >= 0.5 pair on this corpus (the q21 recall argument), and every
+  // curve point is >= that floor.
+  def q208(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupThresholdCurve(Tables.documents(spark, dir), "doc_id", "text",
+        thresholdTenths = Seq(5, 6, 7, 8, 9, 10),
+        shingleN = 3, bands = 16, rowsPerBand = 4)
+      .orderBy("threshold_tenths")
+
+  val q208Sql: String =
+    s"""WITH $shingleCte, mj AS (
+         SELECT d.doc_id, coalesce((
+           SELECT max(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)))
+           FROM s a JOIN s b ON b.doc_id = d.doc_id AND a.doc_id < b.doc_id), 0.0)
+           AS mj
+         FROM documents d
+       ), th AS (
+         SELECT unnest([5, 6, 7, 8, 9, 10]) AS threshold_tenths
+       ), r AS (
+         SELECT th.threshold_tenths, count(*) AS n_docs,
+           sum(CASE WHEN mj.mj >= th.threshold_tenths / 10.0
+               THEN 1 ELSE 0 END) AS n_dropped
+         FROM mj CROSS JOIN th GROUP BY th.threshold_tenths
+       )
+       SELECT CAST(threshold_tenths AS BIGINT) AS threshold_tenths,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_dropped AS BIGINT) AS n_dropped,
+         CAST(n_docs - n_dropped AS BIGINT) AS n_survivors,
+         CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE) AS drop_frac
+       FROM r ORDER BY threshold_tenths"""
 }

@@ -1498,8 +1498,12 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
-  val q187Sql: String =
-    s"""WITH t AS (
+  /** Per-training-doc (n_grams, n_hit) contamination counts — the CTE
+    * chain shared by q187's report and q209's threshold-tradeoff
+    * rollup (one source of truth for the split, the grams, and the
+    * bench probe). */
+  private lazy val contamCountCtes: String =
+    s"""t AS (
           SELECT doc_id, $toksSql AS toks FROM documents
         ), g AS (
           SELECT doc_id, ${gramsSql(8)} AS gs FROM t
@@ -1510,7 +1514,10 @@ object TrainingQueries {
         ), c AS (
           SELECT tr.doc_id, count(*) AS n_grams, count(bg.g) AS n_hit
           FROM tr LEFT JOIN bg ON tr.g = bg.g GROUP BY tr.doc_id
-        )
+        )"""
+
+  val q187Sql: String =
+    s"""WITH $contamCountCtes
         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
           CAST(n_hit AS BIGINT) AS n_hit,
           CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contam_frac,
@@ -2034,4 +2041,57 @@ object TrainingQueries {
          + ${term(3, 256L)} + ${term(4, 1L)})), 0) AS BIGINT) >= 0 AS keep
        FROM tk ORDER BY doc_id"""
   }
+
+  // q209: DECONTAMINATION threshold tradeoff — per candidate flag
+  // threshold (tenths of contaminated gram positions), how many docs
+  // and how many gram positions a q64/q187-style drop would cost: the
+  // curve a data team reads before choosing the PaLM 70% convention.
+  // ONE contamination pass (q187's adaptive machinery) serves every
+  // threshold; the verdicts are exact integer comparisons
+  // (10·n_hit >= t·n_grams — the q187 flagged convention generalized)
+  // and the rollup explodes a constant 5-element array into a
+  // map-side-combinable aggregation over <= 5 groups.
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val report = CorpusOps.contaminationReportAdaptive(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+    val dropped = col("n_hit") * 10 >= col("threshold_tenths") * col("n_grams")
+    report.select(col("n_grams"), col("n_hit"),
+        explode(lit(Array(5, 6, 7, 8, 9))).as("threshold_tenths"))
+      .groupBy("threshold_tenths")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        sum("n_grams").as("grams_total"),
+        sum(when(dropped, col("n_grams")).otherwise(0L)).as("grams_dropped"))
+      .withColumn("threshold_tenths", col("threshold_tenths").cast(LongType))
+      .withColumn("drop_frac",
+        col("n_dropped").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("gram_frac",
+        col("grams_dropped").cast(DoubleType) / col("grams_total").cast(DoubleType))
+      .orderBy("threshold_tenths")
+  }
+
+  val q209Sql: String =
+    s"""WITH $contamCountCtes, th AS (
+          SELECT unnest([5, 6, 7, 8, 9]) AS threshold_tenths
+        ), r AS (
+          SELECT th.threshold_tenths,
+            count(*) AS n_docs,
+            sum(CASE WHEN 10 * c.n_hit >= th.threshold_tenths * c.n_grams
+                THEN 1 ELSE 0 END) AS n_dropped,
+            sum(c.n_grams) AS grams_total,
+            sum(CASE WHEN 10 * c.n_hit >= th.threshold_tenths * c.n_grams
+                THEN c.n_grams ELSE 0 END) AS grams_dropped
+          FROM c CROSS JOIN th GROUP BY th.threshold_tenths
+        )
+        SELECT CAST(threshold_tenths AS BIGINT) AS threshold_tenths,
+          CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(n_dropped AS BIGINT) AS n_dropped,
+          CAST(grams_total AS BIGINT) AS grams_total,
+          CAST(grams_dropped AS BIGINT) AS grams_dropped,
+          CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE) AS drop_frac,
+          CAST(grams_dropped AS DOUBLE) / CAST(grams_total AS DOUBLE) AS gram_frac
+        FROM r ORDER BY threshold_tenths"""
 }

@@ -1397,4 +1397,57 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_cut"),
         coalesce(size(col("spans")), lit(0)).cast(LongType).as("n_spans"))
   }
+
+  // ---- Dedup threshold curve ----------------------------------------------
+
+  /** Dedup-rate vs threshold CURVE — how many docs a near-dup pass
+    * would drop at each candidate threshold (tenths): the tuning
+    * readout a data team reads BEFORE choosing the q21 threshold, from
+    * ONE pass over the pair evidence instead of one dedup run per
+    * candidate value.
+    *
+    * Per doc, the max exact Jaccard against any EARLIER doc (`mj`) is
+    * sufficient for every threshold at once: the drop rule "∃ earlier
+    * doc with J ≥ t" is exactly `mj ≥ t`. Clone-invariant layering (the
+    * [[minhashDedupVerifiedLayered]] argument): non-representative
+    * clones have mj = 1.0 by construction, and a representative's
+    * earlier-doc partners map to earlier REPRESENTATIVE partners with
+    * equal Jaccard (a partner's group min is ≤ it, hence also earlier),
+    * so rep-level pairs carry the exact mj. Candidates come from the
+    * q21 banding at the LOWEST threshold in the curve — every reported
+    * tenth is ≥ that floor, so candidate recall covers the whole curve.
+    * The per-threshold rollup explodes a constant literal array — one
+    * map-side-combinable aggregation to ≤|thresholds| rows.
+    */
+  def dedupThresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+                          thresholdTenths: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+                          shingleN: Int = 3, bands: Int = 16,
+                          rowsPerBand: Int = 4): DataFrame = {
+    require(thresholdTenths.nonEmpty && thresholdTenths.forall(t => t >= 1 && t <= 10),
+      "thresholds are tenths in [1, 10]")
+    val hashed = docs.withColumn("__h", contentHash(col(textCol)))
+    val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val withRep = hashed.join(repMap, "__h").select(col(idCol), col("__rep"),
+      col(textCol))
+    val reps = withRep.filter(col(idCol) === col("__rep")).drop("__rep")
+    val pairs = verifyJaccard(
+      minhashCandidates(reps, idCol, textCol, shingleN, bands, rowsPerBand)
+        .select("id_a", "id_b"),
+      reps, idCol, textCol, shingleN)
+    val mjReps = pairs.groupBy(col("id_b").as(idCol)).agg(max("jaccard").as("__mjr"))
+    val mj = withRep.select(col(idCol), col("__rep"))
+      .join(mjReps, Seq(idCol), "left")
+      .withColumn("__mj", when(col(idCol) =!= col("__rep"), lit(1.0))
+        .otherwise(coalesce(col("__mjr"), lit(0.0))))
+    mj.select(col("__mj"),
+        explode(lit(thresholdTenths.toArray)).as("threshold_tenths"))
+      .groupBy("threshold_tenths")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__mj") >= col("threshold_tenths").cast(DoubleType) / 10.0, 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("threshold_tenths", col("threshold_tenths").cast(LongType))
+      .withColumn("n_survivors", col("n_docs") - col("n_dropped"))
+      .withColumn("drop_frac",
+        col("n_dropped").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
 }

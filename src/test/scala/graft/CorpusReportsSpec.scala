@@ -337,4 +337,38 @@ class CorpusReportsSpec extends SparkSpec {
     val chained = (s1.collect().map(_.getLong(0)) ++ s2.collect().map(_.getLong(0))).toSet
     assert(chained == got, "two-batch ingest must equal one-batch ingest")
   }
+
+  // ---------------------------------------------- q208 dedup curve
+
+  test("q208: each curve point equals the survivor count of a dedup run at that threshold") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val curve = LlmQueries.q208(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // monotone: a stricter threshold can only drop fewer docs
+    val pts = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(pts.zip(pts.tail).forall { case (a, b) => b >= a },
+      "survivors must be non-decreasing in the threshold")
+    for (tenths <- Seq(5, 7, 10)) {
+      val survivors = Dedup.minhashDedupVerifiedLayered(docs, "doc_id", "text",
+        threshold = tenths / 10.0, shingleN = 3, bands = 16, rowsPerBand = 4).count()
+      assert(curve(tenths.toLong) == survivors,
+        s"curve at $tenths tenths must equal the standalone dedup run")
+    }
+  }
+
+  // ------------------------------------------ q209 decontam tradeoff
+
+  test("q209: the 70% point reconciles with q187's flagged column") {
+    val rows = TrainingQueries.q209(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val report = TrainingQueries.q187(spark, sf).collect()
+    assert(rows(7L).getLong(2) == report.count(_.getBoolean(4)),
+      "n_dropped at 7 tenths must equal q187's flagged count")
+    assert(rows(7L).getLong(1) == report.length)
+    // monotone: stricter thresholds drop fewer docs and fewer grams
+    val sorted = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.map(_.getLong(2)).sliding(2).forall(s => s.last <= s.head))
+    assert(sorted.map(_.getLong(4)).sliding(2).forall(s => s.last <= s.head))
+  }
 }
