@@ -2094,4 +2094,47 @@ object TrainingQueries {
           CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE) AS drop_frac,
           CAST(grams_dropped AS DOUBLE) / CAST(grams_total AS DOUBLE) AS gram_frac
         FROM r ORDER BY threshold_tenths"""
+
+  // q210: content-defined chunking (LBFS/FastCDC) + corpus-wide chunk
+  // dedup flags — the storage-dedup primitive at sub-document
+  // granularity: boundaries depend only on local content (MD5 of the
+  // 8-char window starts with '0'), so an edit re-chunks O(1) chunks
+  // where fixed blocking shifts every block. One native-kernel call
+  // per row chunks; the is_first flag is the q199 window-min shape
+  // (one shuffle on the chunk hash, text scanned once). The oracle
+  // replays boundaries, spans, and chunk hashes with
+  // substr/md5/list ops.
+  def q210(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.cdcChunks(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy("doc_id", "chunk_ix")
+
+  val q210Sql: String =
+    """WITH b AS (
+         SELECT doc_id, text,
+           list_filter(range(8, length(text) + 1),
+             i -> substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 1) = '0') AS bs
+         FROM documents WHERE length(text) > 0
+       ), sp AS (
+         SELECT doc_id, text,
+           CASE WHEN len(bs) = 0 OR bs[-1] <> length(text)
+                THEN list_append(bs, CAST(length(text) AS BIGINT)) ELSE bs END AS ends
+         FROM b
+       ), ex AS (
+         SELECT doc_id, text,
+           unnest(list_transform(range(1, len(ends) + 1), j -> struct_pack(
+             ix := j,
+             st := CASE WHEN j = 1 THEN CAST(0 AS BIGINT) ELSE ends[CAST(j - 1 AS INTEGER)] END,
+             en := ends[CAST(j AS INTEGER)]))) AS u
+         FROM sp
+       ), ch AS (
+         SELECT doc_id, CAST(u.ix AS BIGINT) AS chunk_ix,
+           CAST(u.en - u.st AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(u.st + 1 AS INTEGER), CAST(u.en - u.st AS INTEGER)))
+             AS chunk_md5
+         FROM ex
+       )
+       SELECT doc_id, chunk_ix, chunk_len, chunk_md5,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_ix) = 1
+           AS is_first
+       FROM ch ORDER BY doc_id, chunk_ix"""
 }

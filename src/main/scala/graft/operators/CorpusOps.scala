@@ -617,6 +617,35 @@ object CorpusOps {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
   }
 
+  // --------------------------------------------- content-defined chunking
+
+  /** Content-defined chunking + corpus-wide chunk dedup flags (the
+    * LBFS/FastCDC storage-dedup primitive, Muthitacharoen et al.
+    * SOSP'01): each document splits at content-defined boundaries
+    * ([[graft.plans.CdcChunksMd5]] — boundary where the k-char window's
+    * MD5 starts with '0'), and each chunk is marked `is_first` at its
+    * first corpus occurrence — the sub-document dedup readout (edits
+    * shift fixed blocks but re-chunk only O(1) CDC chunks, so shared
+    * runs between document versions dedup even when the documents
+    * differ).
+    *
+    * Scale shape: chunking is one native-kernel call per row (no
+    * shuffle); the dedup flag is the q199 window-min discipline — ONE
+    * shuffle keyed by chunk hash, no join-back, text scanned once.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val exploded = df.select(col(idCol),
+        posexplode(graft.plans.CdcChunksMd5.cdcChunksMd5(col(textCol), k))
+          .as(Seq("__ix", "__c")))
+      .select(col(idCol), (col("__ix") + 1).cast(LongType).as("chunk_ix"),
+        col("__c.chunk_len").cast(LongType).as("chunk_len"),
+        col("__c.chunk_md5").as("chunk_md5"))
+    val w = Window.partitionBy("chunk_md5")
+    exploded.withColumn("is_first",
+      struct(col(idCol), col("chunk_ix")) ===
+        min(struct(col(idCol), col("chunk_ix"))).over(w))
+  }
+
   // ------------------------------------------- hash-trick quality filter
 
   /** Hashing-trick LINEAR document scorer — the fastText/DCLM-style

@@ -581,6 +581,34 @@ object Similarity {
     IvfPqIndex(dim, m, ksub, nlist, centroids, codebooks, codes)
   }
 
+  /** INCREMENTAL index ingest — the q206 contract for the ANN index:
+    * new vectors are assigned to the EXISTING coarse centroids and
+    * encoded with the EXISTING codebooks (no retrain), and their codes
+    * union into the index. Encoding is a pure function of the trained
+    * artifacts, so appending vectors that are already indexed
+    * reproduces their stored codes exactly (spec'd), and a probe sees
+    * appended vectors through the same distance tables as trained
+    * ones. Standard IVFADC practice: artifacts retrain on drift
+    * schedules, not per batch — at 100 TB the nightly ingest is this
+    * append (one broadcast assignment + encode pass over the new
+    * batch), never a rebuild.
+    */
+  def appendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): IvfPqIndex = {
+    val c = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val assigned = c.crossJoin(broadcast(index.centroids))
+      .withColumn("__d", l2sq(col("cv"), col("cvec")))
+      .groupBy("neighbor_id")
+      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
+    val resid = assigned.join(c, "neighbor_id").join(broadcast(index.centroids), "centroid_id")
+      .select(col("neighbor_id"), col("centroid_id"),
+        zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
+    val newCodes = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
+        index.codebooks, "neighbor_id", "rv", index.dim, index.m)
+      .join(assigned, "neighbor_id")
+    index.copy(codes = index.codes.unionByName(newCodes))
+  }
+
   /** Persist the index: codes PARTITIONED BY centroid_id so a probe of
     * `nprobe` lists prunes to nprobe/nlist of the files (dynamic
     * partition pruning through the broadcast distance-table join);

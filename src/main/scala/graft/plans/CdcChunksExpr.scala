@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking kernel (the FastCDC/LBFS rolling-boundary
+  * idea, Muthitacharoen et al. SOSP'01, with an MD5 window standing in
+  * for the rolling hash so the DuckDB oracle can replay it exactly): a
+  * chunk boundary falls AFTER character `i` (i ≥ k) iff the lowercase
+  * hex MD5 of the k-character window ending at `i` starts with '0' —
+  * a 1/16 boundary probability, ~16-char expected chunks. The final
+  * character always closes the last chunk. Boundaries depend only on
+  * LOCAL content, so an insertion re-chunks O(1) chunks instead of
+  * shifting every fixed-size block — the property that makes
+  * chunk-level dedup robust to edits where fixed blocking is not.
+  *
+  * Returns `array<struct<chunk_md5, chunk_len>>` in document order;
+  * empty input yields an empty array. Windows use
+  * `UTF8String.substringSQL` (codepoint semantics = Spark/DuckDB
+  * `substr`), digests run over UTF-8 bytes (= both engines' `md5`),
+  * so every value replays relationally.
+  */
+object CdcChunksImpl {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val HexChars = "0123456789abcdef".getBytes
+
+  private def hex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      out(j * 2) = HexChars((d(j) >> 4) & 0xf)
+      out(j * 2 + 1) = HexChars(d(j) & 0xf)
+      j += 1
+    }
+    out
+  }
+
+  def cdcChunks(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = k
+    while (i <= n) {
+      digest.reset()
+      val d = digest.digest(s.substringSQL(i - k + 1, k).getBytes)
+      if (((d(0) >> 4) & 0xf) == 0) ends += i
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    val rows = new Array[Any](ends.length)
+    var prev = 0
+    var c = 0
+    while (c < ends.length) {
+      val end = ends(c)
+      digest.reset()
+      val d = digest.digest(s.substringSQL(prev + 1, end - prev).getBytes)
+      rows(c) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromBytes(hex(d)), end - prev)
+      prev = end
+      c += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Native Catalyst expression: `CdcChunksMd5(string, k) ->
+  * array<struct<chunk_md5 string, chunk_len int>>`. The per-row window
+  * loop is the whole cost of a chunking pass at scale — one static
+  * call inside whole-stage codegen versus hundreds of interpreted
+  * tree steps for the declarative ladder (the [[WinnowSetMd5]]
+  * argument applied to chunking).
+  */
+case class CdcChunksMd5(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "window size must be positive")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_md5", StringType, nullable = false),
+    StructField("chunk_len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks_md5"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_chunks_md5 requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunksImpl.cdcChunks(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CdcChunksImpl.cdcChunks($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksMd5 =
+    copy(child = newChild)
+}
+
+object CdcChunksMd5 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point. */
+  def cdcChunksMd5(text: Column, k: Int): Column =
+    ColumnBridge.column(CdcChunksMd5(ColumnBridge.expression(text), k))
+}

@@ -371,4 +371,90 @@ class CorpusReportsSpec extends SparkSpec {
     assert(sorted.map(_.getLong(2)).sliding(2).forall(s => s.last <= s.head))
     assert(sorted.map(_.getLong(4)).sliding(2).forall(s => s.last <= s.head))
   }
+
+  // ------------------------------------------------ q210 CDC chunking
+
+  test("cdcChunks: spans partition the text and edits re-chunk locally") {
+    import graft.operators.CorpusOps
+    val text = "the quick brown fox jumps over the lazy dog and then keeps on running far away"
+    val docs = Seq(
+      (1L, text),
+      (2L, "PREFIX INSERTED " + text), // same tail content
+      (3L, ""),                        // empty: zero chunks
+      (4L, "tiny")                     // shorter than the window: one chunk
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.cdcChunks(docs, "doc_id", "text").collect()
+      .groupBy(_.getLong(0))
+    // chunks partition each doc exactly
+    assert(out(1L).map(_.getLong(2)).sum == text.length.toLong)
+    assert(!out.contains(3L), "empty text yields zero chunks")
+    assert(out(4L).length == 1 && out(4L).head.getLong(2) == 4L)
+    // chunk md5 really is the chunk content's md5: recompute doc 4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(4L).head.getString(3) == md5hex("tiny"))
+    // content-defined: docs 1 and 2 share their aligned tail chunks
+    // (the insertion disturbs only the first boundary region)
+    val h1 = out(1L).map(_.getString(3)).toSet
+    val h2 = out(2L).map(_.getString(3)).toSet
+    assert((h1 & h2).nonEmpty,
+      "a prefix edit must not re-chunk the whole document")
+    // shared chunks are is_first exactly once corpus-wide
+    val byHash = (out(1L) ++ out(2L) ++ out(4L)).groupBy(_.getString(3))
+    byHash.values.foreach { occ =>
+      assert(occ.count(_.getBoolean(4)) == 1,
+        "each distinct chunk is first exactly once")
+    }
+  }
+
+  test("q210: chunk lengths reconcile with corpus chars; dedup flags consistent") {
+    val rows = TrainingQueries.q210(spark, sf).collect()
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalChars,
+      "chunks must partition every document")
+    val distinctHashes = rows.map(_.getString(3)).distinct.length
+    assert(rows.count(_.getBoolean(4)) == distinctHashes,
+      "is_first count must equal distinct chunk count")
+  }
+
+  // ------------------------------------------- appendIvfPqIndex
+
+  test("appendIvfPqIndex: encode is artifact-pure and appended vectors are probeable") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val index = Similarity.buildIvfPqIndex(base, "vec_id", "embedding", dim)
+    val appended = Similarity.appendIvfPqIndex(index, delta, "vec_id", "embedding")
+    // growth: codes grow by m rows per appended vector
+    val nDelta = delta.count()
+    assert(appended.codes.count() == index.codes.count() + nDelta * index.m)
+    // artifact purity: re-appending already-indexed vectors reproduces
+    // their stored codes exactly (encode is a pure function of the
+    // trained artifacts — the property that makes incremental ingest
+    // equivalent to having indexed the batch at build time)
+    val sliceIds = base.limit(20).select("vec_id").collect().map(_.getLong(0)).toSet
+    val re = Similarity.appendIvfPqIndex(index,
+      base.filter(col("vec_id").isin(sliceIds.toSeq: _*)), "vec_id", "embedding")
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("neighbor_id").isin(sliceIds.toSeq: _*))
+      .collect().map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getAs[Number]("subspace").intValue, r.getAs[Number]("code").intValue,
+        r.getAs[Number]("centroid_id").longValue)).toSet
+    assert(codeSet(re.codes) == codeSet(index.codes),
+      "re-encoding indexed vectors must reproduce their stored codes")
+    // appended vectors are probeable: fresh-id duplicates of appended
+    // vectors find their originals in the top-5 (full-list probe)
+    val planted = delta.limit(5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val probe = Similarity.probeIvfPqIndex(appended, planted,
+      "vec_id", "embedding", k = 5, nprobe = index.nlist)
+    val found = probe
+      .filter(col("neighbor_id") === col("query_id") - 900000L).count()
+    assert(found >= 3,
+      s"planted duplicates of appended vectors must be retrievable, found $found/5")
+  }
 }
