@@ -2109,7 +2109,16 @@ object TrainingQueries {
       .orderBy("doc_id", "chunk_ix")
 
   val q210Sql: String =
-    """WITH b AS (
+    s"""WITH $cdcChunkCtes
+       SELECT doc_id, chunk_ix, chunk_len, chunk_md5,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_ix) = 1
+           AS is_first
+       FROM ch ORDER BY doc_id, chunk_ix"""
+
+  /** q210's chunk CTE chain (boundaries → spans → chunk hashes) —
+    * shared with q211's dedup report (one source of truth). */
+  private lazy val cdcChunkCtes: String =
+    """b AS (
          SELECT doc_id, text,
            list_filter(range(8, length(text) + 1),
              i -> substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 1) = '0') AS bs
@@ -2132,9 +2141,31 @@ object TrainingQueries {
            md5(substr(text, CAST(u.st + 1 AS INTEGER), CAST(u.en - u.st AS INTEGER)))
              AS chunk_md5
          FROM ex
-       )
-       SELECT doc_id, chunk_ix, chunk_len, chunk_md5,
-         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_ix) = 1
-           AS is_first
-       FROM ch ORDER BY doc_id, chunk_ix"""
+       )"""
+
+  // q211: chunk-level DEDUP REPORT (the q191 histogram shape applied
+  // to storage): per duplication count, distinct chunks, characters a
+  // content-addressed chunk store would hold vs the raw corpus, and
+  // the saving fraction — the report that sizes a chunk store before
+  // building one. Two bounded combinable shuffles past q210's
+  // map-side kernel.
+  def q211(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.cdcDedupReport(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy("dup_count")
+
+  val q211Sql: String =
+    s"""WITH $cdcChunkCtes, pc AS (
+          SELECT chunk_md5, count(*) AS dup_count, max(chunk_len) AS len
+          FROM ch GROUP BY chunk_md5
+        ), r AS (
+          SELECT dup_count, count(*) AS n_chunks, sum(len) AS chars_stored,
+            sum(len * dup_count) AS chars_raw
+          FROM pc GROUP BY dup_count
+        )
+        SELECT CAST(dup_count AS BIGINT) AS dup_count,
+          CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(chars_stored AS BIGINT) AS chars_stored,
+          CAST(chars_raw AS BIGINT) AS chars_raw,
+          1.0 - CAST(chars_stored AS DOUBLE) / CAST(chars_raw AS DOUBLE) AS saved_frac
+        FROM r ORDER BY dup_count"""
 }

@@ -646,6 +646,30 @@ object CorpusOps {
         min(struct(col(idCol), col("chunk_ix"))).over(w))
   }
 
+  /** Chunk-level DEDUP REPORT over [[cdcChunks]] (the q191 histogram
+    * shape applied to storage): per duplication count, how many
+    * distinct chunks, how many characters a chunk-store would hold
+    * (stored once) versus what the raw corpus holds, and the saving
+    * fraction — the readout that sizes a content-addressed store
+    * before building one. Two bounded combinable shuffles past the
+    * map-side kernel: (chunk hash) then (dup count ≤ corpus size).
+    */
+  def cdcDedupReport(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val chunks = df.select(
+      explode(graft.plans.CdcChunksMd5.cdcChunksMd5(col(textCol), k)).as("__c"))
+      .select(col("__c.chunk_md5").as("chunk_md5"),
+        col("__c.chunk_len").cast(LongType).as("len"))
+    val perChunk = chunks.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("dup_count"), max("len").as("len"))
+    perChunk.groupBy("dup_count")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("len").as("chars_stored"),
+        sum(col("len") * col("dup_count")).as("chars_raw"))
+      .withColumn("saved_frac",
+        lit(1.0) - col("chars_stored").cast(DoubleType) / col("chars_raw").cast(DoubleType))
+  }
+
   // ------------------------------------------- hash-trick quality filter
 
   /** Hashing-trick LINEAR document scorer — the fastText/DCLM-style
@@ -708,11 +732,14 @@ object CorpusOps {
     val toks = TextFunctions.tokens(text)
     def charW(h: Column, k: Int, scale: Long): Column =
       (ascii(substring(h, k, 1)) * 16 - 1122).cast(LongType) * lit(scale)
-    aggregate(toks, lit(0L), (acc, t) => {
+    // null text scores 0 like an empty doc (the fold over a null array
+    // is null, which would flip the keep verdict to null — the oracle's
+    // coalesce(list_sum(...), 0) convention, mirrored)
+    coalesce(aggregate(toks, lit(0L), (acc, t) => {
       val h = md5(t.cast(BinaryType))
       acc + charW(h, 1, 16777216L) + charW(h, 2, 65536L) +
         charW(h, 3, 256L) + charW(h, 4, 1L)
-    })
+    }), lit(0L))
   }
 
   // -------------------------------------------------- contamination report
@@ -1214,8 +1241,13 @@ object CorpusOps {
     * original order; empty string when every line lost).
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text reads as empty (one empty line): posexplode of a null
+    // array would silently DROP the document from the output, and a
+    // 100 TB crawl will contain null texts even though the fixture
+    // does not (the gramsSql empty-doc precedent)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("__lk", md5(col("line").cast(BinaryType)))
     // first occurrence per line key as a window min — ONE shuffle keyed
     // by the line hash, no join-back, so the corpus text is scanned
@@ -1274,7 +1306,11 @@ object CorpusOps {
     // (bucket, token) aggregation; the downstream aggs run on the
     // bounded per-bucket vocabulary, and the cumulative window sees
     // <= `buckets` rows.
-    val toks = TextFunctions.tokens(col(textCol))
+    // null text tokenizes to the empty array (NOT null: a null array
+    // would make the sentinel concat null and explode would silently
+    // drop the document from the doc counts)
+    val toks = coalesce(TextFunctions.tokens(col(textCol)),
+      array().cast(ArrayType(StringType)))
     val bt = ranked
       .select(col("bucket"),
         explode(concat(array(lit(null).cast(StringType)), toks)).as("tok"))

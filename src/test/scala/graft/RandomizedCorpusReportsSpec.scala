@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.CorpusOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Randomized brute-force cross-checks for the r12 corpus operators:
+  * seeded pseudo-random corpora, plain-Scala reference
+  * implementations, exact comparison. The oracle gates prove parity
+  * with DuckDB on the fixture; these prove the SEMANTICS against an
+  * independent formulation on inputs the fixture never exercises
+  * (adversarial line/chunk shapes, unicode, degenerate docs).
+  */
+class RandomizedCorpusReportsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("lineDedup matches a brute-force first-occurrence scan on random corpora") {
+    val rnd = new scala.util.Random(421)
+    val pool = Vector("alpha", "beta", "", "gamma delta", "x", "  ", "beta", "Ω unicode λ")
+    val docs = (1L to 60L).map { id =>
+      val nLines = 1 + rnd.nextInt(6)
+      (id, Seq.fill(nLines)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }
+    // brute force: global first-occurrence by (id, pos)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = docs.map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val kept = lines.filter(l => seen.add(l))
+      (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+    }
+    val got = CorpusOps.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(got.toSeq == expect)
+  }
+
+  test("cdcChunks matches a brute-force boundary scan on random strings") {
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcdefgh ΩλΔ.!"
+    val docs = (1L to 50L).map { id =>
+      val n = rnd.nextInt(120) // includes 0 and < k lengths
+      (id, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val k = 8
+    val expect = docs.flatMap { case (id, text) =>
+      val n = text.codePointCount(0, text.length)
+      def slice(from1: Int, len: Int): String = {
+        val a = text.offsetByCodePoints(0, from1 - 1)
+        val b = text.offsetByCodePoints(0, math.min(from1 - 1 + len, n))
+        text.substring(a, b)
+      }
+      if (n == 0) Seq.empty
+      else {
+        var ends = (k to n).filter(i => md5hex(slice(i - k + 1, k)).startsWith("0"))
+        if (ends.isEmpty || ends.last != n) ends = ends :+ n
+        var prev = 0
+        ends.zipWithIndex.map { case (end, ix) =>
+          val c = slice(prev + 1, end - prev)
+          val row = (id, (ix + 1).toLong, (end - prev).toLong, md5hex(c))
+          prev = end
+          row
+        }
+      }
+    }
+    val got = CorpusOps.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id", "chunk_ix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == expect)
+  }
+
+  test("fingerprintMatches matches a brute-force winnowing reference") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(99)
+    val words = Vector("data", "spark", "chunk", "line", "token", "batch", "query")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val (k, w, maxChars, minShared, dfCap) = (8, 4, 256, 2, 10)
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ").take(maxChars)
+    def fps(s: String): Set[String] = {
+      val h = norm(s)
+      val n = h.length
+      val hashes = (1 to math.max(n - k + 1, 1)).map(i =>
+        md5hex(h.substring(i - 1, math.min(i - 1 + k, n))))
+      if (hashes.length >= w)
+        (0 to hashes.length - w).map(j => hashes.slice(j, j + w).min).toSet
+      else Set(hashes.min)
+    }
+    val all = docs.map { case (id, t) => id -> fps(t) }
+    val df = all.flatMap { case (id, s) => s.map(f => f -> id) }
+      .groupBy(_._1).map { case (f, occ) => f -> occ.map(_._2).sorted }
+    val hot = df.filter { case (_, ids) => ids.size >= 2 && ids.size <= dfCap }
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    hot.values.foreach { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        pairCounts((ids(i), ids(j))) = pairCounts.getOrElse((ids(i), ids(j)), 0L) + 1L
+    }
+    val expect = pairCounts.filter(_._2 >= minShared).toSeq
+      .map { case ((a, b), n) => (a, b, n) }.sorted
+    val got = CorpusOps.fingerprintMatches(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, w, maxChars, minShared, dfCap)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("null text never silently drops a document (vocabGrowth, lineDedup, classifier)") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    // vocabGrowth: all three docs counted
+    val vg = CorpusOps.vocabGrowth(docs, "doc_id", "text", total = 3, buckets = 1).head()
+    assert(vg.getLong(1) == 3L && vg.getLong(2) == 2L)
+    // lineDedup: null reads as empty text — one empty line
+    val ld = CorpusOps.lineDedup(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(ld.length == 3)
+    assert(ld(1).getLong(1) == 1L, "null text is one (empty) line")
+    // classifier: null scores 0 and keeps, like an empty doc
+    val cs = docs.select(CorpusOps.hashClassifierScore(col("text")))
+      .orderBy(lit(1)).collect().map(_.getLong(0))
+    assert(cs.count(_ == 0L) >= 2, "null and empty text both score 0")
+  }
+
+  test("q211 report reconciles exactly with q210's chunk rows") {
+    val chunks = TrainingQueries.q210(spark, sf).collect()
+    val perHash = chunks.groupBy(_.getString(3))
+    val expect = perHash.values.groupBy(_.size).map { case (c, groups) =>
+      (c.toLong, groups.size.toLong,
+        groups.map(_.head.getLong(2)).sum,
+        groups.map(g => g.head.getLong(2) * c).sum)
+    }.toSeq.sorted
+    val got = TrainingQueries.q211(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the corpus-wide invariant: raw chars across the report equal the corpus
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(got.map(_._4).sum == totalChars)
+  }
+}
