@@ -1052,6 +1052,66 @@ object LlmQueries {
          CAST((1000 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_chars_milli
        FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
 
+  // q212: ORC corpus ingest — q163's format-swap proof for the OTHER
+  // native columnar format (Hive-era warehouses still hand ORC over):
+  // documents materialized as ORC in-gate, read back through the same
+  // source-agnostic loader (`orc:` beside parquet/jsonl/csv/jdbc), and
+  // a language-filtered rollup hash-matches the oracle over PARQUET.
+  // Columnar-to-columnar means the swap keeps pushdown and pruning:
+  // the lang filter reaches the ORC scan (plan-pinned in
+  // PlanRegressionSpec) — at 100 TB the format choice costs nothing.
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir("orc_docs")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").orc(s"$path/documents.orc")
+    q212Rollup(Tables.documents(spark, s"orc:$path"))
+  }
+
+  /** The q212 rollup over any documents frame (shared with the plan
+    * pin so the pinned plan IS the gated plan). */
+  private[graft] def q212Rollup(docs: DataFrame): DataFrame =
+    docs.filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+
+  val q212Sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"""
+
+  // q213: CSV ingest of the TIMESTAMP-BEARING table — the flat-file
+  // drop every warehouse still receives, through the loader's `csv:`
+  // branch (headered, schema-inferred, explicit timestampFormat so ts
+  // round-trips at micro precision). The rollup exercises exactly the
+  // types CSV gets wrong when the contract breaks (epoch seconds from
+  // the parsed timestamps, exact cents from the doubles) and
+  // hash-matches the oracle over PARQUET.
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.dir("csv_events")
+    Tables.events(spark, dir)
+      .write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(s"$path/events.csv")
+    Tables.events(spark, s"csv:$path")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(col("ts"))).as("min_ts_sec"),
+        max(unix_timestamp(col("ts"))).as("max_ts_sec"),
+        sum(cents(col("value"))).as("value_c"))
+      .orderBy("event_type")
+  }
+
+  val q213Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(floor(extract(epoch FROM ts))) AS BIGINT) AS min_ts_sec,
+         CAST(max(floor(extract(epoch FROM ts))) AS BIGINT) AS max_ts_sec,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   // q166: LOG-BUCKETED length histogram per language — doc lengths in
   // power-of-2 buckets (the standard long-tailed-length readout; linear
   // bins under-resolve the head and explode the tail). floor(log2 n)

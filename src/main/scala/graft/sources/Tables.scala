@@ -50,6 +50,13 @@ object Tables {
       normalizeTs(spark.read.option("header", "true").option("inferSchema", "true")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .csv(s"${dir.stripPrefix("csv:")}/$name.csv"))
+    else if (dir.startsWith("orc:"))
+      // ORC deployment (the other columnar interchange format Spark
+      // ships natively — Hive-era warehouses still hand it over):
+      // schema rides the file like parquet, predicate pushdown and
+      // column pruning work at the scan, so the swap costs nothing at
+      // 100 TB (q212 pins the pushed filter in the executed plan).
+      normalizeTs(spark.read.orc(s"${dir.stripPrefix("orc:")}/$name.orc"))
     else normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The generator may write parquet TIMESTAMP(MICROS) with
@@ -105,7 +112,8 @@ object Tables {
     */
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     if (dir.startsWith("engines:")) rowCount(spark, engineFor(dir, name), name)
-    else if (dir.startsWith("jdbc:") || dir.startsWith("jsonl:") || dir.startsWith("csv:"))
+    else if (dir.startsWith("jdbc:") || dir.startsWith("jsonl:") ||
+             dir.startsWith("csv:") || dir.startsWith("orc:"))
       read(spark, dir, name).count()
     else {
       import org.apache.parquet.hadoop.ParquetFileReader

@@ -850,4 +850,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert(joins201.size <= 3,
       s"q201 expected <= 3 bounded-side joins, got ${joins201.size}")
   }
+
+  test("q212: the lang filter is pushed into the ORC scan (format swap keeps pushdown)") {
+    import graft.sources.Tables
+    val path = graft.sources.Scratch.dir("orc_plan_pin")
+    Tables.documents(spark, sf).write.mode("overwrite").orc(s"$path/documents.orc")
+    val p = plan(LlmQueries.q212Rollup(Tables.documents(spark, s"orc:$path")))
+    val scan = p.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val rendered = scan.map(_.toString).getOrElse(p.collectLeaves().mkString("\n"))
+    assert(rendered.toLowerCase.contains("orc"), s"expected an ORC scan, got: $rendered")
+    assert(rendered.contains("lang"), s"lang filter not pushed to the ORC scan: $rendered")
+    // column pruning: only the rollup's columns are read
+    assert(!rendered.contains("text"),
+      "the text column must be pruned from the ORC read")
+  }
 }

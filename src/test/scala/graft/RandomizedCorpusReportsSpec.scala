@@ -125,6 +125,23 @@ class RandomizedCorpusReportsSpec extends SparkSpec {
     assert(cs.count(_ == 0L) >= 2, "null and empty text both score 0")
   }
 
+  test("orc/csv ingest queries equal the same rollups over parquet") {
+    // format-swap contract at the QUERY level: both gated rollups are
+    // bit-identical to the same aggregation straight over parquet
+    val orcGot = LlmQueries.q212(spark, sf).collect().toSeq
+    val orcRef = LlmQueries.q212Rollup(Tables.documents(spark, sf)).collect().toSeq
+    assert(orcGot == orcRef)
+    val csvGot = LlmQueries.q213(spark, sf).collect().toSeq
+    val csvRef = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(col("ts"))).as("min_ts_sec"),
+        max(unix_timestamp(col("ts"))).as("max_ts_sec"),
+        sum((round(col("value") * 100)).cast("long")).as("value_c"))
+      .orderBy("event_type").collect().toSeq
+    assert(csvGot == csvRef)
+  }
+
   test("q211 report reconciles exactly with q210's chunk rows") {
     val chunks = TrainingQueries.q210(spark, sf).collect()
     val perHash = chunks.groupBy(_.getString(3))
