@@ -377,10 +377,16 @@ if os.path.isdir(q193_path):
 # chunks, but the gate corpus is synthesized deterministically:
 # doc_id%30==0 docs carry a 16-bit mono WAV whose sample i is
 # ((md5(text[:80])[i%16]*257 + i*1031) % 65536) - 32768 at
-# n = 64 + id%128 samples, rate = 8000 + (id%4)*4000; the other
-# doc_id%15==0 docs carry junk text bytes that must come back
-# decoded=false with zeroed facts. Every output column is recomputed
-# here exactly, including the IEEE RMS accumulation in sample order.
+# n = 64 + id%128 samples, rate = 8000 + (id%4)*4000; doc_id%45==0
+# (and not %30) docs carry a VBR MPEG-1 Layer III mono stream at
+# 32 kHz with n = 3 + id%7 frames, frame f's bitrate =
+# V1TABLE[1 + (id + 7f) % 14], an ID3v2(20) prefix when id%4==1 and
+# an ID3v1 trailer when id%8 in {1,5} — metadata decode only (bits=0,
+# rms=0, the lossy-codec stub split); the other doc_id%15==0 docs
+# carry junk text bytes that must come back decoded=false with zeroed
+# facts. Every output column is recomputed here exactly, including
+# the IEEE RMS accumulation in sample order and the integer-floor mp3
+# frame lengths/duration.
 q197_path = f"{OUT}/q197_audio_features"
 if os.path.isdir(q197_path):
     import hashlib, math
@@ -409,6 +415,16 @@ if os.path.isdir(q197_path):
             rms = math.sqrt(sum_sq / n)
             exp = (44 + 2 * n, 1, rate, 16, n, n * 1000 // rate,
                    math.floor(rms * 1000 + 0.5), True)
+        elif doc_id % 45 == 0:
+            V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+            n = 3 + int(doc_id % 7)
+            kbps = [V1[1 + int((doc_id + 7 * f) % 14)] for f in range(n)]
+            blen = sum(144 * k * 1000 // 32000 for k in kbps)
+            if doc_id % 4 == 1:
+                blen += 10 + 20
+            if doc_id % 8 in (1, 5):
+                blen += 128
+            exp = (blen, 1, 32000, 0, n * 1152, n * 1152 * 1000 // 32000, 0, True)
         else:
             exp = (len(head.encode("utf-8")), 0, 0, 0, 0, 0, 0, False)
         gval = (int(g.byte_len), int(g.channels), int(g.sample_rate), int(g.bits),
@@ -422,8 +438,9 @@ if os.path.isdir(q197_path):
               f"mismatches {bad[:3]}")
     else:
         n_wav = int((docs.doc_id % 30 == 0).sum())
+        n_mp3 = int(((docs.doc_id % 45 == 0) & (docs.doc_id % 30 != 0)).sum())
         print(f"ok   q197_audio_features [property: all {len(docs)} rows match the "
-              f"RIFF-decode formulas exactly ({n_wav} real WAVs, rest junk)]")
+              f"decode formulas exactly ({n_wav} real WAVs, {n_mp3} VBR mp3s, rest junk)]")
 
 # q198: video container metadata (rows-only). doc_id%20==0 docs carry a
 # deterministic synthetic AVI (w = 160 + id%16*16, h = 120 + id%12*8,

@@ -487,22 +487,41 @@ object LlmQueries {
       "llm.imagegate.corpus")
   }
 
+  /** The build-once-read-many image-feature artifact shared by q177
+    * and q193 (r13, the r12 verdict lead item): whichever gate runs
+    * first persists [[graft.operators.ImageIndex]] to a stable per-JVM
+    * scratch path (keyed by the source dir), the other probes it —
+    * each payload is synthesized once (the staged corpus) and decoded
+    * ONCE across all image ops, and every downstream pass runs on
+    * 8-byte signatures from parquet. The r12 inline form re-decoded
+    * per consumer: 1023 s at sf10 under javax.imageio GC-locker
+    * contention; the artifact hoists the codec out of the reports
+    * entirely. */
+  private def imageGateIndex(spark: SparkSession, dir: String): graft.operators.ImageIndex =
+    graft.operators.ImageIndex.ensure(syntheticImageCorpus(spark, dir), spark,
+      graft.sources.Scratch.shared("imageidx_" + dir))
+
   def q177(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.imageDedupDHashAdaptive(syntheticImageCorpus(spark, dir))
+    graft.operators.Dedup.imageDedupFromIndex(syntheticImageCorpus(spark, dir),
+        imageGateIndex(spark, dir))
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")
 
   // q197: AUDIO feature extraction over the opaque binary column
   // (rows-only — SQL cannot walk RIFF chunks; check.py recomputes every
   // feature from the synthesis formulas, the q30/q177 precedent). The
-  // gate corpus alternates REAL 16-bit WAV-PCM payloads (synthesized
+  // gate corpus mixes REAL 16-bit WAV-PCM payloads (synthesized
   // deterministically from the text-head md5 — Multimodal.syntheticWav
-  // documents the exact sample formula) with junk text-byte payloads
-  // that must come back decoded=false with zeroed facts. The decode
-  // itself is the real RIFF walker + the r12 hand-rolled FLAC decoder
-  // behind it (FLAC payloads are spec-gated in FlacSpec on hand-built
-  // streams — the Vp8lSpec discipline); partition-batched map-side, no
-  // shuffle — the 100 TB pass is scan-speed.
+  // documents the exact sample formula), REAL VBR mp3 streams (r13 —
+  // odd multiples of 45: deterministic per-frame bitrates, alternating
+  // ID3v2 prefixes and ID3v1 trailers; Multimodal.syntheticMp3
+  // documents the closed forms check.py recomputes), and junk
+  // text-byte payloads that must come back decoded=false with zeroed
+  // facts. The decode itself is the real RIFF walker + the r12
+  // hand-rolled FLAC decoder + the r13-wired MPEG frame-header walk
+  // (FLAC payloads are spec-gated in FlacSpec on hand-built streams —
+  // the Vp8lSpec discipline); partition-batched map-side, no shuffle —
+  // the 100 TB pass is scan-speed.
   def q197(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
@@ -516,6 +535,17 @@ object LlmQueries {
               .digest(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             Multimodal.syntheticWav(seed, n = 64 + (id % 128).toInt,
               rate = 8000 + (id % 4).toInt * 4000)
+          } else if (id % 45 == 0) {
+            // odd multiples of 45: VBR mp3 at 32 kHz, 3..9 frames,
+            // per-frame bitrate idx 1 + (id + 7f) mod 14; id%4
+            // alternates 1/3 across these ids, so half carry an ID3v2
+            // prefix and the id%8 ∈ {1,5} half carry a 'TAG' trailer
+            val n = 3 + (id % 7).toInt
+            Multimodal.syntheticMp3(
+              (0 until n).map(f => 1 + ((id + 7L * f) % 14).toInt),
+              rate = 32000,
+              id3Size = if (id % 4 == 1) 20 else -1,
+              id3v1Trailer = id % 8 == 1 || id % 8 == 5)
           } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         graft.operators.MediaRow(id, payload, 0, 0, "wav")
       }).toDF()
@@ -528,20 +558,17 @@ object LlmQueries {
   // hand-built fixtures). q191's cluster-size histogram over q177's
   // image near-dup clusters: per cluster size — clusters, docs,
   // payload bytes, and the fraction a dedup pass would remove. The
-  // cluster labels come from Dedup.imageNearDupClusters (byte-identical
-  // collapse → dHash candidates → exact luma verify → connected
-  // components on the verified pair graph); the histogram is one
-  // bounded aggregation past machinery that is itself gated — at
-  // 100 TB the report costs two tiny shuffles beyond the dedup pass.
-  // Scale caveat (measured, sf10 = 83k images: 1023 s with GC-locker
-  // thrash): the GATE synthesizes and re-encodes every image in-query
-  // and javax.imageio's GetPrimitiveArrayCritical serializes under
-  // 32-way decode parallelism — the production path decodes each
-  // payload ONCE into a parquet-backed dHash/luma artifact (the
-  // imageDHash output; IvfPqIndex persist precedent) and this report
-  // then runs on 8-byte signatures only.
+  // cluster labels come from Dedup.imageNearDupClustersFromIndex over
+  // the PERSISTED image-feature artifact (r13 — the r12 verdict lead
+  // item, closing the 1023 s sf10 GC-thrash row): byte-identical
+  // collapse and the one decode pass happen when the artifact is
+  // built (shared with q177 via imageGateIndex); the report itself is
+  // dHash candidates → exact luma verify → connected components →
+  // one bounded aggregation, all on 8-byte signatures read from
+  // parquet — at 100 TB the report costs two tiny shuffles beyond a
+  // columnar index scan, and the codec never runs.
   def q193(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.imageNearDupClusters(syntheticImageCorpus(spark, dir))
+    graft.operators.Dedup.imageNearDupClustersFromIndex(imageGateIndex(spark, dir))
       .groupBy("cluster_size")
       .agg(countDistinct("cluster_id").as("n_clusters"),
         count(lit(1)).as("n_docs"),
@@ -1089,15 +1116,36 @@ object LlmQueries {
   // round-trips at micro precision). The rollup exercises exactly the
   // types CSV gets wrong when the contract breaks (epoch seconds from
   // the parsed timestamps, exact cents from the doubles) and
-  // hash-matches the oracle over PARQUET.
+  // hash-matches the oracle over PARQUET. Because the types come from
+  // INFERENCE, a corpus slice where a column is all-null or
+  // all-integral-looking could silently infer a different type than
+  // the parquet schema (value as BIGINT changes cents() semantics
+  // without failing a single row) — so the read schema is VALIDATED
+  // against the source schema at construction (r13 advice fix):
+  // lossless integer widening (CSV infers INT where parquet says
+  // BIGINT whenever a slice's ids fit 32 bits — it happens at
+  // sf0.001) is normalized by casting UP, and any OTHER drift — the
+  // semantic kind, like value inferring BIGINT — fails LOUDLY here
+  // instead of hash-mismatching downstream.
   def q213(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Scratch.dir("csv_events")
-    Tables.events(spark, dir)
-      .write.mode("overwrite").option("header", "true")
+    val src = Tables.events(spark, dir)
+    src.write.mode("overwrite").option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .csv(s"$path/events.csv")
-    Tables.events(spark, s"csv:$path")
-      .groupBy("event_type")
+    val back0 = Tables.events(spark, s"csv:$path")
+    require(back0.schema.fields.map(_.name).toSeq ==
+      src.schema.fields.map(_.name).toSeq,
+      s"csv columns drifted: ${back0.schema.fieldNames.toSeq} vs ${src.schema.fieldNames.toSeq}")
+    val aligned = back0.schema.fields.zip(src.schema.fields).map { case (g, w) =>
+      require(g.dataType == w.dataType ||
+        (g.dataType == org.apache.spark.sql.types.IntegerType &&
+          w.dataType == org.apache.spark.sql.types.LongType),
+        s"csv schema inference drifted from the parquet schema: " +
+          s"${g.name} inferred ${g.dataType}, parquet says ${w.dataType}")
+      col(g.name).cast(w.dataType)
+    }
+    back0.select(aligned.toIndexedSeq: _*).groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         min(unix_timestamp(col("ts"))).as("min_ts_sec"),
         max(unix_timestamp(col("ts"))).as("max_ts_sec"),

@@ -2168,4 +2168,44 @@ object TrainingQueries {
           CAST(chars_raw AS BIGINT) AS chars_raw,
           1.0 - CAST(chars_stored AS DOUBLE) / CAST(chars_raw AS DOUBLE) AS saved_frac
         FROM r ORDER BY dup_count"""
+
+  // q214: INCREMENTAL chunk dedup at ingest (r13 — the r12 verdict's
+  // q210 mitigation made driver-verifiable, the q206 shape applied to
+  // storage): the corpus splits monotonically at max(doc_id)/2 into an
+  // already-ingested base whose CHUNK-STORE INDEX
+  // (CorpusOps.chunkIndex: one map-side-combinable groupBy-min, one
+  // row per distinct chunk ever seen) is built once, and a new batch
+  // whose chunks are flagged against that index plus each other
+  // WITHOUT re-windowing history (CorpusOps.cdcChunksIncrement: the
+  // index is Bloom-pruned map-side to the rows colliding with today's
+  // keys before its anti-join — only collisions shuffle). Because base
+  // ids precede batch ids, a batch chunk is corpus-first iff it is in
+  // no index row and is the batch-min occurrence — exactly what the
+  // oracle replays by windowing the FULL corpus and filtering to the
+  // batch. At 100 TB this replaces the corpus-wide chunk-key window
+  // (the 423 s term at 5M distinct docs, r12) with O(|batch| +
+  // collisions) per ingest.
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // action-free monotone cut: the 1-row max/2 frame broadcasts onto
+    // both sides (production ingest KNOWS its cut; the gate derives it)
+    val cutDf = docs.select((max(col("doc_id")) / 2).cast(LongType).as("__cut"))
+    val base = docs.crossJoin(broadcast(cutDf))
+      .filter(col("doc_id") <= col("__cut")).drop("__cut")
+    val batch = docs.crossJoin(broadcast(cutDf))
+      .filter(col("doc_id") > col("__cut")).drop("__cut")
+    val index = CorpusOps.chunkIndex(base, "doc_id", "text", k = 8)
+    val (flagged, _) = CorpusOps.cdcChunksIncrement(index, batch, "doc_id", "text", k = 8)
+    flagged.orderBy("doc_id", "chunk_ix")
+  }
+
+  val q214Sql: String =
+    s"""WITH $cdcChunkCtes, fl AS (
+          SELECT doc_id, chunk_ix, chunk_len, chunk_md5,
+            row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_ix) = 1
+              AS is_first
+          FROM ch)
+        SELECT doc_id, chunk_ix, chunk_len, chunk_md5, is_first FROM fl
+        WHERE doc_id > (SELECT CAST(max(doc_id) // 2 AS BIGINT) FROM documents)
+        ORDER BY doc_id, chunk_ix"""
 }

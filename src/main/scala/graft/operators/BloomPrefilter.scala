@@ -31,7 +31,20 @@ object BloomPrefilter {
     * <1% at 1M keys). */
   def prefilteredJoin(probe: DataFrame, build: DataFrame, key: String,
                       expectedItems: Long = 1000000L,
-                      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+                      numBits: Long = 8L * 1024 * 1024): DataFrame =
+    mightMatch(probe, build, key, expectedItems, numBits).join(build, Seq(key))
+
+  /** The probe-side Bloom PREDICATE alone (no join): the rows of
+    * `probe` whose `key` MIGHT appear in `build` — false positives
+    * pass (the caller's own exact join/anti-join decides), true
+    * matches always pass. For semi/anti patterns where the exact
+    * operator differs from an inner join (e.g. pruning a persisted
+    * index down to the rows colliding with today's ingest batch before
+    * an anti-join — [[graft.operators.CorpusOps.cdcChunksIncrement]]).
+    */
+  def mightMatch(probe: DataFrame, build: DataFrame, key: String,
+                 expectedItems: Long = 1000000L,
+                 numBits: Long = 8L * 1024 * 1024): DataFrame = {
     val bloomDf = build.select(ColumnBridge.column(
       new BloomFilterAggregate(
         XxHash64(Seq(ColumnBridge.expression(col(key))), 42L),
@@ -39,6 +52,6 @@ object BloomPrefilter {
     val mightContain = BloomFilterMightContain(
       ScalarSubquery(ColumnBridge.logicalPlan(bloomDf)),
       XxHash64(Seq(ColumnBridge.expression(col(key))), 42L))
-    probe.filter(ColumnBridge.column(mightContain)).join(build, Seq(key))
+    probe.filter(ColumnBridge.column(mightContain))
   }
 }

@@ -630,20 +630,121 @@ object CorpusOps {
     * differ).
     *
     * Scale shape: chunking is one native-kernel call per row (no
-    * shuffle); the dedup flag is the q199 window-min discipline — ONE
-    * shuffle keyed by chunk hash, no join-back, text scanned once.
+    * shuffle). The dedup flag has two forms (r13, the winner-skew
+    * advice): the default window-min — ONE shuffle keyed by chunk
+    * hash, no join-back, text scanned once — assumes BOUNDED per-chunk
+    * duplication (the window co-locates every occurrence of a key in
+    * one task, with no partial aggregation and no AQE skew split, so a
+    * boilerplate chunk shared by a large fraction of a 100 TB corpus
+    * becomes a single-task straggler). `combinableWinners = true`
+    * computes the winner as a map-side-combinable groupBy-min (a hot
+    * key reduces to one row per map task before the exchange) joined
+    * back on the chunk hash — a join AQE CAN skew-split — at the cost
+    * of persisting the narrow exploded frame ([[StageCaches]]) so the
+    * text is still scanned once. Result-identical (spec'd on
+    * clone-heavy fixtures); route boilerplate-heavy corpora through
+    * the combinable form, or better, through the [[chunkIndex]] /
+    * [[cdcChunksIncrement]] ingest path which never recomputes
+    * history at all.
     */
-  def cdcChunks(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val exploded = df.select(col(idCol),
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+                combinableWinners: Boolean = false): DataFrame = {
+    if (combinableWinners) {
+      val exploded = StageCaches.stage(explodedChunks(df, idCol, textCol, k),
+        "corpus.cdc.exploded")
+      val winners = exploded.groupBy("chunk_md5")
+        .agg(min(struct(col(idCol), col("chunk_ix"))).as("__w"))
+      exploded.join(winners, Seq("chunk_md5"))
+        .withColumn("is_first", struct(col(idCol), col("chunk_ix")) === col("__w"))
+        .drop("__w")
+        .select(col(idCol), col("chunk_ix"), col("chunk_len"), col("chunk_md5"),
+          col("is_first"))
+    } else {
+      val exploded = explodedChunks(df, idCol, textCol, k)
+      val w = Window.partitionBy("chunk_md5")
+      exploded.withColumn("is_first",
+        struct(col(idCol), col("chunk_ix")) ===
+          min(struct(col(idCol), col("chunk_ix"))).over(w))
+    }
+  }
+
+  /** One row per chunk of every doc: (id, chunk_ix, chunk_len,
+    * chunk_md5) — the shared explode under [[cdcChunks]],
+    * [[chunkIndex]] and [[cdcChunksIncrement]]. Map-side. */
+  private def explodedChunks(df: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame =
+    df.select(col(idCol),
         posexplode(graft.plans.CdcChunksMd5.cdcChunksMd5(col(textCol), k))
           .as(Seq("__ix", "__c")))
       .select(col(idCol), (col("__ix") + 1).cast(LongType).as("chunk_ix"),
         col("__c.chunk_len").cast(LongType).as("chunk_len"),
         col("__c.chunk_md5").as("chunk_md5"))
-    val w = Window.partitionBy("chunk_md5")
-    exploded.withColumn("is_first",
-      struct(col(idCol), col("chunk_ix")) ===
-        min(struct(col(idCol), col("chunk_ix"))).over(w))
+
+  /** The persistent CHUNK-STORE index (r12 verdict item #3 — the
+    * [[graft.operators.Dedup.minhashIndex]] pattern applied to
+    * storage): one row per DISTINCT chunk ever seen, with the
+    * `(first_id, first_ix)` of its first occurrence and the chunk
+    * length. Built with ONE map-side-combinable groupBy-min — no
+    * window, no join — so a boilerplate chunk duplicated across half
+    * the corpus costs one row per map task, not a single-task sort.
+    * Persist the result to parquet and feed it to
+    * [[cdcChunksIncrement]]: at 100 TB the nightly ingest flags a new
+    * batch in O(|batch| + collisions) instead of re-windowing the
+    * corpus-wide chunk key space (423 s at 5M distinct docs, r12).
+    */
+  def chunkIndex(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame =
+    explodedChunks(df, idCol, textCol, k)
+      .groupBy("chunk_md5")
+      .agg(min(struct(col(idCol), col("chunk_ix"))).as("__f"),
+        max("chunk_len").as("chunk_len"))
+      .select(col("chunk_md5"), col("chunk_len"),
+        col(s"__f.$idCol").as("first_id"), col("__f.chunk_ix").as("first_ix"))
+
+  /** Incremental chunk dedup at ingest — flag a NEW batch's chunks
+    * against the persisted seen-chunk `index` (and against each other)
+    * WITHOUT touching historical text, the [[graft.operators.Dedup.dedupIncrement]]
+    * contract for storage dedup. A batch chunk is `is_first` iff its
+    * hash is in no index row AND this occurrence is the batch-min
+    * `(id, chunk_ix)` for the hash.
+    *
+    * Contract: history ids precede batch ids (monotone ingest), so
+    * batch flags equal what the one-shot [[cdcChunks]] over
+    * history ∪ batch would assign (chained increments == one-shot,
+    * spec'd), and history's own flags never change.
+    *
+    * Scale shape: the batch explodes once (narrow, staged); batch
+    * winners are a map-side-combinable groupBy-min; the index is
+    * Bloom-PRUNED map-side against the batch's distinct chunk keys
+    * before its anti-join exchange ([[BloomPrefilter]] — only index
+    * rows colliding with today's keys shuffle, the
+    * minhashIndex/dedupIncrement discipline), and the flag join-back
+    * is an AQE-skew-splittable equi-join carrying one winner row per
+    * new chunk. Returns (flagged batch chunks, index rows for the
+    * NEW distinct chunks — append to the index).
+    */
+  def cdcChunksIncrement(index: DataFrame, newDocs: DataFrame, idCol: String,
+                         textCol: String, k: Int = 8): (DataFrame, DataFrame) = {
+    val exploded = StageCaches.stage(explodedChunks(newDocs, idCol, textCol, k),
+      "corpus.cdc.increment.exploded")
+    val batchFirst = exploded.groupBy("chunk_md5")
+      .agg(min(struct(col(idCol), col("chunk_ix"))).as("__f"),
+        max("chunk_len").as("chunk_len"))
+    // index rows that cannot collide with any batch key drop map-side,
+    // BEFORE the anti-join exchange
+    val prunedIndex = BloomPrefilter.mightMatch(
+      index.select("chunk_md5"), batchFirst.select("chunk_md5"), "chunk_md5")
+    val winners = batchFirst.join(prunedIndex, Seq("chunk_md5"), "left_anti")
+    val flagged = exploded
+      .join(winners.select(col("chunk_md5"), col("__f").as("__w")),
+        Seq("chunk_md5"), "left")
+      .withColumn("is_first",
+        col("__w").isNotNull && struct(col(idCol), col("chunk_ix")) === col("__w"))
+      .select(col(idCol), col("chunk_ix"), col("chunk_len"), col("chunk_md5"),
+        col("is_first"))
+    val newIndexRows = winners.select(col("chunk_md5"), col("chunk_len"),
+      col(s"__f.$idCol").as("first_id"), col("__f.chunk_ix").as("first_ix"))
+    (flagged, newIndexRows)
   }
 
   /** Chunk-level DEDUP REPORT over [[cdcChunks]] (the q191 histogram
@@ -833,6 +934,31 @@ object CorpusOps {
                              sampleFraction: Double = 0.1): Double =
     Dedup.measureCloneFactor(df, idCol,
       TextFunctions.contentHash(col(textCol)), col(textCol), sampleFraction)
+
+  /** Mean byte width of the BENCH side's distinct probe keys — the
+    * measurement behind the hashed-probe router (r13, making the
+    * q195/q196 when-to-use guidance executable). One aggregate job
+    * over the benchmark corpus (MBs against training TBs — the
+    * measureCloneFactor eagerness contract: runs at construction;
+    * callers with catalog stats pass the decision instead). EAGER.
+    */
+  def measureGramKeyWidth(bench: DataFrame, textCol: String, n: Int): Double = {
+    val r = bench.select(explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("__g"))
+      .agg(avg(length(col("__g").cast(BinaryType)))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The hashed-probe ROUTING RULE, derived from the r12 measurements:
+    * hashing pays only when the md5-prefix key (16 bytes) shrinks the
+    * broadcast/exchange by >= 2x — sf100-distinct 8-grams (~50 B mean)
+    * measured 0.92x WITH hashing, 3-word shingles (~17 B mean)
+    * measured 1.14x (the hash compute outweighs the marginal shrink) —
+    * so the threshold is 2 x 16 bytes. Pure driver arithmetic on a
+    * measured (or catalog-known) width.
+    */
+  def shouldHashProbe(meanKeyWidthBytes: Double): Boolean =
+    meanKeyWidthBytes >= 32.0
 
   /** Collapse key for the layered forms: the normalized-text class,
     * with null text mapped to a SENTINEL class of its own ("∅" — not a
@@ -1113,15 +1239,28 @@ object CorpusOps {
                   minCloneFactor: Double = 1.5,
                   sampleFraction: Double = 0.1,
                   knownCloneFactor: Option[Double] = None,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  hashedProbe: Option[Boolean] = None): DataFrame = {
     // the single sampling job (skipped entirely when the caller brings
     // a factor) — threaded through every adaptive stage below
     val f = Some(knownCloneFactor.getOrElse(
       measureTextCloneFactor(train, idCol, textCol, sampleFraction)))
+    // hashed-probe routing (r13): None = measure each stage's bench
+    // key width over the tiny bench side and apply [[shouldHashProbe]]
+    // — the n-gram stage and the shingle stage route INDEPENDENTLY
+    // (8-grams measured worth hashing, 3-shingles measured not);
+    // Some(x) pins both (catalog stats). Both branches are
+    // result-identical, so a routing miss costs wall, never rows.
+    val hpContam = hashedProbe.getOrElse(
+      shouldHashProbe(measureGramKeyWidth(bench, textCol, n)))
+    val hpFuzzy = hashedProbe.getOrElse(
+      shouldHashProbe(measureGramKeyWidth(bench, textCol, shingleN)))
     val contam = contaminationReportAdaptive(train, bench, idCol, textCol,
-      n, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir)
+      n, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir,
+      hpContam)
     val fuzzy = fuzzyDecontaminateAdaptive(train, bench, idCol, textCol,
-        shingleN, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir)
+        shingleN, thrNum, thrDen, minCloneFactor, sampleFraction, f,
+        checkpointDir, hpFuzzy)
       .select(col(idCol), col("bench_id").as("fz_bench_id"),
         col("inter").as("fz_inter"), col("uni").as("fz_uni"),
         col("jaccard").as("fz_jaccard"), col("dropped").as("fz_dropped"))
@@ -1227,20 +1366,32 @@ object CorpusOps {
     * navigation) that document-level dedup (q20/q21) cannot touch
     * because the surrounding documents differ.
     *
-    * Scale shape: lines shuffle ONCE, keyed by `md5(line)` (32 hex
-    * chars — bounded, skew-free keys; the winner per key is a map-side
-    * combinable `min(struct(id, pos))`), and the keep/drop verdict
-    * joins back on the same key. The per-document reassembly sorts a
-    * BOUNDED list (one document's own kept lines) — never a global
-    * sort. At 100 TB this is two exchanges over (hash, id, pos) plus
-    * one scan of the text; the line text itself rides the exchange
-    * only as far as the reassembly needs it.
+    * Scale shape — two forms (r13, the winner-skew advice). The
+    * DEFAULT window-min shuffles lines ONCE keyed by `md5(line)` and
+    * scans the text once, but a window partition co-locates EVERY
+    * occurrence of a key in one task with no partial aggregation and
+    * no AQE skew split — and the feature's motivating input (corpus-
+    * wide boilerplate: headers, cookie banners) is exactly a key whose
+    * occurrence count can be a large fraction of a 100 TB corpus. The
+    * single-scan form therefore assumes BOUNDED per-line duplication.
+    * `combinableWinners = true` is the boilerplate-heavy form: the
+    * winner per key is a map-side-combinable `min(struct(id, pos))`
+    * groupBy (a hot key reduces to one row per map task before the
+    * exchange) joined back on the line hash — an equi-join AQE CAN
+    * skew-split — at the cost of deriving the exploded lines twice
+    * (the winner branch re-scans the text; caching the wide line text
+    * would cost more than the scan). Result-identical (spec'd on a
+    * banner-heavy fixture).
+    *
+    * The per-document reassembly sorts a BOUNDED list (one document's
+    * own kept lines) — never a global sort.
     *
     * Output: one row per input document — `n_lines`, `n_kept`,
     * `kept_frac`, and `clean_text` (surviving lines joined by \n in
     * original order; empty string when every line lost).
     */
-  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                combinableWinners: Boolean = false): DataFrame = {
     // null text reads as empty (one empty line): posexplode of a null
     // array would silently DROP the document from the output, and a
     // 100 TB crawl will contain null texts even though the fixture
@@ -1249,14 +1400,18 @@ object CorpusOps {
       .select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("__lk", md5(col("line").cast(BinaryType)))
-    // first occurrence per line key as a window min — ONE shuffle keyed
-    // by the line hash, no join-back, so the corpus text is scanned
-    // exactly once (a join against a separately-aggregated firsts frame
-    // would re-derive the exploded lines from a second scan)
-    val w = Window.partitionBy("__lk")
-    val marked = lines.withColumn("__keep",
-      struct(col(idCol), col("pos")) ===
-        min(struct(col(idCol), col("pos"))).over(w))
+    val marked =
+      if (combinableWinners) {
+        val winners = lines.groupBy("__lk")
+          .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+        lines.join(winners, Seq("__lk"))
+          .withColumn("__keep", struct(col(idCol), col("pos")) === col("__w"))
+      } else {
+        val w = Window.partitionBy("__lk")
+        lines.withColumn("__keep",
+          struct(col(idCol), col("pos")) ===
+            min(struct(col(idCol), col("pos"))).over(w))
+      }
     // every doc has >= 1 line (split never yields an empty array), so
     // the per-doc rollup covers the full corpus; collect_list drops the
     // nulls that non-kept lines become
@@ -1346,21 +1501,25 @@ object CorpusOps {
     *
     * Short docs (< n tokens) contribute their whole text as ONE gram —
     * the [[TextFunctions.wordShingles]] convention, mirrored by the
-    * oracle. Scale shape: distinct grams shuffle once to find
-    * `min(id)` per gram (map-side combinable), the verdict joins back
-    * on the gram key, and the per-doc rollup is a second combinable
-    * shuffle — the q187 contamination plan with the corpus itself as
-    * the reference side.
+    * oracle. Scale shape — the [[lineDedup]] two-form split (r13):
+    * the default window-min shuffles grams once and scans the text
+    * once but assumes BOUNDED per-gram duplication (per-gram
+    * partitions are duplicate counts; a boilerplate gram shared
+    * corpus-wide makes the window a single-task straggler);
+    * `combinableWinners = true` finds `min(id)` per gram with a
+    * map-side-combinable groupBy joined back on the gram key (AQE
+    * skew-splittable) at the cost of a second text scan.
+    * Result-identical (spec'd).
     */
-  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   combinableWinners: Boolean = false): DataFrame = {
     val grams = df.select(col(idCol),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g"))
-    // first-seen doc per gram as a window min — ONE shuffle keyed by
-    // the gram, no join-back (which would re-derive the exploded grams
-    // from a second text scan); per-gram partitions are duplicate
-    // counts, so the window sort is bounded and skew-free
-    val marked = grams.withColumn("__fid",
-      min(col(idCol)).over(Window.partitionBy("__g")))
+    val marked =
+      if (combinableWinners)
+        grams.join(grams.groupBy("__g").agg(min(col(idCol)).as("__fid")), Seq("__g"))
+      else grams.withColumn("__fid",
+        min(col(idCol)).over(Window.partitionBy("__g")))
     marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams_distinct"),
         sum(when(col("__fid") === col(idCol), 1L).otherwise(0L)).as("n_novel"))

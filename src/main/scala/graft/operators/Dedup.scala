@@ -340,26 +340,30 @@ object Dedup {
   def imageNearDupClusters(media: DataFrame, maxHamming: Int = 10,
                            maxMeanAbsDiff: Int = 16,
                            blocks: Int = 16, agreeBlocks: Int = 2,
-                           checkpointDir: Option[String] = None): DataFrame = {
-    // payload read 1/2: content keying + byte length in ONE pass over
-    // the wide column, persisted narrow (null payloads key to the
-    // sentinel of their own id — singleton classes, never collapsed)
-    val keyed = StageCaches.boundary(
-      media.select(col("doc_id"),
-        coalesce(md5(col("payload")),
-          concat(lit("∅"), col("doc_id").cast(StringType))).as("__ch"),
-        coalesce(length(col("payload")).cast(LongType), lit(0L)).as("__bytes")),
-      checkpointDir, "dedup.imageclusters.keyed")
+                           checkpointDir: Option[String] = None): DataFrame =
+    imageNearDupClustersFromIndex(ImageIndex.build(media, checkpointDir),
+      maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+
+  /** [[imageNearDupClusters]] over a pre-built (usually PERSISTED —
+    * [[ImageIndex.write]]/`read`) image-feature artifact: the decode
+    * happened when the index was built, so this is pure relational
+    * work on 8-byte signatures, 72-int grids, and 16-byte content keys
+    * — the r13 production path the q193 report runs on (the r12 inline
+    * form re-decoded the corpus per consumer: 1023 s at sf10, GC-locker
+    * thrash; the artifact probe is the IvfPqIndex discipline applied
+    * to pixels).
+    */
+  def imageNearDupClustersFromIndex(index: ImageIndex, maxHamming: Int = 10,
+                                    maxMeanAbsDiff: Int = 16,
+                                    blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+    // null payloads key to the sentinel of their own id — singleton
+    // classes, never collapsed, never decoded
+    val keyed = index.keyed.select(col("doc_id"),
+      coalesce(col("content_key"),
+        concat(lit("∅"), col("doc_id").cast(StringType))).as("__ch"),
+      col("n_bytes").as("__bytes"))
     val repGroups = keyed.groupBy("__ch").agg(min(col("doc_id")).as("__rep"))
-    // payload read 2/2: decode ONLY the representatives of REAL content
-    // classes — null-payload sentinels never reach the decoder (their
-    // singleton label comes from the coalesce below)
-    val reps = media
-      .join(repGroups.filter(!col("__ch").startsWith("∅"))
-        .select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val hashed = StageCaches.boundary(graft.operators.Multimodal.imageDHash(reps),
-      checkpointDir, "dedup.imageclusters.hashed")
-    val edges = dHashVerifiedPairs(hashed, maxHamming, maxMeanAbsDiff,
+    val edges = dHashVerifiedPairs(index.hashed, maxHamming, maxMeanAbsDiff,
       blocks, agreeBlocks)
     val cc = GraphOps.connectedComponents(
       edges.select(col("id_a").as("src"), col("id_b").as("dst")))
@@ -395,56 +399,68 @@ object Dedup {
     *
     * Input-scan discipline (r10 lesson): the payload column — the widest
     * in the corpus — is read exactly THREE times: once to compute the
-    * 16-byte content key, once to decode the representatives, and once
-    * to recover the surviving rows. TWO narrow frames are persisted
-    * (lazily — no eager action at construction): the `(doc_id, __ch)`
-    * keying projection, so the rep-map groupBy, clone fan-out, and
-    * null-payload pass-through read ~48 bytes/row from cache; and the
-    * `(doc_id, dhash, luma, decoded)` decode result, so the survivor
-    * anti-join and [[dHashDupes]]'s pair-gen + two luma joins (4 plan
-    * references) share ONE decode pass instead of four. The unpersisted
-    * r10 form re-scanned (and re-decoded) the payload ~5×, which
-    * doubled q177 when its input was an in-query synthesis. Both
-    * caches are narrow (id+hash / id+72-int luma) and LIFECYCLE-BOUND
-    * through [[StageCaches]] (r12): repeated invocations swap, a
-    * `checkpointDir` turns them into parquet checkpoints (lineage
-    * reset, zero cache entries — the production shape).
+    * 16-byte content key, once to decode the representatives (both
+    * inside [[ImageIndex.build]], whose TWO narrow frames persist
+    * lazily — the keying projection so the rep-map groupBy, clone
+    * fan-out, and null-payload pass-through read ~48 bytes/row from
+    * cache, the `(doc_id, dhash, luma, decoded)` decode result so the
+    * survivor anti-join and [[dHashDupes]]'s pair-gen + two luma joins
+    * share ONE decode pass instead of four), and once to recover the
+    * surviving rows. The unpersisted r10 form re-scanned (and
+    * re-decoded) the payload ~5×, which doubled q177 when its input
+    * was an in-query synthesis. Both caches are narrow (id+hash /
+    * id+72-int luma) and LIFECYCLE-BOUND through [[StageCaches]]
+    * (r12): repeated invocations swap, a `checkpointDir` turns them
+    * into parquet checkpoints (lineage reset, zero cache entries).
+    * r13: callers that run MANY image ops over one corpus persist the
+    * index once ([[ImageIndex.write]]) and call [[imageDedupFromIndex]]
+    * — zero decodes per subsequent op.
     */
   def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
                              maxMeanAbsDiff: Int = 16,
                              blocks: Int = 16, agreeBlocks: Int = 2,
-                             checkpointDir: Option[String] = None): DataFrame = {
-    // payload read 1/3: content keying, then the narrow frame is cached
-    val keyed = StageCaches.boundary(
-      media.select(col("doc_id"), md5(col("payload")).as("__ch")),
-      checkpointDir, "dedup.image.keyed")
-    // no per-class id array: a web-scale clone class (one boilerplate
-    // payload duplicated 10^8 times — exactly the corpus this form
-    // routes for) would build an unbounded single-row aggregation
-    // buffer; the cached narrow `keyed` frame fans ids back out by
-    // hash instead
-    val repGroups = keyed.filter(col("__ch").isNotNull)
-      .groupBy(col("__ch"))
+                             checkpointDir: Option[String] = None): DataFrame =
+    // payload reads 1+2 (keying, rep decode) live inside the index
+    // build; read 3 recovers the full surviving rows in one semi-join
+    imageDedupFromIndex(media, ImageIndex.build(media, checkpointDir),
+      maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
+
+  /** The surviving doc ids under the layered dHash near-dup rule, from
+    * a pre-built [[ImageIndex]] — no per-class id array: a web-scale
+    * clone class (one boilerplate payload duplicated 10^8 times) would
+    * build an unbounded single-row aggregation buffer; the narrow
+    * `keyed` frame fans ids back out by content key instead. */
+  private def imageSurvivorIdsFromIndex(index: ImageIndex, maxHamming: Int,
+                                        maxMeanAbsDiff: Int, blocks: Int,
+                                        agreeBlocks: Int): DataFrame = {
+    val keyed = index.keyed
+    val repGroups = keyed.filter(col("content_key").isNotNull)
+      .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("__rep"))
-    // payload read 2/3: decode ONLY the min-id representatives; the
-    // narrow hash/luma result is cached so its four consumers share it
-    val reps = media
-      .join(repGroups.select(col("__rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val hashed = StageCaches.boundary(graft.operators.Multimodal.imageDHash(reps),
-      checkpointDir, "dedup.image.hashed")
+    val hashed = index.hashed
     val repState = hashed.select(col("doc_id").as("__rep"), col("decoded").as("__rd"))
       .join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
         .select(col("doc_id").as("__rep")), Seq("__rep"), "left_anti")
-    val keptIds = keyed.filter(col("__ch").isNotNull)
-      // inner: classes whose representative SURVIVES (cache read, not
+    keyed.filter(col("content_key").isNotNull)
+      // inner: classes whose representative SURVIVES (index read, not
       // a payload scan)
-      .join(repGroups.join(repState, Seq("__rep")), Seq("__ch"))
+      .join(repGroups.join(repState, Seq("__rep")), Seq("content_key"))
       .filter(col("doc_id") === col("__rep") || !col("__rd"))
       .select("doc_id")
-      .unionByName(keyed.filter(col("__ch").isNull).select("doc_id"))
-    // payload read 3/3: recover the full surviving rows in one semi-join
-    media.join(keptIds, Seq("doc_id"), "left_semi")
+      .unionByName(keyed.filter(col("content_key").isNull).select("doc_id"))
   }
+
+  /** Image near-dup dedup over a pre-built (usually persisted)
+    * [[ImageIndex]]: identical survivor set to
+    * [[imageDedupDHashLayered]] (spec'd — the index IS that form's
+    * keying+decode product), but the codec never runs here; `media`
+    * supplies the full surviving rows via one semi-join. */
+  def imageDedupFromIndex(media: DataFrame, index: ImageIndex,
+                          maxHamming: Int = 10, maxMeanAbsDiff: Int = 16,
+                          blocks: Int = 16, agreeBlocks: Int = 2): DataFrame =
+    media.join(
+      imageSurvivorIdsFromIndex(index, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
+      Seq("doc_id"), "left_semi")
 
   /** Evidence-gated image dedup ([[exactSubstrSpansAdaptive]]'s
     * discipline): measure the byte-identical clone factor on a
@@ -1425,6 +1441,18 @@ object Dedup {
                           rowsPerBand: Int = 4): DataFrame = {
     require(thresholdTenths.nonEmpty && thresholdTenths.forall(t => t >= 1 && t <= 10),
       "thresholds are tenths in [1, 10]")
+    // the banding recall argument only covers J >= (1/bands)^(1/rows)
+    // (the LSH S-curve threshold — 0.5 for 16x4): a requested tenth
+    // below that floor would silently UNDERCOUNT n_dropped (pairs with
+    // J in [t, floor) never become candidates), so reject it loudly
+    // and point at the knob that widens recall (r13, the q208 advice)
+    val floorTenths =
+      math.ceil(10.0 * math.pow(1.0 / bands, 1.0 / rowsPerBand)).toInt
+    require(thresholdTenths.min >= floorTenths,
+      s"thresholdTenths.min ${thresholdTenths.min} is below the " +
+        s"$bands x $rowsPerBand banding recall floor ($floorTenths tenths): " +
+        "candidates would miss pairs the curve claims to count — use more " +
+        "bands / fewer rows per band (e.g. 32x2 reaches 2 tenths)")
     val hashed = docs.withColumn("__h", contentHash(col(textCol)))
     val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
     val withRep = hashed.join(repMap, "__h").select(col(idCol), col("__rep"),

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The persisted IMAGE-FEATURE artifact (r13, the round's lead item):
+  * the decode product of a media corpus, materialized once so every
+  * image operator — near-dup dedup, cluster labeling, the duplication
+  * report — runs on 8-byte signatures and 72-int luma grids instead of
+  * re-decoding payloads per consumer. The exact analog of
+  * [[Similarity.IvfPqIndex]] for pixels: train/encode once, persist,
+  * probe many times.
+  *
+  * Two frames, both narrow:
+  *
+  *  - `keyed` — one row per DOC: (doc_id, content_key, n_bytes).
+  *    `content_key` is md5 of the payload bytes (null payload → null
+  *    key); it is the exact-dedup layer that keeps byte-identical
+  *    clones out of the decoder and out of the candidate pair space.
+  *  - `hashed` — one row per DISTINCT CONTENT (the min-id
+  *    representative of each content class): (doc_id, dhash, luma,
+  *    decoded) from [[Multimodal.imageDHash]] — the only pass that
+  *    touches a codec.
+  *
+  * At 100 TB this is the difference between a dedup report that costs
+  * one decode of the distinct images EVER (amortized across every
+  * downstream audit) and one that re-decodes per query: image decode
+  * is 10³–10⁴× the per-byte cost of a parquet scan and `javax.imageio`
+  * serializes under many-core decode (GC-locker critical sections), so
+  * the decode pass is the term to hoist, exactly as the r12 sf10
+  * measurement showed (q193 inline: 1023 s; the machinery downstream
+  * of the artifact is seconds).
+  */
+case class ImageIndex(keyed: DataFrame, hashed: DataFrame)
+
+object ImageIndex {
+
+  /** Build the index frames IN MEMORY (no parquet write): the inline
+    * shape the layered dedup operators delegate to, with the same
+    * [[StageCaches]] lifecycle as r12 — both frames persist narrow and
+    * swap on re-invocation, or checkpoint to `checkpointDir`. The
+    * payload column is scanned exactly twice: once to key (md5 +
+    * length), once to decode the representatives.
+    */
+  def build(media: DataFrame, checkpointDir: Option[String] = None): ImageIndex = {
+    val keyed = StageCaches.boundary(
+      media.select(col("doc_id"), md5(col("payload")).as("content_key"),
+        coalesce(length(col("payload")).cast(LongType), lit(0L)).as("n_bytes")),
+      checkpointDir, "image.index.keyed")
+    val hashed = StageCaches.boundary(
+      Multimodal.imageDHash(repsOf(media, keyed)), checkpointDir, "image.index.hashed")
+    ImageIndex(keyed, hashed)
+  }
+
+  /** Decode ONLY the min-id representative of each non-null content
+    * class — byte-identical clones never reach the codec. */
+  private def repsOf(media: DataFrame, keyed: DataFrame): DataFrame =
+    media.join(
+      keyed.filter(col("content_key").isNotNull)
+        .groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Build AND persist the artifact to parquet, returning the loaded
+    * index (lineage cut to columnar scans — the production shape). The
+    * keying frame is written first and read back, so the decode pass
+    * derives its representative set from the persisted keys instead of
+    * re-hashing the payload; total payload scans: two (key + decode),
+    * decode touched once per distinct content.
+    */
+  def write(media: DataFrame, dir: String): ImageIndex = {
+    val spark = media.sparkSession
+    media.select(col("doc_id"), md5(col("payload")).as("content_key"),
+        coalesce(length(col("payload")).cast(LongType), lit(0L)).as("n_bytes"))
+      .write.mode("overwrite").parquet(s"$dir/keyed.parquet")
+    val keyed = spark.read.parquet(s"$dir/keyed.parquet")
+    Multimodal.imageDHash(repsOf(media, keyed))
+      .write.mode("overwrite").parquet(s"$dir/hashed.parquet")
+    read(spark, dir)
+  }
+
+  /** Load a persisted artifact for probing. */
+  def read(spark: SparkSession, dir: String): ImageIndex =
+    ImageIndex(spark.read.parquet(s"$dir/keyed.parquet"),
+      spark.read.parquet(s"$dir/hashed.parquet"))
+
+  private val buildLock = new Object
+  private val ready = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[String]())
+
+  /** Build-once-read-many: if `dir` already holds the artifact (built
+    * by THIS JVM — the marker is process-local, matching [[graft.sources.Scratch]]'s
+    * per-JVM lifecycle), load it; otherwise build, persist, and mark.
+    * `media` is by-name so the (possibly expensive, synthesized)
+    * corpus plan is only constructed on the build path. This is how
+    * q177 and q193 share ONE decode pass: whichever runs first writes
+    * the artifact, the other probes it.
+    */
+  def ensure(media: => DataFrame, spark: SparkSession, dir: String): ImageIndex =
+    buildLock.synchronized {
+      if (ready.contains(dir)) read(spark, dir)
+      else {
+        val idx = write(media, dir)
+        ready.add(dir)
+        idx
+      }
+    }
+}

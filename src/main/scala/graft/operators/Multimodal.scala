@@ -202,10 +202,15 @@ object Multimodal {
   /** Audio-feature extraction over the opaque binary column: REAL
     * RIFF/WAVE PCM parsing per row (channels, rate, bit depth, sample
     * count, duration, RMS), REAL FLAC decode for `fLaC` payloads
-    * ([[parseFlac]], r12), `decoded=false` rows fall through with
-    * zeroed facts (LOSSY codecs — mp3/aac/opus — are the remaining
-    * declared stub). Partition-batched map-side like the image
-    * decoder — no shuffle.
+    * ([[parseFlac]], r12), and REAL MPEG Layer III frame-header walk
+    * for mp3 payloads ([[parseMp3]], wired r13) — the lossy-audio
+    * METADATA path: channels/rate/frame-exact sample count/duration
+    * are real, `bits` is 0 (lossy streams have no PCM bit depth) and
+    * `rms_milli` is 0 because the SAMPLES stay behind the declared
+    * lossy-codec stub (the lossy-WebP dims-vs-pixels split).
+    * `decoded=false` rows fall through with zeroed facts (aac/opus —
+    * the remaining declared stub). Partition-batched map-side like
+    * the image decoder — no shuffle.
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
@@ -213,8 +218,14 @@ object Multimodal {
       parseWav(m.payload).orElse(parseFlac(m.payload)) match {
         case Some(w) => AudioFeatures(m.doc_id, m.payload.length.toLong, w.channels,
           w.sampleRate, w.bitsPerSample, w.nSamples, w.durationMs, w.rmsMilli, decoded = true)
-        case None => AudioFeatures(m.doc_id, m.payload.length.toLong,
-          0, 0, 0, 0L, 0L, 0L, decoded = false)
+        case None => parseMp3(m.payload) match {
+          case Some(p) =>
+            val spf = if (p.mpegVersion == "1") 1152L else 576L
+            AudioFeatures(m.doc_id, m.payload.length.toLong, p.channels,
+              p.sampleRate, 0, p.nFrames * spf, p.durationMs, 0L, decoded = true)
+          case None => AudioFeatures(m.doc_id, m.payload.length.toLong,
+            0, 0, 0, 0L, 0L, 0L, decoded = false)
+        }
       }
     }).toDF()
   }
@@ -512,6 +523,50 @@ object Multimodal {
     Some(Mp3Info(version match { case 3 => "1"; case 2 => "2"; case _ => "2.5" },
       rate, channels, nFrames, nFrames * spf * 1000L / rate,
       (kbpsSum / nFrames).toInt))
+  }
+
+  /** Deterministic MPEG-1 Layer III mono byte stream (fixture/gate
+    * generator, the [[syntheticWav]]/[[syntheticAvi]] twin): one frame
+    * per entry of `bitrateIdxs` (indexes into the MPEG-1 Layer III
+    * bitrate table, 1–14 — varying entries make a VBR stream), sample
+    * rate from the MPEG-1 set, optional ID3v2 prefix (syncsafe size
+    * `id3Size`, 'x'-filled) and ID3v1 'TAG' trailer. Frame BODIES are
+    * zero bytes — the samples stay behind the lossy-codec stub; the
+    * gate recomputes every [[parseMp3]] fact from closed forms:
+    * byte_len = id3(10+size) + Σ(144·kbps_f·1000 div rate) +
+    * trailer(128), duration_ms = n·1152·1000 div rate, avg kbps =
+    * Σkbps div n.
+    */
+  def syntheticMp3(bitrateIdxs: Seq[Int], rate: Int,
+                   id3Size: Int = -1, id3v1Trailer: Boolean = false): Array[Byte] = {
+    val srIdx = Seq(44100, 48000, 32000).indexOf(rate)
+    require(bitrateIdxs.nonEmpty && bitrateIdxs.forall(i => i >= 1 && i <= 14) &&
+      srIdx >= 0 && id3Size < (1 << 28), "MPEG-1 rates, bitrate idx 1-14, syncsafe id3")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size >= 0) {
+      out.write('I'); out.write('D'); out.write('3'); out.write(4); out.write(0)
+      out.write(0) // flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      (0 until id3Size).foreach(_ => out.write('x'))
+    }
+    for (idx <- bitrateIdxs) {
+      val kbps = Mp3BitrateV1(idx)
+      // MPEG-1 (ver=3), Layer III (01), no CRC, no padding, mono (11)
+      val h = (0x7ff << 21) | (3 << 19) | (1 << 17) | (1 << 16) |
+        (idx << 12) | (srIdx << 10) | (3 << 6)
+      val frame = new Array[Byte](144 * kbps * 1000 / rate)
+      frame(0) = ((h >>> 24) & 0xff).toByte
+      frame(1) = ((h >>> 16) & 0xff).toByte
+      frame(2) = ((h >>> 8) & 0xff).toByte
+      frame(3) = (h & 0xff).toByte
+      out.write(frame, 0, frame.length)
+    }
+    if (id3v1Trailer) {
+      out.write('T'); out.write('A'); out.write('G')
+      (0 until 125).foreach(_ => out.write(0))
+    }
+    out.toByteArray
   }
 
   /** Parsed AVI container facts (no pixel decode — the frame payloads

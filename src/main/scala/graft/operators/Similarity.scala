@@ -585,17 +585,24 @@ object Similarity {
     * new vectors are assigned to the EXISTING coarse centroids and
     * encoded with the EXISTING codebooks (no retrain), and their codes
     * union into the index. Encoding is a pure function of the trained
-    * artifacts, so appending vectors that are already indexed
-    * reproduces their stored codes exactly (spec'd), and a probe sees
-    * appended vectors through the same distance tables as trained
-    * ones. Standard IVFADC practice: artifacts retrain on drift
-    * schedules, not per batch — at 100 TB the nightly ingest is this
-    * append (one broadcast assignment + encode pass over the new
-    * batch), never a rebuild.
+    * artifacts, and append is an UPSERT (r13 advice fix): ids already
+    * in the index are anti-joined out of the batch BEFORE encoding, so
+    * at-least-once batch delivery (the real ingest failure mode —
+    * a retried batch overlapping already-indexed ids) neither
+    * duplicates code rows nor skews a probe's top-k with repeated
+    * neighbors (spec'd: re-appending an overlapping batch is a
+    * no-op). The anti-join probes the codes' distinct ids — one
+    * ids-only pass over the (centroid-partitioned, columnar) index
+    * keyed by the tiny batch, the dedupIncrement discipline. Standard
+    * IVFADC practice otherwise: artifacts retrain on drift schedules,
+    * not per batch — at 100 TB the nightly ingest is this append (one
+    * broadcast assignment + encode pass over the new batch), never a
+    * rebuild.
     */
   def appendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): IvfPqIndex = {
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(index.codes.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti")
     val assigned = c.crossJoin(broadcast(index.centroids))
       .withColumn("__d", l2sq(col("cv"), col("cvec")))
       .groupBy("neighbor_id")

@@ -50,6 +50,17 @@ object Scratch {
       s"${tag.replaceAll("[^A-Za-z0-9._-]", "_")}_${counter.incrementAndGet()}"
     ).getAbsolutePath
 
+  /** A STABLE per-(JVM, tag) scratch path: the same tag returns the
+    * same path for the life of this JVM — the home of
+    * build-once-read-many artifacts ([[graft.operators.ImageIndex]]'s
+    * `ensure`), where two queries over the same source must converge
+    * on ONE materialization instead of each getting a fresh [[dir]].
+    * Same shutdown-hook root, same reclamation.
+    */
+  def shared(tag: String): String =
+    new java.io.File(root,
+      "shared_" + tag.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
   /** A fresh per-call table name for bucketed `saveAsTable` layouts.
     * The in-memory catalog entry dies with the JVM; the table's
     * warehouse DIRECTORY would not, so it is registered for the same

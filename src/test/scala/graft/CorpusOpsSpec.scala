@@ -906,6 +906,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashed-probe router (r13): widths measured, 2x-shrink rule, routes result-identical") {
+    import graft.operators.CorpusOps
+    // realistic-width words: an 8-word gram is ~55 B (>= 2x the 16-B
+    // hashed key -> hash), a 3-word shingle ~20 B (< 32 -> don't)
+    val words = Seq("quarter", "revenue", "growth", "margin", "users",
+      "churn", "uplift", "cohort", "retention", "baseline")
+    val docs = (1L to 24L).map { i =>
+      (i, (0 until 12).map(j => words(((i + j) % 10).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 4 === 0)
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val w8 = CorpusOps.measureGramKeyWidth(bench, "text", 8)
+    val w3 = CorpusOps.measureGramKeyWidth(bench, "text", 3)
+    assert(w8 > 32.0 && CorpusOps.shouldHashProbe(w8), s"8-gram width $w8 must route hashed")
+    assert(w3 < 32.0 && !CorpusOps.shouldHashProbe(w3), s"3-shingle width $w3 must route exact")
+    assert(CorpusOps.measureGramKeyWidth(bench.filter(lit(false)), "text", 8) == 0.0,
+      "empty bench must measure 0 (routes exact)")
+    // the routed audit == both pinned branches, row for row
+    def rows(hp: Option[Boolean]) =
+      CorpusOps.corpusAudit(train, bench, "doc_id", "text", hashedProbe = hp)
+        .collect().map(_.toString).sorted.toSeq
+    val routed = rows(None)
+    assert(routed == rows(Some(true)) && routed == rows(Some(false)),
+      "hashed-probe routing must never change results")
+  }
+
   test("q187/q188/q189 run on the fixture with coherent shapes") {
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
     val rep = TrainingQueries.q187(spark, sf)

@@ -47,6 +47,31 @@ class CorpusReportsSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(3) - 0.5) < 1e-12)
   }
 
+  test("combinable winners == window form for lineDedup and ngramNovelty (r13 skew fix)") {
+    import graft.operators.CorpusOps
+    // boilerplate-heavy fixture: one banner line shared by EVERY doc
+    // (the corpus-wide hot key the combinable form exists for), one
+    // line shared by half, plus unique lines, repeats, null and empty
+    val banner = "accept all cookies"
+    val docs = (1L to 40L).map { i =>
+      (i, if (i == 13) null
+          else if (i == 17) ""
+          else banner + "\n" + (if (i % 2 == 0) "subscribe to our newsletter\n" else "") +
+            s"unique line for doc $i" + (if (i % 5 == 0) "\n" + banner else ""))
+    }.toDF("doc_id", "text")
+    def ldRows(combinable: Boolean) =
+      CorpusOps.lineDedup(docs, "doc_id", "text", combinableWinners = combinable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSet
+    assert(ldRows(true) == ldRows(false),
+      "lineDedup combinable-winner form must be result-identical")
+    def nnRows(combinable: Boolean) =
+      CorpusOps.ngramNovelty(docs.filter(col("text").isNotNull), "doc_id", "text",
+          n = 2, combinableWinners = combinable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nnRows(true) == nnRows(false),
+      "ngramNovelty combinable-winner form must be result-identical")
+  }
+
   test("q199 drops a large fraction of lines on the injected-newline corpus") {
     val rows = TrainingQueries.q199(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()
@@ -340,6 +365,21 @@ class CorpusReportsSpec extends SparkSpec {
 
   // ---------------------------------------------- q208 dedup curve
 
+  test("dedupThresholdCurve rejects thresholds below the banding recall floor (r13 advice)") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // 16x4 banding only covers J >= (1/16)^(1/4) = 0.5 -> floor 5 tenths
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupThresholdCurve(docs, "doc_id", "text", thresholdTenths = Seq(4, 6))
+    }
+    assert(e.getMessage.contains("recall floor"))
+    // widening the banding legitimizes the lower threshold: 32x2
+    // reaches (1/32)^(1/2) ~ 0.18 -> floor 2 tenths
+    val ok = Dedup.dedupThresholdCurve(docs, "doc_id", "text",
+      thresholdTenths = Seq(2, 6), bands = 32, rowsPerBand = 2).collect()
+    assert(ok.length == 2)
+  }
+
   test("q208: each curve point equals the survivor count of a dedup run at that threshold") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
@@ -419,6 +459,60 @@ class CorpusReportsSpec extends SparkSpec {
       "is_first count must equal distinct chunk count")
   }
 
+  test("chunk-store index: chained increments == one-shot; combinable winners == window") {
+    import graft.operators.CorpusOps
+    // clone-heavy fixture: a boilerplate banner line shared corpus-wide
+    // (the hot chunk key the r13 combinable form exists for), plus
+    // per-doc unique tails, an empty doc, and a sub-window doc
+    val banner = "accept all cookies to continue reading this site "
+    val docs = (1L to 30L).map { i =>
+      (i, if (i == 7) "" else if (i == 9) "tiny"
+          else banner * 3 + s"unique tail content for document number $i " * 2)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_ix", "chunk_len", "chunk_md5", "is_first")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSet
+    val oneShot = rows(CorpusOps.cdcChunks(docs, "doc_id", "text"))
+    // ADVICE fix: the map-side-combinable groupBy-min + join-back form
+    // is result-identical to the single-scan window form
+    assert(rows(CorpusOps.cdcChunks(docs, "doc_id", "text",
+      combinableWinners = true)) == oneShot)
+    // chained increments over 3 monotone batches == the one-shot flags
+    val batches = Seq(docs.filter(col("doc_id") <= 10),
+      docs.filter(col("doc_id") > 10 && col("doc_id") <= 20),
+      docs.filter(col("doc_id") > 20))
+    var index = CorpusOps.chunkIndex(batches.head, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    var got = rows(CorpusOps.cdcChunks(batches.head, "doc_id", "text"))
+    for (b <- batches.tail) {
+      val (flagged, newRows) = CorpusOps.cdcChunksIncrement(index, b, "doc_id", "text")
+      got = got ++ rows(flagged)
+      index = index.unionByName(newRows).localCheckpoint(eager = true)
+    }
+    assert(got == oneShot, "chained chunk increments must equal the one-shot corpus pass")
+    // the final index is exactly the one-shot distinct-chunk store
+    val idxRows = index.collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("first_ix"))).toSet
+    val fromScratch = CorpusOps.chunkIndex(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("first_ix"))).toSet
+    assert(idxRows == fromScratch, "appended index must equal the from-scratch index")
+  }
+
+  test("q214: incremental flags == q210's corpus-wide flags on the batch slice") {
+    val cut = Tables.documents(spark, sf).agg(max(col("doc_id"))).head().getLong(0) / 2
+    val expected = TrainingQueries.q210(spark, sf).collect()
+      .filter(_.getLong(0) > cut)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4))).toSet
+    val got = TrainingQueries.q214(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4))).toSet
+    assert(got == expected, "q214 must reproduce q210's flags for the ingest batch")
+  }
+
   // ------------------------------------------- appendIvfPqIndex
 
   test("appendIvfPqIndex: encode is artifact-pure and appended vectors are probeable") {
@@ -432,20 +526,30 @@ class CorpusReportsSpec extends SparkSpec {
     // growth: codes grow by m rows per appended vector
     val nDelta = delta.count()
     assert(appended.codes.count() == index.codes.count() + nDelta * index.m)
-    // artifact purity: re-appending already-indexed vectors reproduces
-    // their stored codes exactly (encode is a pure function of the
-    // trained artifacts — the property that makes incremental ingest
-    // equivalent to having indexed the batch at build time)
+    // upsert (r13 advice fix): re-appending already-indexed vectors is
+    // a NO-OP — at-least-once batch delivery must not duplicate code
+    // rows (a duplicated neighbor would repeat in a probe's top-k) —
+    // and the stored codes are untouched (encode is a pure function of
+    // the trained artifacts, so skipping the re-encode loses nothing)
     val sliceIds = base.limit(20).select("vec_id").collect().map(_.getLong(0)).toSet
     val re = Similarity.appendIvfPqIndex(index,
       base.filter(col("vec_id").isin(sliceIds.toSeq: _*)), "vec_id", "embedding")
+    assert(re.codes.count() == index.codes.count(),
+      "overlapping append must not grow the index")
     def codeSet(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("neighbor_id").isin(sliceIds.toSeq: _*))
       .collect().map(r => (r.getLong(r.fieldIndex("neighbor_id")),
         r.getAs[Number]("subspace").intValue, r.getAs[Number]("code").intValue,
         r.getAs[Number]("centroid_id").longValue)).toSet
     assert(codeSet(re.codes) == codeSet(index.codes),
-      "re-encoding indexed vectors must reproduce their stored codes")
+      "overlapping append must leave stored codes untouched")
+    // a MIXED retried batch (half already indexed, half genuinely new)
+    // encodes only the new ids
+    val mixed = base.filter(col("vec_id").isin(sliceIds.toSeq: _*))
+      .unionByName(delta.limit(4))
+    val up = Similarity.appendIvfPqIndex(index, mixed, "vec_id", "embedding")
+    assert(up.codes.count() == index.codes.count() + 4 * index.m,
+      "mixed append must encode only the genuinely new ids")
     // appended vectors are probeable: fresh-id duplicates of appended
     // vectors find their originals in the top-5 (full-list probe)
     val planted = delta.limit(5)

@@ -169,6 +169,52 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted ImageIndex probes == inline results exactly (artifact-vs-inline)") {
+    import graft.operators.ImageIndex
+    val base = Seq(
+      bmp(10, "groupA"), bmp(11, "groupA"), bmp(20, "groupB"),
+      bmp(30, "groupC")).toDF()
+    val thumbs = Multimodal.resizeImage(
+      Seq(bmp(12, "groupA"), bmp(21, "groupB")).toDF(), 48)
+    val junkBytes = "not an image".getBytes
+    val junk = Seq(
+      MediaRow(96, null, 64, 64, "bmp"),
+      MediaRow(97, junkBytes, 64, 64, "bmp"),
+      MediaRow(98, junkBytes, 64, 64, "bmp"),
+      MediaRow(99, Array[Byte](9, 9), 64, 64, "webp")).toDF()
+    val media = base.unionByName(thumbs).unionByName(junk)
+    val dir = graft.sources.Scratch.dir("image_index_spec")
+    val idx = ImageIndex.write(media, dir)
+    // the artifact holds one keyed row per doc, one hashed row per
+    // DISTINCT non-null content (byte clones collapse before decode)
+    assert(idx.keyed.count() == 10L)
+    assert(idx.hashed.count() == 7L,
+      "3 distinct bases (10/11 are byte clones) + 2 thumbs + 1 junk class + 1 webp")
+    // dedup through the persisted artifact == the inline layered form
+    val viaIndex = Dedup.imageDedupFromIndex(media, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = Dedup.imageDedupDHashLayered(media)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == inline && viaIndex == Set(10L, 20L, 30L, 96L, 97L, 98L, 99L),
+      s"via index $viaIndex != inline $inline")
+    // cluster labels through the artifact == the inline cluster op
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "cluster_size", "n_bytes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Dedup.imageNearDupClustersFromIndex(idx)) ==
+      rows(Dedup.imageNearDupClusters(media)))
+    // ensure() is build-once: a second call must NOT rebuild (the
+    // marker is process-local), and must return the same rows
+    val e1 = ImageIndex.ensure(media, spark, dir + "_e")
+    val before = new java.io.File(dir + "_e/hashed.parquet").lastModified()
+    val e2 = ImageIndex.ensure(
+      { fail("ensure must not re-synthesize the corpus on a warm path"); media },
+      spark, dir + "_e")
+    assert(new java.io.File(dir + "_e/hashed.parquet").lastModified() == before)
+    assert(rows(Dedup.imageNearDupClustersFromIndex(e1)) ==
+      rows(Dedup.imageNearDupClustersFromIndex(e2)))
+  }
+
   test("q177 runs, is deterministic, and drops every thumbnail variant") {
     val a = LlmQueries.q177(spark, sf).collect()
     val b = LlmQueries.q177(spark, sf).collect()

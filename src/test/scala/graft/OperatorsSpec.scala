@@ -1583,6 +1583,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp3(free).isEmpty)
   }
 
+  test("audioFeatures decodes mp3 metadata (r13 wiring): facts real, samples stubbed") {
+    import spark.implicits._
+    // closed-form check on the generator first: 3 frames at idx
+    // (5, 9, 14) = 64/128/320 kbps, 32 kHz -> 288 + 576 + 1440 bytes,
+    // + ID3v2(20) prefix (30) + ID3v1 trailer (128)
+    val vbr = Multimodal.syntheticMp3(Seq(5, 9, 14), rate = 32000,
+      id3Size = 20, id3v1Trailer = true)
+    assert(vbr.length == 30 + 288 + 576 + 1440 + 128, s"closed form: ${vbr.length}")
+    val p = Multimodal.parseMp3(vbr).get
+    assert(p == Multimodal.Mp3Info("1", 32000, 1, 3, 3L * 1152 * 1000 / 32000,
+      (64 + 128 + 320) / 3))
+    // through the DataFrame op: mp3 rows surface metadata with bits=0
+    // and rms=0 (lossy samples stay stubbed); junk stays decoded=false
+    val media = Seq(
+      (1L, vbr, 0, 0, "mp3"),
+      (2L, Multimodal.syntheticWav("seed".getBytes, 8, 1000), 0, 0, "wav"),
+      (3L, "not audio".getBytes("UTF-8"), 0, 0, "mp3"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.audioFeatures(media).orderBy("doc_id").collect()
+    val m = got(0)
+    assert(m.getAs[Boolean]("decoded") && m.getAs[Int]("channels") == 1 &&
+      m.getAs[Int]("sample_rate") == 32000 && m.getAs[Int]("bits") == 0)
+    assert(m.getAs[Long]("n_samples") == 3L * 1152 &&
+      m.getAs[Long]("duration_ms") == 3L * 1152 * 1000 / 32000 &&
+      m.getAs[Long]("rms_milli") == 0L)
+    assert(got(1).getAs[Boolean]("decoded") && got(1).getAs[Int]("bits") == 16,
+      "WAV must still take the PCM path")
+    assert(!got(2).getAs[Boolean]("decoded"))
+  }
+
   test("AVI containers parse through the real RIFF walker: dims, frames, fps, streams") {
     import spark.implicits._
     val avi = Multimodal.syntheticAvi(w = 320, h = 240, frames = 10, usPerFrame = 40000)

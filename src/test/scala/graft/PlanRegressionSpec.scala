@@ -639,7 +639,7 @@ class PlanRegressionSpec extends SparkSpec {
     assert(fs1.size == 1,
       s"payload must be file-scanned exactly once in the visible plan (survivor recovery), got ${fs1.size}")
     val imSchemas = im1.map(_.output.map(_.name).toSet)
-    assert(imSchemas.exists(_.contains("__ch")),
+    assert(imSchemas.exists(_.contains("content_key")),
       "the narrow keying projection must be read from cache")
     assert(imSchemas.exists(s => s.contains("dhash") || s.contains("decoded")),
       "the decode result must be read from cache (one decode pass for all four consumers)")

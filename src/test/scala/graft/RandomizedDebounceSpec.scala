@@ -45,6 +45,59 @@ class RandomizedDebounceSpec extends SparkSpec {
     }
   }
 
+  test("streaming debounce replay of the EVENT FIXTURE == the q155 batch gate rows (r13)") {
+    // the q206 discipline applied to streaming (r12 verdict item #7):
+    // the driver-gated batch rows ARE the reference, and the streaming
+    // path must reproduce them from a shuffled multi-batch replay of
+    // the same fixture. q155 debounces per (user_id, event_type);
+    // the stream keys one long, so the replay packs the pair into a
+    // composite key (type index in the low bits) — a harness mapping,
+    // not an operator change.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Tables
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cd = 86400L
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val tIdx = types.zipWithIndex.toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val span = evs.map(_._4).max - evs.map(_._4).min + 10
+    val shuffled = new scala.util.Random(7).shuffle(evs.toSeq)
+    val in = MemoryStream[RawEvent]
+    val out = EventStream.debounceStream(in.toDS(), cooldownSec = cd,
+      watermarkDelay = s"$span seconds")
+    val qname = s"deb_fixture_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).foreach { batch =>
+        in.addData(batch.map { case (id, u, t, s) =>
+          RawEvent(id, new java.sql.Timestamp(s * 1000L),
+            u * types.length + tIdx(t), t, 0.0)
+        }: _*)
+        q.processAllAvailable()
+      }
+      // two far-future sentinels: the watermark trails by the full
+      // fixture span (out-of-order tolerance), so the sentinel must sit
+      // span + cooldown past the last event for every real cooldown
+      // window to close; then a second batch lets the timers fire
+      val far = evs.map(_._4).max + span + 3 * cd
+      in.addData(RawEvent(-1L, new java.sql.Timestamp(far * 1000L), -999L, "s", 0.0))
+      q.processAllAvailable()
+      in.addData(RawEvent(-2L, new java.sql.Timestamp((far + 1) * 1000L), -999L, "s", 0.0))
+      q.processAllAvailable()
+      val got = spark.table(qname).select("user_id", "event_id").collect()
+        .filter(_.getLong(0) != -999L).map(_.getLong(1)).toSet
+      val gate = AnalyticsQueries.q155(spark, sf)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == gate,
+        s"stream-only=${(got -- gate).take(5)} gate-only=${(gate -- got).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming debounce == greedy walk on shuffled 3-batch replays (2 seeds)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
