@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.CorpusOps
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the r13 chunk-store index: the PRODUCTION ingest
+  * shape — a persisted index over the historical corpus, one SMALL
+  * batch flagged against it per run. Times (a) the one-time index
+  * build + persist over the base slice, (b) the per-ingest increment
+  * of the new batch (the recurring cost the index exists to bound),
+  * and (c) optionally the corpus-wide one-shot window (the cost every
+  * ingest would pay WITHOUT the index — pass `oneShot` as arg 2).
+  * Prints one JSON line.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.ChunkBench [batchPct] [oneShot]`
+  */
+object ChunkBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batchPct = if (args.nonEmpty) args(0).toInt else 5
+    val oneShot = args.length > 1 && args(1) == "oneShot"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId - maxId * batchPct / 100
+    val base = docs.filter(col("doc_id") <= cut)
+    val batch = docs.filter(col("doc_id") > cut)
+    val nBatch = batch.count()
+    val idxDir = graft.sources.Scratch.dir("chunk_index")
+    val (_, tBuild) = time {
+      CorpusOps.chunkIndex(base, "doc_id", "text", k = 8)
+        .write.mode("overwrite").parquet(idxDir)
+    }
+    val nIndex = spark.read.parquet(idxDir).count()
+    val (_, tInc) = time {
+      val (flagged, newRows) =
+        CorpusOps.cdcChunksIncrement(spark.read.parquet(idxDir), batch,
+          "doc_id", "text", k = 8)
+      flagged.write.format("noop").mode("overwrite").save()
+      newRows.write.format("noop").mode("overwrite").save()
+    }
+    val tWindow = if (oneShot)
+      time(CorpusOps.cdcChunks(docs, "doc_id", "text", k = 8)
+        .write.format("noop").mode("overwrite").save())._2
+    else -1.0
+    println(s"""{"metric":"chunk_increment","sf_dir":"$sfDir",""" +
+      s""""batch_pct":$batchPct,"batch_docs":$nBatch,"index_chunks":$nIndex,""" +
+      s""""sec_index_build":${f"$tBuild%.1f"},"sec_increment":${f"$tInc%.1f"},""" +
+      s""""sec_oneshot_window":${f"$tWindow%.1f"}}""")
+    spark.stop()
+  }
+}

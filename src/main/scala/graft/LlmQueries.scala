@@ -461,13 +461,10 @@ object LlmQueries {
     * of the text head (text clones ⇒ byte-identical images), plus a
     * 48px resized re-encoded PNG variant of each (the classic thumbnail
     * near-dup) at doc_id + 1e6. The corpus is an EXPENSIVE DERIVED plan
-    * (synthesis + PNG re-encode), so it is materialized once: the
-    * router's sample pass populates the cache as a side effect and the
-    * consumers' payload reads hit it instead of re-synthesizing —
-    * exactly the "materialize first" caller contract
-    * imageDedupDHashAdaptive's scaladoc states. A parquet-backed
-    * production corpus skips this (columnar re-reads are the cheap
-    * case). */
+    * (synthesis + PNG re-encode), so `imageGateCorpus` materializes it
+    * ONCE per (JVM, source dir) to a stable scratch parquet (r13) and
+    * every consumer reads the columnar copy — exactly how a
+    * parquet-backed production corpus arrives. */
   private def syntheticImageCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
@@ -481,28 +478,46 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    // StageCaches lifecycle (r12): q177 and q193 share one registered
-    // entry (sameResult), and repeated gate runs swap instead of grow
-    graft.operators.StageCaches.stage(base.unionByName(variants),
-      "llm.imagegate.corpus")
+    // consumed exactly once — by imageGateCorpus's materializing write
+    // (r13); the parquet copy replaces the r12 StageCaches entry
+    base.unionByName(variants)
   }
+
+  /** The gate's image corpus, MATERIALIZED once per (JVM, source dir)
+    * to a stable scratch parquet: synthesis (BMP builds + PNG
+    * re-encodes) is the expensive derived plan the r12 measurements
+    * flagged, so it runs exactly once and every consumer — the index
+    * build, q177's survivor recovery, repeated bench runs — reads the
+    * columnar copy, exactly how a production corpus arrives. */
+  private val corpusLock = new Object
+  private val corpusReady = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[String]())
+  private def imageGateCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpusLock.synchronized {
+      val path = graft.sources.Scratch.shared("imagecorpus_" + dir)
+      if (!corpusReady.contains(path)) {
+        syntheticImageCorpus(spark, dir).write.mode("overwrite").parquet(path)
+        corpusReady.add(path)
+      }
+      spark.read.parquet(path)
+    }
 
   /** The build-once-read-many image-feature artifact shared by q177
     * and q193 (r13, the r12 verdict lead item): whichever gate runs
     * first persists [[graft.operators.ImageIndex]] to a stable per-JVM
     * scratch path (keyed by the source dir), the other probes it —
-    * each payload is synthesized once (the staged corpus) and decoded
-    * ONCE across all image ops, and every downstream pass runs on
-    * 8-byte signatures from parquet. The r12 inline form re-decoded
+    * each payload is synthesized once (the materialized corpus) and
+    * decoded ONCE across all image ops, and every downstream pass runs
+    * on 8-byte signatures from parquet. The r12 inline form re-decoded
     * per consumer: 1023 s at sf10 under javax.imageio GC-locker
     * contention; the artifact hoists the codec out of the reports
     * entirely. */
   private def imageGateIndex(spark: SparkSession, dir: String): graft.operators.ImageIndex =
-    graft.operators.ImageIndex.ensure(syntheticImageCorpus(spark, dir), spark,
+    graft.operators.ImageIndex.ensure(imageGateCorpus(spark, dir), spark,
       graft.sources.Scratch.shared("imageidx_" + dir))
 
   def q177(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.imageDedupFromIndex(syntheticImageCorpus(spark, dir),
+    graft.operators.Dedup.imageDedupFromIndex(imageGateCorpus(spark, dir),
         imageGateIndex(spark, dir))
       .select(col("doc_id"), col("fmt"), col("width"))
       .orderBy("doc_id")

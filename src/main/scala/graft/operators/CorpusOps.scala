@@ -654,7 +654,10 @@ object CorpusOps {
         "corpus.cdc.exploded")
       val winners = exploded.groupBy("chunk_md5")
         .agg(min(struct(col(idCol), col("chunk_ix"))).as("__w"))
-      exploded.join(winners, Seq("chunk_md5"))
+      // merge-hinted: Generate keeps its child's size estimate, so the
+      // exploded chunk frame looks broadcastable to AQE at any scale
+      // (the r13 image-banding lesson) — pin the spill-safe SMJ
+      exploded.join(winners.hint("merge"), Seq("chunk_md5"))
         .withColumn("is_first", struct(col(idCol), col("chunk_ix")) === col("__w"))
         .drop("__w")
         .select(col(idCol), col("chunk_ix"), col("chunk_len"), col("chunk_md5"),
@@ -734,9 +737,13 @@ object CorpusOps {
     // BEFORE the anti-join exchange
     val prunedIndex = BloomPrefilter.mightMatch(
       index.select("chunk_md5"), batchFirst.select("chunk_md5"), "chunk_md5")
-    val winners = batchFirst.join(prunedIndex, Seq("chunk_md5"), "left_anti")
+    // both joins merge-hinted: the batch-first frame sits above a
+    // Generate whose size estimate is its CHILD's, and the pruned index
+    // under a selective-looking filter — either side can trick AQE into
+    // a multi-GB driver-side broadcast build (observed OOM at 5M docs)
+    val winners = batchFirst.join(prunedIndex.hint("merge"), Seq("chunk_md5"), "left_anti")
     val flagged = exploded
-      .join(winners.select(col("chunk_md5"), col("__f").as("__w")),
+      .join(winners.select(col("chunk_md5"), col("__f").as("__w")).hint("merge"),
         Seq("chunk_md5"), "left")
       .withColumn("is_first",
         col("__w").isNotNull && struct(col(idCol), col("chunk_ix")) === col("__w"))
@@ -942,11 +949,30 @@ object CorpusOps {
     * measureCloneFactor eagerness contract: runs at construction;
     * callers with catalog stats pass the decision instead). EAGER.
     */
-  def measureGramKeyWidth(bench: DataFrame, textCol: String, n: Int): Double = {
-    val r = bench.select(explode(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n))).as("__g"))
-      .agg(avg(length(col("__g").cast(BinaryType)))).head()
-    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  def measureGramKeyWidth(bench: DataFrame, textCol: String, n: Int): Double =
+    measureGramKeyWidths(bench, textCol, Seq(n))(n)
+
+  /** Several gram sizes in ONE aggregate job (the measureCloneFactor
+    * amortization discipline): per-doc-distinct gram byte lengths fold
+    * map-side with `aggregate` (no explode, no shuffle beyond the
+    * scalar agg), so routing both of [[corpusAudit]]'s stages costs one
+    * job, not two. EAGER. */
+  def measureGramKeyWidths(bench: DataFrame, textCol: String,
+                           ns: Seq[Int]): Map[Int, Double] = {
+    require(ns.nonEmpty, "need at least one gram size")
+    val aggs = ns.zipWithIndex.flatMap { case (n, i) =>
+      val sh = array_distinct(TextFunctions.wordShingles(col(textCol), n))
+      Seq(
+        sum(aggregate(sh, lit(0L),
+          (acc, g) => acc + length(g.cast(BinaryType)).cast(LongType))).as(s"__s$i"),
+        sum(size(sh).cast(LongType)).as(s"__c$i"))
+    }
+    val r = bench.agg(aggs.head, aggs.tail: _*).head()
+    ns.zipWithIndex.map { case (n, i) =>
+      val (s, c) = (if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i),
+        if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
+      n -> (if (c == 0L) 0.0 else s.toDouble / c.toDouble)
+    }.toMap
   }
 
   /** The hashed-probe ROUTING RULE, derived from the r12 measurements:
@@ -1245,16 +1271,18 @@ object CorpusOps {
     // a factor) — threaded through every adaptive stage below
     val f = Some(knownCloneFactor.getOrElse(
       measureTextCloneFactor(train, idCol, textCol, sampleFraction)))
-    // hashed-probe routing (r13): None = measure each stage's bench
-    // key width over the tiny bench side and apply [[shouldHashProbe]]
-    // — the n-gram stage and the shingle stage route INDEPENDENTLY
-    // (8-grams measured worth hashing, 3-shingles measured not);
-    // Some(x) pins both (catalog stats). Both branches are
-    // result-identical, so a routing miss costs wall, never rows.
-    val hpContam = hashedProbe.getOrElse(
-      shouldHashProbe(measureGramKeyWidth(bench, textCol, n)))
-    val hpFuzzy = hashedProbe.getOrElse(
-      shouldHashProbe(measureGramKeyWidth(bench, textCol, shingleN)))
+    // hashed-probe routing (r13): None = measure both stages' bench
+    // key widths in ONE aggregate job over the tiny bench side and
+    // apply [[shouldHashProbe]] — the n-gram stage and the shingle
+    // stage route INDEPENDENTLY (8-grams measured worth hashing,
+    // 3-shingles measured not); Some(x) pins both (catalog stats).
+    // Both branches are result-identical, so a routing miss costs
+    // wall, never rows.
+    val widths = if (hashedProbe.isEmpty)
+      measureGramKeyWidths(bench, textCol, Seq(n, shingleN).distinct)
+    else Map.empty[Int, Double]
+    val hpContam = hashedProbe.getOrElse(shouldHashProbe(widths(n)))
+    val hpFuzzy = hashedProbe.getOrElse(shouldHashProbe(widths(shingleN)))
     val contam = contaminationReportAdaptive(train, bench, idCol, textCol,
       n, thrNum, thrDen, minCloneFactor, sampleFraction, f, checkpointDir,
       hpContam)

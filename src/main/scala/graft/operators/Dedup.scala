@@ -230,18 +230,29 @@ object Dedup {
         s"hamming <= ${blocks - agreeBlocks}; maxHamming=$maxHamming breaks the guarantee")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    def blockVal(b: Int): Column = shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
-    // every r-subset of block indices, enumerated deterministically
-    val subsets = (0 until blocks).combinations(agreeBlocks).toSeq
-    val keys = subsets.zipWithIndex.map { case (subset, i) =>
-      struct(lit(i).as("combo"),
-        concat_ws("_", subset.map(b => blockVal(b).cast(StringType)): _*).as("combo_key"))
-    }
-    val banded = sig.select(col("id"), col("sig"), explode(array(keys: _*)).as("k"))
-      .select(col("id"), col("sig"), col("k.combo"), col("k.combo_key"))
+    // every r-subset of block indices, enumerated deterministically and
+    // carried as DATA (one typedLit array literal + posexplode), with
+    // the combo key computed by ONE transform expression — the r13
+    // shape: a per-subset struct-literal array put C(blocks, r)·6
+    // nodes in the expression tree, which at r=4 (1820 subsets) stalled
+    // codegen/analysis outright; as data the plan is O(1) in the
+    // subset count and only the exploded ROWS scale with C(blocks, r)
+    val subsets = (0 until blocks).combinations(agreeBlocks).map(_.toSeq).toSeq
+    val banded = sig
+      .select(col("id"), col("sig"),
+        posexplode(typedLit(subsets)).as(Seq("combo", "subset")))
+      .select(col("id"), col("sig"), col("combo"),
+        expr(s"array_join(transform(subset, b -> " +
+          s"string(shiftright(sig, b * $width) & ${mask}L)), '_')").as("combo_key"))
     val l = banded.select(col("combo"), col("combo_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("combo"), col("combo_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("combo", "combo_key"))
+    // the bucket self-join is LARGE × LARGE (C(blocks, r) rows per doc
+    // on both sides), but Generate keeps its child's size estimate, so
+    // Catalyst sees the exploded side as broadcastable and AQE tries to
+    // collect 10^8 banded rows to the driver (observed at 83k distinct
+    // images: maxResultSize abort). Pin the spill-safe sort-merge
+    // strategy; AQE still skew-splits hot buckets post-shuffle.
+    l.hint("merge").join(r, Seq("combo", "combo_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -274,10 +285,23 @@ object Dedup {
     * @param maxHamming dHash Hamming bound for candidate pairs
     * @param maxMeanAbsDiff exact-verify bound: mean absolute luma
     *        difference over the 9×8 grids, in 0-255 luma units
+    *
+    * Blocking sizing (r13, measured at sf10-distinct = 83k distinct
+    * images): expected random-collision candidate pairs scale as
+    * C(N,2)·C(blocks,a)/2^(bits·a) where a = agreeBlocks and bits =
+    * 64/blocks — at a=2 the 8-bit combo keys give C(16,2)/2^8 ≈ 0.47
+    * collision-pairs per doc-pair unit (1.6e9 candidates at N=83k, a
+    * stack-sampled BHJ stall), while a=4 gives 1820/2^16 ≈ 0.028
+    * (~17× fewer) for 15× more exploded rows — linear in N and
+    * map-side, the right trade for any N past ~10k distinct images.
+    * a=4 stays EXHAUSTIVE for maxHamming ≤ blocks−4 = 12 ≥ the
+    * default 10; candidates are a superset/subset question only —
+    * the exact luma verify decides, so the knob moves wall-clock,
+    * never results (spec'd either way).
     */
   def imageDedupDHash(media: DataFrame, maxHamming: Int = 10,
                       maxMeanAbsDiff: Int = 16,
-                      blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+                      blocks: Int = 16, agreeBlocks: Int = 4): DataFrame = {
     val hashed = graft.operators.Multimodal.imageDHash(media)
     media.join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
       Seq("doc_id"), "left_anti")
@@ -339,7 +363,7 @@ object Dedup {
     */
   def imageNearDupClusters(media: DataFrame, maxHamming: Int = 10,
                            maxMeanAbsDiff: Int = 16,
-                           blocks: Int = 16, agreeBlocks: Int = 2,
+                           blocks: Int = 16, agreeBlocks: Int = 4,
                            checkpointDir: Option[String] = None): DataFrame =
     imageNearDupClustersFromIndex(ImageIndex.build(media, checkpointDir),
       maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
@@ -355,7 +379,7 @@ object Dedup {
     */
   def imageNearDupClustersFromIndex(index: ImageIndex, maxHamming: Int = 10,
                                     maxMeanAbsDiff: Int = 16,
-                                    blocks: Int = 16, agreeBlocks: Int = 2): DataFrame = {
+                                    blocks: Int = 16, agreeBlocks: Int = 4): DataFrame = {
     // null payloads key to the sentinel of their own id — singleton
     // classes, never collapsed, never decoded
     val keyed = index.keyed.select(col("doc_id"),
@@ -418,7 +442,7 @@ object Dedup {
     */
   def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
                              maxMeanAbsDiff: Int = 16,
-                             blocks: Int = 16, agreeBlocks: Int = 2,
+                             blocks: Int = 16, agreeBlocks: Int = 4,
                              checkpointDir: Option[String] = None): DataFrame =
     // payload reads 1+2 (keying, rep decode) live inside the index
     // build; read 3 recovers the full surviving rows in one semi-join
@@ -457,7 +481,7 @@ object Dedup {
     * supplies the full surviving rows via one semi-join. */
   def imageDedupFromIndex(media: DataFrame, index: ImageIndex,
                           maxHamming: Int = 10, maxMeanAbsDiff: Int = 16,
-                          blocks: Int = 16, agreeBlocks: Int = 2): DataFrame =
+                          blocks: Int = 16, agreeBlocks: Int = 4): DataFrame =
     media.join(
       imageSurvivorIdsFromIndex(index, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
       Seq("doc_id"), "left_semi")
@@ -486,7 +510,7 @@ object Dedup {
     */
   def imageDedupDHashAdaptive(media: DataFrame, maxHamming: Int = 10,
                               maxMeanAbsDiff: Int = 16,
-                              blocks: Int = 16, agreeBlocks: Int = 2,
+                              blocks: Int = 16, agreeBlocks: Int = 4,
                               minCloneFactor: Double = 1.5,
                               sampleFraction: Double = 0.1,
                               knownCloneFactor: Option[Double] = None,

@@ -610,13 +610,25 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("q177: image dedup never plans an all-pairs join") {
-    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
     val df = LlmQueries.q177(spark, sf)
     df.collect()
     val nodes = executedNodes(df)
     assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty &&
       nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       "candidate generation must stay blocked equi-joins — all-pairs found")
+    // r13: the banded bucket self-join must SORT-MERGE, never broadcast
+    // — Generate keeps its child's size estimate, so without the pinned
+    // hint AQE sees the C(blocks, r)-exploded side as broadcastable and
+    // collects 10^8 banded rows to the driver (observed maxResultSize
+    // abort at 83k distinct images)
+    val comboJoins = nodes.collect { case s: SortMergeJoinExec
+      if s.leftKeys.exists(_.toString.contains("combo")) => s }
+    assert(comboJoins.nonEmpty,
+      "the combination-blocked candidate self-join must be a sort-merge join")
+    assert(!nodes.collect { case b: BroadcastHashJoinExec => b }
+      .exists(_.leftKeys.exists(_.toString.contains("combo_key"))),
+      "the banded self-join must not broadcast (Generate size misestimate)")
   }
 
   test("layered dedup forms: the wide input column is scanned once per logical need (r10 fix)") {
