@@ -382,11 +382,15 @@ if os.path.isdir(q193_path):
 # 32 kHz with n = 3 + id%7 frames, frame f's bitrate =
 # V1TABLE[1 + (id + 7f) % 14], an ID3v2(20) prefix when id%4==1 and
 # an ID3v1 trailer when id%8 in {1,5} — metadata decode only (bits=0,
-# rms=0, the lossy-codec stub split); the other doc_id%15==0 docs
-# carry junk text bytes that must come back decoded=false with zeroed
-# facts. Every output column is recomputed here exactly, including
-# the IEEE RMS accumulation in sample order and the integer-floor mp3
-# frame lengths/duration.
+# rms=0, the lossy-codec stub split); id%180==15 docs carry an
+# AAC-ADTS stream (r14: rate/channels/frame-count from id formulas,
+# 1024 samples per frame); id%180==75 docs an Ogg-Opus stream (r14:
+# 48 kHz granule clock, n_samples = last_granule - pre_skip); the
+# remaining doc_id%15==0 docs (id%180 in {105,165}) carry junk text
+# bytes that must come back decoded=false with zeroed facts. Every
+# output column is recomputed here exactly, including the IEEE RMS
+# accumulation in sample order and the integer-floor mp3/adts/opus
+# frame lengths/durations.
 q197_path = f"{OUT}/q197_audio_features"
 if os.path.isdir(q197_path):
     import hashlib, math
@@ -425,6 +429,19 @@ if os.path.isdir(q197_path):
             if doc_id % 8 in (1, 5):
                 blen += 128
             exp = (blen, 1, 32000, 0, n * 1152, n * 1152 * 1000 // 32000, 0, True)
+        elif doc_id % 180 == 15:
+            n = 2 + int((doc_id % 13) % 8)
+            rate = [48000, 44100, 32000, 24000, 22050][int((doc_id % 7) % 5)]
+            ch = 1 + int((doc_id % 11) % 2)
+            blen = sum(7 + 13 + int((doc_id + 31 * f) % 17) for f in range(n))
+            exp = (blen, ch, rate, 0, n * 1024, n * 1024 * 1000 // rate, 0, True)
+        elif doc_id % 180 == 75:
+            n = 2 + int((doc_id % 13) % 5)
+            ch = 1 + int((doc_id % 7) % 2)
+            spp = 960 * (1 + int((doc_id % 11) % 3))
+            blen = 91 + sum(28 + 20 + int((doc_id + 37 * i) % 53) for i in range(n))
+            ns = n * spp
+            exp = (blen, ch, 48000, 0, ns, ns * 1000 // 48000, 0, True)
         else:
             exp = (len(head.encode("utf-8")), 0, 0, 0, 0, 0, 0, False)
         gval = (int(g.byte_len), int(g.channels), int(g.sample_rate), int(g.bits),
@@ -439,14 +456,21 @@ if os.path.isdir(q197_path):
     else:
         n_wav = int((docs.doc_id % 30 == 0).sum())
         n_mp3 = int(((docs.doc_id % 45 == 0) & (docs.doc_id % 30 != 0)).sum())
+        n_adts = int((docs.doc_id % 180 == 15).sum())
+        n_opus = int((docs.doc_id % 180 == 75).sum())
         print(f"ok   q197_audio_features [property: all {len(docs)} rows match the "
-              f"decode formulas exactly ({n_wav} real WAVs, {n_mp3} VBR mp3s, rest junk)]")
+              f"decode formulas exactly ({n_wav} real WAVs, {n_mp3} VBR mp3s, "
+              f"{n_adts} ADTS, {n_opus} Ogg-Opus, rest junk)]")
 
 # q198: video container metadata (rows-only). doc_id%20==0 docs carry a
 # deterministic synthetic AVI (w = 160 + id%16*16, h = 120 + id%12*8,
 # frames = 8 + id%32, usPerFrame = 33333 if id%40==0 else 40000,
-# byte_len = 224 + frames*72); the other doc_id%10==0 docs carry junk
-# text bytes -> decoded=false, zeroed facts. All columns recomputed.
+# byte_len = 224 + frames*72); id%60==10 docs carry a version-0
+# video-only MP4 (90 kHz clock, duration = frames*3000 -> exact 30 fps,
+# byte_len = 140 + 212 + 64); id%60==30 docs a version-1 two-track MP4
+# (600-unit clock, duration = frames*25 -> exact 24 fps, byte_len =
+# 152 + 2*224 + 64); id%60==50 docs junk text bytes -> decoded=false,
+# zeroed facts. All columns recomputed from the id formulas.
 q198_path = f"{OUT}/q198_video_meta"
 if os.path.isdir(q198_path):
     got = con.sql(
@@ -467,6 +491,18 @@ if os.path.isdir(q198_path):
             exp = (224 + frames * 72, 160 + int(doc_id % 16) * 16,
                    120 + int(doc_id % 12) * 8, frames, frames * us // 1000,
                    1000000000 // us, 1, 1, 0, True)
+        elif doc_id % 60 == 10:
+            frames = 5 + int(doc_id % 25)
+            dur = frames * 3000
+            exp = (140 + 212 + 64, 128 + int(doc_id % 16) * 16,
+                   96 + int(doc_id % 12) * 8, frames, dur * 1000 // 90000,
+                   frames * 90000 * 1000 // dur, 1, 1, 0, True)
+        elif doc_id % 60 == 30:
+            frames = 4 + int(doc_id % 20)
+            dur = frames * 25
+            exp = (152 + 2 * 224 + 64, 176 + int(doc_id % 8) * 16,
+                   144 + int(doc_id % 6) * 16, frames, dur * 1000 // 600,
+                   frames * 600 * 1000 // dur, 2, 1, 1, True)
         else:
             exp = (len(((text or "")[:80]).encode("utf-8")), 0, 0, 0, 0, 0,
                    0, 0, 0, False)
@@ -481,8 +517,10 @@ if os.path.isdir(q198_path):
               f"mismatches {bad[:3]}")
     else:
         n_avi = int((docs.doc_id % 20 == 0).sum())
+        n_mp4 = int(((docs.doc_id % 60 == 10) | (docs.doc_id % 60 == 30)).sum())
         print(f"ok   q198_video_meta [property: all {len(docs)} rows match the "
-              f"AVI-walk formulas exactly ({n_avi} real AVIs, rest junk)]")
+              f"container-walk formulas exactly ({n_avi} real AVIs, {n_mp4} MP4s "
+              f"incl. v1 two-track, rest junk)]")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Dedup, ImageIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the r13 persisted image-feature artifact, made
+  * RE-RUNNABLE (r14 — the verdict wanted the prose sf10 numbers in a
+  * standing main, the ChunkBench/IndexBench precedent): times (a) the
+  * one-time index build + persist — the only pass that runs the image
+  * codec — (b) the q193-shaped near-dup cluster report probing the
+  * PERSISTED artifact (pure relational work on 8-byte dHashes and
+  * 72-int grids — the recurring cost), and (c) a second warm probe
+  * (the build-once/probe-many claim). The corpus is the q177/q193
+  * synthesis (BMPs from doc-text md5 + PNG thumbnail re-encodes) at
+  * `mirror`× — mirroring multiplies byte-identical clones, the
+  * duplication axis the artifact collapses before any decode.
+  * Prints one JSON line.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.ImageBench [mirror]`
+  */
+object ImageBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mirror = if (args.nonEmpty) args(0).toInt else 1
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // the q177/q193 gate corpus shape, mirrored and MATERIALIZED once
+    // (a production corpus arrives as columnar files, not a derived plan)
+    val base = LlmQueries.syntheticImageCorpus(spark, sfDir)
+    val corpus = (0 until mirror).map(r => base.select(
+        (col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+        col("payload"), col("width"), col("height"), col("fmt")))
+      .reduce(_ unionByName _)
+    val corpusDir = graft.sources.Scratch.dir("imagebench_corpus")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val media = spark.read.parquet(corpusDir)
+    val nImages = media.count()
+    val idxDir = graft.sources.Scratch.dir("imagebench_index")
+    val (_, tBuild) = time(ImageIndex.write(media, idxDir))
+    def report(): Long = Dedup
+      .imageNearDupClustersFromIndex(ImageIndex.read(spark, idxDir))
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"), count(lit(1)).as("n_docs"))
+      .count()
+    val (rows, tCold) = time(report())
+    val (_, tWarm) = time(report())
+    println(s"""{"metric":"image_index_probe","sf_dir":"$sfDir",""" +
+      s""""mirror":$mirror,"images":$nImages,"report_rows":$rows,""" +
+      s""""sec_index_build":${f"$tBuild%.1f"},"sec_report_cold":${f"$tCold%.1f"},""" +
+      s""""sec_report_warm":${f"$tWarm%.1f"}}""")
+    spark.stop()
+  }
+}

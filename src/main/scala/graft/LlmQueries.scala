@@ -465,7 +465,7 @@ object LlmQueries {
     * ONCE per (JVM, source dir) to a stable scratch parquet (r13) and
     * every consumer reads the columnar copy — exactly how a
     * parquet-backed production corpus arrives. */
-  private def syntheticImageCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def syntheticImageCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .filter(col("doc_id") % 12 === 0)
@@ -530,13 +530,17 @@ object LlmQueries {
   // documents the exact sample formula), REAL VBR mp3 streams (r13 —
   // odd multiples of 45: deterministic per-frame bitrates, alternating
   // ID3v2 prefixes and ID3v1 trailers; Multimodal.syntheticMp3
-  // documents the closed forms check.py recomputes), and junk
-  // text-byte payloads that must come back decoded=false with zeroed
-  // facts. The decode itself is the real RIFF walker + the r12
-  // hand-rolled FLAC decoder + the r13-wired MPEG frame-header walk
-  // (FLAC payloads are spec-gated in FlacSpec on hand-built streams —
-  // the Vp8lSpec discipline); partition-batched map-side, no shuffle —
-  // the 100 TB pass is scan-speed.
+  // documents the closed forms check.py recomputes), REAL AAC-ADTS
+  // frame streams (r14, id%180==15: varying rates/channels/frame
+  // lengths), REAL Ogg-Opus page streams (r14, id%180==75: 48 kHz
+  // granule clock, pre-skip subtracted per RFC 7845), and junk
+  // text-byte payloads (id%180 in {105,165}) that must come back
+  // decoded=false with zeroed facts. The decode itself is the real
+  // RIFF walker + the r12 hand-rolled FLAC decoder + the r13 MPEG
+  // frame-header walk + the r14 ADTS/Ogg walkers (FLAC payloads are
+  // spec-gated in FlacSpec on hand-built streams — the Vp8lSpec
+  // discipline); partition-batched map-side, no shuffle — the 100 TB
+  // pass is scan-speed.
   def q197(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
@@ -561,6 +565,20 @@ object LlmQueries {
               rate = 32000,
               id3Size = if (id % 4 == 1) 20 else -1,
               id3v1Trailer = id % 8 == 1 || id % 8 == 5)
+          } else if (id % 180 == 15) {
+            // AAC-ADTS: moduli coprime with 180 so params actually vary
+            val n = 2 + ((id % 13) % 8).toInt
+            Multimodal.syntheticAdts(
+              rate = Seq(48000, 44100, 32000, 24000, 22050)(((id % 7) % 5).toInt),
+              channels = 1 + ((id % 11) % 2).toInt,
+              bodyLens = (0 until n).map(f => 13 + ((id + 31L * f) % 17).toInt))
+          } else if (id % 180 == 75) {
+            val n = 2 + ((id % 13) % 5).toInt
+            Multimodal.syntheticOggOpus(
+              channels = 1 + ((id % 7) % 2).toInt,
+              preSkip = 312 + (id % 19).toInt * 8,
+              samplesPerPage = 960 * (1 + ((id % 11) % 3).toInt),
+              bodyLens = (0 until n).map(i => 20 + ((id + 37L * i) % 53).toInt))
           } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         graft.operators.MediaRow(id, payload, 0, 0, "wav")
       }).toDF()
@@ -595,13 +613,18 @@ object LlmQueries {
 
   // q198: VIDEO container metadata over the opaque binary column
   // (rows-only — the q197 discipline for video): real RIFF/AVI chunk
-  // walk (Multimodal.parseAvi) extracting dims, frame count,
-  // exact-integer duration/fps, and the stream inventory; frame PIXELS
-  // stay behind the declared codec stub, because at 100 TB the
-  // metadata-only passes (duration audits, fps histograms) must never
-  // touch a codec. The gate corpus alternates deterministic synthetic
-  // AVIs (Multimodal.syntheticAvi — closed-form sizes) with junk
-  // payloads that must come back decoded=false; check.py recomputes
+  // walk (Multimodal.parseAvi) AND the r14 ISO-BMFF box walk
+  // (Multimodal.parseMp4 — real multimodal corpora are MP4-dominated;
+  // the r13 verdict's lead gap), sniffed per payload, extracting dims,
+  // frame count, exact-integer duration/fps, and the stream inventory;
+  // frame PIXELS stay behind the declared codec stub, because at
+  // 100 TB the metadata-only passes (duration audits, fps histograms)
+  // must never touch a codec. The gate corpus mixes deterministic
+  // synthetic AVIs (id%20==0 — Multimodal.syntheticAvi, closed-form
+  // sizes), version-0 video-only MP4s (id%60==10, 90 kHz clock, exact
+  // 30 fps), version-1 two-track MP4s (id%60==30, 600-unit clock,
+  // exact 24 fps, 64-bit mvhd/tkhd times exercised), and junk payloads
+  // (id%60==50) that must come back decoded=false; check.py recomputes
   // every column from the id formulas. Map-side, no shuffle.
   def q198(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -616,7 +639,18 @@ object LlmQueries {
               w = 160 + (id % 16).toInt * 16, h = 120 + (id % 12).toInt * 8,
               frames = 8 + (id % 32).toInt,
               usPerFrame = if (id % 40 == 0) 33333 else 40000)
-          else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else if (id % 60 == 10) {
+            val frames = 5 + (id % 25).toInt
+            Multimodal.syntheticMp4(
+              w = 128 + (id % 16).toInt * 16, h = 96 + (id % 12).toInt * 8,
+              frames = frames, timescale = 90000, duration = frames * 3000L)
+          } else if (id % 60 == 30) {
+            val frames = 4 + (id % 20).toInt
+            Multimodal.syntheticMp4(
+              w = 176 + (id % 8).toInt * 16, h = 144 + (id % 6).toInt * 16,
+              frames = frames, timescale = 600, duration = frames * 25L,
+              audioTrack = true, v1 = true)
+          } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         graft.operators.MediaRow(id, payload, 0, 0, "avi")
       }).toDF()
     Multimodal.videoMeta(media).orderBy("doc_id")

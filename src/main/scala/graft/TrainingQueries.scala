@@ -589,6 +589,20 @@ object TrainingQueries {
   // est ≥ true for every probe, and est ≤ true + 2·n_source/width.
   // The per-source grids are a bounded driver collect
   // (|sources|·32 KB — Salting.hotKeys class).
+  /** Driver-side sketch fan-in boundary (r14, making the q100/q101
+    * scale prose executable): per-source sketches collect to the
+    * driver and q101's estimates loop over |sources|² pairs — fine at
+    * thousands of sources (10⁴ ⇒ 80 MB of sketches, 10⁸ cheap array
+    * ops), a silent driver stall past that. Fails loudly at the
+    * documented cap instead; corpora with more sources should shard
+    * the source key or pre-bucket before sketching. */
+  private[graft] def requireBoundedSources(n: Int, what: String,
+                                           cap: Int = 10000): Unit =
+    require(n <= cap,
+      s"$what collected $n per-source sketches (documented cap $cap): the " +
+        s"driver-side pairwise estimate loop is O(|sources|**2) — shard or " +
+        s"pre-bucket the source key past ~10^4 sources")
+
   def q100(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (depth, width) = (4, 2048)
@@ -599,6 +613,7 @@ object TrainingQueries {
       .groupByKey(_._1).mapValues(_._2)
       .agg(cm.toColumn)
       .collect()
+    requireBoundedSources(sketches.length, "q100 CountMin")
     sketches.toSeq
       .flatMap { case (source, grid) =>
         Q100Terms.map(t =>
@@ -639,6 +654,7 @@ object TrainingQueries {
       .agg(kmv.toColumn)
       .collect()
       .sortBy(_._1)
+    requireBoundedSources(sketches.length, "q101 KMV")
     val rows = for {
       (sa, ska) <- sketches.toSeq
       (sb, skb) <- sketches.toSeq if sa < sb
@@ -1876,8 +1892,14 @@ object TrainingQueries {
         "table ", "table\n"), "value ", "value\n"),
         "query ", "query\n"), "scan ", "scan\n").as("text"))
 
+  // Routed through the r14 duplication router: the gate's injected
+  // newlines make lines repeat heavily (~28% drop), so the measured
+  // mean occurrences-per-distinct-line clears the threshold and this
+  // query takes the combinable-winner branch automatically; a
+  // low-duplication corpus takes the single-scan window branch. Both
+  // are result-identical (spec'd), so the oracle is unchanged.
   def q199(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.lineDedup(q199Base(spark, dir), "doc_id", "text")
+    CorpusOps.lineDedupAdaptive(q199Base(spark, dir), "doc_id", "text")
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_frac"),
         md5(col("clean_text").cast(BinaryType)).as("clean_md5"))
       .orderBy("doc_id")
@@ -1966,8 +1988,11 @@ object TrainingQueries {
   // gram, the verdict joins back on the gram key, and the per-doc
   // rollup combines map-side — the q187 plan with the corpus itself as
   // the reference side.
+  // r14: evidence-routed — distinct 8-grams rarely repeat on this
+  // corpus, so the measured duplication routes the single-scan window
+  // branch; a boilerplate-heavy crawl routes combinable automatically.
   def q203(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.ngramNovelty(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+    CorpusOps.ngramNoveltyAdaptive(Tables.documents(spark, dir), "doc_id", "text", n = 8)
       .orderBy("doc_id")
 
   val q203Sql: String =
@@ -2104,8 +2129,10 @@ object TrainingQueries {
   // (one shuffle on the chunk hash, text scanned once). The oracle
   // replays boundaries, spans, and chunk hashes with
   // substr/md5/list ops.
+  // r14: evidence-routed between the window-min and combinable-winner
+  // forms on measured chunk duplication (memoized sample job).
   def q210(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.cdcChunks(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+    CorpusOps.cdcChunksAdaptive(Tables.documents(spark, dir), "doc_id", "text", k = 8)
       .orderBy("doc_id", "chunk_ix")
 
   val q210Sql: String =

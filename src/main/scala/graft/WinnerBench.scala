@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.CorpusOps
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the r14 winner-form router: a BOILERPLATE-HEAVY
+  * corpus (every doc prefixed with the same cookie-banner lines,
+  * mirrored `mirror`× so the hot line keys are duplicated across the
+  * whole corpus) measured through [[CorpusOps.lineDedup]] in both
+  * forms — the single-scan window-min (per-key partitions = duplicate
+  * counts: the hot banner key concentrates in one task) and the
+  * map-side-combinable groupBy-min + merge-hinted join-back (a hot key
+  * reduces to one row per map task before the exchange). Also prints
+  * what the router MEASURED on the corpus and which form it picked, so
+  * the A/B and the routing decision are one artifact. Prints one JSON
+  * line.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... runMain graft.WinnerBench [mirror] [banners]`
+  */
+object WinnerBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mirror = if (args.nonEmpty) args(0).toInt else 8
+    val banners = if (args.length > 1) args(1).toInt else 6
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // banner-heavy corpus: `banners` shared boilerplate lines on every
+    // doc (the CCNet motivating shape), mirrored to multiply corpus-wide
+    // duplication; materialized once so both forms read identical files
+    val banner = (1 to banners)
+      .map(i => s"boilerplate banner line number $i accept cookies to continue")
+      .mkString("\n")
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(lit(banner + "\n"), coalesce(col("text"), lit(""))).as("text"))
+    val corpus = (0 until mirror).map(r => base.select(
+        (col("doc_id") + lit(r * 100000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val dir = graft.sources.Scratch.dir("winnerbench_corpus")
+    corpus.write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val nDocs = docs.count()
+    def run(combinable: Boolean): Double =
+      time(CorpusOps.lineDedup(docs, "doc_id", "text", combinableWinners = combinable)
+        .write.format("noop").mode("overwrite").save())._2
+    val (dup, tMeasure) = time(
+      CorpusOps.measureLineDupFactor(docs, "doc_id", "text"))
+    val routed = dup >= 2.0
+    val tWindow = run(combinable = false)
+    val tCombinable = run(combinable = true)
+    println(s"""{"metric":"line_winner_ab","sf_dir":"$sfDir","mirror":$mirror,""" +
+      s""""banners":$banners,"docs":$nDocs,""" +
+      s""""measured_dup_factor":${f"$dup%.2f"},"sec_measure":${f"$tMeasure%.1f"},""" +
+      s""""routed_combinable":$routed,"sec_window":${f"$tWindow%.1f"},""" +
+      s""""sec_combinable":${f"$tCombinable%.1f"}}""")
+    spark.stop()
+  }
+}

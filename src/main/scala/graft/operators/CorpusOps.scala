@@ -727,7 +727,8 @@ object CorpusOps {
     * NEW distinct chunks — append to the index).
     */
   def cdcChunksIncrement(index: DataFrame, newDocs: DataFrame, idCol: String,
-                         textCol: String, k: Int = 8): (DataFrame, DataFrame) = {
+                         textCol: String, k: Int = 8,
+                         guardMonotone: Boolean = true): (DataFrame, DataFrame) = {
     val exploded = StageCaches.stage(explodedChunks(newDocs, idCol, textCol, k),
       "corpus.cdc.increment.exploded")
     val batchFirst = exploded.groupBy("chunk_md5")
@@ -735,13 +736,41 @@ object CorpusOps {
         max("chunk_len").as("chunk_len"))
     // index rows that cannot collide with any batch key drop map-side,
     // BEFORE the anti-join exchange
-    val prunedIndex = BloomPrefilter.mightMatch(
-      index.select("chunk_md5"), batchFirst.select("chunk_md5"), "chunk_md5")
     // both joins merge-hinted: the batch-first frame sits above a
     // Generate whose size estimate is its CHILD's, and the pruned index
     // under a selective-looking filter — either side can trick AQE into
     // a multi-GB driver-side broadcast build (observed OOM at 5M docs)
-    val winners = batchFirst.join(prunedIndex.hint("merge"), Seq("chunk_md5"), "left_anti")
+    val winners =
+      if (guardMonotone) {
+        // r13-advice guard: the chained==one-shot contract (index
+        // first_ids precede batch ids) was documented but unenforced —
+        // an out-of-order/backfill batch silently produced is_first
+        // flags diverging from one-shot cdcChunks. The check rides the
+        // SAME merge join that decides newness (left instead of
+        // left_anti, one extra carried column, zero extra jobs): any
+        // colliding index row whose first_id is not strictly below the
+        // batch winner id throws mid-join instead of mis-flagging.
+        val prunedIndex = BloomPrefilter.mightMatch(
+          index.select("chunk_md5", "first_id"),
+          batchFirst.select("chunk_md5"), "chunk_md5")
+        batchFirst.join(prunedIndex.hint("merge"), Seq("chunk_md5"), "left")
+          .filter(
+            when(col("first_id").isNotNull,
+              assert_true(col("first_id") < col(s"__f.$idCol"),
+                concat(lit("cdcChunksIncrement: monotone-ingest contract violated — " +
+                  "index first_id "), col("first_id").cast(StringType),
+                  lit(" does not precede batch id "),
+                  col(s"__f.$idCol").cast(StringType),
+                  lit(" for chunk "), col("chunk_md5"),
+                  lit("; backfill batches need a one-shot cdcChunks rebuild")))
+                .isNotNull) // assert_true yields null when OK → row drops (anti-join semantics)
+              .otherwise(lit(true)))
+          .drop("first_id")
+      } else
+        batchFirst.join(
+          BloomPrefilter.mightMatch(index.select("chunk_md5"),
+            batchFirst.select("chunk_md5"), "chunk_md5").hint("merge"),
+          Seq("chunk_md5"), "left_anti")
     val flagged = exploded
       .join(winners.select(col("chunk_md5"), col("__f").as("__w")).hint("merge"),
         Seq("chunk_md5"), "left")
@@ -956,10 +985,22 @@ object CorpusOps {
     * amortization discipline): per-doc-distinct gram byte lengths fold
     * map-side with `aggregate` (no explode, no shuffle beyond the
     * scalar agg), so routing both of [[corpusAudit]]'s stages costs one
-    * job, not two. EAGER. */
+    * job, not two. EAGER on first call, then MEMOIZED per
+    * (bench plan, gram sizes) for the session ([[RouterStats]], r14 —
+    * the r13 auto-router paid this aggregate on EVERY invocation, the
+    * round's one measured same-box regression): warm constructions of
+    * the audit cost zero extra jobs, and a memo alias can only flip a
+    * result-identical probe-encoding choice, never rows. */
   def measureGramKeyWidths(bench: DataFrame, textCol: String,
                            ns: Seq[Int]): Map[Int, Double] = {
     require(ns.nonEmpty, "need at least one gram size")
+    RouterStats.memo(("gramWidths", RouterStats.planKey(bench), textCol, ns)) {
+      measureGramKeyWidthsUncached(bench, textCol, ns)
+    }
+  }
+
+  private def measureGramKeyWidthsUncached(bench: DataFrame, textCol: String,
+                                           ns: Seq[Int]): Map[Int, Double] = {
     val aggs = ns.zipWithIndex.flatMap { case (n, i) =>
       val sh = array_distinct(TextFunctions.wordShingles(col(textCol), n))
       Seq(
@@ -973,6 +1014,114 @@ object CorpusOps {
         if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
       n -> (if (c == 0L) 0.0 else s.toDouble / c.toDouble)
     }.toMap
+  }
+
+  // ------------------------------------- winner-form (duplication) router
+
+  /** The one sampling job behind the winner-form routers (r14, wiring
+    * the r13 verdict's caller-only `combinableWinners` knob to
+    * evidence): occurrences per distinct EXPLODED key (line hash /
+    * n-gram / CDC chunk hash) on the deterministic id-hash doc sample
+    * — the [[Dedup]] clone-ratio discipline applied to the key space
+    * the window-vs-combinable choice actually cares about. Sampling
+    * DOCS thins a key duplicated across c docs Binomially exactly like
+    * the text-clone model, so the SAME threshold transform and
+    * inversion apply; within-doc repeats make the observed ratio a
+    * slight overcount, which biases toward the combinable form — the
+    * scale-safe side. MEMOIZED per (frame plan, key kind, fraction)
+    * ([[RouterStats]]); 0.0 (empty/all-null sample) routes the default
+    * single-scan form.
+    */
+  private def sampledKeyDupRatio(df: DataFrame, idCol: String, tag: String,
+                                 keys: DataFrame => DataFrame,
+                                 sampleFraction: Double): Double = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    RouterStats.memo((tag, RouterStats.planKey(df), idCol, sampleFraction)) {
+      val sampled =
+        if (sampleFraction >= 1.0) df
+        else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit(math.round(sampleFraction * 1000000L)))
+      val m = keys(sampled)
+        .agg(count(lit(1)).as("n"), countDistinct(col("__k")).as("d")).head()
+      val (n, d) = (m.getLong(0), m.getLong(1))
+      if (d == 0L) 0.0 else n.toDouble / d
+    }
+  }
+
+  private def keyDupRoute(df: DataFrame, idCol: String, tag: String,
+                          keys: DataFrame => DataFrame, minDupFactor: Double,
+                          sampleFraction: Double,
+                          knownDupFactor: Option[Double]): Boolean =
+    knownDupFactor match {
+      case Some(f) => f >= minDupFactor
+      case None =>
+        sampledKeyDupRatio(df, idCol, tag, keys, sampleFraction) >=
+          Dedup.sampledCloneThreshold(minDupFactor, sampleFraction)
+    }
+
+  private def lineKeys(idCol: String, textCol: String)(d: DataFrame): DataFrame =
+    d.select(explode(split(coalesce(col(textCol), lit("")), "\n", -1)).as("__l"))
+      .select(md5(col("__l").cast(BinaryType)).as("__k"))
+
+  private def gramKeys(idCol: String, textCol: String, n: Int)(d: DataFrame): DataFrame =
+    d.select(explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("__k"))
+
+  private def chunkKeys(idCol: String, textCol: String, k: Int)(d: DataFrame): DataFrame =
+    explodedChunks(d, idCol, textCol, k).select(col("chunk_md5").as("__k"))
+
+  /** Evidence-routed [[lineDedup]]: measure the corpus's mean
+    * occurrences-per-distinct-line on a doc sample (memoized —
+    * [[RouterStats]]) and take the map-side-combinable winner form
+    * when duplication clears `minDupFactor`, the single-scan window
+    * form otherwise. Both branches are result-identical (spec'd), so
+    * a routing miss costs wall-clock, never rows — the
+    * [[fuzzyDecontaminateAdaptive]] contract applied to the
+    * boilerplate axis. `knownDupFactor` (TRUE corpus space — rows per
+    * distinct line) pins the route from catalog stats, skipping the
+    * sample. The default threshold is deliberately low: the window
+    * form's cost is a straggler task proportional to the HOTTEST key,
+    * and mean duplication ≥ 2 on a crawl already implies corpus-wide
+    * boilerplate lines far hotter than the mean.
+    */
+  def lineDedupAdaptive(df: DataFrame, idCol: String, textCol: String,
+                        minDupFactor: Double = 2.0,
+                        sampleFraction: Double = 0.1,
+                        knownDupFactor: Option[Double] = None): DataFrame =
+    lineDedup(df, idCol, textCol,
+      combinableWinners = keyDupRoute(df, idCol, "lineDup",
+        lineKeys(idCol, textCol), minDupFactor, sampleFraction, knownDupFactor))
+
+  /** Evidence-routed [[ngramNovelty]] — the [[lineDedupAdaptive]]
+    * router over the distinct-gram key space. */
+  def ngramNoveltyAdaptive(df: DataFrame, idCol: String, textCol: String, n: Int,
+                           minDupFactor: Double = 2.0,
+                           sampleFraction: Double = 0.1,
+                           knownDupFactor: Option[Double] = None): DataFrame =
+    ngramNovelty(df, idCol, textCol, n,
+      combinableWinners = keyDupRoute(df, idCol, s"gramDup$n",
+        gramKeys(idCol, textCol, n), minDupFactor, sampleFraction, knownDupFactor))
+
+  /** Evidence-routed [[cdcChunks]] — the [[lineDedupAdaptive]] router
+    * over the CDC chunk-hash key space. */
+  def cdcChunksAdaptive(df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+                        minDupFactor: Double = 2.0,
+                        sampleFraction: Double = 0.1,
+                        knownDupFactor: Option[Double] = None): DataFrame =
+    cdcChunks(df, idCol, textCol, k,
+      combinableWinners = keyDupRoute(df, idCol, s"chunkDup$k",
+        chunkKeys(idCol, textCol, k), minDupFactor, sampleFraction, knownDupFactor))
+
+  /** PUBLIC duplication-factor measurements for the winner-form
+    * routers — the [[measureTextCloneFactor]] amortization hook for
+    * the exploded key spaces (TRUE corpus space via the Binomial
+    * thinning inversion; thread through `knownDupFactor`). */
+  def measureLineDupFactor(df: DataFrame, idCol: String, textCol: String,
+                           sampleFraction: Double = 0.1): Double = {
+    val r = sampledKeyDupRatio(df, idCol, "lineDup", lineKeys(idCol, textCol),
+      sampleFraction)
+    if (r <= 0.0) 1.0 else Dedup.invertSampledRatio(r, sampleFraction)
   }
 
   /** The hashed-probe ROUTING RULE, derived from the r12 measurements:
@@ -1432,7 +1581,10 @@ object CorpusOps {
       if (combinableWinners) {
         val winners = lines.groupBy("__lk")
           .agg(min(struct(col(idCol), col("pos"))).as("__w"))
-        lines.join(winners, Seq("__lk"))
+        // hint("merge"): winners is one row per DISTINCT line of the
+        // corpus — Generate's size misestimate otherwise lets AQE
+        // broadcast it (the cdcChunks driver-OOM failure mode, r13)
+        lines.join(winners.hint("merge"), Seq("__lk"))
           .withColumn("__keep", struct(col(idCol), col("pos")) === col("__w"))
       } else {
         val w = Window.partitionBy("__lk")
@@ -1545,7 +1697,11 @@ object CorpusOps {
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("__g"))
     val marked =
       if (combinableWinners)
-        grams.join(grams.groupBy("__g").agg(min(col(idCol)).as("__fid")), Seq("__g"))
+        // merge hint for the same reason as lineDedup: one row per
+        // distinct gram is not broadcastable at corpus scale, and the
+        // Generate upstream poisons AQE's size estimate
+        grams.join(grams.groupBy("__g").agg(min(col(idCol)).as("__fid")).hint("merge"),
+          Seq("__g"))
       else grams.withColumn("__fid",
         min(col(idCol)).over(Window.partitionBy("__g")))
     marked.groupBy(col(idCol))

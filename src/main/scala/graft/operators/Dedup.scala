@@ -222,12 +222,25 @@ object Dedup {
     * exhaustiveness argument is the signature-agnostic part of
     * [[simhashCandidatesCombination]]'s doc. */
   private def hammingCombinationPairs(sig: DataFrame, maxHamming: Int,
-                                      blocks: Int, agreeBlocks: Int): DataFrame = {
+                                      blocks: Int, agreeBlocks0: Int): DataFrame = {
     require(64 % blocks == 0, s"blocks=$blocks must divide the 64-bit signature")
+    // agreeBlocks = AUTO (the 0 sentinel, r14 advice fix): the r13
+    // default bump 2→4 silently shrank the loud-failure domain —
+    // maxHamming in 13..14 with otherwise-default params used to run
+    // exhaustively at r=2 and started hitting the require. AUTO keeps
+    // the r=4 selectivity win (C(16,4) keys are 17× fewer collisions
+    // per the sizing note below) whenever the bound allows it and
+    // degrades to the largest exhaustive r otherwise, so defaults are
+    // never a correctness cliff; an EXPLICIT agreeBlocks still fails
+    // loudly when it breaks the guarantee.
+    val agreeBlocks =
+      if (agreeBlocks0 == 0) math.max(1, math.min(4, blocks - maxHamming))
+      else agreeBlocks0
     require(agreeBlocks >= 1 && agreeBlocks <= blocks, "agreeBlocks out of range")
     require(maxHamming <= blocks - agreeBlocks,
       s"combination blocking on $agreeBlocks of $blocks blocks is only exhaustive for " +
-        s"hamming <= ${blocks - agreeBlocks}; maxHamming=$maxHamming breaks the guarantee")
+        s"hamming <= ${blocks - agreeBlocks}; maxHamming=$maxHamming breaks the guarantee" +
+        s" (pass agreeBlocks = 0 to auto-derive the largest exhaustive subset size)")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     // every r-subset of block indices, enumerated deterministically and
@@ -297,11 +310,16 @@ object Dedup {
     * a=4 stays EXHAUSTIVE for maxHamming ≤ blocks−4 = 12 ≥ the
     * default 10; candidates are a superset/subset question only —
     * the exact luma verify decides, so the knob moves wall-clock,
-    * never results (spec'd either way).
+    * never results (spec'd either way). `agreeBlocks = 0` (the
+    * default, r14) AUTO-derives a = min(4, blocks − maxHamming): a=4
+    * whenever the bound allows, degrading to the largest exhaustive
+    * subset size for looser bounds (maxHamming 13..14 → a=3/2, the
+    * pre-r13 behavior) instead of failing the require — only an
+    * EXPLICIT agreeBlocks that breaks exhaustiveness fails loudly.
     */
   def imageDedupDHash(media: DataFrame, maxHamming: Int = 10,
                       maxMeanAbsDiff: Int = 16,
-                      blocks: Int = 16, agreeBlocks: Int = 4): DataFrame = {
+                      blocks: Int = 16, agreeBlocks: Int = 0): DataFrame = {
     val hashed = graft.operators.Multimodal.imageDHash(media)
     media.join(dHashDupes(hashed, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
       Seq("doc_id"), "left_anti")
@@ -363,7 +381,7 @@ object Dedup {
     */
   def imageNearDupClusters(media: DataFrame, maxHamming: Int = 10,
                            maxMeanAbsDiff: Int = 16,
-                           blocks: Int = 16, agreeBlocks: Int = 4,
+                           blocks: Int = 16, agreeBlocks: Int = 0,
                            checkpointDir: Option[String] = None): DataFrame =
     imageNearDupClustersFromIndex(ImageIndex.build(media, checkpointDir),
       maxHamming, maxMeanAbsDiff, blocks, agreeBlocks)
@@ -379,7 +397,7 @@ object Dedup {
     */
   def imageNearDupClustersFromIndex(index: ImageIndex, maxHamming: Int = 10,
                                     maxMeanAbsDiff: Int = 16,
-                                    blocks: Int = 16, agreeBlocks: Int = 4): DataFrame = {
+                                    blocks: Int = 16, agreeBlocks: Int = 0): DataFrame = {
     // null payloads key to the sentinel of their own id — singleton
     // classes, never collapsed, never decoded
     val keyed = index.keyed.select(col("doc_id"),
@@ -442,7 +460,7 @@ object Dedup {
     */
   def imageDedupDHashLayered(media: DataFrame, maxHamming: Int = 10,
                              maxMeanAbsDiff: Int = 16,
-                             blocks: Int = 16, agreeBlocks: Int = 4,
+                             blocks: Int = 16, agreeBlocks: Int = 0,
                              checkpointDir: Option[String] = None): DataFrame =
     // payload reads 1+2 (keying, rep decode) live inside the index
     // build; read 3 recovers the full surviving rows in one semi-join
@@ -481,7 +499,7 @@ object Dedup {
     * supplies the full surviving rows via one semi-join. */
   def imageDedupFromIndex(media: DataFrame, index: ImageIndex,
                           maxHamming: Int = 10, maxMeanAbsDiff: Int = 16,
-                          blocks: Int = 16, agreeBlocks: Int = 4): DataFrame =
+                          blocks: Int = 16, agreeBlocks: Int = 0): DataFrame =
     media.join(
       imageSurvivorIdsFromIndex(index, maxHamming, maxMeanAbsDiff, blocks, agreeBlocks),
       Seq("doc_id"), "left_semi")
@@ -510,7 +528,7 @@ object Dedup {
     */
   def imageDedupDHashAdaptive(media: DataFrame, maxHamming: Int = 10,
                               maxMeanAbsDiff: Int = 16,
-                              blocks: Int = 16, agreeBlocks: Int = 4,
+                              blocks: Int = 16, agreeBlocks: Int = 0,
                               minCloneFactor: Double = 1.5,
                               sampleFraction: Double = 0.1,
                               knownCloneFactor: Option[Double] = None,
@@ -1354,12 +1372,25 @@ object Dedup {
   /** The one sampling job behind every adaptive router and
     * [[measureCloneFactor]]: rows-with-a-key per distinct `distinctKey`
     * on the deterministic id-hash sample (0.0 when the sample is
-    * empty or all-null-key — routes direct). */
+    * empty or all-null-key — routes direct). MEMOIZED per
+    * (frame plan, key exprs, fraction) for the session
+    * ([[RouterStats]], r14): compositions that re-measure one corpus —
+    * q187 + q189 + q194 over the same slice — pay the job once warm;
+    * a memo alias can only flip a result-identical routing choice. */
   private def sampledCloneRatio(df: DataFrame, idCol: String,
                                 distinctKey: Column, keySource: Column,
                                 sampleFraction: Double): Double = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction in (0, 1], got $sampleFraction")
+    RouterStats.memo(("cloneRatio", RouterStats.planKey(df), idCol,
+      distinctKey.toString, keySource.toString, sampleFraction)) {
+      sampledCloneRatioUncached(df, idCol, distinctKey, keySource, sampleFraction)
+    }
+  }
+
+  private def sampledCloneRatioUncached(df: DataFrame, idCol: String,
+                                        distinctKey: Column, keySource: Column,
+                                        sampleFraction: Double): Double = {
     val sampled =
       if (sampleFraction >= 1.0) df
       else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <

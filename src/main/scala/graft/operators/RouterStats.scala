@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-lifetime MEMO for adaptive-router measurements (r14,
+  * closing the r13 verdict's only same-box code regression): the
+  * clone-factor sampling job ([[Dedup.measureCloneFactor]] /
+  * `sampledCloneRatio`) and the probe-key width aggregate
+  * ([[CorpusOps.measureGramKeyWidths]]) are pure functions of the
+  * measured frame's DATA, so repeated constructions over the same
+  * frame — q187 + q189 + q194 all routing over one `documents` slice
+  * in a session, or an audit re-built per report — pay the job ONCE
+  * and hit this cache after (the `knownCloneFactor` amortization,
+  * made automatic).
+  *
+  * Keying is the ANALYZED PLAN's `semanticHash` plus the measurement
+  * parameters — stable across separately-constructed but semantically
+  * identical reads in one session. Two deliberate impurities, both
+  * SAFE BY THE ROUTERS' OWN CONTRACT (every routed pair of branches is
+  * result-identical; a routing miss costs wall-clock, never rows):
+  *
+  *   - hash collisions between distinct plans can alias an entry;
+  *   - a path whose underlying files are REWRITTEN mid-session keeps
+  *     serving the pre-rewrite measurement (call [[clear]] from ingest
+  *     code that overwrites measured inputs, or pass the explicit
+  *     `knownCloneFactor`/`hashedProbe` knobs as before).
+  *
+  * Bounded: measurements are a handful per pipeline; the cap exists
+  * only as a leak backstop for pathological plan churn.
+  */
+object RouterStats {
+
+  private val MaxEntries = 4096
+  private val cache = new ConcurrentHashMap[Any, AnyRef]()
+
+  /** The memo key component for a frame: its analyzed plan's semantic
+    * hash (canonicalization-based — alias/ordering noise keyed out). */
+  def planKey(df: DataFrame): Int = df.queryExecution.analyzed.semanticHash()
+
+  /** Compute-once per (session, key). `compute` may run a Spark job;
+    * concurrent first callers of one key serialize on the map entry. */
+  def memo[T](key: Any)(compute: => T): T = {
+    if (cache.size() > MaxEntries) cache.clear()
+    cache.computeIfAbsent(key, _ => compute.asInstanceOf[AnyRef]).asInstanceOf[T]
+  }
+
+  /** Drop every memoized measurement — for ingest code that overwrites
+    * a measured input path mid-session (data changed, plan did not). */
+  def clear(): Unit = cache.clear()
+
+  private[graft] def entryCount: Int = cache.size()
+}

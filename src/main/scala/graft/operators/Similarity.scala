@@ -601,7 +601,14 @@ object Similarity {
     */
   def appendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): IvfPqIndex = {
+    // dropDuplicates guards the WITHIN-batch face of the same
+    // at-least-once failure mode the anti-join guards across batches:
+    // a batch that repeats an id would otherwise encode once per copy
+    // via the resid join-back to `c` and land duplicate code rows
+    // (repeated neighbors in a probe's top-k). The batch is the small
+    // side, so the extra exchange is bounded by the batch.
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .dropDuplicates("neighbor_id")
       .join(index.codes.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti")
     val assigned = c.crossJoin(broadcast(index.centroids))
       .withColumn("__d", l2sq(col("cv"), col("cvec")))

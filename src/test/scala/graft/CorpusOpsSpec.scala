@@ -837,6 +837,111 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("winner-form router (r14): boilerplate-heavy corpora route combinable, " +
+    "normal ones route the window; both result-identical") {
+    import spark.implicits._
+    val banner = "accept all cookies\nsubscribe to our newsletter\n"
+    val heavy = (1L to 40L)
+      .map(i => (i, banner * 3 + s"unique line for document $i"))
+      .toDF("doc_id", "text")
+    val normal = (1L to 40L)
+      .map(i => (i, s"only content ${i}a\nsecond line ${i}b\nthird ${i}c"))
+      .toDF("doc_id", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.analyzed
+    // lineDedup: heavy fixture routes combinable, normal routes window
+    assert(planOf(CorpusOps.lineDedupAdaptive(heavy, "doc_id", "text", sampleFraction = 1.0))
+      .sameResult(planOf(CorpusOps.lineDedup(heavy, "doc_id", "text",
+        combinableWinners = true))), "boilerplate corpus must route combinable")
+    assert(planOf(CorpusOps.lineDedupAdaptive(normal, "doc_id", "text", sampleFraction = 1.0))
+      .sameResult(planOf(CorpusOps.lineDedup(normal, "doc_id", "text"))),
+      "low-duplication corpus must route the single-scan window")
+    // knownDupFactor pins the route with zero measurement (catalog stats)
+    assert(planOf(CorpusOps.lineDedupAdaptive(normal, "doc_id", "text",
+        knownDupFactor = Some(10.0)))
+      .sameResult(planOf(CorpusOps.lineDedup(normal, "doc_id", "text",
+        combinableWinners = true))))
+    // both branches result-identical on the routed fixture
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(rows(CorpusOps.lineDedup(heavy, "doc_id", "text", combinableWinners = true))
+      == rows(CorpusOps.lineDedup(heavy, "doc_id", "text")))
+    // the other two key spaces route through the same machinery
+    assert(planOf(CorpusOps.cdcChunksAdaptive(heavy, "doc_id", "text", sampleFraction = 1.0))
+      .sameResult(planOf(CorpusOps.cdcChunks(heavy, "doc_id", "text",
+        combinableWinners = true))))
+    assert(planOf(CorpusOps.ngramNoveltyAdaptive(normal, "doc_id", "text", 3,
+        sampleFraction = 1.0))
+      .sameResult(planOf(CorpusOps.ngramNovelty(normal, "doc_id", "text", 3))))
+    // the public measurement threads through knownDupFactor and routes
+    // identically to self-sampling (the measureTextCloneFactor contract)
+    val f = CorpusOps.measureLineDupFactor(heavy, "doc_id", "text", sampleFraction = 1.0)
+    assert(f >= 2.0, s"banner-heavy fixture measured dup factor $f")
+    assert(planOf(CorpusOps.lineDedupAdaptive(heavy, "doc_id", "text",
+        knownDupFactor = Some(f)))
+      .sameResult(planOf(CorpusOps.lineDedupAdaptive(heavy, "doc_id", "text",
+        sampleFraction = 1.0))))
+  }
+
+  test("RouterStats memo (r14): warm router measurements run ZERO jobs, same values") {
+    import graft.operators.RouterStats
+    def docsFrame() = Tables.documents(spark, sf).select("doc_id", "text").limit(100)
+    RouterStats.clear()
+    // cold: one widths aggregate + one clone sample
+    val w1 = CorpusOps.measureGramKeyWidths(
+      docsFrame().filter(col("doc_id") % 10 === 0), "text", Seq(8, 3))
+    val f1 = CorpusOps.measureTextCloneFactor(
+      docsFrame().filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    // count only THIS test's jobs: suites share the session and run in
+    // parallel, so a raw job count picks up neighbours' work — the job
+    // group is thread-local, so tagging isolates ours
+    val jobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val group = "routerstats-memo-r14"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.add(s"job ${js.jobId}: " +
+            js.properties.getProperty("callSite.short", "?") + " stages=" +
+            js.stageInfos.map(_.name).mkString("|"))
+    }
+    // warm frames: SEPARATELY-constructed but semantically identical —
+    // they key to the same analyzed-plan hash (the q187+q189+q194
+    // composition shape, and the r13 verdict's q194 regression: the
+    // auto-router re-paid the widths aggregate per invocation).
+    // Constructed OUTSIDE the counted window: a fresh spark.read pays
+    // its own parquet schema-inference job, which is read-side cost,
+    // not a router measurement — the claim under test is that warm
+    // MEASUREMENTS are job-free.
+    val bench2 = docsFrame().filter(col("doc_id") % 10 === 0)
+    val train2 = docsFrame().filter(col("doc_id") % 10 =!= 0)
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "router memo warm phase")
+    try {
+      val w2 = CorpusOps.measureGramKeyWidths(bench2, "text", Seq(8, 3))
+      val f2 = CorpusOps.measureTextCloneFactor(train2, "doc_id", "text")
+      // the full audit COMPOSITION constructs warm with zero jobs: both
+      // of its router measurements hit the memo
+      CorpusOps.corpusAudit(train2, bench2, "doc_id", "text", n = 8, shingleN = 3)
+      Thread.sleep(2000) // listener events post async
+      assert(jobs.isEmpty,
+        s"warm router measurements ran ${jobs.size} jobs, expected 0: " +
+          String.join("; ", jobs))
+      assert(w2 == w1, s"memoized widths drifted: $w2 vs $w1")
+      assert(f2 == f1, s"memoized clone factor drifted: $f2 vs $f1")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // clear() really forgets: the next measurement is a fresh job
+    RouterStats.clear()
+    val w3 = CorpusOps.measureGramKeyWidths(
+      docsFrame().filter(col("doc_id") % 10 === 0), "text", Seq(8, 3))
+    assert(w3 == w1)
+  }
+
   test("hashedProbe contamination == the exact-string probe, direct and layered") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(300)
     val mirrored = (0 until 3).map(r => docs.select(

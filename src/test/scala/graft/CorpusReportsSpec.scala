@@ -499,6 +499,31 @@ class CorpusReportsSpec extends SparkSpec {
       .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"),
         r.getAs[Long]("first_id"), r.getAs[Long]("first_ix"))).toSet
     assert(idxRows == fromScratch, "appended index must equal the from-scratch index")
+    // r14 advice fix: the monotone-ingest contract is now ENFORCED, not
+    // just documented — an out-of-order/backfill batch (ids BELOW ids
+    // the index already holds, sharing a chunk with them) fails loudly
+    // instead of silently mis-flagging; the check rides the newness
+    // join (zero extra jobs), so a monotone batch is unaffected (the
+    // chained assertions above all ran with the guard on)
+    val lateIndex = CorpusOps.chunkIndex(
+      docs.filter(col("doc_id") > 10), "doc_id", "text").localCheckpoint(eager = true)
+    val backfill = docs.filter(col("doc_id") <= 10)
+    val ex = intercept[Exception] {
+      CorpusOps.cdcChunksIncrement(lateIndex, backfill, "doc_id", "text")
+        ._1.collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("") + Option(t.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("monotone-ingest"),
+      s"backfill batch must fail the contract guard, got: ${rootMsg(ex).take(200)}")
+    // guardMonotone = false restores the unguarded anti-join shape for
+    // callers that pre-validate (flags are then contract-dependent)
+    val (unguarded, _) = CorpusOps.cdcChunksIncrement(
+      lateIndex, backfill, "doc_id", "text", guardMonotone = false)
+    assert(unguarded.count() > 0, "unguarded backfill must still execute")
   }
 
   test("q214: incremental flags == q210's corpus-wide flags on the batch slice") {
@@ -550,6 +575,20 @@ class CorpusReportsSpec extends SparkSpec {
     val up = Similarity.appendIvfPqIndex(index, mixed, "vec_id", "embedding")
     assert(up.codes.count() == index.codes.count() + 4 * index.m,
       "mixed append must encode only the genuinely new ids")
+    // r14 advice fix: duplicate ids WITHIN one batch (the same
+    // at-least-once failure mode, intra-batch face) encode once — the
+    // anti-join alone let them pass, and each copy landed duplicate
+    // code rows via the residual join-back
+    val dupBatch = delta.limit(3).unionByName(delta.limit(3))
+      .unionByName(delta.limit(1))
+    val dupUp = Similarity.appendIvfPqIndex(index, dupBatch, "vec_id", "embedding")
+    assert(dupUp.codes.count() == index.codes.count() + 3 * index.m,
+      "in-batch duplicate ids must encode exactly once")
+    val perId = dupUp.codes.join(delta.limit(3).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"))
+      .groupBy("neighbor_id").count().collect()
+    assert(perId.forall(_.getLong(1) == index.m),
+      s"each appended id must carry exactly m code rows, got ${perId.mkString(",")}")
     // appended vectors are probeable: fresh-id duplicates of appended
     // vectors find their originals in the top-5 (full-list probe)
     val planted = delta.limit(5)

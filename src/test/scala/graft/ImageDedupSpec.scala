@@ -67,6 +67,28 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("agreeBlocks AUTO (r14): loose Hamming bounds degrade the subset size, not crash") {
+    // maxHamming 13..14 with default params used to run exhaustively at
+    // r=2 (pre-r13) and then hit the require when the default became 4
+    // — the AUTO sentinel derives min(4, blocks − maxHamming) so the
+    // defaults are never a cliff, and stays r=4 at the default bound
+    val base = Seq(bmp(10, "groupA"), bmp(11, "groupA"), bmp(20, "groupB")).toDF()
+    val thumbs = Multimodal.resizeImage(Seq(bmp(12, "groupA")).toDF(), 48)
+    val media = base.unionByName(thumbs)
+    val auto13 = Dedup.imageDedupDHash(media, maxHamming = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val explicit3 = Dedup.imageDedupDHash(media, maxHamming = 13, agreeBlocks = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auto13 == explicit3 && auto13 == Set(10L, 20L),
+      s"auto $auto13 vs explicit r=3 $explicit3")
+    val auto10 = Dedup.imageDedupDHash(media) // default bound: auto == r=4
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val explicit4 = Dedup.imageDedupDHash(media, agreeBlocks = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auto10 == explicit4 && auto10 == Set(10L, 20L))
+    // an EXPLICIT non-exhaustive choice still fails loudly (above test)
+  }
+
   test("imageDedupDHashLayered == direct, incl. undecodable-clone restoration") {
     val base = Seq(
       bmp(10, "groupA"), bmp(11, "groupA"), bmp(12, "groupA"), // byte clones

@@ -1613,6 +1613,68 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2).getAs[Boolean]("decoded"))
   }
 
+  test("AAC-ADTS streams parse through the real frame walker (r14): facts real, " +
+    "spectra stubbed, malformed rejected") {
+    import spark.implicits._
+    // closed form: 3 frames, bodies 13/14/15 -> byte_len = 21 + 42
+    val adts = Multimodal.syntheticAdts(rate = 44100, channels = 2,
+      bodyLens = Seq(13, 14, 15))
+    assert(adts.length == 3 * 7 + 13 + 14 + 15, s"closed form: ${adts.length}")
+    val p = Multimodal.parseAdts(adts).get
+    assert(p == Multimodal.AdtsInfo(44100, 2, 3, 3L * 1024,
+      3L * 1024 * 1000 / 44100))
+    // mono at another rate
+    val m = Multimodal.parseAdts(
+      Multimodal.syntheticAdts(rate = 24000, channels = 1, bodyLens = Seq(20))).get
+    assert(m.channels == 1 && m.sampleRate == 24000 && m.nSamples == 1024L)
+    // malformed: junk, truncated mid-frame, lying frame length,
+    // rate change across frames, reserved frequency index
+    assert(Multimodal.parseAdts("not audio".getBytes).isEmpty)
+    assert(Multimodal.parseAdts(adts.take(adts.length - 5)).isEmpty)
+    val lying = adts.clone(); lying(4) = 0x7f // inflate frame 1's length
+    assert(Multimodal.parseAdts(lying).isEmpty)
+    val drift = Multimodal.syntheticAdts(44100, 2, Seq(13)) ++
+      Multimodal.syntheticAdts(48000, 2, Seq(13))
+    assert(Multimodal.parseAdts(drift).isEmpty, "rate must stay constant")
+    val reserved = adts.clone(); reserved(2) = (reserved(2) | 0x3c).toByte // srIdx 15
+    assert(Multimodal.parseAdts(reserved).isEmpty)
+    // through the DataFrame op: bits=0, rms=0 (the lossy stub split)
+    val got = Multimodal.audioFeatures(Seq((1L, adts, 0, 0, "aac"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")).collect()(0)
+    assert(got.getAs[Boolean]("decoded") && got.getAs[Int]("sample_rate") == 44100 &&
+      got.getAs[Int]("channels") == 2 && got.getAs[Int]("bits") == 0 &&
+      got.getAs[Long]("n_samples") == 3072L && got.getAs[Long]("rms_milli") == 0L)
+  }
+
+  test("Ogg-Opus streams parse through the real page walker (r14): 48kHz granule " +
+    "clock, pre-skip subtracted, malformed rejected") {
+    import spark.implicits._
+    // closed form: head(47) + tags(44) + 3 data pages of body 20/21/22
+    val ogg = Multimodal.syntheticOggOpus(channels = 2, preSkip = 312,
+      samplesPerPage = 960, bodyLens = Seq(20, 21, 22))
+    assert(ogg.length == 91 + 3 * 28 + 20 + 21 + 22, s"closed form: ${ogg.length}")
+    val p = Multimodal.parseOggOpus(ogg).get
+    // last granule = 312 + 3*960; n_samples = granule - preSkip (RFC 7845)
+    assert(p == Multimodal.OpusInfo(2, 312, 5, 3L * 960, 3L * 960 * 1000 / 48000))
+    // malformed: junk, truncated tail, bad OpusHead version, overrunning
+    // segment table, non-Opus BOS payload
+    assert(Multimodal.parseOggOpus("not an ogg stream at all..........".getBytes).isEmpty)
+    assert(Multimodal.parseOggOpus(ogg.take(ogg.length - 3)).isEmpty)
+    val badVer = ogg.clone(); badVer(28 + 8) = 9 // OpusHead version byte
+    assert(Multimodal.parseOggOpus(badVer).isEmpty)
+    val badSeg = ogg.clone(); badSeg(26) = 0x7f // lie about the BOS segment count
+    assert(Multimodal.parseOggOpus(badSeg).isEmpty)
+    val notOpus = ogg.clone()
+    "VorbHead".getBytes.zipWithIndex.foreach { case (b, i) => notOpus(28 + i) = b }
+    assert(Multimodal.parseOggOpus(notOpus).isEmpty)
+    // through the DataFrame op: rate is the 48 kHz decode clock
+    val got = Multimodal.audioFeatures(Seq((1L, ogg, 0, 0, "opus"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")).collect()(0)
+    assert(got.getAs[Boolean]("decoded") && got.getAs[Int]("sample_rate") == 48000 &&
+      got.getAs[Long]("n_samples") == 2880L && got.getAs[Int]("bits") == 0 &&
+      got.getAs[Long]("duration_ms") == 2880L * 1000 / 48000)
+  }
+
   test("AVI containers parse through the real RIFF walker: dims, frames, fps, streams") {
     import spark.implicits._
     val avi = Multimodal.syntheticAvi(w = 320, h = 240, frames = 10, usPerFrame = 40000)
@@ -1643,6 +1705,63 @@ class MultimodalSpec extends SparkSpec {
       got(0).getAs[Long]("fps_milli") == 25000L)
     assert(!got(1).getAs[Boolean]("decoded") &&
       got(1).getAs[Long]("byte_len") == "not a container".getBytes.length.toLong)
+  }
+
+  test("MP4 containers parse through the real ISO-BMFF walker (r14): both versions, " +
+    "stream inventory, malformed boxes rejected") {
+    import spark.implicits._
+    // version-0, video-only, 30 fps on a 90 kHz clock
+    val v0 = Multimodal.syntheticMp4(w = 640, h = 360, frames = 30,
+      timescale = 90000, duration = 30 * 3000L)
+    assert(v0.length == 140 + 212 + 64, "v0 closed-form size must hold")
+    val p0 = Multimodal.parseMp4(v0).get
+    assert(p0.width == 640 && p0.height == 360 && p0.nFrames == 30L &&
+      p0.timescale == 90000L && p0.duration == 90000L &&
+      p0.nTracks == 1 && p0.nVideo == 1 && p0.nAudio == 0)
+    assert(p0.durationMs == 1000L && p0.fpsMilli == 30000L)
+    // version-1 (64-bit mvhd/tkhd times), two tracks, 24 fps on a 600 clock
+    val v1 = Multimodal.syntheticMp4(w = 320, h = 240, frames = 48,
+      timescale = 600, duration = 48 * 25L, audioTrack = true, v1 = true)
+    assert(v1.length == 152 + 2 * 224 + 64, "v1 closed-form size must hold")
+    val p1 = Multimodal.parseMp4(v1).get
+    assert(p1.width == 320 && p1.height == 240 && p1.nFrames == 48L &&
+      p1.nTracks == 2 && p1.nVideo == 1 && p1.nAudio == 1)
+    assert(p1.durationMs == 2000L && p1.fpsMilli == 24000L)
+    // stream type comes from hdlr: patch the video trak's vide -> soun
+    val patched = v0.clone()
+    val idx = v0.indexOfSlice("vide".getBytes)
+    "soun".getBytes.zipWithIndex.foreach { case (b, i) => patched(idx + i) = b }
+    val a = Multimodal.parseMp4(patched).get
+    assert(a.nVideo == 0 && a.nAudio == 1 && a.width == 0,
+      "a soun track must not supply canvas dims")
+    // malformed containers never parse (the parseAvi discipline)
+    assert(Multimodal.parseMp4(v0.take(100)).isEmpty, "truncated box tree")
+    assert(Multimodal.parseMp4("plain junk bytes".getBytes).isEmpty)
+    assert(Multimodal.parseMp4("RIFF1234AVI LIST".getBytes).isEmpty,
+      "RIFF payloads are not BMFF")
+    val lying = v0.clone(); lying(19) = 0x7f // inflate the moov box size
+    assert(Multimodal.parseMp4(lying).isEmpty, "overrunning child box")
+    val noMvhd = v0.clone()
+    val mi = v0.indexOfSlice("mvhd".getBytes)
+    "free".getBytes.zipWithIndex.foreach { case (b, i) => noMvhd(mi + i) = b }
+    assert(Multimodal.parseMp4(noMvhd).isEmpty, "a moov without mvhd is undecoded")
+    // the DataFrame route sniffs per payload: AVI and MP4 side by side
+    val media = Seq(
+      (1L, Multimodal.syntheticAvi(320, 240, 10, 40000), 0, 0, "avi"),
+      (2L, v0, 0, 0, "mp4"),
+      (3L, v1, 0, 0, "mp4"),
+      (4L, "not a container".getBytes, 0, 0, "mp4"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.videoMeta(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("fps_milli") == 25000L, "AVI path unchanged")
+    assert(got(1).getAs[Boolean]("decoded") && got(1).getAs[Int]("width") == 640 &&
+      got(1).getAs[Long]("n_frames") == 30L &&
+      got(1).getAs[Long]("duration_ms") == 1000L &&
+      got(1).getAs[Long]("fps_milli") == 30000L &&
+      got(1).getAs[Int]("n_streams") == 1)
+    assert(got(2).getAs[Int]("n_streams") == 2 && got(2).getAs[Int]("n_audio") == 1 &&
+      got(2).getAs[Long]("fps_milli") == 24000L)
+    assert(!got(3).getAs[Boolean]("decoded"))
   }
 
   test("WebP dimensions parse from all three container layouts; decode uses them") {

@@ -823,26 +823,33 @@ class PlanRegressionSpec extends SparkSpec {
         "(the only SMJ allowed is the ids-only audit join-back)")
   }
 
-  test("q199/q201/q203: the corpus text is file-scanned exactly once (r12 single-scan forms)") {
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
-    // q199 lineDedup and q203 ngramNovelty replace the aggregate +
-    // join-back shape (which re-derives the exploded text from a
-    // second scan) with a window min over the line/gram key — one
-    // shuffle, no join, one text scan. q201 vocabGrowth derives doc
-    // counts, token counts, and first-seen types from ONE (bucket,
-    // token) aggregation via a per-doc sentinel row; its two
-    // downstream consumers must reuse that exchange, not re-scan.
-    for ((name, df, joinsAllowed) <- Seq(
-        ("q199", TrainingQueries.q199(spark, sf), 0),
-        ("q203", TrainingQueries.q203(spark, sf), 0))) {
+  test("q199/q201/q203: routed scan shapes (r14) — window form single-scan, " +
+    "combinable form two scans + merge winner join") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+    // r14: q199/q203 are EVIDENCE-ROUTED. On this gate corpus q199's
+    // injected duplication routes the COMBINABLE form — two text scans
+    // (the winner branch re-derives the exploded lines: cheaper than
+    // caching the wide line text) and exactly one merge-hinted winner
+    // join, never a broadcast. q203's rarely-repeating 8-grams route
+    // the single-scan window form — one scan, zero joins. q201
+    // vocabGrowth derives doc counts, token counts, and first-seen
+    // types from ONE (bucket, token) aggregation via a per-doc
+    // sentinel row; its two downstream consumers must reuse that
+    // exchange, not re-scan.
+    for ((name, df, scansAllowed, joinsAllowed) <- Seq(
+        ("q199", TrainingQueries.q199(spark, sf), 2, 1),
+        ("q203", TrainingQueries.q203(spark, sf), 1, 0))) {
       df.collect()
       val nodes = executedNodes(df)
       val scans = nodes.collect { case f: FileSourceScanExec => f }
-      assert(scans.size == 1,
-        s"$name must file-scan the corpus exactly once, got ${scans.size}")
+      assert(scans.size == scansAllowed,
+        s"$name must file-scan the corpus exactly $scansAllowed time(s), got ${scans.size}")
       val joins = nodes.collect { case j: BaseJoinExec => j }
       assert(joins.size <= joinsAllowed,
         s"$name expected <= $joinsAllowed bounded joins, got ${joins.size}")
+      assert(joins.forall(_.isInstanceOf[SortMergeJoinExec]),
+        s"$name's winner join-back must stay merge-hinted SMJ, got " +
+          joins.map(_.getClass.getSimpleName).mkString(","))
     }
     // q201: the TEXT is scanned once; GlobalRank's partition-offset
     // branch legitimately scans a second time but column pruning must
@@ -861,6 +868,36 @@ class PlanRegressionSpec extends SparkSpec {
     val joins201 = nodes201.collect { case j: BaseJoinExec => j }
     assert(joins201.size <= 3,
       s"q201 expected <= 3 bounded-side joins, got ${joins201.size}")
+  }
+
+  test("q214 + winner forms (r14): hot-chunk/line/gram joins stay merge-hinted " +
+    "SMJ, never a broadcast build") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import graft.operators.CorpusOps
+    import graft.sources.Tables
+    // q214: the Bloom-pruned newness join AND the flag join-back ride
+    // the chunk key — Generate's size misestimate made AQE broadcast
+    // the exploded side at 5M docs (driver OOM, r13); both joins are
+    // hint("merge")-pinned, the guard (r14) keeps that shape
+    val p214 = plan(TrainingQueries.q214(spark, sf))
+    val smj214 = p214.collect { case j: SortMergeJoinExec => j }
+    assert(smj214.size >= 2,
+      s"q214 must plan both chunk-key joins as SMJ, got ${smj214.size}")
+    assert(p214.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "q214 must never build a broadcast over chunk-key frames")
+    // the combinable winner join-backs (r14 advice fix): one row per
+    // DISTINCT line/gram is not broadcastable at corpus scale
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val pLine = plan(CorpusOps.lineDedup(docs, "doc_id", "text",
+      combinableWinners = true))
+    assert(pLine.collect { case j: SortMergeJoinExec => j }.nonEmpty &&
+      pLine.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "lineDedup's winner join-back must stay a merge join")
+    val pGram = plan(CorpusOps.ngramNovelty(docs, "doc_id", "text", 8,
+      combinableWinners = true))
+    assert(pGram.collect { case j: SortMergeJoinExec => j }.nonEmpty &&
+      pGram.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "ngramNovelty's winner join-back must stay a merge join")
   }
 
   test("q212: the lang filter is pushed into the ORC scan (format swap keeps pushdown)") {

@@ -112,6 +112,16 @@ class TypedAggsSpec extends SparkSpec {
       s"theta-intersection est $inter vs true 5000")
   }
 
+  test("driver-side sketch fan-in cap (r14): the q100/q101 boundary is executable") {
+    // fine at thousands of sources, loud past the documented cap
+    TrainingQueries.requireBoundedSources(9999, "q101 KMV")
+    TrainingQueries.requireBoundedSources(4, "q100 CountMin", cap = 4)
+    val ex = intercept[IllegalArgumentException] {
+      TrainingQueries.requireBoundedSources(5, "q101 KMV", cap = 4)
+    }
+    assert(ex.getMessage.contains("shard or"), ex.getMessage)
+  }
+
   private def spream(items: Seq[String], parts: Int) = {
     import spark.implicits._
     spark.createDataset(items).repartition(parts)
