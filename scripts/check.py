@@ -522,5 +522,33 @@ if os.path.isdir(q198_path):
               f"container-walk formulas exactly ({n_avi} real AVIs, {n_mp4} MP4s "
               f"incl. v1 two-track, rest junk)]")
 
+# q216: ANN streaming append (rows-only — DuckDB cannot replay IVF-PQ
+# encoding). The artifact trains on vec_id%5!=0; the held-out slice
+# streams in as two micro-batches (Similarity.annIngestSink). HARD
+# gate, exact on the deterministic fixture: one row per appended
+# vector; every fresh-id duplicate probe retrieves a ZERO-distance
+# top-1 after exact re-rank (dist_zero), and every appended id holds
+# exactly m code rows (encode-once under streaming delivery).
+q216_path = f"{OUT}/q216_ann_stream_append"
+if os.path.isdir(q216_path):
+    got = con.sql(
+        f"SELECT query_id, top_id, dist_zero, n_code_rows, m "
+        f"FROM read_parquet('{q216_path}/*.parquet') ORDER BY query_id").df()
+    delta_ids = con.sql(
+        "SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id").df()
+    bad = []
+    if sorted(got.query_id) != sorted(delta_ids.vec_id + 900000):
+        bad.append("query ids != appended ids + 900000")
+    if not got.dist_zero.all():
+        bad.append(f"{int((~got.dist_zero).sum())} probes missed a zero-distance top-1")
+    if not (got.n_code_rows == got.m).all():
+        bad.append("some appended id does not hold exactly m code rows")
+    if bad:
+        fails.append("q216_ann_stream_append")
+        print(f"FAIL q216_ann_stream_append: {bad}")
+    else:
+        print(f"ok   q216_ann_stream_append [property: {len(got)} streamed-in vectors, "
+              f"all zero-distance retrievable, all exactly m={int(got.m.iloc[0])} code rows]")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

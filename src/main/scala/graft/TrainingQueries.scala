@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, TypedAggs}
-import graft.operators.{CorpusOps, Dedup, PretrainPipeline}
+import graft.operators.{CorpusOps, CorpusPipeline, Dedup, PretrainPipeline, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2235,4 +2235,118 @@ object TrainingQueries {
         SELECT doc_id, chunk_ix, chunk_len, chunk_md5, is_first FROM fl
         WHERE doc_id > (SELECT CAST(max(doc_id) // 2 AS BIGINT) FROM documents)
         ORDER BY doc_id, chunk_ix"""
+
+  // q215: the CHUNK-STORE ingest as a REAL Structured Streaming run
+  // (r14 — q214's increment contract driven end-to-end by the engine's
+  // own micro-batch machinery, not a hand-rolled batch loop): the
+  // corpus lands in scratch as three monotone id slices (one file
+  // each), a file-source stream with maxFilesPerTrigger=1 +
+  // Trigger.AvailableNow replays them as three ordered micro-batches
+  // through CorpusPipeline.chunkIngestSink (per batch: Bloom-pruned
+  // newness vs the persisted index snapshot, idempotent index append,
+  // flags DERIVED from the post-append index into a batch_id partition
+  // with dynamic overwrite — the replay-stable exactly-once layout),
+  // and the query returns the union of all three batches' flags. The
+  // oracle is the one-shot corpus-wide window (q210's CTEs): STREAMING
+  // execution must be invisible in the result, hash-exact. At 100 TB
+  // this is the nightly-crawl ingest path: per-trigger cost tracks the
+  // batch + collisions; the corpus-wide chunk window never runs.
+  def q215(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val src = graft.sources.Scratch.dir("chunk_stream_src")
+    val ckpt = graft.sources.Scratch.dir("chunk_stream_ckpt")
+    val idxPath = graft.sources.Scratch.dir("chunk_stream_idx")
+    val flagsPath = graft.sources.Scratch.dir("chunk_stream_flags")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    // one part-file per slice, written in id order: the file source
+    // lists by modification time, so slice order == trigger order ==
+    // id order — the monotone-ingest contract, made physical
+    Seq(docs.filter(col("doc_id") <= c1),
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        docs.filter(col("doc_id") > c2))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
+        Thread.sleep(5) // distinct mtimes pin the listing order
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/b*")
+    val q = CorpusPipeline.chunkIngestSink(stream, idxPath, flagsPath,
+        "doc_id", "text", k = 8)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(flagsPath)
+      .select("doc_id", "chunk_ix", "chunk_len", "chunk_md5", "is_first")
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  val q215Sql: String =
+    s"""WITH $cdcChunkCtes
+       SELECT doc_id, chunk_ix, chunk_len, chunk_md5,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_ix) = 1
+           AS is_first
+       FROM ch ORDER BY doc_id, chunk_ix"""
+
+  // q216: the ANN index ingest as a REAL Structured Streaming run
+  // (rows-only — DuckDB cannot replay IVF-PQ encoding; check.py holds
+  // a HARD property gate): the IVF-PQ artifact trains and persists on
+  // the base slice (vec_id % 5 != 0), then the held-out slice streams
+  // in as two monotone micro-batches through Similarity.annIngestSink
+  // — per trigger, ONLY the not-yet-indexed ids encode (against the
+  // frozen artifacts, no retrain) and their code rows append into the
+  // centroid_id-partitioned codes layout. The gate probes the loaded
+  // post-stream index with EXACT re-rank using fresh-id duplicates of
+  // every appended vector: each must retrieve a zero-distance top-1
+  // (itself or an exact clone), and each appended id must carry
+  // exactly m code rows — encode-once under streaming delivery,
+  // verified per row.
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val idxDir = graft.sources.Scratch.dir("ann_stream_idx")
+    val src = graft.sources.Scratch.dir("ann_stream_src")
+    val ckpt = graft.sources.Scratch.dir("ann_stream_ckpt")
+    // small artifacts: the gate tests APPEND mechanics under streaming
+    // delivery, not recall quality — q75 owns the recall gate
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfPqIndex(base, "vec_id", "embedding", dim,
+        nlist = 8, m = 4, ksub = 16, iters = 2), idxDir)
+    val mid = delta.agg(max(col("vec_id"))).head().getLong(0) / 2
+    Seq(delta.filter(col("vec_id") <= mid), delta.filter(col("vec_id") > mid))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
+        Thread.sleep(5)
+      }
+    val stream = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/b*")
+    val q = Similarity.annIngestSink(stream, idxDir, "vec_id", "embedding")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val index = Similarity.readIvfPqIndex(spark, idxDir)
+    val planted = delta.select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    // full-list probe + a wide exact re-rank shortlist: the planted
+    // duplicate's own code has the minimal ADC in its list, and the
+    // exact re-rank then surfaces a zero-distance top-1 (itself or a
+    // byte-identical clone) — deterministic on the fixed fixture
+    val hits = Similarity.probeIvfPqIndex(index, planted, "vec_id", "embedding",
+        k = 1, nprobe = index.nlist, rerank = 64, corpus = Some(emb))
+      .select(col("query_id"), col("neighbor_id").as("top_id"), col("l2_dist"))
+    val codeCounts = index.codes
+      .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+      .groupBy("neighbor_id").agg(count(lit(1)).as("n_code_rows"))
+    hits.withColumn("neighbor_id", col("query_id") - 900000L)
+      .join(codeCounts, "neighbor_id")
+      .select(col("query_id"), col("top_id"),
+        (col("l2_dist") === 0.0).as("dist_zero"),
+        col("n_code_rows"), lit(index.m.toLong).as("m"))
+      .orderBy("query_id")
+  }
 }

@@ -783,6 +783,33 @@ object CorpusOps {
     (flagged, newIndexRows)
   }
 
+  /** Chunk dedup flags DERIVED FROM the chunk-store index (r14 — the
+    * replay-stable half of the streaming ingest contract): once a
+    * batch's chunks are in the index, `is_first` is a pure function of
+    * the index — a chunk occurrence is first iff the index says ITS
+    * `(first_id, first_ix)` is this occurrence. Unlike
+    * [[cdcChunksIncrement]]'s flags (computed against the
+    * pre-batch snapshot), this form gives the SAME answer when a
+    * failed trigger replays after its index append landed — the
+    * at-least-once shape every streaming sink must survive — because
+    * the index's first-occurrence rows are idempotent under replay
+    * (the anti-join yields nothing the second time). Requires every
+    * batch chunk to be present in `index` (append the increment's
+    * `newIndexRows` first); a missing chunk flags `false`, never
+    * drops the row. One merge-hinted join on the chunk key — the
+    * exploded side's Generate misestimate must not bait a broadcast.
+    */
+  def chunkFlagsFromIndex(index: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, k: Int = 8): DataFrame =
+    explodedChunks(batch, idCol, textCol, k)
+      .join(index.select(col("chunk_md5"), col("first_id"), col("first_ix"))
+        .hint("merge"), Seq("chunk_md5"), "left")
+      .withColumn("is_first",
+        coalesce(col("first_id") === col(idCol) &&
+          col("first_ix") === col("chunk_ix"), lit(false)))
+      .select(col(idCol), col("chunk_ix"), col("chunk_len"), col("chunk_md5"),
+        col("is_first"))
+
   /** Chunk-level DEDUP REPORT over [[cdcChunks]] (the q191 histogram
     * shape applied to storage): per duplication count, how many
     * distinct chunks, how many characters a chunk-store would hold

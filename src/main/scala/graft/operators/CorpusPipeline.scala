@@ -172,6 +172,56 @@ object CorpusPipeline {
     docs.writeStream.foreachBatch(step)
   }
 
+  /** The CHUNK-STORE ingest as a CONTINUOUS stream (r14 — the q214
+    * contract under Structured Streaming, completing the set: every
+    * persisted index in the library is now stream-maintainable —
+    * minhash seen-set here in [[ingestSink]], IVF-PQ codes in
+    * [[Similarity.annIngestSink]], chunk store here). Each micro-batch:
+    *
+    *  1. newness vs the persisted index snapshot
+    *     ([[CorpusOps.cdcChunksIncrement]] — Bloom-pruned, merge-hinted;
+    *     `guardMonotone = false` because a REPLAYED trigger is the
+    *     expected at-least-once delivery shape here, and replay
+    *     resolves idempotently instead of loudly: the batch's chunks
+    *     are already first-occurrence rows, so the anti-join appends
+    *     nothing);
+    *  2. append the new distinct-chunk rows to `indexPath`;
+    *  3. flags DERIVED FROM the index ([[CorpusOps.chunkFlagsFromIndex]]
+    *     — a pure function of the post-append index, so a replayed
+    *     trigger recomputes identical flags) land in
+    *     `flagsPath/batch_id=<id>` via per-partition dynamic overwrite
+    *     (the quarantineSink exactly-once convention: replay REPLACES
+    *     the batch's flags, never duplicates them).
+    *
+    * Across triggers the flags equal the one-shot [[CorpusOps.cdcChunks]]
+    * corpus pass (spec'd, including a deliberately replayed batch), as
+    * long as ids follow ingest order (the monotone contract). At 100 TB
+    * the per-trigger cost tracks the BATCH plus index collisions — the
+    * corpus-wide chunk window never runs.
+    */
+  def chunkIngestSink(docs: DataFrame, indexPath: String, flagsPath: String,
+                      idCol: String, textCol: String, k: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath)) spark.read.parquet(indexPath)
+          else CorpusOps.chunkIndex(batch.toDF().limit(0), idCol, textCol, k)
+        val (_, newRows) = CorpusOps.cdcChunksIncrement(index, batch.toDF(),
+          idCol, textCol, k, guardMonotone = false)
+        newRows.write.mode("append").parquet(indexPath)
+        CorpusOps.chunkFlagsFromIndex(spark.read.parquet(indexPath),
+            batch.toDF(), idCol, textCol, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(flagsPath)
+      }
+    docs.writeStream.foreachBatch(step)
+  }
+
   /** Convenience: run `ingest` over pre-split batches in order, starting
     * from an empty index, and return (full delta union, final index).
     * Mainly the spec's single-call twin for the equivalence contract.

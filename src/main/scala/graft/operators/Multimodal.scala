@@ -627,23 +627,29 @@ object Multimodal {
   }
 
   /** Deterministic ADTS byte stream (fixture/gate generator, the
-    * [[syntheticMp3]] twin): one 7-byte-header frame per entry of
-    * `bodyLens` (zero-byte bodies — spectra stay behind the stub),
-    * single raw data block each. byte_len = Σ(7 + body_f), samples =
+    * [[syntheticMp3]] twin): one frame per entry of `bodyLens`
+    * (zero-byte bodies — spectra stay behind the stub), single raw
+    * data block each; `crc = true` writes protection_absent = 0
+    * frames (9-byte header, 16-bit zero CRC counted in the frame
+    * length — the walker advances by frame_length either way and does
+    * not verify the CRC). byte_len = Σ((7 or 9) + body_f), samples =
     * 1024·frames — the closed forms the gate recomputes. */
-  def syntheticAdts(rate: Int, channels: Int, bodyLens: Seq[Int]): Array[Byte] = {
+  def syntheticAdts(rate: Int, channels: Int, bodyLens: Seq[Int],
+                    crc: Boolean = false): Array[Byte] = {
     val srIdx = AdtsRates.indexOf(rate)
     require(srIdx >= 0 && channels >= 1 && channels <= 6 && bodyLens.nonEmpty &&
-      bodyLens.forall(l => l >= 0 && l <= (1 << 13) - 8), "valid rate/channels/bodies")
+      bodyLens.forall(l => l >= 0 && l <= (1 << 13) - 10), "valid rate/channels/bodies")
     val out = new java.io.ByteArrayOutputStream()
     for (body <- bodyLens) {
-      val len = 7 + body
-      out.write(0xff); out.write(0xf1) // sync, MPEG-4, layer 00, no CRC
+      val hdr = if (crc) 9 else 7
+      val len = hdr + body
+      out.write(0xff); out.write(if (crc) 0xf0 else 0xf1) // sync, MPEG-4, layer 00
       out.write((1 << 6) | (srIdx << 2) | ((channels >> 2) & 1)) // AAC-LC profile
       out.write(((channels & 3) << 6) | ((len >> 11) & 3))
       out.write((len >> 3) & 0xff)
       out.write(((len & 7) << 5) | 0x1f)
       out.write(0xfc) // fullness low bits, 1 raw data block (rdb = 0)
+      if (crc) { out.write(0); out.write(0) }
       (0 until body).foreach(_ => out.write(0))
     }
     out.toByteArray
@@ -823,8 +829,13 @@ object Multimodal {
     * largesize, `size == 0` → box extends to the enclosing bound;
     * reads `moov/mvhd` (timescale + movie duration, version 0 and 1),
     * each `trak`'s `tkhd` (16.16 fixed-point presentation dims, v0/v1),
-    * `mdia/hdlr` (vide/soun stream inventory) and the video track's
-    * `stbl/stsz` sample count (= frame count). The parseAvi
+    * `mdia/hdlr` (vide/soun stream inventory), the video track's
+    * `stbl/stsz` sample count (= frame count, `stts` Σcount as the
+    * fallback), and — when present — the video track's OWN media
+    * clock (`mdhd` timescale + duration, or Σ(count·delta) from
+    * `stts`), which beats the mvhd movie clock for duration/fps: a
+    * movie's duration spans edits and audio tails, while fps wants
+    * the video samples' clock. The parseAvi
     * discipline throughout: size-aligned advance, any overrun, lying
     * box size, truncation, or missing `mvhd` → None — and frame
     * PIXELS stay behind the declared codec stub, because 100 TB
@@ -854,6 +865,9 @@ object Multimodal {
     var tHandler = ""
     var tW, tH = 0
     var tFrames = 0L
+    var tMdhdTs, tMdhdDur = 0L // media clock — preferred over the movie clock
+    var tSttsCount, tSttsDur = 0L
+    var trackClockSet = false
     def walk(start: Long, end: Long, inTrak: Boolean): Boolean = {
       var pos = start
       while (pos + 8 <= end) {
@@ -872,21 +886,38 @@ object Multimodal {
             if (!walk(body, pos + size, inTrak)) return false
           case "trak" =>
             tHandler = ""; tW = 0; tH = 0; tFrames = 0L
+            tMdhdTs = 0L; tMdhdDur = 0L; tSttsCount = 0L; tSttsDur = 0L
             if (!walk(body, pos + size, inTrak = true)) return false
             nTracks += 1
             if (tHandler == "vide") {
               nVideo += 1
               if (vWidth == 0 && vHeight == 0) { // first video track wins
-                vWidth = tW; vHeight = tH; vFrames = tFrames
+                vWidth = tW; vHeight = tH
+                // frame count: stsz's sample count, stts's Σcount as
+                // the fallback when stsz is absent/zero
+                vFrames = if (tFrames > 0) tFrames else tSttsCount
+                // timing: the video track's OWN media clock (mdhd
+                // timescale, mdhd duration or stts Σ(count·delta))
+                // beats the mvhd movie clock when present — a movie's
+                // duration spans edits/audio tails; fps wants the
+                // video samples' clock (r14, the track-accurate path)
+                if (tMdhdTs > 0 && (tMdhdDur > 0 || tSttsDur > 0)) {
+                  timescale = tMdhdTs
+                  duration = if (tMdhdDur > 0) tMdhdDur else tSttsDur
+                  sawMvhd = true // a track clock suffices even without mvhd
+                  trackClockSet = true
+                }
               }
             } else if (tHandler == "soun") nAudio += 1
           case "mvhd" =>
             if (bodyLen < 20) return false
             val v = b(body.toInt) & 0xff
-            if (v == 1) {
-              if (bodyLen < 32) return false
-              timescale = be32(body + 20); duration = be64(body + 24)
-            } else { timescale = be32(body + 12); duration = be32(body + 16) }
+            if (!trackClockSet) { // the video track's media clock wins
+              if (v == 1) {
+                if (bodyLen < 32) return false
+                timescale = be32(body + 20); duration = be64(body + 24)
+              } else { timescale = be32(body + 12); duration = be32(body + 16) }
+            } else if (v == 1 && bodyLen < 32) return false
             sawMvhd = true
           case "tkhd" if inTrak =>
             val v = b(body.toInt) & 0xff
@@ -897,6 +928,24 @@ object Multimodal {
           case "hdlr" if inTrak =>
             if (bodyLen < 12) return false
             tHandler = fourcc(body + 8)
+          case "mdhd" if inTrak =>
+            if (bodyLen < 20) return false
+            val v = b(body.toInt) & 0xff
+            if (v == 1) {
+              if (bodyLen < 32) return false
+              tMdhdTs = be32(body + 20); tMdhdDur = be64(body + 24)
+            } else { tMdhdTs = be32(body + 12); tMdhdDur = be32(body + 16) }
+          case "stts" if inTrak =>
+            if (bodyLen < 8) return false
+            val n = be32(body + 4)
+            if (bodyLen < 8 + 8 * n) return false
+            var e = 0L
+            while (e < n) {
+              val cnt = be32(body + 8 + 8 * e)
+              tSttsCount += cnt
+              tSttsDur += cnt * be32(body + 12 + 8 * e)
+              e += 1
+            }
           case "stsz" if inTrak =>
             if (bodyLen < 12) return false
             tFrames = be32(body + 8)
@@ -917,11 +966,14 @@ object Multimodal {
     * optional audio trak) + an mdat of `mdatLen` zero bytes. `v1`
     * writes version-1 mvhd/tkhd (64-bit times) so gates exercise both
     * parse paths. Total size is the closed form the gate recomputes:
-    * v0 → 140 + 212·tracks + mdatLen; v1 → 152 + 224·tracks + mdatLen.
-    */
+    * v0 → 140 + 212·tracks + mdatLen; v1 → 152 + 224·tracks + mdatLen
+    * (+32 for `videoMdhd`, +16+8·|stts| for `stts` — the r14
+    * track-clock extras, written into the video trak only). */
   def syntheticMp4(w: Int, h: Int, frames: Int, timescale: Int, duration: Long,
                    audioTrack: Boolean = false, v1: Boolean = false,
-                   mdatLen: Int = 64): Array[Byte] = {
+                   mdatLen: Int = 64,
+                   videoMdhd: Option[(Int, Long)] = None,
+                   stts: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(w > 0 && h > 0 && frames > 0 && timescale > 0 && duration >= 0 &&
       mdatLen >= 0)
     val out = new java.io.ByteArrayOutputStream()
@@ -932,11 +984,15 @@ object Multimodal {
     def tag(s: String): Unit = out.write(s.getBytes, 0, 4)
     def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
     val tkhdBox = if (v1) 104 else 92
-    val mdiaBox = 112 // hdlr 36 + minf 68 (stbl 60 = stsd 32 + stsz 20) + 8
-    val trakBox = 8 + tkhdBox + mdiaBox
+    val mdhdBox = if (videoMdhd.isDefined) 32 else 0
+    val sttsBox = if (stts.nonEmpty) 16 + 8 * stts.length else 0
+    // hdlr 36 + minf (stbl = stsd 32 + stsz 20 [+ stts]) + 8 [+ mdhd]
+    val mdiaBoxA = 112
+    val mdiaBoxV = 112 + mdhdBox + sttsBox
+    val trakBoxV = 8 + tkhdBox + mdiaBoxV
+    val trakBoxA = 8 + tkhdBox + mdiaBoxA
     val mvhdBox = if (v1) 120 else 108
-    val nTraks = if (audioTrack) 2 else 1
-    val moovBox = 8 + mvhdBox + trakBox * nTraks
+    val moovBox = 8 + mvhdBox + trakBoxV + (if (audioTrack) trakBoxA else 0)
     // ftyp
     be32(16); tag("ftyp"); tag("isom"); be32(0)
     // moov
@@ -945,24 +1001,33 @@ object Multimodal {
     if (v1) { out.write(1); zeros(3); be64(0); be64(0); be32(timescale); be64(duration) }
     else { zeros(4); be32(0); be32(0); be32(timescale); be32(duration) }
     zeros(80) // rate, volume, reserved, matrix, pre_defined, next_track_ID
-    for (trackId <- 1 to nTraks) {
+    for (trackId <- 1 to (if (audioTrack) 2 else 1)) {
       val video = trackId == 1
-      be32(trakBox); tag("trak")
+      be32(if (video) trakBoxV else trakBoxA); tag("trak")
       be32(tkhdBox); tag("tkhd")
       if (v1) { out.write(1); zeros(3); be64(0); be64(0); be32(trackId); zeros(4); be64(0) }
       else { zeros(4); be32(0); be32(0); be32(trackId); zeros(4); be32(0) }
       zeros(8 + 2 + 2 + 2 + 2 + 36) // reserved, layer, alt, volume, rsvd, matrix
       if (video) { be32(w.toLong << 16); be32(h.toLong << 16) }
       else { be32(0); be32(0) }
-      be32(mdiaBox); tag("mdia")
+      be32(if (video) mdiaBoxV else mdiaBoxA); tag("mdia")
+      if (video) videoMdhd.foreach { case (ts, dur) =>
+        be32(32); tag("mdhd")
+        zeros(4); be32(0); be32(0); be32(ts); be32(dur); be32(0)
+      }
       be32(36); tag("hdlr"); zeros(4); be32(0)
       tag(if (video) "vide" else "soun"); zeros(12); zeros(4)
-      be32(68); tag("minf")
-      be32(60); tag("stbl")
+      val stblSz = 60 + (if (video) sttsBox else 0)
+      be32(8 + stblSz); tag("minf")
+      be32(stblSz); tag("stbl")
       be32(32); tag("stsd"); zeros(4); be32(1)
       be32(16); tag(if (video) "avc1" else "mp4a"); zeros(8)
       be32(20); tag("stsz"); zeros(4); be32(0)
       be32(if (video) frames.toLong else frames.toLong * 2)
+      if (video && stts.nonEmpty) {
+        be32(sttsBox); tag("stts"); zeros(4); be32(stts.length)
+        stts.foreach { case (cnt, delta) => be32(cnt); be32(delta) }
+      }
     }
     be32(8L + mdatLen); tag("mdat"); zeros(mdatLen)
     out.toByteArray

@@ -600,7 +600,16 @@ object Similarity {
     * rebuild.
     */
   def appendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
-                       idCol: String, vecCol: String): IvfPqIndex = {
+                       idCol: String, vecCol: String): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeNewVecs(index, newVecs, idCol, vecCol)))
+
+  /** The encode half of [[appendIvfPqIndex]]: code rows for the
+    * batch vectors NOT already in the index, encoded with the trained
+    * artifacts (no retrain). Exposed separately so the PERSISTED
+    * append ([[appendIvfPqIndexPersisted]]) can write ONLY the delta. */
+  private def encodeNewVecs(index: IvfPqIndex, newVecs: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
     // dropDuplicates guards the WITHIN-batch face of the same
     // at-least-once failure mode the anti-join guards across batches:
     // a batch that repeats an id would otherwise encode once per copy
@@ -617,11 +626,46 @@ object Similarity {
     val resid = assigned.join(c, "neighbor_id").join(broadcast(index.centroids), "centroid_id")
       .select(col("neighbor_id"), col("centroid_id"),
         zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
-    val newCodes = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
+    pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
         index.codebooks, "neighbor_id", "rv", index.dim, index.m)
       .join(assigned, "neighbor_id")
-    index.copy(codes = index.codes.unionByName(newCodes))
   }
+
+  /** Append a batch into a PERSISTED index directory (r14 — the
+    * nightly-ingest shape made durable): load the trained artifacts,
+    * encode the not-yet-indexed batch ids, and APPEND only those code
+    * rows into `codes.parquet`'s centroid_id partition layout — the
+    * artifacts (centroids, codebooks, meta) never rewrite, and probes
+    * keep pruning by coarse list. Idempotent under at-least-once
+    * delivery: a replayed or overlapping batch anti-joins to nothing
+    * and appends zero rows (spec'd). At 100 TB the recurring ingest
+    * cost is one broadcast assignment + encode pass over the BATCH —
+    * the corpus-sized index is only ever read as an ids-only column
+    * for the newness anti-join. */
+  def appendIvfPqIndexPersisted(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, newVecs: DataFrame,
+                                idCol: String, vecCol: String): Unit = {
+    val index = readIvfPqIndex(spark, dir)
+    encodeNewVecs(index, newVecs, idCol, vecCol)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** The ANN index ingest as a CONTINUOUS stream: every micro-batch
+    * runs [[appendIvfPqIndexPersisted]] against the artifacts at
+    * `indexDir` — train once ([[buildIvfPqIndex]] + [[writeIvfPqIndex]],
+    * which must have run before the stream starts), append forever,
+    * retrain on drift schedules out of band. Replayed triggers append
+    * nothing (the idempotent anti-join), so the sink is exactly-once
+    * on code rows without any sink-side transaction. */
+  def annIngestSink(vecs: DataFrame, indexDir: String,
+                    idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendIvfPqIndexPersisted(batch.sparkSession, indexDir,
+          batch.toDF(), idCol, vecCol)
+    }
 
   /** Persist the index: codes PARTITIONED BY centroid_id so a probe of
     * `nprobe` lists prunes to nprobe/nlist of the files (dynamic

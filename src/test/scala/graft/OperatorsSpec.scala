@@ -1638,12 +1638,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAdts(drift).isEmpty, "rate must stay constant")
     val reserved = adts.clone(); reserved(2) = (reserved(2) | 0x3c).toByte // srIdx 15
     assert(Multimodal.parseAdts(reserved).isEmpty)
+    // CRC-present frames (protection_absent = 0, 9-byte headers): the
+    // frame length counts the CRC, so the walk is unchanged and the
+    // facts agree with the no-CRC stream byte-for-byte
+    val adtsCrc = Multimodal.syntheticAdts(rate = 44100, channels = 2,
+      bodyLens = Seq(13, 14, 15), crc = true)
+    assert(adtsCrc.length == adts.length + 3 * 2, "each CRC adds 2 bytes")
+    assert(Multimodal.parseAdts(adtsCrc).get == p,
+      "CRC-present frames must parse to the same facts")
     // through the DataFrame op: bits=0, rms=0 (the lossy stub split)
     val got = Multimodal.audioFeatures(Seq((1L, adts, 0, 0, "aac"))
       .toDF("doc_id", "payload", "width", "height", "fmt")).collect()(0)
     assert(got.getAs[Boolean]("decoded") && got.getAs[Int]("sample_rate") == 44100 &&
       got.getAs[Int]("channels") == 2 && got.getAs[Int]("bits") == 0 &&
       got.getAs[Long]("n_samples") == 3072L && got.getAs[Long]("rms_milli") == 0L)
+  }
+
+  test("MP4 track clock (r14): mdhd/stts beat the mvhd movie clock for duration/fps") {
+    // movie clock says 90 kHz / 2 s, but the video TRACK's media clock
+    // says 600 units with stts summing 48 frames x 25 units = 24 fps —
+    // the track-accurate path must win (a movie's duration spans edits
+    // and audio tails; fps wants the video samples' own clock)
+    val m = Multimodal.syntheticMp4(w = 320, h = 240, frames = 48,
+      timescale = 90000, duration = 180000L,
+      videoMdhd = Some((600, 0L)), stts = Seq((40, 25), (8, 25)))
+    val p = Multimodal.parseMp4(m).get
+    assert(p.timescale == 600L && p.duration == 48L * 25,
+      s"stts must supply the track duration when mdhd's is 0: $p")
+    assert(p.fpsMilli == 24000L && p.durationMs == 2000L)
+    // mdhd duration > 0 is preferred over the stts sum
+    val m2 = Multimodal.syntheticMp4(w = 320, h = 240, frames = 48,
+      timescale = 90000, duration = 180000L,
+      videoMdhd = Some((600, 1200L)), stts = Seq((48, 25)))
+    assert(Multimodal.parseMp4(m2).get.duration == 1200L)
+    // stts Σcount is the frame-count fallback when stsz reads zero;
+    // closed-form size: +32 (mdhd) +16+8·entries (stts)
+    assert(m.length == 140 + 212 + 64 + 32 + 16 + 16)
+    // without the extras the movie clock still rules (the gate shape)
+    val plain = Multimodal.parseMp4(Multimodal.syntheticMp4(320, 240, 30,
+      90000, 90000L)).get
+    assert(plain.timescale == 90000L && plain.fpsMilli == 30000L)
   }
 
   test("Ogg-Opus streams parse through the real page walker (r14): 48kHz granule " +

@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{CorpusOps, CorpusPipeline, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The r14 stream-maintained indexes: the chunk store and the IVF-PQ
+  * codes, each driven by a REAL file-source stream (maxFilesPerTrigger
+  * = 1 + AvailableNow = ordered micro-batches), each proven (a) equal
+  * to the one-shot batch operator and (b) idempotent under full replay
+  * — a second stream run with a FRESH checkpoint re-delivers every
+  * file, which is exactly the at-least-once failure shape the sinks
+  * must absorb. */
+class StreamingIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stream(src: String, schema: org.apache.spark.sql.types.StructType) =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/b*")
+
+  private def writeSlices(slices: Seq[DataFrame], src: String): Unit =
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
+      Thread.sleep(5) // distinct mtimes pin the file-source order
+    }
+
+  test("chunkIngestSink: streamed flags == one-shot cdcChunks; full replay is a no-op") {
+    val banner = "accept all cookies to continue reading this site "
+    val docs = (1L to 30L).map { i =>
+      (i, if (i == 7) "" else banner * 3 + s"unique tail for document $i " * 2)
+    }.toDF("doc_id", "text")
+    val src = graft.sources.Scratch.dir("sis_chunk_src")
+    val idx = graft.sources.Scratch.dir("sis_chunk_idx")
+    val flags = graft.sources.Scratch.dir("sis_chunk_flags")
+    writeSlices(Seq(docs.filter(col("doc_id") <= 10),
+      docs.filter(col("doc_id") > 10 && col("doc_id") <= 20),
+      docs.filter(col("doc_id") > 20)), src)
+    def run(ckptTag: String): Unit = {
+      val q = CorpusPipeline.chunkIngestSink(stream(src, docs.schema), idx, flags,
+          "doc_id", "text")
+        .option("checkpointLocation", graft.sources.Scratch.dir(ckptTag))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("sis_chunk_ckpt1")
+    def flagRows() = spark.read.parquet(flags)
+      .select("doc_id", "chunk_ix", "chunk_len", "chunk_md5", "is_first")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    val oneShot = CorpusOps.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_ix", "chunk_len", "chunk_md5", "is_first")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(flagRows() == oneShot,
+      "streamed per-batch flags must equal the one-shot corpus pass")
+    val idxRows = spark.read.parquet(idx).collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("first_ix"))).toSet
+    val fromScratch = CorpusOps.chunkIndex(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"),
+        r.getAs[Long]("first_id"), r.getAs[Long]("first_ix"))).toSet
+    assert(idxRows == fromScratch, "streamed index must equal the from-scratch index")
+    // FULL REPLAY: a fresh checkpoint re-delivers every file — the
+    // index appends nothing (anti-join), and flags, being a pure
+    // function of the index, rewrite identically (dynamic overwrite)
+    run("sis_chunk_ckpt2")
+    assert(flagRows() == oneShot, "replayed flags must be unchanged")
+    assert(spark.read.parquet(idx).count() == fromScratch.size,
+      "replay must not grow the index")
+  }
+
+  test("chunkIngestSink == one-shot on seeded random corpora with random slice cuts") {
+    // seeded generators (the RandomizedCdcSpec convention): shared
+    // phrases make cross-doc chunk collisions common, and the slice
+    // boundaries are random — batching must be invisible
+    val phrases = Vector("accept all cookies", "subscribe to the newsletter",
+      "breaking news today", "all rights reserved", "terms of service apply")
+    for (seed <- 1L to 2L) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 36L).map { i =>
+        val parts = (0 until 2 + rnd.nextInt(4)).map(_ =>
+          if (rnd.nextBoolean()) phrases(rnd.nextInt(phrases.length))
+          else s"unique ${rnd.nextInt(1000)} of doc $i")
+        (i, parts.mkString(" "))
+      }.toDF("doc_id", "text")
+      val cuts = (Seq(0L) ++ Seq.fill(1 + rnd.nextInt(2))(1L + rnd.nextInt(35).toLong)
+        .sorted ++ Seq(36L)).distinct
+      val slices = cuts.sliding(2).map { case Seq(lo, hi) =>
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      }.toSeq
+      val src = graft.sources.Scratch.dir(s"sis_rand_src$seed")
+      val idx = graft.sources.Scratch.dir(s"sis_rand_idx$seed")
+      val flags = graft.sources.Scratch.dir(s"sis_rand_flags$seed")
+      writeSlices(slices, src)
+      val q = CorpusPipeline.chunkIngestSink(stream(src, docs.schema), idx, flags,
+          "doc_id", "text")
+        .option("checkpointLocation", graft.sources.Scratch.dir(s"sis_rand_ckpt$seed"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def rows(df: DataFrame) = df
+        .select("doc_id", "chunk_ix", "chunk_len", "chunk_md5", "is_first")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSet
+      assert(rows(spark.read.parquet(flags)) ==
+        rows(CorpusOps.cdcChunks(docs, "doc_id", "text")),
+        s"seed $seed (${slices.size} slices): streamed flags != one-shot")
+    }
+  }
+
+  test("annIngestSink: streamed codes probe like the in-memory append; replay appends zero rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0).limit(40)
+      .localCheckpoint(eager = true)
+    val idxDir = graft.sources.Scratch.dir("sis_ann_idx")
+    val src = graft.sources.Scratch.dir("sis_ann_src")
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfPqIndex(base, "vec_id", "embedding", dim,
+        nlist = 8, m = 4, ksub = 16, iters = 2), idxDir)
+    val preCodes = spark.read.parquet(s"$idxDir/codes.parquet").count()
+    val mid = delta.agg(max(col("vec_id"))).head().getLong(0) / 2
+    writeSlices(Seq(delta.filter(col("vec_id") <= mid),
+      delta.filter(col("vec_id") > mid)), src)
+    def run(ckptTag: String): Unit = {
+      val q = Similarity.annIngestSink(stream(src, delta.schema), idxDir,
+          "vec_id", "embedding")
+        .option("checkpointLocation", graft.sources.Scratch.dir(ckptTag))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("sis_ann_ckpt1")
+    val index = Similarity.readIvfPqIndex(spark, idxDir)
+    val nDelta = delta.count()
+    assert(index.codes.count() == preCodes + nDelta * index.m,
+      "streamed append must encode each new vector exactly once")
+    // streamed codes == the in-memory append's codes for the same batch
+    val inMem = Similarity.appendIvfPqIndex(
+      Similarity.readIvfPqIndex(spark, idxDir).copy(
+        codes = spark.read.parquet(s"$idxDir/codes.parquet")
+          .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+            "left_anti")),
+      delta, "vec_id", "embedding")
+    def codeSet(df: DataFrame) = df
+      .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
+      .collect().map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getAs[Number]("subspace").intValue, r.getAs[Number]("code").intValue,
+        r.getAs[Number]("centroid_id").longValue)).toSet
+    assert(codeSet(index.codes) == codeSet(inMem.codes),
+      "streamed codes must equal the in-memory append's encoding")
+    // planted duplicates of streamed-in vectors are retrievable at
+    // distance zero through the loaded index (exact re-rank)
+    val planted = delta.limit(5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val probe = Similarity.probeIvfPqIndex(index, planted, "vec_id", "embedding",
+      k = 1, nprobe = index.nlist, rerank = 64, corpus = Some(emb))
+    assert(probe.filter(col("l2_dist") === 0.0).count() == 5,
+      "every planted duplicate must retrieve a zero-distance top-1")
+    // FULL REPLAY with a fresh checkpoint: the idempotent anti-join
+    // appends nothing
+    run("sis_ann_ckpt2")
+    assert(spark.read.parquet(s"$idxDir/codes.parquet").count() ==
+      preCodes + nDelta * index.m, "replay must not grow the codes")
+  }
+}
