@@ -110,6 +110,25 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("q215/q216 repeat invocations (shared artifacts + checkpoint) return identical rows") {
+    // the bench's min-of-2 runs each gate twice in one JVM: the second
+    // invocation reuses the shared slices, index, and CHECKPOINT — its
+    // stream delivers nothing (the restart path) and the result must
+    // be byte-identical to the cold run
+    def rows215() = TrainingQueries.q215(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4))).toSeq
+    val cold215 = rows215()
+    assert(rows215() == cold215, "warm q215 must equal the cold run")
+    def rows216() = TrainingQueries.q216(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val cold216 = rows216()
+    assert(cold216.nonEmpty && cold216.forall(t => t._3 && t._4 == t._5),
+      "q216 gate invariants must hold in-spec too")
+    assert(rows216() == cold216, "warm q216 must equal the cold run")
+  }
+
   test("annIngestSink: streamed codes probe like the in-memory append; replay appends zero rows") {
     val emb = Tables.embeddings(spark, sf)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
