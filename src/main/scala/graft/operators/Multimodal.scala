@@ -141,7 +141,10 @@ object Multimodal {
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > b.length) return None
+      // `pos + 8 + size` can wrap negative for size near Int.MaxValue
+      // (the parseMp4 largesize failure mode in 32 bits) — compare
+      // against the remaining extent, both sides non-negative
+      if (size < 0 || size > b.length - (pos + 8)) return None
       if (id == "fmt " && size >= 16)
         fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12), le16(pos + 22)))
       else if (id == "data") data = Some((pos + 8, size))
@@ -814,12 +817,22 @@ object Multimodal {
   case class Mp4Info(width: Int, height: Int, nFrames: Long, duration: Long,
                      timescale: Long, nTracks: Int, nVideo: Int, nAudio: Int) {
     /** movie duration in ms — exact integer division off the container's
-      * own clock */
-    def durationMs: Long = if (timescale > 0) duration * 1000L / timescale else 0L
+      * own clock; 0 when the product overflows Long (hostile 64-bit
+      * duration — garbage facts must not masquerade as real, r14
+      * advice) */
+    def durationMs: Long =
+      if (timescale <= 0) 0L
+      else try java.lang.Math.multiplyExact(duration, 1000L) / timescale
+      catch { case _: ArithmeticException => 0L }
     /** frames-per-second ×1000 — frames·timescale·1000 / duration,
-      * integer-exact (the AVI walker's 10⁹/µs convention, MP4 clock) */
+      * integer-exact (the AVI walker's 10⁹/µs convention, MP4 clock);
+      * 0 when the product overflows Long (nFrames and timescale are
+      * both attacker-controlled up to 2^32−1) */
     def fpsMilli: Long =
-      if (duration > 0) nFrames * timescale * 1000L / duration else 0L
+      if (duration <= 0) 0L
+      else try java.lang.Math.multiplyExact(
+        java.lang.Math.multiplyExact(nFrames, timescale), 1000L) / duration
+      catch { case _: ArithmeticException => 0L }
   }
 
   /** REAL ISO-BMFF (MP4/MOV) box walker (r14 — the verdict's lead gap:
@@ -878,7 +891,11 @@ object Multimodal {
           if (pos + 16 > end) return false
           size = be64(pos + 8); hdr = 16L
         } else if (size == 0L) size = end - pos
-        if (size < hdr || pos + size > end) return false
+        // overflow-safe bound: `pos + size > end` wraps negative for a
+        // hostile 64-bit largesize near 2^63 and would let leaf parsers
+        // read past the array (r14 advice) — compare against the
+        // remaining extent instead, which both sides keep non-negative
+        if (size < hdr || size > end - pos) return false
         val body = pos + hdr
         val bodyLen = size - hdr
         typ match {
@@ -940,12 +957,17 @@ object Multimodal {
             val n = be32(body + 4)
             if (bodyLen < 8 + 8 * n) return false
             var e = 0L
-            while (e < n) {
+            // count and count·delta accumulate attacker-controlled
+            // 32-bit values; saturating into garbage would emit wrong
+            // facts for decoded=true rows, so Long overflow = malformed
+            // (multiplyExact/addExact, r14 advice)
+            try while (e < n) {
               val cnt = be32(body + 8 + 8 * e)
-              tSttsCount += cnt
-              tSttsDur += cnt * be32(body + 12 + 8 * e)
+              tSttsCount = java.lang.Math.addExact(tSttsCount, cnt)
+              tSttsDur = java.lang.Math.addExact(tSttsDur,
+                java.lang.Math.multiplyExact(cnt, be32(body + 12 + 8 * e)))
               e += 1
-            }
+            } catch { case _: ArithmeticException => return false }
           case "stsz" if inTrak =>
             if (bodyLen < 12) return false
             tFrames = be32(body + 8)
