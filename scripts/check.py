@@ -385,9 +385,12 @@ if os.path.isdir(q193_path):
 # rms=0, the lossy-codec stub split); id%180==15 docs carry an
 # AAC-ADTS stream (r14: rate/channels/frame-count from id formulas,
 # 1024 samples per frame); id%180==75 docs an Ogg-Opus stream (r14:
-# 48 kHz granule clock, n_samples = last_granule - pre_skip); the
-# remaining doc_id%15==0 docs (id%180 in {105,165}) carry junk text
-# bytes that must come back decoded=false with zeroed facts. Every
+# 48 kHz granule clock, n_samples = last_granule - pre_skip);
+# id%180==105 docs an m4a (r15: MP4-contained audio — channels + 16.16
+# rate from the stsd mp4a entry, samples from the audio mdhd clock,
+# byte_len = 404 + mdatLen closed form); the remaining doc_id%15==0
+# docs (id%180==165) carry junk text bytes that must come back
+# decoded=false with zeroed facts. Every
 # output column is recomputed here exactly, including the IEEE RMS
 # accumulation in sample order and the integer-floor mp3/adts/opus
 # frame lengths/durations.
@@ -442,6 +445,12 @@ if os.path.isdir(q197_path):
             blen = 91 + sum(28 + 20 + int((doc_id + 37 * i) % 53) for i in range(n))
             ns = n * spp
             exp = (blen, ch, 48000, 0, ns, ns * 1000 // 48000, 0, True)
+        elif doc_id % 180 == 105:
+            ch = 1 + int((doc_id % 11) % 2)
+            rate = [48000, 44100, 32000, 24000][int((doc_id % 7) % 4)]
+            ns = 1024 * (3 + int((doc_id % 13) % 6))
+            blen = 404 + 16 + int(doc_id % 23)
+            exp = (blen, ch, rate, 0, ns, ns * 1000 // rate, 0, True)
         else:
             exp = (len(head.encode("utf-8")), 0, 0, 0, 0, 0, 0, False)
         gval = (int(g.byte_len), int(g.channels), int(g.sample_rate), int(g.bits),
@@ -458,9 +467,10 @@ if os.path.isdir(q197_path):
         n_mp3 = int(((docs.doc_id % 45 == 0) & (docs.doc_id % 30 != 0)).sum())
         n_adts = int((docs.doc_id % 180 == 15).sum())
         n_opus = int((docs.doc_id % 180 == 75).sum())
+        n_m4a = int((docs.doc_id % 180 == 105).sum())
         print(f"ok   q197_audio_features [property: all {len(docs)} rows match the "
               f"decode formulas exactly ({n_wav} real WAVs, {n_mp3} VBR mp3s, "
-              f"{n_adts} ADTS, {n_opus} Ogg-Opus, rest junk)]")
+              f"{n_adts} ADTS, {n_opus} Ogg-Opus, {n_m4a} m4a, rest junk)]")
 
 # q198: video container metadata (rows-only). doc_id%20==0 docs carry a
 # deterministic synthetic AVI (w = 160 + id%16*16, h = 120 + id%12*8,

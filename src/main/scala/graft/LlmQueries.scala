@@ -533,11 +533,15 @@ object LlmQueries {
   // documents the closed forms check.py recomputes), REAL AAC-ADTS
   // frame streams (r14, id%180==15: varying rates/channels/frame
   // lengths), REAL Ogg-Opus page streams (r14, id%180==75: 48 kHz
-  // granule clock, pre-skip subtracted per RFC 7845), and junk
-  // text-byte payloads (id%180 in {105,165}) that must come back
+  // granule clock, pre-skip subtracted per RFC 7845), REAL m4a
+  // payloads (r15, id%180==105: MP4-contained audio — the most common
+  // real-world audio wrapper; channels + 16.16 rate from the stsd
+  // mp4a entry, samples from the audio trak's own mdhd clock), and
+  // junk text-byte payloads (id%180==165) that must come back
   // decoded=false with zeroed facts. The decode itself is the real
   // RIFF walker + the r12 hand-rolled FLAC decoder + the r13 MPEG
-  // frame-header walk + the r14 ADTS/Ogg walkers (FLAC payloads are
+  // frame-header walk + the r14 ADTS/Ogg walkers + the r15 extended
+  // ISO-BMFF audio walk (FLAC payloads are
   // spec-gated in FlacSpec on hand-built streams — the Vp8lSpec
   // discipline); partition-batched map-side, no shuffle — the 100 TB
   // pass is scan-speed.
@@ -579,6 +583,15 @@ object LlmQueries {
               preSkip = 312 + (id % 19).toInt * 8,
               samplesPerPage = 960 * (1 + ((id % 11) % 3).toInt),
               bodyLens = (0 until n).map(i => 20 + ((id + 37L * i) % 53).toInt))
+          } else if (id % 180 == 105) {
+            // m4a (r15): MP4-contained audio — channels + 16.16 rate
+            // from the stsd mp4a entry, samples from the audio mdhd
+            // clock; byte_len = 404 + mdatLen, the closed form
+            Multimodal.syntheticM4a(
+              channels = 1 + ((id % 11) % 2).toInt,
+              rate = Seq(48000, 44100, 32000, 24000)(((id % 7) % 4).toInt),
+              nSamples = 1024L * (3 + ((id % 13) % 6)),
+              mdatLen = 16 + (id % 23).toInt)
           } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         graft.operators.MediaRow(id, payload, 0, 0, "wav")
       }).toDF()

@@ -234,8 +234,21 @@ object Multimodal {
             case None => parseOggOpus(m.payload) match {
               case Some(o) => AudioFeatures(m.doc_id, m.payload.length.toLong,
                 o.channels, 48000, 0, o.nSamples, o.durationMs, 0L, decoded = true)
-              case None => AudioFeatures(m.doc_id, m.payload.length.toLong,
-                0, 0, 0, 0L, 0L, 0L, decoded = false)
+              case None => parseMp4(m.payload) match {
+                // MP4-contained audio (m4a — r15, the r14 verdict's
+                // lead gap: the most common real-world audio wrapper):
+                // channels from the stsd mp4a entry, rate + sample
+                // count from the audio trak's own mdhd clock. The
+                // coded AAC spectra stay behind the declared
+                // lossy-codec stub (bits = 0, rms = 0 — the ADTS/mp3
+                // split); an MP4 without decodable audio facts falls
+                // through undecoded.
+                case Some(v) if v.aChannels > 0 && v.aRate > 0 && v.aSamples > 0 =>
+                  AudioFeatures(m.doc_id, m.payload.length.toLong, v.aChannels,
+                    v.aRate, 0, v.aSamples, v.audioDurationMs, 0L, decoded = true)
+                case _ => AudioFeatures(m.doc_id, m.payload.length.toLong,
+                  0, 0, 0, 0L, 0L, 0L, decoded = false)
+              }
             }
           }
         }
@@ -815,7 +828,16 @@ object Multimodal {
   }
 
   case class Mp4Info(width: Int, height: Int, nFrames: Long, duration: Long,
-                     timescale: Long, nTracks: Int, nVideo: Int, nAudio: Int) {
+                     timescale: Long, nTracks: Int, nVideo: Int, nAudio: Int,
+                     aChannels: Int = 0, aRate: Int = 0, aSamples: Long = 0L) {
+    /** audio duration in ms off the audio track's own media clock —
+      * aSamples is mdhd duration in timescale units, aRate the mdhd
+      * timescale, so this is sample-exact like the WAV path */
+    def audioDurationMs: Long =
+      if (aRate > 0 && aSamples > 0)
+        try java.lang.Math.multiplyExact(aSamples, 1000L) / aRate
+        catch { case _: ArithmeticException => 0L }
+      else 0L
     /** movie duration in ms — exact integer division off the container's
       * own clock; 0 when the product overflows Long (hostile 64-bit
       * duration — garbage facts must not masquerade as real, r14
@@ -860,6 +882,7 @@ object Multimodal {
     def be32(i: Long): Long = ((b(i.toInt) & 0xffL) << 24) |
       ((b(i.toInt + 1) & 0xffL) << 16) | ((b(i.toInt + 2) & 0xffL) << 8) |
       (b(i.toInt + 3) & 0xffL)
+    def be16(i: Long): Int = ((b(i.toInt) & 0xff) << 8) | (b(i.toInt + 1) & 0xff)
     def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
     def fourcc(i: Long) =
       new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -874,12 +897,18 @@ object Multimodal {
     var nTracks, nVideo, nAudio = 0
     var vWidth, vHeight = 0
     var vFrames = 0L
+    // first AUDIO track facts (r15 — the m4a path: channels + 16.16
+    // sample rate from the stsd mp4a entry, sample count + clock from
+    // the audio trak's own mdhd/stts)
+    var aChannels, aRate = 0
+    var aSamples = 0L
     // per-trak scratch, committed when the trak subtree closes
     var tHandler = ""
     var tW, tH = 0
     var tFrames = 0L
     var tMdhdTs, tMdhdDur = 0L // media clock — preferred over the movie clock
     var tSttsCount, tSttsDur = 0L
+    var tChannels, tEntryRate = 0 // stsd mp4a sample-entry facts
     var trackClockSet = false
     def walk(start: Long, end: Long, inTrak: Boolean): Boolean = {
       var pos = start
@@ -904,6 +933,7 @@ object Multimodal {
           case "trak" =>
             tHandler = ""; tW = 0; tH = 0; tFrames = 0L
             tMdhdTs = 0L; tMdhdDur = 0L; tSttsCount = 0L; tSttsDur = 0L
+            tChannels = 0; tEntryRate = 0
             if (!walk(body, pos + size, inTrak = true)) return false
             nTracks += 1
             if (tHandler == "vide") {
@@ -925,7 +955,20 @@ object Multimodal {
                   trackClockSet = true
                 }
               }
-            } else if (tHandler == "soun") nAudio += 1
+            } else if (tHandler == "soun") {
+              nAudio += 1
+              if (aChannels == 0 && aRate == 0) { // first audio track wins
+                aChannels = tChannels
+                // the track's mdhd timescale IS the sample clock for
+                // audio media (ISO 14496-12 §8.4.2 convention:
+                // timescale == sample rate); the stsd mp4a 16.16 rate
+                // is the fallback when mdhd is absent
+                aRate = if (tMdhdTs > 0) tMdhdTs.toInt else tEntryRate
+                // sample count = media duration in clock units (mdhd,
+                // or the stts Σ(count·delta) fallback)
+                aSamples = if (tMdhdDur > 0) tMdhdDur else tSttsDur
+              }
+            }
           case "mvhd" =>
             if (bodyLen < 20) return false
             val v = b(body.toInt) & 0xff
@@ -971,6 +1014,23 @@ object Multimodal {
           case "stsz" if inTrak =>
             if (bodyLen < 12) return false
             tFrames = be32(body + 8)
+          case "stsd" if inTrak =>
+            // sample description: ver/flags(4) + entry_count(4), then
+            // the first entry's own box header. An mp4a AudioSampleEntry
+            // (ISO 14496-12 §12.2.3) carries channelcount at entry+24
+            // and a 16.16 sample rate at entry+32 — the m4a facts. A
+            // short/foreign entry (e.g. the 16-byte avc1 stub the video
+            // fixture writes) just contributes nothing.
+            if (bodyLen < 8) return false
+            if (bodyLen >= 8 + 8) {
+              val entry = body + 8
+              val entrySize = be32(entry)
+              if (entrySize >= 8 && entrySize <= bodyLen - 8 &&
+                  fourcc(entry + 4) == "mp4a" && entrySize >= 36) {
+                tChannels = be16(entry + 24)
+                tEntryRate = (be32(entry + 32) >> 16).toInt
+              }
+            }
           case _ => () // unknown boxes skip by their own size
         }
         pos += size
@@ -979,7 +1039,7 @@ object Multimodal {
     }
     if (!walk(0L, b.length.toLong, inTrak = false) || !sawMvhd) return None
     Some(Mp4Info(vWidth, vHeight, vFrames, duration, timescale,
-      nTracks, nVideo, nAudio))
+      nTracks, nVideo, nAudio, aChannels, aRate, aSamples))
   }
 
   /** Deterministic minimal MP4 (fixture/gate generator, the
@@ -1051,6 +1111,57 @@ object Multimodal {
         stts.foreach { case (cnt, delta) => be32(cnt); be32(delta) }
       }
     }
+    be32(8L + mdatLen); tag("mdat"); zeros(mdatLen)
+    out.toByteArray
+  }
+
+  /** Deterministic minimal m4a — an AUDIO-ONLY MP4 (fixture/gate
+    * generator, r15): ftyp + moov(mvhd + one audio trak [tkhd, mdhd
+    * with timescale = `rate` and duration = `nSamples` — the media
+    * clock IS the sample clock, hdlr soun, stsd with a full 36-byte
+    * mp4a AudioSampleEntry carrying `channels` and the 16.16 `rate`,
+    * stsz]) + an mdat of `mdatLen` zero bytes (the coded AAC spectra
+    * stay behind the lossy-codec stub). Closed-form total size the
+    * gate recomputes: 404 + mdatLen. */
+  def syntheticM4a(channels: Int, rate: Int, nSamples: Long,
+                   mdatLen: Int = 64): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && rate > 0 &&
+      nSamples > 0 && nSamples < (1L << 32) && mdatLen >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write((v & 0xff).toInt) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes, 0, 4)
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => out.write(0))
+    // ftyp
+    be32(16); tag("ftyp"); tag("M4A "); be32(0)
+    // moov = 8 + mvhd 108 + trak 264
+    be32(380); tag("moov")
+    be32(108); tag("mvhd")
+    zeros(4); be32(0); be32(0); be32(1000); be32(nSamples * 1000L / rate)
+    zeros(80)
+    // trak = 8 + tkhd 92 + mdia 164
+    be32(264); tag("trak")
+    be32(92); tag("tkhd")
+    zeros(4); be32(0); be32(0); be32(1); zeros(4); be32(0)
+    zeros(8 + 2 + 2 + 2 + 2 + 36)
+    be32(0); be32(0) // an audio track has no canvas dims
+    // mdia = 8 + mdhd 32 + hdlr 36 + minf 88
+    be32(164); tag("mdia")
+    be32(32); tag("mdhd")
+    zeros(4); be32(0); be32(0); be32(rate); be32(nSamples); be32(0)
+    be32(36); tag("hdlr"); zeros(4); be32(0); tag("soun"); zeros(12); zeros(4)
+    be32(88); tag("minf")
+    be32(80); tag("stbl")
+    be32(52); tag("stsd"); zeros(4); be32(1)
+    // 36-byte mp4a AudioSampleEntry (ISO 14496-12 §12.2.3)
+    be32(36); tag("mp4a"); zeros(6); zeros(2) // reserved + data_ref_index
+    zeros(8)                                  // reserved2
+    be16(channels); be16(16)                  // channelcount, samplesize
+    zeros(4)                                  // pre_defined + reserved
+    be32(rate.toLong << 16)                   // 16.16 sample rate
+    be32(20); tag("stsz"); zeros(4); be32(0); be32((nSamples + 1023L) / 1024L)
     be32(8L + mdatLen); tag("mdat"); zeros(mdatLen)
     out.toByteArray
   }

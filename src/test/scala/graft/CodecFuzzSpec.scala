@@ -24,7 +24,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "mp4" -> Multimodal.syntheticMp4(640, 360, 30, 90000, 90000L),
     "mp4-v1" -> Multimodal.syntheticMp4(320, 240, 48, 600, 1200L,
       audioTrack = true, v1 = true, videoMdhd = Some((600, 1200L)),
-      stts = Seq((48, 25))))
+      stts = Seq((48, 25))),
+    "m4a" -> Multimodal.syntheticM4a(2, 44100, 5120L, mdatLen = 32))
 
   private val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
     "parseWav" -> (b => Multimodal.parseWav(b)),

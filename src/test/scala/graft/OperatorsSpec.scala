@@ -1654,6 +1654,57 @@ class MultimodalSpec extends SparkSpec {
       got.getAs[Long]("n_samples") == 3072L && got.getAs[Long]("rms_milli") == 0L)
   }
 
+  test("m4a (MP4-contained audio, r15): stsd mp4a + audio mdhd clock through " +
+    "audioFeatures, malformed entries rejected") {
+    import spark.implicits._
+    // closed form: 404 + mdatLen
+    val m4a = Multimodal.syntheticM4a(channels = 2, rate = 44100,
+      nSamples = 5120L, mdatLen = 32)
+    assert(m4a.length == 404 + 32, s"closed-form size: ${m4a.length}")
+    val p = Multimodal.parseMp4(m4a).get
+    assert(p.aChannels == 2 && p.aRate == 44100 && p.aSamples == 5120L,
+      s"audio facts from stsd mp4a + mdhd: $p")
+    assert(p.audioDurationMs == 5120L * 1000 / 44100)
+    assert(p.nTracks == 1 && p.nVideo == 0 && p.nAudio == 1 && p.width == 0)
+    // the video fixture's 16-byte stub mp4a entry is too short to carry
+    // audio facts — the two-track q198 shape must stay fact-free
+    val av = Multimodal.parseMp4(Multimodal.syntheticMp4(320, 240, 48, 600,
+      1200L, audioTrack = true, v1 = true)).get
+    assert(av.nAudio == 1 && av.aChannels == 0 && av.aRate == 0,
+      "a short foreign sample entry contributes nothing")
+    // mdhd timescale beats the 16.16 stsd rate; without mdhd the stsd
+    // rate is the fallback: blank out the mdhd box -> free
+    val noMdhd = m4a.clone()
+    val mi = noMdhd.indexOfSlice("mdhd".getBytes)
+    "free".getBytes.zipWithIndex.foreach { case (b, i) => noMdhd(mi + i) = b }
+    val pf = Multimodal.parseMp4(noMdhd).get
+    assert(pf.aRate == 44100 && pf.aChannels == 2 && pf.aSamples == 0L,
+      s"stsd 16.16 rate is the mdhd-less fallback: $pf")
+    // malformed: truncation, a lying stsd entry size
+    assert(Multimodal.parseMp4(m4a.take(200)).isEmpty)
+    val lyingEntry = m4a.clone()
+    val si = lyingEntry.indexOfSlice("stsd".getBytes)
+    lyingEntry(si + 4 + 8 + 3) = 0x7f // first entry's size low byte
+    assert(Multimodal.parseMp4(lyingEntry).flatMap(v =>
+      if (v.aChannels == 0) None else Some(v)).isEmpty,
+      "an overrunning sample entry must not supply audio facts")
+    // through the DataFrame op: the lossy stub split (bits=0, rms=0),
+    // junk and video-only MP4s undecoded on the audio surface
+    val videoOnly = Multimodal.syntheticMp4(640, 360, 30, 90000, 90000L)
+    val got = Multimodal.audioFeatures(Seq(
+        (1L, m4a, 0, 0, "m4a"),
+        (2L, videoOnly, 0, 0, "mp4"),
+        (3L, "not audio at all".getBytes, 0, 0, "m4a"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")).orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("decoded") && got(0).getAs[Int]("channels") == 2 &&
+      got(0).getAs[Int]("sample_rate") == 44100 && got(0).getAs[Int]("bits") == 0 &&
+      got(0).getAs[Long]("n_samples") == 5120L &&
+      got(0).getAs[Long]("duration_ms") == 5120L * 1000 / 44100 &&
+      got(0).getAs[Long]("rms_milli") == 0L)
+    assert(!got(1).getAs[Boolean]("decoded"), "a video-only MP4 has no audio facts")
+    assert(!got(2).getAs[Boolean]("decoded"))
+  }
+
   test("MP4 track clock (r14): mdhd/stts beat the mvhd movie clock for duration/fps") {
     // movie clock says 90 kHz / 2 s, but the video TRACK's media clock
     // says 600 units with stts summing 48 frames x 25 units = 24 fps —
