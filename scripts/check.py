@@ -479,7 +479,11 @@ if os.path.isdir(q197_path):
 # video-only MP4 (90 kHz clock, duration = frames*3000 -> exact 30 fps,
 # byte_len = 140 + 212 + 64); id%60==30 docs a version-1 two-track MP4
 # (600-unit clock, duration = frames*25 -> exact 24 fps, byte_len =
-# 152 + 2*224 + 64); id%60==50 docs junk text bytes -> decoded=false,
+# 152 + 2*224 + 64); id%120==50 docs a two-track WebM (r15 — EBML
+# varint tree: dims from the video TrackEntry, duration from the
+# Segment's Duration x TimestampScale clock, frame count/fps 0 — they
+# live in the coded Clusters behind the codec stub; closed-form
+# byte_len = 100); id%120==110 docs junk text bytes -> decoded=false,
 # zeroed facts. All columns recomputed from the id formulas.
 q198_path = f"{OUT}/q198_video_meta"
 if os.path.isdir(q198_path):
@@ -513,6 +517,9 @@ if os.path.isdir(q198_path):
             exp = (152 + 2 * 224 + 64, 176 + int(doc_id % 8) * 16,
                    144 + int(doc_id % 6) * 16, frames, dur * 1000 // 600,
                    frames * 600 * 1000 // dur, 2, 1, 1, True)
+        elif doc_id % 120 == 50:
+            exp = (100, 320 + int(doc_id % 8) * 16, 240 + int(doc_id % 6) * 16,
+                   0, 1000 + int(doc_id % 9) * 250, 0, 2, 1, 1, True)
         else:
             exp = (len(((text or "")[:80]).encode("utf-8")), 0, 0, 0, 0, 0,
                    0, 0, 0, False)
@@ -528,9 +535,10 @@ if os.path.isdir(q198_path):
     else:
         n_avi = int((docs.doc_id % 20 == 0).sum())
         n_mp4 = int(((docs.doc_id % 60 == 10) | (docs.doc_id % 60 == 30)).sum())
+        n_webm = int((docs.doc_id % 120 == 50).sum())
         print(f"ok   q198_video_meta [property: all {len(docs)} rows match the "
               f"container-walk formulas exactly ({n_avi} real AVIs, {n_mp4} MP4s "
-              f"incl. v1 two-track, rest junk)]")
+              f"incl. v1 two-track, {n_webm} WebMs, rest junk)]")
 
 # q216: ANN streaming append (rows-only — DuckDB cannot replay IVF-PQ
 # encoding). The artifact trains on vec_id%5!=0; the held-out slice

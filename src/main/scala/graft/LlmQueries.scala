@@ -626,19 +626,24 @@ object LlmQueries {
 
   // q198: VIDEO container metadata over the opaque binary column
   // (rows-only — the q197 discipline for video): real RIFF/AVI chunk
-  // walk (Multimodal.parseAvi) AND the r14 ISO-BMFF box walk
+  // walk (Multimodal.parseAvi), the r14 ISO-BMFF box walk
   // (Multimodal.parseMp4 — real multimodal corpora are MP4-dominated;
-  // the r13 verdict's lead gap), sniffed per payload, extracting dims,
-  // frame count, exact-integer duration/fps, and the stream inventory;
-  // frame PIXELS stay behind the declared codec stub, because at
-  // 100 TB the metadata-only passes (duration audits, fps histograms)
-  // must never touch a codec. The gate corpus mixes deterministic
-  // synthetic AVIs (id%20==0 — Multimodal.syntheticAvi, closed-form
-  // sizes), version-0 video-only MP4s (id%60==10, 90 kHz clock, exact
+  // the r13 verdict's lead gap), AND the r15 WebM/Matroska EBML walk
+  // (Multimodal.parseWebm — the other dominant web video container),
+  // sniffed per payload, extracting dims, frame count, exact-integer
+  // duration/fps, and the stream inventory; frame PIXELS stay behind
+  // the declared codec stub, because at 100 TB the metadata-only
+  // passes (duration audits, fps histograms) must never touch a
+  // codec. The gate corpus mixes deterministic synthetic AVIs
+  // (id%20==0 — Multimodal.syntheticAvi, closed-form sizes),
+  // version-0 video-only MP4s (id%60==10, 90 kHz clock, exact
   // 30 fps), version-1 two-track MP4s (id%60==30, 600-unit clock,
-  // exact 24 fps, 64-bit mvhd/tkhd times exercised), and junk payloads
-  // (id%60==50) that must come back decoded=false; check.py recomputes
-  // every column from the id formulas. Map-side, no shuffle.
+  // exact 24 fps, 64-bit mvhd/tkhd times exercised), two-track WebMs
+  // (id%120==50 — EBML varint tree, Segment-clock duration, frame
+  // count 0: it lives in the coded Clusters), and junk payloads
+  // (id%120==110) that must come back decoded=false; check.py
+  // recomputes every column from the id formulas. Map-side, no
+  // shuffle.
   def q198(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
@@ -663,6 +668,13 @@ object LlmQueries {
               w = 176 + (id % 8).toInt * 16, h = 144 + (id % 6).toInt * 16,
               frames = frames, timescale = 600, duration = frames * 25L,
               audioTrack = true, v1 = true)
+          } else if (id % 120 == 50) {
+            // WebM (r15): EBML tree — dims + Segment-clock duration,
+            // one VP9 video + one Opus audio track, closed-form 100 B
+            Multimodal.syntheticWebm(
+              w = 320 + (id % 8).toInt * 16, h = 240 + (id % 6).toInt * 16,
+              durationMs = 1000L + (id % 9) * 250L,
+              aChannels = 1 + ((id % 11) % 2).toInt)
           } else head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         graft.operators.MediaRow(id, payload, 0, 0, "avi")
       }).toDF()

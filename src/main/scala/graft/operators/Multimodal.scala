@@ -1115,6 +1115,210 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Parsed WebM/Matroska facts (metadata walk only — the coded VP8/
+    * VP9/Opus streams inside Clusters stay behind the declared codec
+    * stub, the parseMp4 split). `durationMs` is floor(Duration ·
+    * TimestampScale / 10⁶) off the Segment's own clock. */
+  case class WebmInfo(width: Int, height: Int, durationMs: Long,
+                      nTracks: Int, nVideo: Int, nAudio: Int,
+                      aChannels: Int, aRate: Int)
+
+  /** REAL WebM/Matroska EBML walker (r15 — the r14 verdict's #2 gap:
+    * q198 covered RIFF/AVI + ISO-BMFF, and WebM is the other dominant
+    * web video container). Parses the EBML varint tree per RFC 8794 /
+    * the Matroska spec: element IDs keep their marker bit, data sizes
+    * strip it; the walk reads the EBML header (magic 0x1A45DFA3), the
+    * Segment's `Info` (TimestampScale — default 10⁶ ns — and the
+    * float `Duration` in timescale units) and `Tracks` (per
+    * TrackEntry: TrackType, Video PixelWidth/PixelHeight, Audio
+    * SamplingFrequency/Channels; first video and first audio track
+    * win, the parseMp4 convention). Clusters and every unknown
+    * element skip by their declared size. The walker discipline
+    * throughout: any overrun, lying size, unknown-size vint
+    * (streaming-only Matroska — unbounded without parsing the child
+    * level, so declared malformed here), or missing Segment/Info
+    * returns None — and frame PIXELS/samples stay behind the codec
+    * stub, because 100 TB metadata passes must never touch a codec.
+    */
+  private[graft] def parseWebm(b: Array[Byte]): Option[WebmInfo] = {
+    if (b.length < 12 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
+        (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return None
+    // EBML varint length from the first byte: leading-zero count + 1;
+    // 0x00 would mean > 8 bytes — malformed
+    def vlen(first: Int): Int =
+      if (first == 0) -1 else Integer.numberOfLeadingZeros(first) - 23
+    // element ID: marker bit KEPT, big-endian over all its bytes
+    def readId(pos: Int): Long = {
+      if (pos >= b.length) return -1L
+      val n = vlen(b(pos) & 0xff)
+      if (n < 0 || n > 4 || pos + n > b.length) return -1L
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+      v
+    }
+    def idLen(pos: Int): Int = vlen(b(pos) & 0xff)
+    // data size: marker bit STRIPPED; all-ones payload = unknown size
+    // (streaming) — declared malformed, returns -1
+    def readSize(pos: Int): Long = {
+      if (pos >= b.length) return -1L
+      val n = vlen(b(pos) & 0xff)
+      if (n < 0 || n > 8 || pos + n > b.length) return -1L
+      var v = (b(pos) & 0xffL) & (0xffL >> n)
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+      if (v == (1L << (7 * n)) - 1) -1L else v // unknown-size sentinel
+    }
+    def sizeLen(pos: Int): Int = vlen(b(pos) & 0xff)
+    def uintVal(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+    def floatVal(off: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(uintVal(off, 4).toInt).toDouble
+      else java.lang.Double.longBitsToDouble(uintVal(off, 8))
+    var tsScale = 1000000L // Matroska default: 1 ms per timescale unit
+    var durUnits = -1.0
+    var sawInfo = false
+    var width, height = 0
+    var nTracks, nVideo, nAudio = 0
+    var aChannels, aRate = 0
+    // per-TrackEntry scratch, committed when the entry closes
+    var tType = 0
+    var tPw, tPh, tCh = 0
+    var tFreq = 0.0
+    // ctx: 0 top, 1 Segment, 2 Info, 3 Tracks, 4 TrackEntry, 5 Video, 6 Audio
+    def walk(start: Int, end: Int, ctx: Int): Boolean = {
+      var pos = start
+      while (pos < end) {
+        val id = readId(pos)
+        if (id < 0) return false
+        val ip = pos + idLen(pos)
+        val size = readSize(ip)
+        if (size < 0) return false
+        val body = ip + sizeLen(ip)
+        if (body > end || size > end - body) return false
+        (ctx, id) match {
+          case (0, 0x18538067L) => // Segment
+            if (!walk(body, body + size.toInt, 1)) return false
+          case (1, 0x1549A966L) => // Info
+            sawInfo = true
+            if (!walk(body, body + size.toInt, 2)) return false
+          case (1, 0x1654AE6BL) => // Tracks
+            if (!walk(body, body + size.toInt, 3)) return false
+          case (2, 0x2AD7B1L) => // TimestampScale (uint, ns per unit)
+            if (size < 1 || size > 8) return false
+            tsScale = uintVal(body, size.toInt)
+            if (tsScale <= 0) return false
+          case (2, 0x4489L) => // Duration (float, timescale units)
+            if (size != 4 && size != 8) return false
+            durUnits = floatVal(body, size.toInt)
+            if (durUnits.isNaN || durUnits < 0) return false
+          case (3, 0xAEL) => // TrackEntry
+            tType = 0; tPw = 0; tPh = 0; tCh = 0; tFreq = 0.0
+            if (!walk(body, body + size.toInt, 4)) return false
+            nTracks += 1
+            if (tType == 1) {
+              nVideo += 1
+              if (width == 0 && height == 0) { width = tPw; height = tPh }
+            } else if (tType == 2) {
+              nAudio += 1
+              if (aChannels == 0 && aRate == 0) {
+                aChannels = tCh
+                aRate = if (tFreq > 0 && tFreq <= Int.MaxValue) tFreq.toInt else 0
+              }
+            }
+          case (4, 0x83L) => // TrackType
+            if (size < 1 || size > 8) return false
+            tType = uintVal(body, size.toInt).toInt
+          case (4, 0xE0L) => // Video
+            if (!walk(body, body + size.toInt, 5)) return false
+          case (4, 0xE1L) => // Audio
+            if (!walk(body, body + size.toInt, 6)) return false
+          case (5, 0xB0L) => // PixelWidth
+            if (size < 1 || size > 8) return false
+            tPw = math.min(uintVal(body, size.toInt), Int.MaxValue.toLong).toInt
+          case (5, 0xBAL) => // PixelHeight
+            if (size < 1 || size > 8) return false
+            tPh = math.min(uintVal(body, size.toInt), Int.MaxValue.toLong).toInt
+          case (6, 0xB5L) => // SamplingFrequency (float)
+            if (size != 4 && size != 8) return false
+            tFreq = floatVal(body, size.toInt)
+            if (tFreq.isNaN || tFreq < 0) return false
+          case (6, 0x9FL) => // Channels
+            if (size < 1 || size > 8) return false
+            tCh = math.min(uintVal(body, size.toInt), Int.MaxValue.toLong).toInt
+          case _ => () // unknown elements (Clusters, CodecID, ...) skip
+        }
+        pos = body + size.toInt
+      }
+      pos == end
+    }
+    if (!walk(0, b.length, 0) || !sawInfo) return None
+    // exact for integer-valued fixture Durations; clamped on hostile
+    // float·uint products (the fpsMilli overflow discipline)
+    val durMs = {
+      val ns = durUnits * tsScale
+      if (durUnits < 0 || ns.isNaN || ns < 0 || ns > 9.2e18) 0L
+      else (ns / 1e6).toLong
+    }
+    Some(WebmInfo(width, height, durMs, nTracks, nVideo, nAudio,
+      aChannels, aRate))
+  }
+
+  /** Deterministic minimal WebM (fixture/gate generator): EBML header
+    * (12 B, DocType "webm") + Segment(Info[TimestampScale 10⁶,
+    * Duration as an 8-byte float in ms-units] + Tracks[one VP9 video
+    * entry with 2-byte PixelWidth/PixelHeight, optionally one Opus
+    * audio entry with a 4-byte float SamplingFrequency + Channels]).
+    * All element sizes are fixed-width, so the total is the closed
+    * form the gate recomputes: 76 video-only, 100 with audio. */
+  def syntheticWebm(w: Int, h: Int, durationMs: Long,
+                    audio: Boolean = true, aChannels: Int = 2,
+                    aRate: Int = 48000): Array[Byte] = {
+    require(w > 0 && w < 65536 && h > 0 && h < 65536 && durationMs >= 0 &&
+      aChannels >= 1 && aChannels <= 8 && aRate > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def raw(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xff))
+    def sz1(n: Int): Unit = out.write(0x80 | n)
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be32(v: Long): Unit = (0 until 4).foreach(k =>
+      out.write(((v >> (8 * (3 - k))) & 0xff).toInt))
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xffffffffL) }
+    // EBML header: magic + DocType "webm"
+    raw(0x1a, 0x45, 0xdf, 0xa3); sz1(7)
+    raw(0x42, 0x82); sz1(4); out.write("webm".getBytes, 0, 4)
+    val tracksContent = 22 + (if (audio) 24 else 0)
+    val segContent = 24 + 4 + 2 + tracksContent
+    // Segment with an 8-byte size vint (0x01 marker + 7 value bytes)
+    raw(0x18, 0x53, 0x80, 0x67)
+    out.write(0x01); (0 until 3).foreach(_ => out.write(0)); be32(segContent.toLong)
+    // Info: TimestampScale 1e6 ns (1 ms units) + Duration double
+    raw(0x15, 0x49, 0xa9, 0x66); sz1(19)
+    raw(0x2a, 0xd7, 0xb1); sz1(4); be32(1000000L)
+    raw(0x44, 0x89); sz1(8); be64(java.lang.Double.doubleToLongBits(durationMs.toDouble))
+    // Tracks
+    raw(0x16, 0x54, 0xae, 0x6b); raw(0x40, tracksContent)
+    // video TrackEntry: type 1, V_VP9, PixelWidth/Height
+    raw(0xae); sz1(20)
+    raw(0x83); sz1(1); out.write(1)
+    raw(0x86); sz1(5); out.write("V_VP9".getBytes, 0, 5)
+    raw(0xe0); sz1(8)
+    raw(0xb0); sz1(2); be16(w)
+    raw(0xba); sz1(2); be16(h)
+    if (audio) { // audio TrackEntry: type 2, A_OPUS, rate + channels
+      raw(0xae); sz1(22)
+      raw(0x83); sz1(1); out.write(2)
+      raw(0x86); sz1(6); out.write("A_OPUS".getBytes, 0, 6)
+      raw(0xe1); sz1(9)
+      raw(0xb5); sz1(4); be32(java.lang.Float.floatToIntBits(aRate.toFloat) & 0xffffffffL)
+      raw(0x9f); sz1(1); out.write(aChannels)
+    }
+    out.toByteArray
+  }
+
   /** Deterministic minimal m4a — an AUDIO-ONLY MP4 (fixture/gate
     * generator, r15): ftyp + moov(mvhd + one audio trak [tkhd, mdhd
     * with timescale = `rate` and duration = `nSamples` — the media
@@ -1170,11 +1374,13 @@ object Multimodal {
     * per asset with dims, frame count, exact-integer duration and
     * frame rate, and the stream inventory, SNIFFED per payload —
     * RIFF/AVI ([[parseAvi]]: `fps_milli` = 10⁹ / µs-per-frame, integer
-    * division) or ISO-BMFF MP4/MOV ([[parseMp4]], r14: `fps_milli` =
+    * division), ISO-BMFF MP4/MOV ([[parseMp4]], r14: `fps_milli` =
     * frames·timescale·1000 / duration, integer division — exact from
-    * the container's own clock). Partition-batched map-side like the
-    * other decoders, no shuffle. Undecodable payloads come back
-    * `decoded=false` with zeroed facts.
+    * the container's own clock), or WebM/Matroska ([[parseWebm]],
+    * r15: dims + duration from the EBML tree; frame count/fps are 0 —
+    * they live in the coded Cluster stream behind the codec stub).
+    * Partition-batched map-side like the other decoders, no shuffle.
+    * Undecodable payloads come back `decoded=false` with zeroed facts.
     */
   def videoMeta(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
@@ -1188,8 +1394,15 @@ object Multimodal {
           case Some(v) => (m.doc_id, m.payload.length.toLong, v.width, v.height,
             v.nFrames, v.durationMs, v.fpsMilli,
             v.nTracks, v.nVideo, v.nAudio, true)
-          case None => (m.doc_id, m.payload.length.toLong, 0, 0, 0L, 0L, 0L,
-            0, 0, 0, false)
+          case None => parseWebm(m.payload) match {
+            // WebM/Matroska (r15): dims + Segment-clock duration from
+            // the EBML walk; frame count/fps live in the Clusters'
+            // coded stream, which stays behind the codec stub — 0
+            case Some(v) => (m.doc_id, m.payload.length.toLong, v.width, v.height,
+              0L, v.durationMs, 0L, v.nTracks, v.nVideo, v.nAudio, true)
+            case None => (m.doc_id, m.payload.length.toLong, 0, 0, 0L, 0L, 0L,
+              0, 0, 0, false)
+          }
         }
       }
     }).toDF("doc_id", "byte_len", "width", "height", "n_frames", "duration_ms",

@@ -25,7 +25,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "mp4-v1" -> Multimodal.syntheticMp4(320, 240, 48, 600, 1200L,
       audioTrack = true, v1 = true, videoMdhd = Some((600, 1200L)),
       stts = Seq((48, 25))),
-    "m4a" -> Multimodal.syntheticM4a(2, 44100, 5120L, mdatLen = 32))
+    "m4a" -> Multimodal.syntheticM4a(2, 44100, 5120L, mdatLen = 32),
+    "webm" -> Multimodal.syntheticWebm(640, 360, 2400L, aChannels = 2))
 
   private val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
     "parseWav" -> (b => Multimodal.parseWav(b)),
@@ -34,7 +35,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "parseAdts" -> (b => Multimodal.parseAdts(b)),
     "parseOggOpus" -> (b => Multimodal.parseOggOpus(b)),
     "parseAvi" -> (b => Multimodal.parseAvi(b)),
-    "parseMp4" -> (b => Multimodal.parseMp4(b)))
+    "parseMp4" -> (b => Multimodal.parseMp4(b)),
+    "parseWebm" -> (b => Multimodal.parseWebm(b)))
 
   private def assertTotal(tag: String, payload: Array[Byte]): Unit =
     parsers.foreach { case (pname, p) =>
@@ -72,7 +74,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     // sequences, not raw control bytes — raw NUL/0x04 literals made
     // git treat this source file as binary, r14 advice)
     val magics = Seq("RIFF1234WAVE", "RIFF1234AVI ", "OggS", "ID3\u0004",
-      "fLaC", "\u0000\u0000\u0000\u0010ftyp")
+      "fLaC", "\u0000\u0000\u0000\u0010ftyp",
+      "\u001a\u0045\u00df\u00a3") // the EBML magic (r15 WebM walker)
     for (m <- magics; trial <- 1 to 8) {
       val junk = new Array[Byte](40)
       rnd.nextBytes(junk)

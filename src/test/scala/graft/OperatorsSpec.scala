@@ -1654,6 +1654,53 @@ class MultimodalSpec extends SparkSpec {
       got.getAs[Long]("n_samples") == 3072L && got.getAs[Long]("rms_milli") == 0L)
   }
 
+  test("WebM containers parse through the real EBML walker (r15): varint tree, " +
+    "Segment clock, track inventory, malformed rejected") {
+    import spark.implicits._
+    val webm = Multimodal.syntheticWebm(w = 640, h = 360, durationMs = 2400L,
+      aChannels = 2, aRate = 48000)
+    assert(webm.length == 100, s"closed-form two-track size: ${webm.length}")
+    val p = Multimodal.parseWebm(webm).get
+    assert(p == Multimodal.WebmInfo(640, 360, 2400L, 2, 1, 1, 2, 48000), s"$p")
+    val vOnly = Multimodal.syntheticWebm(320, 240, 1000L, audio = false)
+    assert(vOnly.length == 76, "closed-form video-only size")
+    assert(Multimodal.parseWebm(vOnly).get ==
+      Multimodal.WebmInfo(320, 240, 1000L, 1, 1, 0, 0, 0))
+    // TimestampScale is honored: patch 1e6 ns -> 2e6 ns (bytes 33-36,
+    // after EBML(12) + Segment hdr(12) + Info id+size(5) + TS id+size(4))
+    val scaled = webm.clone()
+    val ts2 = 2000000
+    (0 until 4).foreach(k => scaled(33 + k) = ((ts2 >> (8 * (3 - k))) & 0xff).toByte)
+    assert(Multimodal.parseWebm(scaled).get.durationMs == 4800L,
+      "duration = Duration x TimestampScale")
+    // malformed: truncations, unknown-size vint, overrunning child,
+    // zero-length first byte, junk
+    assert(Multimodal.parseWebm(webm.take(40)).isEmpty, "truncated tree")
+    assert(Multimodal.parseWebm("ebml? not really".getBytes).isEmpty)
+    val unknownSize = webm.clone()
+    (16 until 24).foreach(i => unknownSize(i) = 0xff.toByte) // Segment size vint
+    unknownSize(16) = 0x01
+    assert(Multimodal.parseWebm(unknownSize).isEmpty,
+      "unknown-size Segments are declared malformed")
+    val lying = webm.clone(); lying(29 + 3) = 0xbf.toByte // inflate TS size vint
+    assert(Multimodal.parseWebm(lying).isEmpty, "overrunning element")
+    // the DataFrame route: sniffed beside AVI/MP4, junk undecoded;
+    // frame count/fps are 0 (they live in the coded Clusters)
+    val media = Seq(
+      (1L, webm, 0, 0, "webm"),
+      (2L, Multimodal.syntheticMp4(640, 360, 30, 90000, 90000L), 0, 0, "mp4"),
+      (3L, "not a container".getBytes, 0, 0, "webm"))
+      .toDF("doc_id", "payload", "width", "height", "fmt")
+    val got = Multimodal.videoMeta(media).orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("decoded") && got(0).getAs[Int]("width") == 640 &&
+      got(0).getAs[Long]("duration_ms") == 2400L &&
+      got(0).getAs[Long]("n_frames") == 0L && got(0).getAs[Long]("fps_milli") == 0L &&
+      got(0).getAs[Int]("n_streams") == 2 && got(0).getAs[Int]("n_video") == 1 &&
+      got(0).getAs[Int]("n_audio") == 1)
+    assert(got(1).getAs[Long]("fps_milli") == 30000L, "MP4 path unchanged")
+    assert(!got(2).getAs[Boolean]("decoded"))
+  }
+
   test("m4a (MP4-contained audio, r15): stsd mp4a + audio mdhd clock through " +
     "audioFeatures, malformed entries rejected") {
     import spark.implicits._
