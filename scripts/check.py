@@ -193,11 +193,15 @@ if os.path.isdir(q101_path):
 # q177: image near-dup dedup (rows-only — SQL cannot decode pixels).
 # But the gate corpus is synthesized DETERMINISTICALLY from documents
 # (one 64x64 BMP per doc_id%12==0 doc, pixels seeded by md5 of the
-# first 80 chars, plus a 48px thumbnail variant at doc_id+1000000), so
-# the expected survivor set IS computable relationally: every thumbnail
-# must collapse onto its original (no survivor id >= 1000000) and every
-# identical-text class must collapse to exactly its min doc_id (the
-# exact luma verify keeps distinct content apart).
+# first 80 chars, plus a 48px thumbnail variant at doc_id+1000000,
+# plus an EXIF-rotated JPEG clone at doc_id+2000000 — r15: pixels
+# stored inverse-transformed with an APP1 orientation tag 2..8, so
+# only the orientation-normalized dHash can collapse it), so the
+# expected survivor set IS computable relationally: every thumbnail
+# AND every rotated clone must collapse onto its original (no survivor
+# id >= 1000000) and every identical-text class must collapse to
+# exactly its min doc_id (the exact luma verify keeps distinct content
+# apart).
 q177_path = f"{OUT}/q177_image_dedup"
 if os.path.isdir(q177_path):
     got = con.sql(f"SELECT doc_id FROM read_parquet('{q177_path}/*.parquet')").df()
@@ -333,14 +337,15 @@ if os.path.isdir(q30_path):
 # q193: image duplication report (rows-only — SQL cannot decode
 # pixels). Same synthesized corpus as q177 (one 64x64 BMP per
 # doc_id%12==0 doc keyed by md5 of the first 80 chars + a 48px PNG
-# thumbnail at doc_id+1e6), so the expected CLUSTER STRUCTURE is
-# relational: each text-class of size s (plus its s thumbnails) is one
-# near-dup cluster of size 2s, and distinct content never merges (the
-# exact luma verify — the q177 gate's property). The histogram row for
-# cluster_size 2s must therefore show exactly the number of classes of
-# size s; n_bytes is gated for positivity only (thumbnail PNG sizes
-# depend on re-encoded content; the Scala spec pins bytes on hand-built
-# fixtures).
+# thumbnail at doc_id+1e6 + an EXIF-rotated JPEG clone at doc_id+2e6,
+# r15), so the expected CLUSTER STRUCTURE is relational: each
+# text-class of size s (plus its s thumbnails and s rotated clones) is
+# one near-dup cluster of size 3s, and distinct content never merges
+# (the exact luma verify — the q177 gate's property). The histogram
+# row for cluster_size 3s must therefore show exactly the number of
+# classes of size s; n_bytes is gated for positivity only (re-encoded
+# PNG/JPEG sizes depend on content; the Scala spec pins bytes on
+# hand-built fixtures).
 q193_path = f"{OUT}/q193_image_dup_report"
 if os.path.isdir(q193_path):
     got = con.sql(
@@ -348,8 +353,8 @@ if os.path.isdir(q193_path):
         f"dup_doc_frac FROM read_parquet('{q193_path}/*.parquet') "
         f"ORDER BY cluster_size").df()
     exp = con.sql(
-        "SELECT 2 * c AS cluster_size, count(*) AS n_clusters, "
-        "2 * c * count(*) AS n_docs FROM ("
+        "SELECT 3 * c AS cluster_size, count(*) AS n_clusters, "
+        "3 * c * count(*) AS n_docs FROM ("
         "  SELECT count(*) AS c FROM documents WHERE doc_id % 12 = 0 "
         "  GROUP BY substr(text, 1, 80)"
         ") GROUP BY c ORDER BY 1").df()
@@ -370,8 +375,8 @@ if os.path.isdir(q193_path):
         fails.append("q193_image_dup_report")
         print(f"FAIL q193_image_dup_report: {bad[:5]}")
     else:
-        print(f"ok   q193_image_dup_report [property: histogram == 2s-sized "
-              f"clusters per text-class size s, {len(got)} rows]")
+        print(f"ok   q193_image_dup_report [property: histogram == 3s-sized "
+              f"clusters per text-class size s incl. rotated clones, {len(got)} rows]")
 
 # q197: audio feature extraction (rows-only — SQL cannot walk RIFF
 # chunks, but the gate corpus is synthesized deterministically:

@@ -449,22 +449,28 @@ object LlmQueries {
   // gate: one smooth 64×64 BMP per sampled doc whose pixels derive
   // from an MD5 of the text (text clones ⇒ byte-identical images),
   // plus a 48px resized re-encoded PNG variant of each (the classic
-  // thumbnail near-dup). Dedup = real JDK pixel decode → dHash →
-  // exhaustive combination-blocked Hamming candidates → exact luma
-  // verify → min-id survivor (Dedup.imageDedupDHash). Expected
-  // structure: every resized variant collapses onto its original,
-  // every text-clone group collapses to its min doc_id, distinct
-  // content survives — the spec asserts exactly this; the gate pins
-  // row determinism.
+  // thumbnail near-dup), plus an EXIF-rotated JPEG clone of each
+  // (r15 — the phone-photo near-dup). Dedup = real JDK pixel decode →
+  // EXIF orientation normalization → dHash → exhaustive
+  // combination-blocked Hamming candidates → exact luma verify →
+  // min-id survivor (Dedup.imageDedupDHash). Expected structure:
+  // every resized variant AND every rotated clone collapses onto its
+  // original, every text-clone group collapses to its min doc_id,
+  // distinct content survives — the spec asserts exactly this; the
+  // gate pins row determinism.
   /** The deterministic image gate corpus shared by q177 and q193: one
     * smooth 64×64 BMP per sampled doc whose pixels derive from an MD5
     * of the text head (text clones ⇒ byte-identical images), plus a
     * 48px resized re-encoded PNG variant of each (the classic thumbnail
-    * near-dup) at doc_id + 1e6. The corpus is an EXPENSIVE DERIVED plan
-    * (synthesis + PNG re-encode), so `imageGateCorpus` materializes it
-    * ONCE per (JVM, source dir) to a stable scratch parquet (r13) and
-    * every consumer reads the columnar copy — exactly how a
-    * parquet-backed production corpus arrives. */
+    * near-dup) at doc_id + 1e6, plus an EXIF-rotated JPEG clone at
+    * doc_id + 2e6 (r15 — pixels stored inverse-transformed, the APP1
+    * orientation tag pointing upright: the phone-photo near-dup the
+    * orientation-normalized dHash exists for). The corpus is an
+    * EXPENSIVE DERIVED plan (synthesis + JPEG/PNG re-encodes), so
+    * `imageGateCorpus` materializes it ONCE per (JVM, source dir) to a
+    * stable scratch parquet (r13) and every consumer reads the
+    * columnar copy — exactly how a parquet-backed production corpus
+    * arrives. */
   private[graft] def syntheticImageCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
@@ -478,9 +484,23 @@ object LlmQueries {
       }).toDF()
     val variants = Multimodal.resizeImage(base, targetWidth = 48)
       .withColumn("doc_id", col("doc_id") + 1000000L)
+    // EXIF-rotated JPEG clones at +2e6 (r15 — the phone-photo near-dup:
+    // pixels stored under an inverse transform, APP1 orientation tag
+    // pointing back upright; the dedup's orientation-normalized dHash
+    // must collapse them onto their originals)
+    val rotated = base.as[graft.operators.MediaRow].mapPartitions(_.map { m =>
+      val upright = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      val o = 2 + (m.doc_id % 7).toInt // exercise orientations 2..8
+      val inv = o match { case 6 => 8; case 8 => 6; case other => other }
+      val jpeg = Multimodal.encodeJpeg(
+        Multimodal.applyExifOrientation(upright, inv), 0.95f)
+      graft.operators.MediaRow(m.doc_id + 2000000L,
+        Multimodal.withExifOrientation(jpeg, o), 64, 64, "jpeg")
+    }).toDF()
     // consumed exactly once — by imageGateCorpus's materializing write
     // (r13); the parquet copy replaces the r12 StageCaches entry
-    base.unionByName(variants)
+    base.unionByName(variants).unionByName(rotated)
   }
 
   /** The gate's image corpus, MATERIALIZED once per (JVM, source dir)

@@ -375,6 +375,154 @@ object Multimodal {
       math.max((m.height.toDouble / scale).toInt, 1), m.fmt)
   }
 
+  // ---- EXIF orientation (r15): rotation-normalized fingerprints -------
+
+  /** EXIF orientation tag (TIFF 274) from a JPEG payload's APP1
+    * segment: 1..8, with 1 (upright) for anything absent or malformed
+    * — non-JPEG payloads return 1 immediately off the SOI check, so
+    * this is free for the BMP/PNG bulk. Real phone photos carry the
+    * rotation here instead of in the pixels; a rotated clone's dHash
+    * differs byte-wise, so the dedup path normalizes through
+    * [[applyExifOrientation]] before sampling luma (the r14 verdict's
+    * #3 gap). Marker walk + TIFF IFD0 scan, bounds-checked with the
+    * container-walker discipline (garbage can only yield 1, never a
+    * throw). */
+  private[graft] def exifOrientation(b: Array[Byte]): Int = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return 1
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if (u8(pos) != 0xff) return 1
+      val marker = u8(pos + 1)
+      if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no EXIF seen
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else {
+        val segLen = (u8(pos + 2) << 8) | u8(pos + 3)
+        if (segLen < 2 || segLen > b.length - (pos + 2)) return 1
+        if (marker == 0xe1 && segLen >= 2 + 6 + 8 &&
+            b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+            b(pos + 7) == 'f' && u8(pos + 8) == 0 && u8(pos + 9) == 0)
+          return tiffOrientation(b, pos + 10, pos + 2 + segLen)
+        pos += 2 + segLen
+      }
+    }
+    1
+  }
+
+  /** IFD0 scan for tag 0x0112 (SHORT) inside `[t0, end)`; 1 on
+    * anything out of bounds or out of range. */
+  private def tiffOrientation(b: Array[Byte], t0: Int, end: Int): Int = {
+    def u8(i: Int) = b(i) & 0xff
+    if (end - t0 < 8 || end > b.length) return 1
+    val little = b(t0) == 'I' && b(t0 + 1) == 'I'
+    if (!little && !(b(t0) == 'M' && b(t0 + 1) == 'M')) return 1
+    def u16(i: Int) = if (little) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (little) u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3)
+    if (u16(t0 + 2) != 42) return 1
+    val ifd = u32(t0 + 4)
+    if (ifd < 8 || ifd > end - t0 - 2) return 1
+    val base = t0 + ifd.toInt
+    val n = u16(base)
+    var e = 0
+    while (e < n) {
+      val ent = base + 2 + 12 * e
+      if (ent + 12 > end) return 1
+      if (u16(ent) == 0x0112 && u16(ent + 2) == 3) {
+        val v = u16(ent + 8)
+        return if (v >= 1 && v <= 8) v else 1
+      }
+      e += 1
+    }
+    1
+  }
+
+  /** Upright a decoded image per its EXIF orientation — the standard
+    * stored→display transform table (PIL `exif_transpose` semantics:
+    * 2 mirror-H, 3 rot180, 4 mirror-V, 5 transpose, 6 rot90 CW,
+    * 7 transverse, 8 rot90 CCW; 5-8 swap the canvas dims). Integer
+    * coordinate remap, deterministic on any JVM; O(pixels) map-side,
+    * and only runs for payloads that actually carry a tag != 1. */
+  private[graft] def applyExifOrientation(img: java.awt.image.BufferedImage,
+                                          o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return img
+    val w = img.getWidth
+    val h = img.getHeight
+    val swap = o >= 5
+    val nw = if (swap) h else w
+    val nh = if (swap) w else h
+    val out = new java.awt.image.BufferedImage(nw, nh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val sx = o match {
+          case 2 | 3 => w - 1 - x
+          case 4     => x
+          case 5 | 6 => y
+          case _     => w - 1 - y // 7, 8
+        }
+        val sy = o match {
+          case 2     => y
+          case 3 | 4 => h - 1 - y
+          case 5     => x
+          case 6 | 7 => h - 1 - x
+          case _     => x // 8
+        }
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Lossless-ish JPEG re-encode at an explicit quality (fixture
+    * helper and the resize path's codec twin): TYPE_INT_RGB in, JFIF
+    * bytes out. */
+  def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Insert a minimal APP1 Exif segment (big-endian TIFF, one IFD0
+    * entry: Orientation = `o`) right after a JPEG's SOI — the fixture
+    * generator for orientation-variant clones ([[exifOrientation]]
+    * reads it back; the JDK writer emits no EXIF of its own). */
+  def withExifOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8 && o >= 1 && o <= 8, "JPEG SOI + orientation 1-8")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    val segLen = 2 + 6 + 26 // len + "Exif\0\0" + TIFF(hdr 8, count 2, entry 12, next 4)
+    out.write(0xff); out.write(0xe1)
+    out.write(segLen >> 8); out.write(segLen & 0xff)
+    out.write("Exif".getBytes, 0, 4); out.write(0); out.write(0)
+    out.write('M'); out.write('M'); out.write(0); out.write(42)
+    out.write(0); out.write(0); out.write(0); out.write(8) // IFD0 at +8
+    out.write(0); out.write(1)                             // one entry
+    out.write(0x01); out.write(0x12)                       // Orientation
+    out.write(0); out.write(3)                             // SHORT
+    out.write(0); out.write(0); out.write(0); out.write(1) // count 1
+    out.write(0); out.write(o); out.write(0); out.write(0) // value
+    out.write(0); out.write(0); out.write(0); out.write(0) // no next IFD
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
   // ---- Perceptual fingerprinting (r9): dHash over decoded pixels -------
 
   /** Per-image perceptual-hash output: 64-bit dHash + the 9×8 luma
@@ -425,17 +573,24 @@ object Multimodal {
   }
 
   /** Perceptual fingerprints for an opaque media frame: decode through
-    * the real codecs (JDK formats + hand-rolled lossless WebP), sample
-    * the 9×8 luma grid, dHash it. Undecodable payloads (lossy-VP8
-    * pixels / corrupt bytes — the declared stub boundary) come back
-    * `decoded=false` with a zero hash so callers can route them around
-    * the dedup (the null-embedding pass-through convention).
-    * Partition-batched map-side, no shuffle.
+    * the real codecs (JDK formats + hand-rolled lossless WebP),
+    * UPRIGHT the pixels per the JPEG EXIF orientation tag (r15 — a
+    * phone photo's rotated clone is byte-distinct but must fingerprint
+    * identically; [[exifOrientation]] + [[applyExifOrientation]], free
+    * for untagged payloads), sample the 9×8 luma grid, dHash it.
+    * Undecodable payloads (lossy-VP8 pixels / corrupt bytes — the
+    * declared stub boundary) come back `decoded=false` with a zero
+    * hash so callers can route them around the dedup (the
+    * null-embedding pass-through convention). Partition-batched
+    * map-side, no shuffle.
     */
   def imageDHash(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions(_.map { m =>
-      val img = decodeImage(m)
+      val img0 = decodeImage(m)
+      val img =
+        if (img0 == null) null
+        else applyExifOrientation(img0, exifOrientation(m.payload))
       if (img != null && img.getWidth > 0 && img.getHeight > 0) {
         val grid = lumaGrid9x8(img)
         ImageHash(m.doc_id, dHash64(grid), grid, decoded = true)

@@ -181,7 +181,8 @@ class ImageDedupSpec extends SparkSpec {
     val q = LlmQueries.q193(spark, sf).collect()
     assert(q.nonEmpty)
     val totalDocs = q.map(_.getAs[Long]("n_docs")).sum
-    val nImages = 2 * Tables.documents(spark, sf)
+    // base + thumbnail + EXIF-rotated clone (r15) per sampled doc
+    val nImages = 3 * Tables.documents(spark, sf)
       .filter(col("doc_id") % 12 === 0).count()
     assert(totalDocs == nImages, s"report must cover every image: $totalDocs vs $nImages")
     q.foreach { r =>
@@ -242,8 +243,87 @@ class ImageDedupSpec extends SparkSpec {
     val b = LlmQueries.q177(spark, sf).collect()
     assert(a.nonEmpty && a.toSeq == b.toSeq)
     // every surviving id is an original (< 1000000): each resized
-    // variant collapsed onto its base image
+    // variant AND each EXIF-rotated clone (r15, +2e6) collapsed onto
+    // its base image
     assert(a.forall(_.getLong(0) < 1000000L),
       s"thumbnail variants survived: ${a.map(_.getLong(0)).filter(_ >= 1000000L).mkString(",")}")
+  }
+
+  test("applyExifOrientation uprights all 8 stored layouts exactly (r15)") {
+    // hand-built 2x3 image: pixel value 10*(y*2+x+1) in the red channel
+    def px(v: Int) = v << 16
+    val s = new java.awt.image.BufferedImage(2, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 2) s.setRGB(x, y, px(10 * (y * 2 + x + 1)))
+    def grid(img: java.awt.image.BufferedImage): Seq[Seq[Int]] =
+      (0 until img.getHeight).map(y => (0 until img.getWidth)
+        .map(x => (img.getRGB(x, y) >> 16) & 0xff))
+    val expected = Map(
+      1 -> Seq(Seq(10, 20), Seq(30, 40), Seq(50, 60)),
+      2 -> Seq(Seq(20, 10), Seq(40, 30), Seq(60, 50)),       // mirror H
+      3 -> Seq(Seq(60, 50), Seq(40, 30), Seq(20, 10)),       // rot 180
+      4 -> Seq(Seq(50, 60), Seq(30, 40), Seq(10, 20)),       // mirror V
+      5 -> Seq(Seq(10, 30, 50), Seq(20, 40, 60)),            // transpose
+      6 -> Seq(Seq(50, 30, 10), Seq(60, 40, 20)),            // rot 90 CW
+      7 -> Seq(Seq(60, 40, 20), Seq(50, 30, 10)),            // transverse
+      8 -> Seq(Seq(20, 40, 60), Seq(10, 30, 50)))            // rot 90 CCW
+    for (o <- 1 to 8)
+      assert(grid(Multimodal.applyExifOrientation(s, o)) == expected(o),
+        s"orientation $o uprighted wrong: ${grid(Multimodal.applyExifOrientation(s, o))}")
+    // round trip: storing with the inverse transform then uprighting
+    // recovers the original pixel grid exactly (the corpus generator's
+    // contract)
+    for (o <- 2 to 8) {
+      val inv = o match { case 6 => 8; case 8 => 6; case other => other }
+      assert(grid(Multimodal.applyExifOrientation(
+        Multimodal.applyExifOrientation(s, inv), o)) == expected(1),
+        s"orientation $o does not round-trip through its inverse $inv")
+    }
+  }
+
+  test("exifOrientation reads the APP1 tag and defaults to 1 on anything else (r15)") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticBmp(seed("exif"), 32, 32)))
+    val jpeg = Multimodal.encodeJpeg(img, 0.95f)
+    assert(Multimodal.exifOrientation(jpeg) == 1, "JDK JPEG carries no EXIF")
+    for (o <- 1 to 8)
+      assert(Multimodal.exifOrientation(Multimodal.withExifOrientation(jpeg, o)) == o)
+    // malformed: non-JPEG, truncated APP1, lying segment length, bad
+    // TIFF magic, out-of-range value — all default to upright, never throw
+    assert(Multimodal.exifOrientation(Multimodal.syntheticBmp(seed("x"), 8, 8)) == 1)
+    val tagged = Multimodal.withExifOrientation(jpeg, 6)
+    assert(Multimodal.exifOrientation(tagged.take(20)) == 1)
+    val lyingLen = tagged.clone(); lyingLen(4) = 0x7f // APP1 length high byte
+    assert(Multimodal.exifOrientation(lyingLen) == 1)
+    val badTiff = tagged.clone(); badTiff(10) = 'X'   // "Exif" -> "XXif"? no: TIFF 'M'
+    badTiff(12) = 'X'
+    assert(Multimodal.exifOrientation(badTiff) == 1)
+    val badVal = tagged.clone()
+    badVal(2 + 4 + 6 + 8 + 2 + 9) = 9 // orientation value byte -> out of range
+    assert(Multimodal.exifOrientation(badVal) == 1)
+  }
+
+  test("EXIF-rotated JPEG clones collapse onto their originals (r15)") {
+    val base = bmp(100, "rotgroup")
+    val upright = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base.payload))
+    // one stored variant per orientation 2..8, ids above the original
+    val variants = (2 to 8).map { o =>
+      val inv = o match { case 6 => 8; case 8 => 6; case other => other }
+      val jpeg = Multimodal.encodeJpeg(
+        Multimodal.applyExifOrientation(upright, inv), 0.95f)
+      MediaRow(100L + o, Multimodal.withExifOrientation(jpeg, o), 64, 64, "jpeg")
+    }
+    val frame = (Seq(base, bmp(200, "othergroup")) ++ variants).toDF()
+    // every variant's normalized fingerprint sits within the dedup
+    // bounds of the upright original
+    val hashes = Multimodal.imageDHash(frame)
+      .select("doc_id", "dhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (o <- 2 to 8)
+      assert(java.lang.Long.bitCount(hashes(100L) ^ hashes(100L + o)) <= 10,
+        s"orientation $o drifted: hamming " +
+          java.lang.Long.bitCount(hashes(100L) ^ hashes(100L + o)))
+    val got = survivors(frame)
+    assert(got == Set(100L, 200L), s"unexpected survivors: $got")
   }
 }
