@@ -2274,14 +2274,17 @@ object TrainingQueries {
         val (c1, c2) = (maxId / 3, 2 * maxId / 3)
         // one part-file per slice, written in id order: the file source
         // lists by modification time, so slice order == trigger order ==
-        // id order — the monotone-ingest contract, made physical
+        // id order — the monotone-ingest contract, made physical by
+        // FORCING strictly increasing mtimes (r15: a coarse-granularity
+        // filesystem could tie back-to-back writes and flake the gate;
+        // pinSliceOrder asserts the ordering instead of sleeping)
         Seq(docs.filter(col("doc_id") <= c1),
             docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
             docs.filter(col("doc_id") > c2))
           .zipWithIndex.foreach { case (slice, i) =>
             slice.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
-            Thread.sleep(5) // distinct mtimes pin the listing order
           }
+        CorpusPipeline.pinSliceOrder(spark, (0 until 3).map(i => s"$src/b$i"))
         streamGateReady.add(src)
       }
       val stream = spark.readStream.schema(docs.schema)
@@ -2341,8 +2344,8 @@ object TrainingQueries {
         Seq(delta.filter(col("vec_id") <= mid), delta.filter(col("vec_id") > mid))
           .zipWithIndex.foreach { case (slice, i) =>
             slice.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
-            Thread.sleep(5)
           }
+        CorpusPipeline.pinSliceOrder(spark, (0 until 2).map(i => s"$src/b$i"))
         streamGateReady.add(idxDir)
       }
       val stream = spark.readStream.schema(delta.schema)

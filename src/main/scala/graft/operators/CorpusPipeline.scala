@@ -168,6 +168,12 @@ object CorpusPipeline {
             delta.write.mode("append").parquet(deltaPath)
         }
         idx.write.mode("append").parquet(indexPath)
+        // this sink just rewrote paths an adaptive router may have
+        // measured (RouterStats memoizes by PLAN, and the plan of a
+        // path read did not change) — drop the memos so post-ingest
+        // constructions re-measure the new data (r14 advice #5: the
+        // library's own sinks must not leave staleness to the caller)
+        RouterStats.clear()
       }
     docs.writeStream.foreachBatch(step)
   }
@@ -198,6 +204,23 @@ object CorpusPipeline {
     * long as ids follow ingest order (the monotone contract). At 100 TB
     * the per-trigger cost tracks the BATCH plus index collisions — the
     * corpus-wide chunk window never runs.
+    *
+    * MONOTONE-DELIVERY CONTRACT (r15, made explicit and LOUD): the
+    * source must deliver micro-batches in non-decreasing id order —
+    * the `is_first` flags encode "first occurrence in ingest order",
+    * so an earlier-id doc arriving late would silently flip flags vs
+    * the one-shot corpus window. How q215 pins it physically: one
+    * part-file per slice, written in id order, mtimes FORCED strictly
+    * increasing via [[pinSliceOrder]] (the Spark file source lists by
+    * modification time; name order only tiebreaks) —
+    * coarse-granularity filesystems can otherwise tie back-to-back
+    * writes and deliver out of order, a flaky mismatch. The sink
+    * enforces the contract with one cheap guard per trigger (an
+    * ids-only max over batch and index): a batch whose max id
+    * REGRESSES below the persisted index's max AND that would append
+    * new chunk rows throws IllegalStateException BEFORE the append —
+    * a REPLAYED trigger (the expected at-least-once shape) regresses
+    * but appends nothing, so it passes and resolves idempotently.
     */
   def chunkIngestSink(docs: DataFrame, indexPath: String, flagsPath: String,
                       idCol: String, textCol: String, k: Int = 8)
@@ -207,19 +230,75 @@ object CorpusPipeline {
         val spark = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexPath)
         val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val haveIndex = fs.exists(idxPath)
         val index =
-          if (fs.exists(idxPath)) spark.read.parquet(indexPath)
+          if (haveIndex) spark.read.parquet(indexPath)
           else CorpusOps.chunkIndex(batch.toDF().limit(0), idCol, textCol, k)
         val (_, newRows) = CorpusOps.cdcChunksIncrement(index, batch.toDF(),
           idCol, textCol, k, guardMonotone = false)
+        // loud monotone guard (r15): ids-only maxima, both columnar;
+        // the newness count is only paid on the suspicious path
+        if (haveIndex) {
+          val bMax = batch.toDF().agg(max(col(idCol))).head().get(0)
+          val iMax = index.agg(max(col("first_id"))).head().get(0)
+          (bMax, iMax) match {
+            case (b: Number, i: Number) if b.longValue < i.longValue =>
+              val appended = newRows.count()
+              if (appended > 0)
+                throw new IllegalStateException(
+                  s"chunkIngestSink: out-of-order batch $batchId (batch max " +
+                    s"$idCol $b < index max first_id $i) would append $appended " +
+                    "new chunk rows — the id-monotone delivery contract is " +
+                    "violated (replayed batches are tolerated only because " +
+                    "they append nothing)")
+            case _ => ()
+          }
+        }
         newRows.write.mode("append").parquet(indexPath)
         CorpusOps.chunkFlagsFromIndex(spark.read.parquet(indexPath),
             batch.toDF(), idCol, textCol, k)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(flagsPath)
+        // rewrote measured paths mid-session — drop router memos (the
+        // ingestSink convention, r14 advice #5)
+        RouterStats.clear()
       }
     docs.writeStream.foreachBatch(step)
+  }
+
+  /** Pin a file-source stream's delivery order to SLICE order (r15,
+    * the r14 advice #4 fix): the Spark file source lists by file
+    * modification time with name as tiebreak, and a filesystem with
+    * coarse mtime granularity (1 s on some mounts/HDFS) can TIE
+    * slices written back-to-back — micro-batches then deliver out of
+    * id order, silently violating the monotone-ingest contract as a
+    * flaky gate mismatch instead of a loud failure. This forces every
+    * file in slice i to `base + i` seconds (base = the ceiling-second
+    * of the latest existing mtime, so whole-second granularity keeps
+    * the offsets distinct) and verifies the per-slice mtimes are
+    * strictly increasing, failing fast otherwise.
+    */
+  def pinSliceOrder(spark: org.apache.spark.sql.SparkSession,
+                    sliceDirs: Seq[String]): Unit = {
+    require(sliceDirs.nonEmpty, "need at least one slice directory")
+    val fs = new org.apache.hadoop.fs.Path(sliceDirs.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perSlice = sliceDirs.map(d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d)).filter(_.isFile))
+    require(perSlice.forall(_.nonEmpty), "every slice must hold at least one file")
+    val base =
+      (perSlice.flatten.map(_.getModificationTime).max / 1000L + 1L) * 1000L
+    perSlice.zipWithIndex.foreach { case (files, i) =>
+      files.foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1L))
+    }
+    val maxima = sliceDirs.map(d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d)).filter(_.isFile)
+        .map(_.getModificationTime).max)
+    require(maxima.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"slice mtimes not strictly increasing after setTimes: $maxima — " +
+        "this filesystem cannot pin file-source order; deliver slices " +
+        "through separate triggers instead")
   }
 
   /** Convenience: run `ingest` over pre-split batches in order, starting

@@ -665,6 +665,10 @@ object Similarity {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         appendIvfPqIndexPersisted(batch.sparkSession, indexDir,
           batch.toDF(), idCol, vecCol)
+        // the codes layout under indexDir just grew — drop adaptive-
+        // router memos keyed on pre-append plans over these paths (the
+        // CorpusPipeline sink convention, r14 advice #5)
+        RouterStats.clear()
     }
 
   /** Persist the index: codes PARTITIONED BY centroid_id so a probe of

@@ -21,11 +21,14 @@ class StreamingIngestSpec extends SparkSpec {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$src/b*")
 
-  private def writeSlices(slices: Seq[DataFrame], src: String): Unit =
+  private def writeSlices(slices: Seq[DataFrame], src: String): Unit = {
     slices.zipWithIndex.foreach { case (s, i) =>
       s.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
-      Thread.sleep(5) // distinct mtimes pin the file-source order
     }
+    // strictly increasing mtimes, asserted (r15) — no sleep, no
+    // granularity flake
+    CorpusPipeline.pinSliceOrder(spark, slices.indices.map(i => s"$src/b$i"))
+  }
 
   test("chunkIngestSink: streamed flags == one-shot cdcChunks; full replay is a no-op") {
     val banner = "accept all cookies to continue reading this site "
@@ -127,6 +130,108 @@ class StreamingIngestSpec extends SparkSpec {
     assert(cold216.nonEmpty && cold216.forall(t => t._3 && t._4 == t._5),
       "q216 gate invariants must hold in-spec too")
     assert(rows216() == cold216, "warm q216 must equal the cold run")
+  }
+
+  test("chunkIngestSink rejects an out-of-order stream loudly (r15 monotone guard)") {
+    val docs = (1L to 20L).map(i => (i, s"some unique text body for document $i "))
+      .toDF("doc_id", "text")
+    val src = graft.sources.Scratch.dir("sis_ooo_src")
+    val idx = graft.sources.Scratch.dir("sis_ooo_idx")
+    val flags = graft.sources.Scratch.dir("sis_ooo_flags")
+    // slices written in REVERSE id order: the high-id slice streams
+    // first, so the second trigger's ids regress below the index max
+    // while still carrying new chunks — the contract violation the
+    // sink must fail loudly on, not absorb as wrong flags
+    writeSlices(Seq(docs.filter(col("doc_id") > 10),
+      docs.filter(col("doc_id") <= 10)), src)
+    val q = CorpusPipeline.chunkIngestSink(stream(src, docs.schema), idx, flags,
+        "doc_id", "text")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_ooo_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("id-monotone")),
+      s"expected the monotone-contract IllegalStateException, got: $e")
+    // a REPLAY (regressing ids, zero new chunks) still passes: re-run
+    // over only the first slice's ids after the index holds them
+    val src2 = graft.sources.Scratch.dir("sis_ooo_src2")
+    val idx2 = graft.sources.Scratch.dir("sis_ooo_idx2")
+    val flags2 = graft.sources.Scratch.dir("sis_ooo_flags2")
+    writeSlices(Seq(docs.filter(col("doc_id") <= 10),
+      docs.filter(col("doc_id") > 10)), src2)
+    val ok = CorpusPipeline.chunkIngestSink(stream(src2, docs.schema), idx2, flags2,
+        "doc_id", "text")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_ooo_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    ok.awaitTermination()
+    // fresh checkpoint = full replay; every id regresses vs the index
+    // max but appends nothing -> tolerated, flags unchanged
+    val replay = CorpusPipeline.chunkIngestSink(stream(src2, docs.schema), idx2, flags2,
+        "doc_id", "text")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_ooo_ckpt3"))
+      .trigger(Trigger.AvailableNow()).start()
+    replay.awaitTermination()
+    assert(spark.read.parquet(flags2).count() > 0)
+  }
+
+  test("sinks auto-clear RouterStats after each micro-batch write (r15)") {
+    import graft.operators.RouterStats
+    val docs = (1L to 12L).map(i => (i, s"body of streamed document number $i "))
+      .toDF("doc_id", "text")
+    val src = graft.sources.Scratch.dir("sis_rs_src")
+    writeSlices(Seq(docs.filter(col("doc_id") <= 6),
+      docs.filter(col("doc_id") > 6)), src)
+    // a sentinel memo stands in for any adaptive-router measurement
+    // taken BEFORE the ingest (entryCount is racy under the parallel
+    // suite runner; a key-level probe is deterministic)
+    def sentinelIs(v: Int): Boolean =
+      RouterStats.memo(("r15-autoclear-sentinel"))(v) == v
+    assert(sentinelIs(1) && !sentinelIs(2), "sentinel must memoize")
+    val q = CorpusPipeline.chunkIngestSink(stream(src, docs.schema),
+        graft.sources.Scratch.dir("sis_rs_idx"),
+        graft.sources.Scratch.dir("sis_rs_flags"), "doc_id", "text")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_rs_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sentinelIs(2),
+      "chunkIngestSink must clear router memos after its writes")
+    // same contract for the corpus ingest sink...
+    val q2 = CorpusPipeline.ingestSink(stream(src, docs.schema),
+        graft.sources.Scratch.dir("sis_rs_idx2"),
+        graft.sources.Scratch.dir("sis_rs_delta2"), "doc_id", "text")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_rs_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(sentinelIs(3), "ingestSink must clear router memos after its writes")
+    // ...and the ANN sink (tiny trained index, two streamed vectors)
+    val vecs = (1L to 8L).map(i =>
+      (i, Array.tabulate(4)(d => (i * 7 + d).toFloat / 10f))).toDF("vec_id", "embedding")
+    val annIdx = graft.sources.Scratch.dir("sis_rs_annidx")
+    Similarity.writeIvfPqIndex(
+      Similarity.buildIvfPqIndex(vecs.filter(col("vec_id") <= 6), "vec_id",
+        "embedding", dim = 4, nlist = 2, m = 2, ksub = 4, iters = 1), annIdx)
+    val annSrc = graft.sources.Scratch.dir("sis_rs_annsrc")
+    writeSlices(Seq(vecs.filter(col("vec_id") > 6)), annSrc)
+    val q3 = Similarity.annIngestSink(stream(annSrc, vecs.schema), annIdx,
+        "vec_id", "embedding")
+      .option("checkpointLocation", graft.sources.Scratch.dir("sis_rs_ckpt3"))
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(sentinelIs(4), "annIngestSink must clear router memos after its writes")
+    // and the refreshed measurement is REAL: a post-ingest clone-factor
+    // measure over the grown index equals a from-scratch measurement
+    // (no stale memo can serve it — the memo map was just cleared)
+    val grown = spark.read.parquet(s"$annIdx/codes.parquet")
+    val f1 = graft.operators.Dedup.measureCloneFactor(grown, "neighbor_id",
+      col("code"), col("code"), sampleFraction = 1.0)
+    RouterStats.clear()
+    val f2 = graft.operators.Dedup.measureCloneFactor(grown, "neighbor_id",
+      col("code"), col("code"), sampleFraction = 1.0)
+    assert(f1 == f2, "post-ingest measurement must match a fresh measurement")
   }
 
   test("annIngestSink: streamed codes probe like the in-memory append; replay appends zero rows") {
