@@ -550,13 +550,18 @@ if os.path.isdir(q198_path):
 # streams in as two micro-batches (Similarity.annIngestSink). HARD
 # gate, exact on the deterministic fixture: one row per appended
 # vector; every fresh-id duplicate probe retrieves a ZERO-distance
-# top-1 after exact re-rank (dist_zero), and every appended id holds
-# exactly m code rows (encode-once under streaming delivery).
+# top-1 after exact re-rank (dist_zero), every appended id holds
+# exactly m code rows (encode-once under streaming delivery), and —
+# r15 — every NEAR-duplicate probe (source embedding with dim 0
+# perturbed by +0.001) ranks its source (or a byte-identical clone of
+# it, verified against the embeddings table) top-1 at the planted
+# perturbation distance (near_dist is SQUARED L2, so ~1e-6): streamed
+# codes participate in ordinary ANN ranking, not just self-retrieval.
 q216_path = f"{OUT}/q216_ann_stream_append"
 if os.path.isdir(q216_path):
     got = con.sql(
-        f"SELECT query_id, top_id, dist_zero, n_code_rows, m "
-        f"FROM read_parquet('{q216_path}/*.parquet') ORDER BY query_id").df()
+        f"SELECT query_id, top_id, dist_zero, n_code_rows, m, near_top_id, "
+        f"near_dist FROM read_parquet('{q216_path}/*.parquet') ORDER BY query_id").df()
     delta_ids = con.sql(
         "SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id").df()
     bad = []
@@ -566,12 +571,26 @@ if os.path.isdir(q216_path):
         bad.append(f"{int((~got.dist_zero).sum())} probes missed a zero-distance top-1")
     if not (got.n_code_rows == got.m).all():
         bad.append("some appended id does not hold exactly m code rows")
+    # near-dup probes (r15): top-1 must be the source id or a
+    # byte-identical clone of it, at the planted +0.001 perturbation
+    n_near_bad = con.sql(
+        f"SELECT count(*) FROM read_parquet('{q216_path}/*.parquet') g "
+        f"JOIN embeddings a ON a.vec_id = g.query_id - 900000 "
+        f"JOIN embeddings b ON b.vec_id = g.near_top_id "
+        f"WHERE NOT (g.near_top_id = g.query_id - 900000 OR a.embedding = b.embedding) "
+        f"   OR g.near_dist <= 2.5e-7 OR g.near_dist >= 4e-6").fetchone()[0]
+    if int(n_near_bad) > 0:
+        bad.append(f"{int(n_near_bad)} near-dup probes missed their source top-1 "
+                   f"at the planted distance")
+    if len(got) and len(got) != got.near_top_id.notna().sum():
+        bad.append("missing near-dup probe rows")
     if bad:
         fails.append("q216_ann_stream_append")
         print(f"FAIL q216_ann_stream_append: {bad}")
     else:
         print(f"ok   q216_ann_stream_append [property: {len(got)} streamed-in vectors, "
-              f"all zero-distance retrievable, all exactly m={int(got.m.iloc[0])} code rows]")
+              f"all zero-distance retrievable, all exactly m={int(got.m.iloc[0])} code "
+              f"rows, all near-dup probes rank their source top-1]")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)

@@ -2320,7 +2320,11 @@ object TrainingQueries {
   // every appended vector: each must retrieve a zero-distance top-1
   // (itself or an exact clone), and each appended id must carry
   // exactly m code rows — encode-once under streaming delivery,
-  // verified per row.
+  // verified per row. r15 adds a NEAR-duplicate probe per appended
+  // vector (dim 0 perturbed by +0.001): its top-1 after exact re-rank
+  // must be the source vector (or a byte-identical clone) at the
+  // planted perturbation distance — streamed codes participate in
+  // ordinary ANN ranking, not just self-retrieval.
   def q216(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val emb = Tables.embeddings(spark, dir)
@@ -2365,14 +2369,29 @@ object TrainingQueries {
     val hits = Similarity.probeIvfPqIndex(index, planted, "vec_id", "embedding",
         k = 1, nprobe = index.nlist, rerank = 64, corpus = Some(emb))
       .select(col("query_id"), col("neighbor_id").as("top_id"), col("l2_dist"))
+    // NEAR-duplicate probes (r15, the r14 verdict's nit #3): one
+    // perturbed query per appended vector (+0.001 on dim 0) must rank
+    // its source top-1 through ORDINARY ANN ranking — proving streamed
+    // codes participate in ranking, not just self-retrieval. The gate
+    // pins near_top to the source (or a byte-identical clone of it)
+    // and near_dist to the planted perturbation.
+    val nearProbes = delta.select((col("vec_id") + 1800000L).as("vec_id"),
+      transform(col("embedding"),
+        (v, i) => when(i === 0, v + lit(0.001f)).otherwise(v)).as("embedding"))
+    val nearHits = Similarity.probeIvfPqIndex(index, nearProbes, "vec_id", "embedding",
+        k = 1, nprobe = index.nlist, rerank = 64, corpus = Some(emb))
+      .select((col("query_id") - 1800000L).as("neighbor_id"),
+        col("neighbor_id").as("near_top_id"), col("l2_dist").as("near_dist"))
     val codeCounts = index.codes
       .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"))
       .groupBy("neighbor_id").agg(count(lit(1)).as("n_code_rows"))
     hits.withColumn("neighbor_id", col("query_id") - 900000L)
       .join(codeCounts, "neighbor_id")
+      .join(nearHits, "neighbor_id")
       .select(col("query_id"), col("top_id"),
         (col("l2_dist") === 0.0).as("dist_zero"),
-        col("n_code_rows"), lit(index.m.toLong).as("m"))
+        col("n_code_rows"), lit(index.m.toLong).as("m"),
+        col("near_top_id"), col("near_dist"))
       .orderBy("query_id")
   }
 }

@@ -125,10 +125,16 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows215() == cold215, "warm q215 must equal the cold run")
     def rows216() = TrainingQueries.q216(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
-        r.getLong(4))).toSeq
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
     val cold216 = rows216()
     assert(cold216.nonEmpty && cold216.forall(t => t._3 && t._4 == t._5),
       "q216 gate invariants must hold in-spec too")
+    // near-dup probes (r15): the perturbed query's top-1 sits at the
+    // planted distance (its source, or an exact clone of it) —
+    // l2_dist is SQUARED L2, so the planted 0.001 lands near 1e-6
+    assert(cold216.forall(t => t._7 > 2.5e-7 && t._7 < 4e-6),
+      s"near-dup distances off the planted perturbation: " +
+        cold216.filterNot(t => t._7 > 2.5e-7 && t._7 < 4e-6).take(3).mkString(","))
     assert(rows216() == cold216, "warm q216 must equal the cold run")
   }
 
