@@ -2394,4 +2394,43 @@ object TrainingQueries {
         col("near_top_id"), col("near_dist"))
       .orderBy("query_id")
   }
+
+  // q217: INCREMENTAL ExactSubstr (r15 — the r14 verdict's #4: the one
+  // index family that still re-paid its corpus-wide phase per
+  // snapshot). The per-gram count table persists as an index
+  // (Dedup.exactSubstrIndex — the chunkIndex shape, 16-byte gram md5
+  // keys, append-mergeable counts): the corpus splits into three
+  // monotone id thirds; the first seeds the index, the second
+  // increments against it (its count delta appends), and the third's
+  // duplicated spans are computed against index + batch
+  // (Dedup.exactSubstrIncrement) — at which point index ∪ batch IS the
+  // full corpus, so the spans must hash-equal the one-shot q178 pass
+  // filtered to the final third (the q214 oracle convention). Per
+  // ingest the corpus-wide gram wordcount never reruns: one wordcount
+  // over the BATCH + one Bloom-pruned batch-keyed pass over the index.
+  def q217(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val idx1 = Dedup.exactSubstrIndex(docs.filter(col("doc_id") <= c1),
+      "doc_id", "text")
+    val (_, delta2) = Dedup.exactSubstrIncrement(idx1,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "doc_id", "text")
+    // append = union of count-delta frames; readers sum per key.
+    // localCheckpoint stands in for the parquet append's lineage cut
+    // (the ingestAll convention — the streaming form is spec-gated in
+    // ExactSubstrSpec with real parquet batch_id partitions)
+    val idx2 = idx1.unionByName(delta2).localCheckpoint(eager = true)
+    val (spans, _) = Dedup.exactSubstrIncrement(idx2,
+      docs.filter(col("doc_id") > c2), "doc_id", "text")
+    spans.orderBy("doc_id", "span_start")
+  }
+
+  val q217Sql: String =
+    s"""WITH ${exactSubstrCtes("documents")}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_len, n_hits
+        FROM spans
+        WHERE doc_id > (SELECT (2 * max(doc_id)) // 3 FROM documents)
+        ORDER BY doc_id, span_start"""
 }

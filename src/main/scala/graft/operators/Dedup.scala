@@ -1469,6 +1469,147 @@ object Dedup {
         coalesce(size(col("spans")), lit(0)).cast(LongType).as("n_spans"))
   }
 
+  // ---- Incremental ExactSubstr (r15): persisted gram-count index ---------
+
+  /** The PERSISTED ExactSubstr index (r15 — the r14 verdict's #4: the
+    * ONE index family that still re-paid its corpus-wide phase per
+    * snapshot): per-gram occurrence counts keyed by a 16-byte md5 of
+    * the k-token window — the [[CorpusOps.chunkIndex]] shape applied
+    * to phase A of [[exactSubstrSpans]]. One wordcount-shaped
+    * aggregation; the gram TEXT never leaves the map side (md5 is
+    * computed in the projection), which is strictly less exchange than
+    * even the one-shot form's candidate-text phase B. md5-as-identity
+    * is the library's established text-key convention
+    * ([[exactSubstrSpansLayered]]'s `__tk`, q210's `chunk_md5`).
+    *
+    * @return DataFrame(gram_md5, n) — counts are APPEND-MERGEABLE:
+    *         store delta frames and sum per key at read time, exactly
+    *         how [[exactSubstrIncrement]] consumes them.
+    */
+  def exactSubstrIndex(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span >= 2 tokens, got $k")
+    docs.filter(size(tokens(col(textCol))) >= k)
+      .select(explode(wordShingles(col(textCol), k)).as("g"))
+      .select(md5(col("g").cast(BinaryType)).as("gram_md5"))
+      .groupBy("gram_md5").agg(count(lit(1)).as("n"))
+  }
+
+  /** INCREMENTAL ExactSubstr — the q206/q214 contract for duplicated
+    * spans: a new batch's windows count against the persisted index
+    * PLUS the batch itself (duplication is corpus-wide, within OR
+    * across documents, exactly [[exactSubstrSpans]]'s predicate over
+    * corpus-so-far ∪ batch), spans merge per batch doc, and the
+    * batch's own per-gram counts come back as the delta to append.
+    * Chained increments therefore equal the one-shot corpus pass
+    * restricted to each batch's docs (spec'd 3 ways), and the q178
+    * corpus-wide recompute — the wordcount over ALL history — never
+    * runs again: per-ingest cost is one wordcount over the BATCH plus
+    * one Bloom-pruned, batch-keyed pass over the index.
+    *
+    * Scale shape at 100 TB: the index is the big side, so it is
+    * Bloom-pruned map-side by the batch's gram keys
+    * ([[BloomPrefilter.mightMatch]] — only key collisions reach the
+    * exchange, the dedupIncrement/cdcChunksIncrement discipline), then
+    * summed per surviving key and joined against the batch counts
+    * (batch-bounded). The island merge windows by batch doc only.
+    * NOTE the one asymmetry vs the one-shot operator: counts here key
+    * on the 16-byte gram md5 (history's gram text is gone by design),
+    * where [[exactSubstrSpans]] phase-B confirms on the string — the
+    * md5-identity convention shared with the chunk store, collision
+    * probability ~2^-128 per pair.
+    *
+    * @return (spans, indexDelta): `spans` has the
+    *         [[exactSubstrSpans]] schema, restricted to batch docs;
+    *         `indexDelta` is (gram_md5, n) for THIS batch — append it
+    *         to the index before the next batch.
+    */
+  def exactSubstrIncrement(index: DataFrame, batch: DataFrame, idCol: String,
+                           textCol: String, k: Int = 8,
+                           minCount: Long = 2): (DataFrame, DataFrame) = {
+    require(k >= 2, s"window must span >= 2 tokens, got $k")
+    require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
+    val grams = batch.filter(size(tokens(col(textCol))) >= k)
+      .select(col(idCol).as("did"),
+        posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
+      .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"),
+        md5(col("g").cast(BinaryType)).as("gram_md5"))
+    val batchCounts = grams.groupBy("gram_md5").agg(count(lit(1)).as("n"))
+    // history side: prune the corpus-sized index map-side to the keys
+    // colliding with this batch, THEN aggregate (delta frames may
+    // repeat a key — counts are append-mergeable by contract)
+    val hist = BloomPrefilter.mightMatch(index.select("gram_md5", "n"), batchCounts,
+        "gram_md5")
+      .groupBy("gram_md5").agg(sum(col("n")).as("__hn"))
+    val dupKeys = batchCounts.join(hist, Seq("gram_md5"), "left")
+      .filter(col("n") + coalesce(col("__hn"), lit(0L)) >= minCount)
+      .select("gram_md5")
+    val dupPos = grams.join(dupKeys, Seq("gram_md5"), "left_semi")
+      .select("did", "pos")
+    val w = Window.partitionBy("did").orderBy("pos")
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("did", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select(col("did").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_hits"))
+    (spans, batchCounts)
+  }
+
+  /** The ExactSubstr ingest as a CONTINUOUS stream (r15 — completing
+    * the set: every persisted index family is now stream-maintainable:
+    * minhash seen-set, chunk store, IVF-PQ codes, and now the gram
+    * counts). Per micro-batch: spans vs the index PREFIX, then the
+    * batch's count delta lands in `indexPath/batch_id=<id>` and the
+    * spans in `spansPath/batch_id=<id>`, BOTH via dynamic partition
+    * overwrite — the meter-row exactly-once convention, load-bearing
+    * here because count deltas (unlike the chunk store's
+    * first-occurrence rows) would DOUBLE-COUNT under at-least-once
+    * replay; partition replacement makes replay a byte-level no-op.
+    *
+    * Replay determinism is STRONGER than the chunk sink's: the index
+    * read prunes to `batch_id < current` (partition-pruned — the
+    * layout is a log and each batch reads its prefix), so a replayed
+    * trigger recomputes its spans against exactly the prefix it saw
+    * the first time, even though later batches' partitions already
+    * exist. Delivery order itself must be deterministic across
+    * replays (the checkpointed file source's mtime order — see
+    * [[CorpusPipeline.pinSliceOrder]]).
+    */
+  def exactSubstrIngestSink(docs: DataFrame, indexPath: String, spansPath: String,
+                            idCol: String, textCol: String, k: Int = 8,
+                            minCount: Long = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val step: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => {
+        val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath))
+            spark.read.parquet(indexPath)
+              .filter(col("batch_id") < lit(batchId)) // the replay-stable prefix
+              .select("gram_md5", "n")
+          else exactSubstrIndex(batch.toDF().limit(0), idCol, textCol, k)
+        val (spans, delta) = exactSubstrIncrement(index, batch.toDF(), idCol,
+          textCol, k, minCount)
+        spans.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(spansPath)
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexPath)
+        // rewrote measured paths mid-session — the sink convention
+        RouterStats.clear()
+      }
+    docs.writeStream.foreachBatch(step)
+  }
+
   // ---- Dedup threshold curve ----------------------------------------------
 
   /** Dedup-rate vs threshold CURVE — how many docs a near-dup pass

@@ -140,4 +140,99 @@ class ExactSubstrSpec extends SparkSpec {
       Seq("one two three four five", "six seven eight nine ten"))
     assert(cut.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
   }
+
+  private def spanRows(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.select("doc_id", "span_start", "span_end", "span_len", "n_hits")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  private def oneShotFor(corpus: DataFrame, ids: Set[Long]): Set[(Long, Long, Long, Long, Long)] =
+    spanRows(Dedup.exactSubstrSpans(corpus, "doc_id", "text", k = 4)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isInCollection(ids)))
+
+  test("incremental ExactSubstr (r15): chained increments == one-shot per batch") {
+    import org.apache.spark.sql.functions.col
+    val batches = Seq(
+      docs.filter(col("doc_id") <= 3),
+      docs.filter(col("doc_id") > 3 && col("doc_id") <= 6),
+      docs.filter(col("doc_id") > 6))
+    var index = Dedup.exactSubstrIndex(docs.limit(0), "doc_id", "text", k = 4)
+    var corpusSoFar = docs.limit(0)
+    val batchIds = Seq(Set(1L, 2L, 3L), Set(4L, 5L, 6L), Set(7L, 8L, 9L))
+    batches.zip(batchIds).foreach { case (b, ids) =>
+      corpusSoFar = corpusSoFar.unionByName(b)
+      val (spans, delta) = Dedup.exactSubstrIncrement(index, b, "doc_id", "text", k = 4)
+      // the batch's spans against index ∪ batch == the one-shot pass
+      // over corpus-so-far, restricted to the batch's docs
+      assert(spanRows(spans) == oneShotFor(corpusSoFar, ids),
+        s"batch $ids: incremental spans != one-shot prefix pass")
+      index = index.unionByName(delta).localCheckpoint(eager = true)
+    }
+    // the appended index's per-key sums == the from-scratch index
+    val merged = index.groupBy("gram_md5")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scratch = Dedup.exactSubstrIndex(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == scratch, "appended index must equal the from-scratch index")
+    // minCount threads through: with the full index minus the batch, a
+    // minCount=3 increment on the last batch flags only the 3x gram
+    val (s3, _) = Dedup.exactSubstrIncrement(
+      Dedup.exactSubstrIndex(docs.filter(col("doc_id") <= 6), "doc_id", "text", k = 4),
+      docs.filter(col("doc_id") > 6), "doc_id", "text", k = 4, minCount = 3)
+    assert(spanRows(s3) == spanRows(
+      Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 4, minCount = 3)
+        .filter(col("doc_id") > 6)))
+  }
+
+  test("exactSubstrIngestSink (r15): streamed spans == one-shot prefixes; replay is a no-op") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.sources.Scratch.dir("ess_src")
+    val idx = graft.sources.Scratch.dir("ess_idx")
+    val spansDir = graft.sources.Scratch.dir("ess_spans")
+    val slices = Seq(docs.filter(col("doc_id") <= 3),
+      docs.filter(col("doc_id") > 3 && col("doc_id") <= 6),
+      docs.filter(col("doc_id") > 6))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      s.repartition(1).write.mode("overwrite").parquet(s"$src/b$i")
+    }
+    graft.operators.CorpusPipeline.pinSliceOrder(spark,
+      slices.indices.map(i => s"$src/b$i"))
+    def run(ckptTag: String): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/b*")
+      val q = Dedup.exactSubstrIngestSink(stream, idx, spansDir,
+          "doc_id", "text", k = 4)
+        .option("checkpointLocation", graft.sources.Scratch.dir(ckptTag))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run("ess_ckpt1")
+    // per-batch span partitions == the one-shot prefix passes
+    val got = spark.read.parquet(spansDir)
+    assert(spanRows(got.filter(col("batch_id") === 0)) ==
+      oneShotFor(slices(0), Set(1L, 2L, 3L)))
+    assert(spanRows(got.filter(col("batch_id") === 1)) ==
+      oneShotFor(slices(0).unionByName(slices(1)), Set(4L, 5L, 6L)))
+    assert(spanRows(got.filter(col("batch_id") === 2)) ==
+      oneShotFor(docs, Set(7L, 8L, 9L)))
+    // the streamed index sums to the from-scratch counts
+    def indexSums() = spark.read.parquet(idx).groupBy("gram_md5")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scratch = Dedup.exactSubstrIndex(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(indexSums() == scratch)
+    // FULL REPLAY with a fresh checkpoint: every partition is
+    // REPLACED, not appended — spans identical, counts NOT doubled
+    // (the meter-row exactly-once layout; a plain append here would
+    // double-count, which is exactly why the sink overwrites)
+    val before = spanRows(got)
+    run("ess_ckpt2")
+    assert(spanRows(spark.read.parquet(spansDir)) == before,
+      "replayed spans must be unchanged")
+    assert(indexSums() == scratch, "replay must not double-count the index")
+  }
 }
