@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `explain("formatted")` for a named set of queries to one file
+  * per query — the r15 optimization-round evidence format
+  * (`plans/r15/<query>_{before,after}.txt`).
+  *
+  * Args: <sfDir> <outDir> <suffix> <q1,q2,...|all>
+  * Runs at the bench's shuffle-partition setting (not PlanAudit's
+  * local[4]) so the dumped Exchange/AQE shapes match what the bench
+  * actually executes.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names: Seq[String] =
+      if (args(3) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(3).split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+      println(s"dumped $name")
+    }
+    spark.stop()
+  }
+}

@@ -251,26 +251,53 @@ object Dedup {
     // codegen/analysis outright; as data the plan is O(1) in the
     // subset count and only the exploded ROWS scale with C(blocks, r)
     val subsets = (0 until blocks).combinations(agreeBlocks).map(_.toSeq).toSeq
-    val banded = sig
-      .select(col("id"), col("sig"),
-        posexplode(typedLit(subsets)).as(Seq("combo", "subset")))
-      .select(col("id"), col("sig"), col("combo"),
-        expr(s"array_join(transform(subset, b -> " +
-          s"string(shiftright(sig, b * $width) & ${mask}L)), '_')").as("combo_key"))
-    val l = banded.select(col("combo"), col("combo_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("combo"), col("combo_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // the bucket self-join is LARGE × LARGE (C(blocks, r) rows per doc
-    // on both sides), but Generate keeps its child's size estimate, so
-    // Catalyst sees the exploded side as broadcastable and AQE tries to
-    // collect 10^8 banded rows to the driver (observed at 83k distinct
-    // images: maxResultSize abort). Pin the spill-safe sort-merge
-    // strategy; AQE still skew-splits hot buckets post-shuffle.
-    l.hint("merge").join(r, Seq("combo", "combo_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // r15: the C(blocks, r) explode runs over DISTINCT SIGNATURES, not
+    // docs — every doc with the same 64-bit fingerprint rode the
+    // explode and the bucket self-join separately (a 3-clone class put
+    // 3·1820 rows in the exchange and generated each clone pair up to
+    // 1820 times before the distinct). Signature-level pairs are
+    // computed once, then fan back out to ids through two narrow joins;
+    // same-signature id pairs (hamming 0 <= any bound) come from one
+    // equi-join on sig. Result-identical: an id pair qualifies iff its
+    // sig pair agrees on some r-subset, and each id carries exactly one
+    // sig, so the fan-out can neither drop nor duplicate a pair.
+    // The combo key packs the r block values into ONE LONG
+    // (r·width <= 64 bits by construction) instead of the r13
+    // underscore-joined string: the 10^8-row exchange sorts and
+    // compares 8-byte ints, not ~16-byte heap strings.
+    val dsig = sig.select(col("sig")).where(col("sig").isNotNull).distinct()
+    val banded = dsig
+      .select(col("sig"), posexplode(typedLit(subsets)).as(Seq("combo", "subset")))
+      .select(col("sig"), col("combo"),
+        expr(s"aggregate(subset, 0L, (acc, b) -> " +
+          s"shiftleft(acc, $width) | (shiftright(sig, b * $width) & ${mask}L))")
+          .as("combo_key"))
+    val l = banded.select(col("combo"), col("combo_key"), col("sig").as("sig_a"))
+    val r = banded.select(col("combo"), col("combo_key"), col("sig").as("sig_b"))
+    // the bucket self-join is LARGE × LARGE (C(blocks, r) rows per
+    // distinct sig on both sides), but Generate keeps its child's size
+    // estimate, so Catalyst sees the exploded side as broadcastable and
+    // AQE tries to collect 10^8 banded rows to the driver (observed at
+    // 83k distinct images: maxResultSize abort). Pin the spill-safe
+    // sort-merge strategy; AQE still skew-splits hot buckets
+    // post-shuffle.
+    val sigPairs = l.hint("merge").join(r, Seq("combo", "combo_key"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming) // before the dedup exchange, as above
       .distinct()
+    val cross = sigPairs
+      .join(sig.select(col("sig").as("sig_a"), col("id").as("__ia")), "sig_a")
+      .join(sig.select(col("sig").as("sig_b"), col("id").as("__ib")), "sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val same = sig.select(col("sig"), col("id").as("id_a"))
+      .join(sig.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast(IntegerType).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** IMAGE near-dup dedup — the q22 SimHash layout applied to PIXELS

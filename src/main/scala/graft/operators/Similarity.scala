@@ -37,6 +37,124 @@ object Similarity {
       case _                       => VectorFunctions.cosine(a, b)
     }
 
+  // ---- r15 map-side centroid kernels -------------------------------------
+  //
+  // Lloyd rounds, list assignment, and PQ encoding used to run as
+  // broadcast-crossJoin + groupBy(min_by/max_by) + join-back chains —
+  // at gate scale each round paid a broadcast build, two exchanges and
+  // a localCheckpoint for ~2000 rows of work (AnnProfile: coarse train
+  // 6.2 s for 2000×64 floats). The centroid/codebook frames are ALREADY
+  // driver-bounded artifacts (every consumer broadcasts them), so they
+  // collect into expression literals and the assignment becomes ONE
+  // codegen'd map-side fold per row (guide §2.4: remove shuffles
+  // outright). The fold reproduces the aggregate semantics exactly:
+  // entries scan in ascending centroid_id order with a STRICT
+  // comparison, so ties keep the smallest id — identical to
+  // max_by(struct(score, -id)) / min_by(struct(score, id)) — and
+  // Spark's NaN-is-greatest comparison semantics apply to the same
+  // score expression either way.
+
+  /** Collect a (centroid_id, cvec) frame into ascending-id literal
+    * entries. Bounded by construction: nlist/ksub rows — the same
+    * frames every caller already ships as a broadcast. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Float])] =
+    centroids.select(col("centroid_id").cast("int"),
+        col("cvec").cast(ArrayType(FloatType)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+
+  private def isF32(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+  /** Nearest-centroid id, routed to the codegen'd
+    * [[graft.plans.CentroidExpr.argNearestF32]] kernel for float32
+    * vectors (the hot path everywhere — one primitive loop per row,
+    * zero-copy subspace slicing via `start`) and to the interpreted
+    * [[argBestExpr]] fold otherwise. Both reproduce the r14
+    * max_by/min_by semantics exactly (strict ascending-id tiebreak,
+    * Spark NaN-is-greatest, null vector → null id). */
+  private def argNearestCol(entries: Seq[(Int, Seq[Float])], v: Column,
+                            f32: Boolean, useCosine: Boolean,
+                            score: (Column, Column) => Column,
+                            start: Int = 0, width: Int = 0): Column =
+    if (f32)
+      graft.plans.CentroidExpr.argNearestF32(v, entries, useCosine,
+        maximize = useCosine, start = start)
+    else {
+      val sliced = if (width > 0) slice(v, start + 1, width) else v
+      argBestExpr(entries, sliced, score, maximize = useCosine)
+    }
+
+  /** argmin/argmax over literal entries: fold seeded with the first
+    * entry, strict comparison keeps the earliest (smallest id) on ties.
+    * Null vector → null id (the max_by/min_by over all-null scores
+    * convention). */
+  private def argBestExpr(entries: Seq[(Int, Seq[Float])], v: Column,
+                          score: (Column, Column) => Column,
+                          maximize: Boolean): Column = {
+    require(entries.nonEmpty, "argBestExpr needs at least one centroid")
+    val init = struct(lit(entries.head._1).as("id"),
+      score(v, typedLit(entries.head._2)).as("s"))
+    val tail = typedLit(entries.tail)
+    val folded = aggregate(tail, init, (acc, e) => {
+      val s = score(v, e.getField("_2"))
+      val better = if (maximize) s > acc.getField("s") else s < acc.getField("s")
+      when(better, struct(e.getField("_1").as("id"), s.as("s"))).otherwise(acc)
+    })
+    when(v.isNull, lit(null).cast("int")).otherwise(folded.getField("id"))
+  }
+
+  /** The `nprobe` closest centroid ids per query, map-side — replaces
+    * the crossJoin + row_number window. The comparator reproduces
+    * SortOrder(score ASC|DESC, id ASC) exactly, including Spark's
+    * NaN-is-greatest and the window default null ordering (ASC: nulls
+    * first; DESC: nulls last). */
+  private def topCentroidsExpr(entries: Seq[(Int, Seq[Float])], v: Column,
+                               score: (Column, Column) => Column,
+                               n: Int, descending: Boolean): Column = {
+    val scored = transform(typedLit(entries), e =>
+      struct(score(v, e.getField("_2")).as("s"), e.getField("_1").as("id")))
+    val idCmp = (l: Column, r: Column) =>
+      when(l.getField("id") < r.getField("id"), lit(-1))
+        .when(l.getField("id") > r.getField("id"), lit(1))
+        .otherwise(lit(0))
+    val cmp = (l: Column, r: Column) => {
+      val (ls, rs) = (l.getField("s"), r.getField("s"))
+      val base =
+        when(ls.isNull && rs.isNull, idCmp(l, r))
+          // ASC: nulls first, NaN last; DESC: NaN first, nulls last
+          .when(ls.isNull, lit(if (descending) 1 else -1))
+          .when(rs.isNull, lit(if (descending) -1 else 1))
+          .when(isnan(ls) && isnan(rs), idCmp(l, r))
+          .when(isnan(ls), lit(if (descending) -1 else 1))
+          .when(isnan(rs), lit(if (descending) 1 else -1))
+          .when(ls < rs, lit(if (descending) 1 else -1))
+          .when(ls > rs, lit(if (descending) -1 else 1))
+          .otherwise(idCmp(l, r))
+      base
+    }
+    transform(slice(array_sort(scored, cmp), 1, n), e => e.getField("id"))
+  }
+
+  /** [[topCentroidsExpr]] routed to the codegen'd
+    * [[graft.plans.CentroidExpr.topNearestF32]] kernel for float32
+    * vectors; a null vector falls back to the smallest-id prefix — the
+    * order the row_number window assigns when every score is null
+    * (ASC nulls-first and DESC nulls-last both tie, leaving id ASC). */
+  private def topCentroidsCol(entries: Seq[(Int, Seq[Float])], v: Column,
+                              f32: Boolean, useCosine: Boolean,
+                              score: (Column, Column) => Column,
+                              n: Int, descending: Boolean): Column =
+    if (f32)
+      coalesce(
+        graft.plans.CentroidExpr.topNearestF32(v, entries, n, useCosine, descending),
+        typedLit(entries.map(_._1).sorted.take(n)))
+    else topCentroidsExpr(entries, v, score, n, descending)
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val cos = cosineOf(corpus, vecCol) _
@@ -106,21 +224,18 @@ object Similarity {
   /** Nearest-centroid assignment: ids-only argmax through the groupBy
     * (the k-way crossJoin rows carry (id, centroid_id, cos) — never the
     * vectors), deterministic tiebreak on centroid id. */
-  private def assign(vecs: DataFrame, centroids: DataFrame, id: String, vec: String,
-                     cos: (Column, Column) => Column): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cos(col(vec), col("cvec")))
-      .groupBy(id)
-      .agg(max_by(col("centroid_id"),
-        struct(col("__cos"), negate(col("centroid_id")))).as("centroid_id"))
-
   /** Deterministic IVF training: init = the `nlist` corpus vectors with
     * the smallest `xxhash64(id, seed)` (a seeded sample with no driver
     * round-trip — orderBy+limit plans as TakeOrdered), then `iters`
-    * Lloyd rounds of assign (broadcast centroids, map-side cosine) and
+    * Lloyd rounds of map-side assignment against the centroid literals
+    * ([[argBestExpr]] — r15: one job and one small exchange per round
+    * instead of broadcast + crossJoin + two exchanges + checkpoint) and
     * per-centroid elementwise mean (`Summarizer.mean` over ml vectors —
-    * a distributed aggregation, not a collect). Empty centroids keep
-    * their previous position. Returns (centroid_id, cvec).
+    * a distributed aggregation; only the nlist-row means collect).
+    * Empty centroids keep their previous position. Returns
+    * (centroid_id, cvec) — the same values as the r14 frame-loop form:
+    * identical cosine kernel, identical strict-tiebreak argmax,
+    * identical per-centroid mean aggregation.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, iters: Int = 3, seed: Long = 42L,
@@ -140,24 +255,29 @@ object Similarity {
     val cap = 256L * nlist
     val c = if (n <= cap) full
     else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
-    val init = c.withColumn("__h", xxhash64(col("nid"), lit(seed)))
+    var cents: Seq[(Int, Seq[Float])] = c
+      .withColumn("__h", xxhash64(col("nid"), lit(seed)))
       .orderBy("__h").limit(nlist) // TakeOrdered: nlist rows, scale-safe
-    var centroids = init
-      .select(row_number().over(Window.orderBy("__h")).as("centroid_id"),
-        col("cv").cast(ArrayType(FloatType)).as("cvec")) // tiny frame; single-partition window is fine
-      .localCheckpoint(eager = true)
+      .select(col("cv").cast(ArrayType(FloatType)))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) } // ids 1..nlist, the row_number convention
+      .toSeq
     for (_ <- 1 to iters) {
-      val membership = assign(c.select(col("nid"), col("cv").as("v")), centroids, "nid", "v", cos)
-      val updated = membership.join(c, "nid")
-        .groupBy("centroid_id")
+      val assigned = c.select(col("cv"),
+        argNearestCol(cents, col("cv"), isF32(corpus, vecCol),
+          useCosine = true, cos).as("centroid_id"))
+      val updated = assigned.groupBy("centroid_id")
         .agg(Summarizer.mean(array_to_vector(col("cv"))).as("__m"))
         .select(col("centroid_id"),
           vector_to_array(col("__m")).cast(ArrayType(FloatType)).as("ncvec"))
-      centroids = centroids.join(updated, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
-        .localCheckpoint(eager = true)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      cents = cents.map { case (i, old) => (i, updated.getOrElse(i, old)) }
     }
-    centroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("centroid_id", "cvec")
   }
 
   /** IVF ANN: corpus vectors live in their nearest centroid's inverted
@@ -176,17 +296,20 @@ object Similarity {
               knownN: Option[Long] = None): DataFrame = {
     val cos = cosineOf(corpus, vecCol) _
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed, knownN)
+    val cents = collectCentroids(centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val lists = assign(c.select(col("neighbor_id"), col("cv").as("v")),
-      centroids, "neighbor_id", "v", cos)
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("__cos").desc, col("centroid_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__cos", cos(col("qv"), col("cvec")))
-      .withColumn("__rk", row_number().over(wProbe))
-      .filter(col("__rk") <= nprobe)
-      .select("query_id", "centroid_id")
+    // r15: list assignment and probe selection run map-side against the
+    // centroid literals (argBestExpr / topCentroidsExpr — same cosine
+    // kernel, same (cos DESC, id ASC) order incl. NaN/null placement as
+    // the r14 crossJoin + max_by / row_number window)
+    val lists = c.select(col("neighbor_id"),
+      argNearestCol(cents, col("cv"), isF32(corpus, vecCol),
+        useCosine = true, cos).as("centroid_id"))
+    val probes = q
+      .select(col("query_id"),
+        explode(topCentroidsCol(cents, col("qv"), isF32(queries, vecCol),
+          useCosine = true, cos, nprobe, descending = true)).as("centroid_id"))
     // one centroid per corpus vector x distinct probes per query =>
     // pairs are already unique, no dedup pass needed
     val candIds = probes.join(lists, "centroid_id")
@@ -327,6 +450,7 @@ object Similarity {
     import breeze.linalg.{svd, DenseMatrix}
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
+    val f32 = isF32(corpus, vecCol)
     val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
     // callers with footer/catalog row counts skip the sizing scan (the
     // trainIvfCentroids/trainPqCodebooks convention)
@@ -444,6 +568,17 @@ object Similarity {
     * just another grouping key). Deterministic hash-picked init and the
     * same 256·ksub-per-subspace training-sample cap as IVF. Returns
     * (subspace, centroid_id, cvec[dim/m]).
+    *
+    * r15: assignment runs map-side against the codebook literals
+    * ([[argBestExpr]] per subspace — the trainIvfCentroids treatment),
+    * so a round is ONE job: explode (subspace, code, sv) and aggregate
+    * the per-(subspace, code) means; the r14 form paid a broadcast,
+    * two exchanges and a join-back per round. Values are identical:
+    * same l2sq double kernel, same strict ascending-id tiebreak, same
+    * mean aggregation over the same groups, and the init picks the
+    * same ksub sample rows (the per-subspace (hash, nid) window order
+    * never depended on the subspace, so its first ksub rows are the
+    * same ksub VECTORS in every subspace).
     */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        dim: Int, m: Int = 8, ksub: Int = 16,
@@ -452,54 +587,105 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val f32 = isF32(corpus, vecCol)
     val full = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
     val n = knownN.getOrElse(full.count())
     val cap = 256L * ksub
-    val sampled = if (n <= cap) full
-    else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap))
-    val sub = subvectors(sampled, "nid", "cv", dim, m).localCheckpoint(eager = true)
-    val wInit = Window.partitionBy("subspace")
-      .orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
-    var codebooks = sub.withColumn("__r", row_number().over(wInit))
-      .filter(col("__r") <= ksub)
-      .select(col("subspace"), (col("__r") - 1).cast("int").as("centroid_id"),
-        col("sv").cast(ArrayType(FloatType)).as("cvec"))
+    // one materialization of the (possibly expensive — q75 feeds the
+    // residual plan) training sample; every Lloyd round scans the
+    // cached narrow frame, not the upstream corpus pass
+    val sampled = (if (n <= cap) full
+    else full.filter(pmod(xxhash64(col("nid"), lit(seed)), lit(n)) < lit(cap)))
       .localCheckpoint(eager = true)
+    val initRows = sampled
+      .orderBy(xxhash64(col("nid"), lit(seed)), col("nid"))
+      .limit(ksub)
+      .select(col("cv").cast(ArrayType(FloatType)))
+      .collect()
+      .map(_.getSeq[Float](0))
+    // books(s) = ascending-centroid_id entries for subspace s
+    var books: IndexedSeq[Seq[(Int, Seq[Float])]] = (0 until m).map { s =>
+      initRows.zipWithIndex
+        .map { case (v, r) => (r, v.slice(s * dsub, s * dsub + dsub)) }.toSeq
+    }
     for (_ <- 1 to iters) {
-      val assigned = sub.join(broadcast(codebooks), "subspace")
-        .withColumn("__d", l2sq(col("sv"), col("cvec")))
-        .groupBy("nid", "subspace")
-        .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
-      val updated = assigned.join(sub, Seq("nid", "subspace"))
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col("cv"), s * dsub + 1, dsub)
+        struct(lit(s).as("subspace"),
+          argNearestCol(books(s), col("cv"), f32, useCosine = false, l2sq,
+            start = s * dsub, width = dsub).as("centroid_id"),
+          sv.as("sv"))
+      }
+      val updated = sampled
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.subspace").as("subspace"),
+          col("e.centroid_id").as("centroid_id"), col("e.sv").as("sv"))
         .groupBy("subspace", "centroid_id")
         .agg(Summarizer.mean(array_to_vector(col("sv"))).as("__m"))
         .select(col("subspace"), col("centroid_id"),
           vector_to_array(col("__m")).cast(ArrayType(FloatType)).as("ncvec"))
-      codebooks = codebooks.join(updated, Seq("subspace", "centroid_id"), "left")
-        .select(col("subspace"), col("centroid_id"),
-          coalesce(col("ncvec"), col("cvec")).as("cvec"))
-        .localCheckpoint(eager = true)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      books = (0 until m).map { s =>
+        books(s).map { case (i, old) => (i, updated.getOrElse((s, i), old)) }
+      }
     }
-    codebooks
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (b, s) => b.map { case (i, v) => (s, i, v) } }
+      .toDF("subspace", "centroid_id", "cvec")
+  }
+
+  /** The per-subspace codebooks of a (subspace, centroid_id, cvec)
+    * frame as ascending-id literal entries, indexed by subspace. */
+  private def collectCodebooks(codebooks: DataFrame, m: Int): IndexedSeq[Seq[(Int, Seq[Float])]] = {
+    val rows = codebooks.select(col("subspace").cast("int"),
+        col("centroid_id").cast("int"), col("cvec").cast(ArrayType(FloatType)))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    (0 until m).map { s =>
+      rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    }
   }
 
   /** Exploded PQ codes: (id, subspace, code) — one byte-sized int per
-    * subspace instead of dim/m floats (the 32× memory story). */
+    * subspace instead of dim/m floats (the 32× memory story). r15: the
+    * per-subvector argmin runs map-side against the codebook literals
+    * (identical l2sq kernel and ascending-id strict tiebreak as the r14
+    * join + min_by form) — encoding is now ONE codegen'd pass with no
+    * exchange at all instead of an explode + broadcast join + groupBy.
+    */
   private def pqEncodeExploded(vecs: DataFrame, codebooks: DataFrame,
-                               id: String, vec: String, dim: Int, m: Int): DataFrame =
-    subvectors(vecs, id, vec, dim, m)
-      .join(broadcast(codebooks), "subspace")
-      .withColumn("__d", l2sq(col("sv"), col("cvec")))
-      .groupBy(col(id), col("subspace"))
-      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("code"))
+                               id: String, vec: String, dim: Int, m: Int): DataFrame = {
+    val books = collectCodebooks(codebooks, m)
+    val dsub = dim / m
+    val f32 = isF32(vecs, vec)
+    val perSub = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        argNearestCol(books(s), col(vec), f32, useCosine = false, l2sq,
+          start = s * dsub, width = dsub).as("code"))
+    }
+    vecs.select(col(id), explode(array(perSub: _*)).as("e"))
+      .select(col(id), col("e.subspace").as("subspace"), col("e.code").as("code"))
+  }
 
-  /** (id, codes[m]) — the compressed representation a PQ index stores. */
+  /** (id, codes[m]) — the compressed representation a PQ index stores.
+    * r15: codes assemble map-side in subspace order (identical values
+    * to the exploded + array_sort(collect_list) form, without the two
+    * aggregation exchanges). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
-               vecCol: String, dim: Int, m: Int = 8): DataFrame =
-    pqEncodeExploded(corpus, codebooks, idCol, vecCol, dim, m)
-      .groupBy(idCol)
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        e => e.getField("code")).as("codes"))
+               vecCol: String, dim: Int, m: Int = 8): DataFrame = {
+    val books = collectCodebooks(codebooks, m)
+    val dsub = dim / m
+    val f32 = isF32(corpus, vecCol)
+    val codes = (0 until m).map { s =>
+      argNearestCol(books(s), col(vecCol), f32, useCosine = false, l2sq,
+        start = s * dsub, width = dsub)
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
 
   /** IVF-PQ ANN (IVFADC, Jégou et al. TPAMI'11 §IV): the coarse
     * quantizer routes vectors into `nlist` inverted lists, and PQ
@@ -558,26 +744,40 @@ object Similarity {
                       iters: Int = 3, seed: Long = 42L,
                       knownN: Option[Long] = None): IvfPqIndex = {
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed, knownN)
+    val cents = collectCentroids(centroids)
+    val f32 = isF32(corpus, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // L2 nearest-centroid assignment; only (id, centroid_id) survives
-    // the partial aggregate
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2sq(col("cv"), col("cvec")))
-      .groupBy("neighbor_id")
-      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
-    // residual = vector − its centroid (map-side after one id-keyed join
-    // with the corpus and a broadcast join with the centroid frame)
-    val resid = assigned.join(c, "neighbor_id").join(broadcast(centroids), "centroid_id")
+    // r15: L2 nearest-centroid assignment and the residual both run
+    // map-side against the centroid literals (same l2sq kernel, same
+    // strict ascending-id tiebreak as the r14 crossJoin + min_by, same
+    // float zip_with subtraction) — the corpus is scanned ONCE with no
+    // exchange instead of crossJoin → groupBy → two join-backs.
+    val centVecs = typedLit(cents.toMap)
+    val resid = c
+      .withColumn("centroid_id",
+        argNearestCol(cents, col("cv"), f32, useCosine = false, l2sq))
       .select(col("neighbor_id"), col("centroid_id"),
-        zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
+        zip_with(col("cv"), element_at(centVecs, col("centroid_id")),
+          (x, y) => x - y).as("rv"))
     val codebooks = trainPqCodebooks(
       resid.select(col("neighbor_id"), col("rv")), "neighbor_id", "rv",
       dim, m, ksub, iters, seed, knownN)
-    // (neighbor_id, centroid_id, subspace, code): the whole index is
-    // m bytes + a list id per vector
-    val codes = pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
-        codebooks, "neighbor_id", "rv", dim, m)
-      .join(assigned, "neighbor_id")
+    // (neighbor_id, subspace, code, centroid_id): the whole index is
+    // m bytes + a list id per vector — encoded in the same single
+    // map-side pass that carries the list id (no join-back)
+    val books = collectCodebooks(codebooks, m)
+    val dsub = dim / m
+    val rvF32 = isF32(resid, "rv")
+    val perSub = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        argNearestCol(books(s), col("rv"), rvF32, useCosine = false, l2sq,
+          start = s * dsub, width = dsub).as("code"))
+    }
+    val codes = resid
+      .select(col("neighbor_id"), col("centroid_id"),
+        explode(array(perSub: _*)).as("e"))
+      .select(col("neighbor_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("centroid_id"))
     IvfPqIndex(dim, m, ksub, nlist, centroids, codebooks, codes)
   }
 
@@ -619,16 +819,30 @@ object Similarity {
     val c = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .dropDuplicates("neighbor_id")
       .join(index.codes.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti")
-    val assigned = c.crossJoin(broadcast(index.centroids))
-      .withColumn("__d", l2sq(col("cv"), col("cvec")))
-      .groupBy("neighbor_id")
-      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id"))).as("centroid_id"))
-    val resid = assigned.join(c, "neighbor_id").join(broadcast(index.centroids), "centroid_id")
+    // r15: assignment + residual + encode in ONE map-side pass over the
+    // batch against the trained literals (the buildIvfPqIndex kernel)
+    val cents = collectCentroids(index.centroids)
+    val books = collectCodebooks(index.codebooks, index.m)
+    val centVecs = typedLit(cents.toMap)
+    val dsub = index.dim / index.m
+    val f32 = isF32(newVecs, vecCol)
+    val resid = c
+      .withColumn("centroid_id",
+        argNearestCol(cents, col("cv"), f32, useCosine = false, l2sq))
       .select(col("neighbor_id"), col("centroid_id"),
-        zip_with(col("cv"), col("cvec"), (x, y) => x - y).as("rv"))
-    pqEncodeExploded(resid.select(col("neighbor_id"), col("rv")),
-        index.codebooks, "neighbor_id", "rv", index.dim, index.m)
-      .join(assigned, "neighbor_id")
+        zip_with(col("cv"), element_at(centVecs, col("centroid_id")),
+          (x, y) => x - y).as("rv"))
+    val rvF32 = isF32(resid, "rv")
+    val perSub = (0 until index.m).map { s =>
+      struct(lit(s).as("subspace"),
+        argNearestCol(books(s), col("rv"), rvF32, useCosine = false, l2sq,
+          start = s * dsub, width = dsub).as("code"))
+    }
+    resid
+      .select(col("neighbor_id"), col("centroid_id"),
+        explode(array(perSub: _*)).as("e"))
+      .select(col("neighbor_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("centroid_id"))
   }
 
   /** Append a batch into a PERSISTED index directory (r14 — the
@@ -720,13 +934,19 @@ object Similarity {
     // probe the nprobe closest lists; the query residual is PER PROBED
     // CENTROID (that's what "asymmetric vs the residual space" means)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("__d").asc, col("centroid_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2sq(col("qv"), col("cvec")))
-      .withColumn("__rk", row_number().over(wProbe))
-      .filter(col("__rk") <= nprobe)
+    // r15: probe selection map-side against the centroid literals
+    // (topCentroidsExpr — same (L2 ASC, id ASC) order incl. NaN/null
+    // placement as the r14 crossJoin + row_number window), residual
+    // from the literal map
+    val cents = collectCentroids(centroids)
+    val centVecs = typedLit(cents.toMap)
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(topCentroidsCol(cents, col("qv"), isF32(q, "qv"),
+          useCosine = false, l2sq, nprobe, descending = false)).as("centroid_id"))
       .select(struct(col("query_id"), col("centroid_id")).as("qc"),
-        zip_with(col("qv"), col("cvec"), (x, y) => x - y).as("qrv"))
+        zip_with(col("qv"), element_at(centVecs, col("centroid_id")),
+          (x, y) => x - y).as("qrv"))
     // per-(query, centroid) distance table: |Q|·nprobe·m·ksub rows — tiny
     val dtable = subvectors(probes, "qc", "qrv", dim, m)
       .join(broadcast(codebooks), "subspace")

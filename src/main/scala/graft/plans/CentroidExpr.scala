@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Static nearest-centroid kernels shared by interpreted eval and
+  * generated code (r15 — the CosineF32 discipline applied to the whole
+  * argmin/argmax-over-centroids fold).
+  *
+  * The r14 ANN training/encode paths evaluated one distance per
+  * (row, centroid) through `aggregate`/`zip_with` higher-order
+  * functions — per-element lambda dispatch with no codegen, measured as
+  * the dominant cost of the IVF/PQ builds at gate scale (AnnProfile:
+  * 6.2 s coarse train over 2000×64 floats). These kernels run the
+  * entire scan as one primitive loop per row.
+  *
+  * Exactness contract (what keeps results identical to the r14 frame
+  * forms):
+  *  - cosine accumulates dot/na/nb in doubles over floats in index
+  *    order — the [[VectorKernel.cosineF32]] math verbatim;
+  *  - L2 squares in FLOAT then accumulates the double-cast square —
+  *    the `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0d, acc+v)`
+  *    math verbatim;
+  *  - argBest scans centroids in ascending id order with a STRICT
+  *    comparison, so ties keep the smallest id — identical to
+  *    max_by(struct(score, -id)) / min_by(struct(score, id));
+  *  - NaN places as Spark orders it (greatest): a NaN score wins a
+  *    maximize scan and never wins a minimize scan, unless everything
+  *    is NaN, in which case the smallest id survives either way.
+  */
+object CentroidKernel {
+  def cosineSlice(v: ArrayData, start: Int, flat: Array[Float], off: Int,
+                  width: Int): Double = {
+    val n = math.min(v.numElements() - start, width)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(start + i).toDouble
+      val y = flat(off + i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  def l2Slice(v: ArrayData, start: Int, flat: Array[Float], off: Int,
+              width: Int): Double = {
+    val n = math.min(v.numElements() - start, width)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(start + i) - flat(off + i) // float subtract,
+      acc += (d * d).toDouble                        // float square, double sum
+      i += 1
+    }
+    acc
+  }
+
+  def argNearest(v: ArrayData, start: Int, flat: Array[Float],
+                 ids: Array[Int], width: Int, useCosine: Boolean): Int = {
+    val k = ids.length
+    var bestId = ids(0)
+    var best = 0.0
+    var any = false
+    var j = 0
+    while (j < k) {
+      val s =
+        if (useCosine) cosineSlice(v, start, flat, j * width, width)
+        else l2Slice(v, start, flat, j * width, width)
+      val better =
+        if (!any) true
+        else if (useCosine) (s.isNaN && !best.isNaN) || s > best
+        else (best.isNaN && !s.isNaN) || s < best
+      if (better) { bestId = ids(j); best = s; any = true }
+      j += 1
+    }
+    bestId
+  }
+
+  /** Ids of the `n` best centroids in (score ASC|DESC, id ASC) order —
+    * the row_number-window order, including Spark's NaN-is-greatest
+    * placement (ASC: NaN last; DESC: NaN first). */
+  def topNearest(v: ArrayData, start: Int, flat: Array[Float],
+                 ids: Array[Int], width: Int, n: Int, useCosine: Boolean,
+                 descending: Boolean): ArrayData = {
+    val k = ids.length
+    val scores = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      scores(j) =
+        if (useCosine) cosineSlice(v, start, flat, j * width, width)
+        else l2Slice(v, start, flat, j * width, width)
+      j += 1
+    }
+    val order = new Array[Integer](k)
+    j = 0; while (j < k) { order(j) = j; j += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(i1: Integer, i2: Integer): Int = {
+        val (s1, s2) = (scores(i1), scores(i2))
+        val byId = Integer.compare(ids(i1), ids(i2))
+        if (s1.isNaN && s2.isNaN) byId
+        else if (s1.isNaN) { if (descending) -1 else 1 }
+        else if (s2.isNaN) { if (descending) 1 else -1 }
+        else if (s1 < s2) { if (descending) 1 else -1 }
+        else if (s1 > s2) { if (descending) -1 else 1 }
+        else byId
+      }
+    })
+    val take = math.min(n, k)
+    val out = new Array[Int](take)
+    j = 0; while (j < take) { out(j) = ids(order(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native `arg_nearest_f32(array<float>) -> int`: the id of the
+  * best-scoring centroid among the literal entries. `start` slices the
+  * input in place (the PQ per-subspace view) with no array copy. */
+case class ArgNearestF32(child: Expression, ids: Array[Int],
+                         flat: Array[Float], width: Int, start: Int,
+                         useCosine: Boolean) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arg_nearest_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"arg_nearest_f32 requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernel.argNearest(v.asInstanceOf[ArrayData], start, flat, ids,
+      width, useCosine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val flatRef = ctx.addReferenceObj("flat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CentroidKernel.argNearest(" +
+        s"$v, $start, $flatRef, $idsRef, $width, $useCosine);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArgNearestF32 =
+    copy(child = c)
+}
+
+/** Native `top_nearest_f32(array<float>) -> array<int>`: the `n` best
+  * centroid ids in window order (score ASC|DESC, id ASC). */
+case class TopNearestF32(child: Expression, ids: Array[Int],
+                         flat: Array[Float], width: Int, n: Int,
+                         useCosine: Boolean, descending: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_nearest_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_nearest_f32 requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernel.topNearest(v.asInstanceOf[ArrayData], 0, flat, ids,
+      width, n, useCosine, descending)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val flatRef = ctx.addReferenceObj("flat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CentroidKernel.topNearest(" +
+        s"$v, 0, $flatRef, $idsRef, $width, $n, $useCosine, $descending);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopNearestF32 =
+    copy(child = c)
+}
+
+object CentroidExpr {
+  private def pack(entries: Seq[(Int, Seq[Float])]): (Array[Int], Array[Float], Int) = {
+    require(entries.nonEmpty, "need at least one centroid")
+    val width = entries.head._2.length
+    require(entries.forall(_._2.length == width), "ragged centroid widths")
+    val ids = entries.map(_._1).toArray
+    val flat = new Array[Float](entries.size * width)
+    entries.zipWithIndex.foreach { case ((_, v), j) =>
+      var i = 0; while (i < width) { flat(j * width + i) = v(i); i += 1 }
+    }
+    (ids, flat, width)
+  }
+
+  /** argmin/argmax centroid id for a float32 vector column (optionally
+    * a zero-copy slice at `start`, 0-based). */
+  def argNearestF32(v: Column, entries: Seq[(Int, Seq[Float])],
+                    useCosine: Boolean, maximize: Boolean,
+                    start: Int = 0): Column = {
+    require(useCosine == maximize,
+      "cosine maximizes, L2 minimizes — mixed modes are not implemented")
+    val (ids, flat, width) = pack(entries)
+    ColumnBridge.column(ArgNearestF32(ColumnBridge.expression(v), ids, flat,
+      width, start, useCosine))
+  }
+
+  /** Top-n centroid ids for a float32 vector column in window order. */
+  def topNearestF32(v: Column, entries: Seq[(Int, Seq[Float])], n: Int,
+                    useCosine: Boolean, descending: Boolean): Column = {
+    val (ids, flat, width) = pack(entries)
+    ColumnBridge.column(TopNearestF32(ColumnBridge.expression(v), ids, flat,
+      width, n, useCosine, descending))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.scratch
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r15 scratch profiler: per-phase wall times of the q75 IVF-PQ build.
+  * Not registered anywhere; delete after the optimization round.
+  */
+object AnnProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val nlist = math.max(16, math.sqrt(n * 8.0 / 25.0).toInt)
+    // warm
+    emb.write.format("noop").mode("overwrite").save()
+    val cents = time("trainIvfCentroids") {
+      Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist, 3, 42L, Some(n))
+    }
+    time("centroids materialize")(cents.write.format("noop").mode("overwrite").save())
+    val idx = time("buildIvfPqIndex (incl. coarse re-train)") {
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        dim = 64, nlist = nlist, m = 16, ksub = 16, knownN = Some(n))
+    }
+    time("codes materialize")(idx.codes.write.format("noop").mode("overwrite").save())
+    val dir = "/tmp/graft_annprofile_idx"
+    time("writeIvfPqIndex")(Similarity.writeIvfPqIndex(idx, dir))
+    val loaded = time("readIvfPqIndex")(Similarity.readIvfPqIndex(spark, dir))
+    val queries = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
+    time("probe1") {
+      Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding",
+          k = 5, nprobe = math.min(nlist, 8), rerank = 20, corpus = Some(emb))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("probe2") {
+      Similarity.probeIvfPqIndex(loaded, queries, "vec_id", "embedding",
+          k = 5, nprobe = math.min(nlist, 8), rerank = 20, corpus = Some(emb))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
