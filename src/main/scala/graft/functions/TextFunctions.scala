@@ -27,24 +27,21 @@ object TextFunctions {
 
   /** Word n-gram shingles (space-joined) over whitespace tokens.
     *
-    * Built as a chain of `zip_with`s against shifted slices rather than
-    * `transform(sequence(...), i => slice(toks, ...))`: a higher-order
-    * lambda re-evaluates its free sub-expressions per ELEMENT, so the
-    * index formulation re-tokenizes the document once per shingle —
-    * O(len²) work per row. `zip_with` children evaluate once per row.
+    * r15: one codegen'd kernel pass ([[graft.plans.Shingles64]]) —
+    * byte-identical output to the previous chain of n−1 `zip_with`s
+    * over shifted slices, which allocated n−1 intermediate
+    * partial-concatenation arrays per document and dispatched an
+    * interpreted lambda per element per stage (the dominant scan cost
+    * of the ExactSubstr/verify paths). The null-token-array edge keeps
+    * the old `otherwise(array(concat_ws(" ", toks)))` behavior:
+    * concat_ws over a NULL array yields "", so a null input maps to
+    * `array("")` via the coalesce.
     */
   def wordShingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
     val toks = tokens(text)
     if (n == 1) toks
-    else {
-      val slid = (2 to n).foldLeft(toks) { (acc, k) =>
-        zip_with(acc, slice(toks, lit(k), size(toks)), (a, b) =>
-          when(a.isNotNull && b.isNotNull, concat(a, lit(" "), b)))
-      }
-      when(size(toks) >= n, filter(slid, x => x.isNotNull))
-        .otherwise(array(concat_ws(" ", toks)))
-    }
+    else coalesce(graft.plans.Shingles64.shingles(toks, n), array(lit("")))
   }
 
 

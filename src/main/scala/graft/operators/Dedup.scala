@@ -615,11 +615,19 @@ object Dedup {
   def simhashVerifiedPairsLayered(docs: DataFrame, idCol: String, textCol: String,
                                   maxHamming: Int = 7, threshold: Double = 0.5,
                                   shingleN: Int = 3): DataFrame = {
-    val hashed = docs.withColumn("__h", contentHash(col(textCol)))
-    val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
-    val members = hashed.join(repMap, "__h")
+    // r15: keying projection + rep rows are stage boundaries (the
+    // nearDupClustersLayered treatment): the rep frame feeds BOTH the
+    // banded candidate pass and the exact verify, which re-derived it
+    // (one contentHash corpus pass each) before the boundary.
+    val keyed = StageCaches.boundary(
+      docs.select(col(idCol), contentHash(col(textCol)).as("__h")),
+      None, "dedup.svpl.keyed")
+    val repMap = keyed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val members = keyed.join(repMap, "__h")
       .select(col(idCol).as("__m"), col("__rep"))
-    val reps = docs.join(repMap.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val reps = StageCaches.boundary(
+      docs.join(repMap.select(col("__rep").as(idCol)), Seq(idCol), "left_semi"),
+      None, "dedup.svpl.reps")
     val repPairs = simhashVerifiedPairs(reps, idCol, textCol, maxHamming, threshold, shingleN)
       .select(col("id_a").as("__ra"), col("id_b").as("__rb"), col("jaccard"))
     val cross = repPairs
@@ -942,14 +950,31 @@ object Dedup {
   def nearDupClustersLayered(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.5, shingleN: Int = 3,
                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val hashed = docs.withColumn("__h", contentHash(col(textCol)))
-    val repMap = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
-    val withRep = hashed.join(repMap, "__h").drop("__h")
-    val reps = withRep.filter(col(idCol) === col("__rep")).drop("__rep")
+    // r15: the keying projection and the representative rows are STAGE
+    // BOUNDARIES (StageCaches — the r12 lifecycle the image/line forms
+    // already use): the rep frame used to be re-derived per consumer
+    // branch (candidate generation AND the exact verify both hang off
+    // it — two contentHash passes over the corpus per query), and the
+    // old hashed.join(repMap) form resolved representatives through a
+    // join that carried every doc column; the semi-join keeps text out
+    // of the keying exchange entirely (the ImageIndex.repsOf shape).
+    // Output rows/columns are unchanged: same members, same labels,
+    // docs' own columns joined back by id.
+    val keyed = StageCaches.boundary(
+      docs.select(col(idCol), contentHash(col(textCol)).as("__h")),
+      None, "dedup.ndcl.keyed")
+    val repMap = keyed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val reps = StageCaches.boundary(
+      docs.join(repMap.select(col("__rep").as(idCol)), Seq(idCol), "left_semi"),
+      None, "dedup.ndcl.reps")
     val repClusters = nearDupClusters(reps, idCol, textCol, threshold,
         shingleN, bands, rowsPerBand)
       .select(col(idCol).as("__rep"), col("cluster_id"))
-    val labeled = withRep.join(repClusters, "__rep").drop("__rep")
+    val memberLabel = keyed.join(repMap, "__h")
+      .select(col(idCol), col("__rep"))
+      .join(repClusters, "__rep")
+      .select(col(idCol), col("cluster_id"))
+    val labeled = docs.join(memberLabel, Seq(idCol))
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_id")
   }
@@ -1207,11 +1232,23 @@ object Dedup {
       .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"), col("g"),
         xxhash64(col("g")).as("gh"))
     // Phase A: candidate 8-byte hashes (wordcount shape, partial agg).
-    val dupHashes = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount).select("gh")
+    // r15: BOUNDARY the result — it feeds the Bloom build (a scalar
+    // subquery, its own execution) AND the exact join's build side,
+    // which re-ran the whole gram explode + wordcount (≈1/3 of the
+    // query at sf0.1). The frame is narrow (8-byte keys) and bounded
+    // by the true duplicate-window count.
+    val dupHashes = StageCaches.boundary(
+      grams.groupBy("gh").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount).select("gh"),
+      None, "dedup.ess.duphashes")
     // Candidate positions: Bloom prefilter drops non-duplicated grams
     // map-side BEFORE the join exchange, then the equi-join is exact.
-    val cand = BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh")
+    // r15: boundary — phase B consumes candidates TWICE (the string
+    // recount and the position semi-join), each of which re-exploded
+    // every gram; candidates are the small subset by construction.
+    val cand = StageCaches.boundary(
+      BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh"),
+      None, "dedup.ess.cand")
     // Phase B: exact confirm on the gram STRING, candidates only.
     val dupGrams = cand.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select("g")
@@ -1302,9 +1339,16 @@ object Dedup {
         posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
       .select(col("__tk"), col("__mult"), (col("pos0") + 1).cast(LongType).as("pos"),
         col("g"), xxhash64(col("g")).as("gh"))
-    val dupHashes = grams.groupBy("gh").agg(sum(col("__mult")).as("n"))
-      .filter(col("n") >= minCount).select("gh")
-    val cand = BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh")
+    // r15: dupHashes and cand are boundaries, as in the direct form —
+    // the Bloom subquery + join build re-ran phase A, and phase B's two
+    // consumers re-ran the candidate explode
+    val dupHashes = StageCaches.boundary(
+      grams.groupBy("gh").agg(sum(col("__mult")).as("n"))
+        .filter(col("n") >= minCount).select("gh"),
+      checkpointDir, "dedup.essl.duphashes")
+    val cand = StageCaches.boundary(
+      BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh"),
+      checkpointDir, "dedup.essl.cand")
     val dupGrams = cand.groupBy("g").agg(sum(col("__mult")).as("n"))
       .filter(col("n") >= minCount).select("g")
     val dupPos = cand.join(dupGrams, Seq("g"), "left_semi").select("__tk", "pos")
@@ -1556,12 +1600,20 @@ object Dedup {
                            minCount: Long = 2): (DataFrame, DataFrame) = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
-    val grams = batch.filter(size(tokens(col(textCol))) >= k)
-      .select(col(idCol).as("did"),
-        posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
-      .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"),
-        md5(col("g").cast(BinaryType)).as("gram_md5"))
-    val batchCounts = grams.groupBy("gram_md5").agg(count(lit(1)).as("n"))
+    // r15: both batch-bounded frames are boundaries — the window
+    // positions feed the count AND the candidate semi-join (two
+    // explodes before), and the counts feed the Bloom subquery, the
+    // history join, and the dupKeys join (three wordcounts before).
+    val grams = StageCaches.boundary(
+      batch.filter(size(tokens(col(textCol))) >= k)
+        .select(col(idCol).as("did"),
+          posexplode(wordShingles(col(textCol), k)).as(Seq("pos0", "g")))
+        .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"),
+          md5(col("g").cast(BinaryType)).as("gram_md5")),
+      None, "dedup.essi.grams")
+    val batchCounts = StageCaches.boundary(
+      grams.groupBy("gram_md5").agg(count(lit(1)).as("n")),
+      None, "dedup.essi.batchcounts")
     // history side: prune the corpus-sized index map-side to the keys
     // colliding with this batch, THEN aggregate (delta frames may
     // repeat a key — counts are append-mergeable by contract)

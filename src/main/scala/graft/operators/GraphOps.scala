@@ -222,6 +222,62 @@ object GraphOps {
 
     var (e, fp0) = observed(eInit)
     var prev: (Long, java.math.BigDecimal) = fp0()
+
+    // r15 small-graph route: the canonical edge count is already known
+    // (it rode the eInit materialization's observe), so when the
+    // duplicate subgraph is tiny — the common case for verified
+    // near-dup edges, where a round of the distributed fixpoint costs
+    // more in scheduling than the whole graph costs to move — collect
+    // it once (bounded by the cutoff: 2^18 edges ≈ 4 MB of longs) and
+    // run min-root union-find on the driver. Labels are IDENTICAL by
+    // definition (component = min member id, algorithm-independent);
+    // anything over the cutoff, or non-long node ids, runs the
+    // distributed loop unchanged. The cutoff is a conf
+    // (spark.graft.cc.localEdgeCutoff; 0 disables) so a cluster
+    // session can size it to its own driver budget.
+    val localCutoff = edges.sparkSession.conf
+      .get("spark.graft.cc.localEdgeCutoff", "262144").toLong
+    val longIds = e.schema("u").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && prev._1 > 0L && prev._1 <= localCutoff) {
+      val arr = e.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp) // path halving
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val seen = new java.util.HashSet[Long]()
+      val out = Seq.newBuilder[(Long, Long)]
+      arr.foreach { case (a, b) =>
+        Seq(a, b).foreach { nd =>
+          if (seen.add(nd)) {
+            val r = find(nd)
+            if (r != nd) out += ((nd, r)) // the converged star forest: roots have no out-edge
+          }
+        }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val eLocal = out.result().toDF("u", "v")
+      val labels = nodes
+        .join(eLocal.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      return (labels, 0)
+    }
+
     var iter = 0
     var converged = prev._1 == 0L // no non-self-loop edges at all
     while (iter < maxIter && !converged) {

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static word-shingle kernel shared by interpreted eval and generated
+  * code (r15).
+  *
+  * `TextFunctions.wordShingles` used to build the shingle array with a
+  * chain of n−1 `zip_with`s over shifted slices: per document that
+  * allocates n−1 intermediate arrays of partial concatenations
+  * (Σ_{j=2..n} j·tokLen ≈ 4× the final bytes at n=8) and dispatches an
+  * interpreted lambda per element per stage — the dominant scan cost
+  * of the ExactSubstr family and every shingle-verify join at gate
+  * scale. This kernel emits each final shingle exactly once in one
+  * pass.
+  *
+  * Byte-exact contract with the zip_with formulation (every consumer's
+  * hashes — xxhash64 phase keys, set-similarity tokens, DuckDB oracle
+  * parity — depend on it):
+  *  - `numElements >= n`: one shingle per window position in order;
+  *    windows containing a null member are DROPPED (the zip_with chain
+  *    nulled them and the trailing `filter` removed them), positions
+  *    compact;
+  *  - `numElements < n` (degenerate): a single shingle of all
+  *    non-null tokens joined (`concat_ws` skips nulls);
+  *  - members join with a single space, exactly `concat(a, " ", b)`
+  *    left-folded == `concat_ws(" ", parts)` (UTF8 concatenation is
+  *    byte concatenation).
+  */
+object ShingleImpl {
+  private val space = UTF8String.fromString(" ")
+
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m >= n) {
+      val out = new java.util.ArrayList[AnyRef](m - n + 1)
+      var s = 0
+      while (s + n <= m) {
+        var ok = true
+        var j = 0
+        while (j < n) { if (toks.isNullAt(s + j)) { ok = false; j = n } else j += 1 }
+        if (ok) {
+          val parts = new Array[UTF8String](n)
+          j = 0
+          while (j < n) { parts(j) = toks.getUTF8String(s + j); j += 1 }
+          out.add(UTF8String.concatWs(space, parts: _*))
+        }
+        s += 1
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      var cnt = 0
+      var i = 0
+      while (i < m) { if (!toks.isNullAt(i)) cnt += 1; i += 1 }
+      val parts = new Array[UTF8String](cnt)
+      i = 0; var p = 0
+      while (i < m) {
+        if (!toks.isNullAt(i)) { parts(p) = toks.getUTF8String(i); p += 1 }
+        i += 1
+      }
+      new GenericArrayData(Array[AnyRef](UTF8String.concatWs(space, parts: _*)))
+    }
+  }
+}
+
+/** Native `shingles64(array<string>) -> array<string>`: word n-gram
+  * shingles in one codegen'd kernel pass. */
+case class Shingles64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "shingles64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles64 requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleImpl.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleImpl.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles64 =
+    copy(child = newChild)
+}
+
+object Shingles64 {
+  import org.apache.spark.sql.graftshim.ColumnBridge
+  /** Column-API entry point over a token-array column. */
+  def shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(Shingles64(ColumnBridge.expression(tokens), n))
+}

@@ -1,0 +1,54 @@
+package graft.scratch
+
+import graft.operators.{Dedup, GraphOps}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r15 scratch profiler: per-phase wall times of the q72 near-dup
+  * cluster build. Not registered; delete after the optimization round.
+  */
+object ClusterProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, sfDir)
+    noop(docs) // warm
+    val hashed = docs.withColumn("__h", graft.functions.TextFunctions.contentHash(col("text")))
+    val repMap = hashed.groupBy("__h").agg(min(col("doc_id")).as("__rep"))
+    val reps = hashed.join(repMap, "__h")
+      .filter(col("doc_id") === col("__rep")).drop("__h", "__rep")
+      .localCheckpoint(eager = true)
+    time("reps (clone collapse, checkpointed)")(())
+    time("minhash candidates")(noop(
+      Dedup.minhashCandidates(reps, "doc_id", "text").select("id_a", "id_b")))
+    val cands = Dedup.minhashCandidates(reps, "doc_id", "text").select("id_a", "id_b")
+    time("verifyJaccard (incl. candidate recompute)")(noop(
+      Dedup.verifyJaccard(cands, reps, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")))
+    val edges = Dedup.verifyJaccard(cands, reps, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      .localCheckpoint(eager = true)
+    println(s"[info] edges=${edges.count()} reps(for scale)")
+    val cc = time("connectedComponents")(
+      GraphOps.connectedComponents(edges.select(col("id_a").as("src"), col("id_b").as("dst"))))
+    time("cc materialize")(noop(cc))
+    time("full q72")(noop(graft.SparkEntry.queries("q72_dedup_clusters")(spark, sfDir)))
+    time("full q72 again")(noop(graft.SparkEntry.queries("q72_dedup_clusters")(spark, sfDir)))
+    spark.stop()
+  }
+}

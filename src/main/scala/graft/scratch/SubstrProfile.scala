@@ -1,0 +1,48 @@
+package graft.scratch
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** r15 scratch profiler: per-phase wall times of the q178 ExactSubstr
+  * pass (mirrors Dedup.exactSubstrSpans stage by stage). Delete after
+  * the round. */
+object SubstrProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val k = 8
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    noop(docs)
+    val toked = docs.filter(size(tokens(col("text"))) >= k)
+    val grams = toked
+      .select(col("doc_id").as("did"),
+        posexplode(wordShingles(col("text"), k)).as(Seq("pos0", "g")))
+      .select(col("did"), (col("pos0") + 1).cast(LongType).as("pos"), col("g"),
+        xxhash64(col("g")).as("gh"))
+    time("grams explode (ids+hash only)")(noop(grams.select("did", "pos", "gh")))
+    time("phase A wordcount")(noop(
+      grams.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("gh")))
+    time("full spans")(noop(Dedup.exactSubstrSpans(docs, "doc_id", "text")))
+    time("full spans again")(noop(Dedup.exactSubstrSpans(docs, "doc_id", "text")))
+    time("full q178 (adaptive)")(noop(
+      graft.SparkEntry.queries("q178_exactsubstr_spans")(spark, sfDir)))
+    spark.stop()
+  }
+}

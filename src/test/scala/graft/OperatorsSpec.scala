@@ -393,12 +393,36 @@ class GraphOpsSpec extends SparkSpec {
     // need ~n rounds and the old 30-round cap would NOT converge.
     val n = 10000
     val edges = spark.range(n - 1).selectExpr("id as s", "id + 1 as d")
-    val (cc, rounds) = GraphOps.connectedComponentsWithStats(edges)
+    // force the DISTRIBUTED fixpoint (this spec pins ITS round bound;
+    // 9999 edges would otherwise take the r15 driver union-find route)
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    val (cc, rounds) = try GraphOps.connectedComponentsWithStats(edges)
+    finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
     assert(cc.count() == n)
     assert(cc.filter(col("component") =!= 0L).limit(1).count() == 0,
       "every node of the path must label to component 0")
     val bound = 2.0 * math.pow(math.log(n.toDouble) / math.log(2.0), 2)
     assert(rounds <= bound.toInt, s"rounds=$rounds exceeds 2·log²(n)=$bound")
+  }
+
+  test("r15 local union-find route == distributed fixpoint on a random graph") {
+    // Below spark.graft.cc.localEdgeCutoff the component labels come
+    // from driver-side min-root union-find; the labels are defined
+    // algorithm-independently (component = min member id), so both
+    // routes must agree row-for-row, including isolated self-loop
+    // nodes and duplicate/reversed edges.
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 500).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)) :+
+      (999L, 999L) // isolated self-loop
+    val edges = es.toDF("s", "d")
+    val local = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    val dist = try GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+    assert(local == dist, s"routes diverged: ${(local.toSet -- dist.toSet).take(5)}")
+    assert(local(999L) == 999L, "self-loop node must self-label")
   }
 
   test("commonNeighborPairs: degree cap is a provable under-count, exact at cap >= max degree") {
