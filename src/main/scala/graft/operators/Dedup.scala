@@ -1222,7 +1222,8 @@ object Dedup {
     *         window starts inside the span.
     */
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, minCount: Long = 2): DataFrame = {
+                       k: Int = 8, minCount: Long = 2,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     require(minCount >= 2, s"a substring is duplicated at count >= 2, got $minCount")
     val toked = docs.filter(size(tokens(col(textCol))) >= k)
@@ -1240,7 +1241,7 @@ object Dedup {
     val dupHashes = StageCaches.boundary(
       grams.groupBy("gh").agg(count(lit(1)).as("n"))
         .filter(col("n") >= minCount).select("gh"),
-      None, "dedup.ess.duphashes")
+      checkpointDir, "dedup.ess.duphashes")
     // Candidate positions: Bloom prefilter drops non-duplicated grams
     // map-side BEFORE the join exchange, then the equi-join is exact.
     // r15: boundary — phase B consumes candidates TWICE (the string
@@ -1248,7 +1249,7 @@ object Dedup {
     // every gram; candidates are the small subset by construction.
     val cand = StageCaches.boundary(
       BloomPrefilter.prefilteredJoin(grams, dupHashes, "gh"),
-      None, "dedup.ess.cand")
+      checkpointDir, "dedup.ess.cand")
     // Phase B: exact confirm on the gram STRING, candidates only.
     val dupGrams = cand.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select("g")
@@ -1398,7 +1399,7 @@ object Dedup {
       minCloneFactor, sampleFraction, knownCloneFactor)
     if (layered) exactSubstrSpansLayered(docs, idCol, textCol, k, minCount,
       checkpointDir)
-    else exactSubstrSpans(docs, idCol, textCol, k, minCount)
+    else exactSubstrSpans(docs, idCol, textCol, k, minCount, checkpointDir)
   }
 
   /** What a true clone factor `c` LOOKS LIKE at sample rate `p`: a
@@ -1517,10 +1518,12 @@ object Dedup {
 
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minCount: Long = 2,
-                        adaptive: Boolean = false): DataFrame = {
+                        adaptive: Boolean = false,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val spans =
-      (if (adaptive) exactSubstrSpansAdaptive(docs, idCol, textCol, k, minCount)
-       else exactSubstrSpans(docs, idCol, textCol, k, minCount))
+      (if (adaptive) exactSubstrSpansAdaptive(docs, idCol, textCol, k, minCount,
+         checkpointDir = checkpointDir)
+       else exactSubstrSpans(docs, idCol, textCol, k, minCount, checkpointDir))
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val inSpan = (i: Column) =>

@@ -615,17 +615,29 @@ object GraphOps {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct(), checkpointDir)
     // join-reread loop: e and deg feed joins every round (see
-    // RoundTruncator) — durable every round beats amortized caching
+    // RoundTruncator) — durable every round beats amortized caching.
+    // r15: the sub-k emptiness test rides the SAME pass that
+    // materializes deg (observe — the CC fingerprint discipline), so a
+    // round is two jobs, not three; count() over an empty frame is 0,
+    // matching the old filter(...).isEmpty exit.
     val tr = new RoundTruncator(checkpointDir, every = 1)
-    var deg = tr(degreesOf(e))
+    def observedDeg(edgesNow: DataFrame): (DataFrame, () => Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = tr(degreesOf(edgesNow).observe(obs,
+        count(when(col("d") < k, 1)).as("subk")))
+      (out, () => obs.get("subk").asInstanceOf[Long])
+    }
+    var (deg, subk) = observedDeg(e)
     var rounds = 0
-    while (rounds < maxRounds && !deg.filter(col("d") < k).isEmpty) {
+    while (rounds < maxRounds && subk() > 0L) {
       rounds += 1
       val keep = deg.filter(col("d") >= k).select("n")
       e = tr(
         e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
-      deg = tr(degreesOf(e))
+      val next = observedDeg(e)
+      deg = next._1
+      subk = next._2
     }
     tr.seal(deg)
   }
@@ -660,13 +672,20 @@ object GraphOps {
     val tr = new RoundTruncator(checkpointDir, every = 1)
     var visited = Seq((source, 0L)).toDF("node", "dist")
     var frontier = visited.select("node")
+    // r15: the frontier emptiness test rides the truncation pass that
+    // materializes `next` (observe — the CC fingerprint discipline):
+    // two jobs per wave instead of three.
+    var frontierSize = 1L
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierSize > 0L) {
       depth += 1
+      val obs = org.apache.spark.sql.Observation()
       val next = tr(
         adj.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti"))
+          .join(visited, Seq("node"), "left_anti")
+          .observe(obs, count(lit(1)).as("n")))
+      frontierSize = obs.get("n").asInstanceOf[Long]
       visited = tr(
         visited.unionAll(next.select(col("node"), lit(depth.toLong).as("dist"))))
       frontier = next
@@ -714,16 +733,22 @@ object GraphOps {
     val tr = new RoundTruncator(checkpointDir)
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
+    // r15: the frontier emptiness test rides the truncation pass that
+    // materializes `improved` (observe): two jobs per round, not three.
+    var frontierSize = 1L
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && frontierSize > 0L) {
       round += 1
+      val obs = org.apache.spark.sql.Observation()
       val improved = tr(
         adj.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
           .groupBy("node").agg(min("cand").as("cand"))
           .join(dist, Seq("node"), "left")
           .filter(col("dist").isNull || col("cand") < col("dist"))
-          .select(col("node"), col("cand").as("dist")))
+          .select(col("node"), col("cand").as("dist"))
+          .observe(obs, count(lit(1)).as("n")))
+      frontierSize = obs.get("n").asInstanceOf[Long]
       dist = tr(
         dist.unionAll(improved).groupBy("node").agg(min("dist").as("dist")))
       frontier = improved

@@ -98,7 +98,8 @@ object PretrainPipeline {
     val survivors = funnel.filter(col("is_canonical"))
       .select(col(idCol), col("clean_text").as("text"))
     // Stage 2 — survivors are clone-free by construction: direct form.
-    val cut = Dedup.cutDuplicateSpans(survivors, idCol, "text", k, minCount)
+    val cut = Dedup.cutDuplicateSpans(survivors, idCol, "text", k, minCount,
+      checkpointDir = checkpointDir)
     // Stage 3 — the seam: the rebuild is a normText fixed point, so
     // contentHash(clean_text) == md5(clean_text) here.
     val benchHashes = bench

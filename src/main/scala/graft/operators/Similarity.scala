@@ -162,10 +162,19 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cos(col("qv"), col("cv")))
+    // r15: the |Q|·|C| scored rows used to ride the rank window's
+    // exchange whole; TopKPerKey (the q43 operator — identical
+    // semantics to row_number() <= k incl. null placement) keeps a
+    // bounded heap per query BEFORE the exchange, so only |Q|·k rows
+    // per map partition shuffle. The rank column re-derives on the
+    // ≤|Q|·k survivors — same (cosine DESC, id ASC) total order, same
+    // values.
+    val top = graft.plans.TopKPerKey.perKey(
+      scored.select(col("query_id"), col("neighbor_id"), col("cosine")),
+      Seq("query_id"), "cosine", "neighbor_id", k)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    top
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 

@@ -21,9 +21,14 @@ class PlanRegressionSpec extends SparkSpec {
     * must have executed the DataFrame first. */
   private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
+      // r15: stage boundaries (StageCaches) split pinned pipelines
+      // across cached relations — the pinned exchange properties live
+      // in the CACHED subplan, so the walk must chase through it
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
       case other => other.children
     }).flatMap(walk)
     walk(df.queryExecution.executedPlan)
