@@ -224,17 +224,28 @@ object Dedup {
   private def hammingCombinationPairs(sig: DataFrame, maxHamming: Int,
                                       blocks: Int, agreeBlocks0: Int): DataFrame = {
     require(64 % blocks == 0, s"blocks=$blocks must divide the 64-bit signature")
-    // agreeBlocks = AUTO (the 0 sentinel, r14 advice fix): the r13
-    // default bump 2→4 silently shrank the loud-failure domain —
-    // maxHamming in 13..14 with otherwise-default params used to run
-    // exhaustively at r=2 and started hitting the require. AUTO keeps
-    // the r=4 selectivity win (C(16,4) keys are 17× fewer collisions
-    // per the sizing note below) whenever the bound allows it and
-    // degrades to the largest exhaustive r otherwise, so defaults are
-    // never a correctness cliff; an EXPLICIT agreeBlocks still fails
-    // loudly when it breaks the guarantee.
+    // agreeBlocks = AUTO (the 0 sentinel, r14 advice fix): the cap
+    // derives from conf because the selectivity trade is
+    // SCALE-DEPENDENT. Exhaustiveness holds for ANY r <= blocks −
+    // maxHamming (a within-bound pair agrees on >= blocks − maxHamming
+    // blocks, hence on some r-subset), and candidates are exactly
+    // verified downstream, so r only moves COST: exploded rows scale
+    // with C(blocks, r)·|distinct sigs| while random collision pairs
+    // scale with |distinct sigs|²·C(blocks, r)/2^(r·width+1). At gate
+    // scale (≈40k distinct dHashes after the r15 distinct-sig
+    // collapse) r=2 measured fastest (q193 5.9 → 3.8 s vs r=4: the
+    // 120× smaller explode dominates while collision pairs die in the
+    // map-side bit_count filter); as the distinct-signature count
+    // grows the quadratic collision term takes over and a 100 TB
+    // session should raise the cap (r=4 was the measured sf10 winner
+    // pre-collapse; r=5..6 are the natural settings beyond that).
+    // AUTO still degrades to the largest exhaustive r when the bound
+    // binds, so defaults are never a correctness cliff; an EXPLICIT
+    // agreeBlocks still fails loudly when it breaks the guarantee.
+    val autoCap = sig.sparkSession.conf
+      .get("spark.graft.hamming.agreeBlocksCap", "2").toInt
     val agreeBlocks =
-      if (agreeBlocks0 == 0) math.max(1, math.min(4, blocks - maxHamming))
+      if (agreeBlocks0 == 0) math.max(1, math.min(autoCap, blocks - maxHamming))
       else agreeBlocks0
     require(agreeBlocks >= 1 && agreeBlocks <= blocks, "agreeBlocks out of range")
     require(maxHamming <= blocks - agreeBlocks,
@@ -1147,18 +1158,27 @@ object Dedup {
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         tNum: Int, tDen: Int, shingleN: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("hs"))
-      .withColumn("sz", size(col("hs")))
+    // r15: `sets` feeds the token explode AND both verify fetches, and
+    // `pfx` feeds both sides of the candidate self-join — each used to
+    // re-run the tokenize+shingle+hash scan (and the df window, twice)
+    // per consumer. Both are StageCaches boundaries: sets is one hashed
+    // set per doc, pfx a prefix-length fraction of the token explode.
+    val sets = StageCaches.boundary(
+      docs.select(col(idCol).as("id"),
+        array_distinct(transform(wordShingles(col(textCol), shingleN), s => xxhash64(s))).as("hs"))
+        .withColumn("sz", size(col("hs"))),
+      None, "dedup.ppj.sets")
     val toks = sets.select(col("id"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "h")
       .withColumn("r", row_number().over(
         Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)))
     // prefix length |s| - ceil(t|s|) + 1; ceil(t·sz) = (tNum·sz + tDen-1) div tDen
-    val pfx = ranked
-      .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("id"), col("sz"), col("h"))
+    val pfx = StageCaches.boundary(
+      ranked
+        .filter(col("r") <= col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+        .select(col("id"), col("sz"), col("h")),
+      None, "dedup.ppj.pfx")
     // PPJoin LENGTH filter in the candidate join itself: J = |∩|/|∪| <=
     // min(|a|,|b|)/max(|a|,|b|), so J >= t forces t·max <= min (integer
     // cross-multiplication, no float threshold). Pairs failing it are

@@ -67,17 +67,28 @@ object EntityResolution {
     * plan (moved verbatim; q154 delegates here). */
   def golden(c: DataFrame): DataFrame = {
     val grp = superNodes(c)
-    val masked = maskFrame(grp)
-    val a = masked.select(col("pos"), col("masked"), col("len"),
+    // r15: the deletion-neighborhood frame feeds BOTH sides of the
+    // candidate self-join — it is one boundary now instead of two
+    // explode passes, and the join keys on xxhash64(masked) instead of
+    // the masked string (8 bytes per row through the exchange; a hash
+    // collision can only ADD a candidate pair, and any pair passing
+    // levenshtein == 1 is a genuine distance-1 edge that the exact
+    // filter keeps regardless of WHICH mask position surfaced it —
+    // duplicate edge rows are deduped by the CC's canonical distinct).
+    val masked = StageCaches.boundary(
+      maskFrame(grp).withColumn("mh", xxhash64(col("masked"))),
+      None, "er.golden.masked")
+    val a = masked.select(col("pos"), col("mh"), col("len"),
       col("c_nationkey"), col("c_mktsegment"),
       col("gid").as("gid_a"), col("c_name").as("name_a"))
-    val b = masked.select(col("pos"), col("masked"), col("len"),
+    val b = masked.select(col("pos"), col("mh"), col("len"),
       col("c_nationkey"), col("c_mktsegment"),
       col("gid").as("gid_b"), col("c_name").as("name_b"))
     // a hamming-1 group pair collides on exactly ONE mask position, so
     // no distinct pass is needed; distance-0 pairs never reach the
-    // join — they share a gid
-    val gedges = a.join(b, Seq("pos", "masked", "len", "c_nationkey", "c_mktsegment"))
+    // join — they share a gid. (CC's eInit distinct absorbs the
+    // theoretical hash-collision duplicate.)
+    val gedges = a.join(b, Seq("pos", "mh", "len", "c_nationkey", "c_mktsegment"))
       .filter(col("gid_a") < col("gid_b") && col("name_a") =!= col("name_b"))
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
       .select("gid_a", "gid_b")

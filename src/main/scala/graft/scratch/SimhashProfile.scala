@@ -1,0 +1,44 @@
+package graft.scratch
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r15 scratch profiler for q22's layered simhash-verified pairs.
+  * Delete after the round. */
+object SimhashProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+      .filter(size(TextFunctions.tokens(col("text"))) >= 20)
+    noop(docs)
+    println(s"[info] docs=${docs.count()}")
+    val reps = docs // clone structure unknown; measure pieces on full
+    time("simhash signatures")(noop(
+      reps.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))))
+    val cands = Dedup.simhashCandidates(reps, "doc_id", "text", maxHamming = 7)
+    time("candidates")(noop(cands))
+    println(s"[info] candidates=${cands.count()}")
+    val ver = Dedup.verifyJaccard(cands.select("id_a", "id_b"), reps, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.5)
+    time("verify")(noop(ver))
+    time("full q22")(noop(graft.SparkEntry.queries("q22_dedup_simhash")(spark, sfDir)))
+    spark.stop()
+  }
+}
