@@ -1077,9 +1077,13 @@ object AnalyticsQueries {
   // at K·O(m) worst-case while the frontier keeps the typical round
   // far cheaper.
   def q103(spark: SparkSession, dir: String): DataFrame = {
+    // r16: the edge list feeds TWO actions (the min-source probe and the
+    // SSSP adjacency build) — materialize it once instead of paying the
+    // items self-join per consumer (guide §1.2 step 1).
     val edges = copurchaseEdges(spark, dir)
       .select(col("u"), col("v"),
         (lit(1L) + (col("u") + col("v")) % 7L).as("w"))
+      .localCheckpoint(eager = true)
     import spark.implicits._
     val source = edges.agg(min(col("u"))).as[Long].head()
     GraphOps.ssspInt(edges, source, maxRounds = 12, checkpointDir = Queries.graphCkpt)

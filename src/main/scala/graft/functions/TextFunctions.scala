@@ -47,8 +47,10 @@ object TextFunctions {
 
   /** Character n-gram shingles of the *raw* text.
     *
-    * Same `zip_with`-against-shifted-slices construction as
-    * [[wordShingles]], for the same reason: the index formulation
+    * A `zip_with`-against-shifted-slices construction (the shape
+    * [[wordShingles]] used before it moved to the Shingles64 kernel;
+    * r15 advice — this comment no longer claims implementation parity):
+    * the index formulation
     * `transform(sequence(...), i => substring(t, i, n))` re-evaluates
     * the free sub-expression `t` once per ELEMENT — O(maxChars²) work
     * per row. Here the character array is built once per row and the

@@ -62,9 +62,37 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleN, k))
+    val sig = minhashSig(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+    minhashCandidatePairsOf(sig, bands, rowsPerBand)
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(bands * rowsPerBand).cast(DoubleType)).as("est_jaccard"))
+  }
+
+  /** Candidate PAIRS only — [[minhashCandidates]] without the
+    * est_jaccard signature join-back. The exactly-verified consumers
+    * (minhashDedupVerified, nearDupClusters, dedupCurve) discard
+    * est_jaccard immediately, yet an inner join on a non-provably-unique
+    * key cannot be pruned by Catalyst — so the est form paid two extra
+    * id-keyed joins AND two extra full MinHash64 kernel passes per
+    * query for a column nobody read (r16, guide §1.2 step 1). Same
+    * (id_a, id_b) set by construction.
+    */
+  private[graft] def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                                           shingleN: Int = 3, bands: Int = 16,
+                                           rowsPerBand: Int = 4): DataFrame =
+    minhashCandidatePairsOf(
+      minhashSig(docs, idCol, textCol, shingleN, bands, rowsPerBand), bands, rowsPerBand)
+
+  private def minhashSig(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleN, bands * rowsPerBand))
+
+  private def minhashCandidatePairsOf(sig: DataFrame, bands: Int,
+                                      rowsPerBand: Int): DataFrame = {
     val banded = sig.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -74,16 +102,10 @@ object Dedup {
     // join within (band, band_sig) buckets only, ids only
     val l = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "band_sig"))
+    l.join(r, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / lit(bands * rowsPerBand).cast(DoubleType)).as("est_jaccard"))
   }
 
   /** MinHash-LSH dedup: candidates above `threshold` estimated Jaccard
@@ -111,8 +133,7 @@ object Dedup {
   def minhashDedupVerified(docs: DataFrame, idCol: String, textCol: String,
                            threshold: Double = 0.5, shingleN: Int = 3,
                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand)
-      .select("id_a", "id_b")
+    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
     val dupes = verifyJaccard(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
@@ -213,16 +234,41 @@ object Dedup {
   def simhashCandidatesCombination(docs: DataFrame, idCol: String, textCol: String,
                                    maxHamming: Int, blocks: Int = 16,
                                    agreeBlocks: Int = 2): DataFrame =
+    // r15 advice, placed at the CALLER (r16): hammingCombinationPairs
+    // references its sig frame five times, and here each reference
+    // re-ran the SimHash kernel over the corpus — one narrow
+    // (id, 8-byte sig) stage boundary serves all five (q22 measured
+    // 4.7 → 4.1 s). The boundary deliberately does NOT live inside
+    // hammingCombinationPairs: the image path's sig is a projection of
+    // the persisted ImageIndex — a columnar scan cheaper than the cache
+    // materialization it would buy (q193 measured 2.7 → 4.0 s with the
+    // cache forced there).
     hammingCombinationPairs(
-      docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig")),
+      StageCaches.stage(
+        docs.select(col(idCol).as("id"), simhashSignature(col(textCol)).as("sig")),
+        "dedup.shcc.sig"),
       maxHamming, blocks, agreeBlocks)
 
   /** The combination-blocking pair join over ANY (id, sig) 64-bit
     * fingerprint frame — shared by text SimHash and image dHash; the
     * exhaustiveness argument is the signature-agnostic part of
-    * [[simhashCandidatesCombination]]'s doc. */
+    * [[simhashCandidatesCombination]]'s doc.
+    *
+    * CONTRACT (r15 advice): `sig` must hold exactly ONE row per id.
+    * The r15 distinct-signature collapse dedups pairs at SIGNATURE
+    * level and fans back to ids assuming each id carries one sig; an
+    * input with duplicate id rows would emit duplicate candidate pairs
+    * (the pre-r15 id-level distinct absorbed them). Every caller
+    * derives `sig` from a per-document projection, which satisfies
+    * this by construction. */
   private def hammingCombinationPairs(sig: DataFrame, maxHamming: Int,
                                       blocks: Int, agreeBlocks0: Int): DataFrame = {
+    // NOTE (r15 advice): `sig` is referenced five times below (dsig,
+    // both cross fan-out joins, both sides of the same-sig equi-join).
+    // Callers whose signature is EXPENSIVE to recompute must pre-stage
+    // it (simhashCandidatesCombination does); callers whose sig is a
+    // cheap columnar scan (the persisted ImageIndex) pass it raw — a
+    // forced cache here measured q193 2.7 → 4.0 s.
     require(64 % blocks == 0, s"blocks=$blocks must divide the 64-bit signature")
     // agreeBlocks = AUTO (the 0 sentinel, r14 advice fix): the cap
     // derives from conf because the selectivity trade is
@@ -928,8 +974,7 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleN: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN, bands, rowsPerBand)
-      .select("id_a", "id_b")
+    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
     val edges = verifyJaccard(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
@@ -1757,8 +1802,7 @@ object Dedup {
       col(textCol))
     val reps = withRep.filter(col(idCol) === col("__rep")).drop("__rep")
     val pairs = verifyJaccard(
-      minhashCandidates(reps, idCol, textCol, shingleN, bands, rowsPerBand)
-        .select("id_a", "id_b"),
+      minhashCandidatePairs(reps, idCol, textCol, shingleN, bands, rowsPerBand),
       reps, idCol, textCol, shingleN)
     val mjReps = pairs.groupBy(col("id_b").as(idCol)).agg(max("jaccard").as("__mjr"))
     val mj = withRep.select(col(idCol), col("__rep"))

@@ -54,6 +54,39 @@ object GraphOps {
         df.checkpoint(eager = true)
     }
 
+  /** [[truncate]] with the materialized row count observed for free on
+    * the same pass (CollectMetrics rides the checkpoint job — the CC
+    * fingerprint discipline). Feeds the small-graph routes below. */
+  private def truncateCounted(df: DataFrame,
+      checkpointDir: Option[String]): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = truncate(df.observe(obs, count(lit(1)).as("n")), checkpointDir)
+    (out, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** r16 small-graph route, generalizing the r15 CC local-edge route to
+    * EVERY integer-exact fixpoint in this module (SSSP, label
+    * propagation, PageRank, k-core, BFS): when the one-time adjacency
+    * materialization observes ≤ cutoff rows, the per-round cost of the
+    * distributed loop is pure scheduling — so the bounded adjacency
+    * collects once (a few MB of longs at the default 2^18 cutoff) and
+    * the SAME synchronous integer recurrence runs on the driver.
+    * Results are identical by construction: each algorithm is a
+    * deterministic function of the edge set (min/count/floor-div over
+    * longs — no reduction-order sensitivity), and each route has an
+    * equality spec against the distributed loop. At 100 TB the route
+    * never fires for a corpus-scale graph (the cutoff gates on the
+    * MATERIALIZED adjacency count) while the frames it should fire for
+    * — verified near-dup subgraphs, per-block cliques — stay tiny by
+    * construction. Conf `spark.graft.graph.localEdgeCutoff` (rows; 0
+    * disables) lets a cluster session size it to its driver budget.
+    */
+  private def graphLocalCutoff(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.graph.localEdgeCutoff", "262144").toLong
+
+  private def isLongCol(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.LongType
+
   /** Reliable checkpoints cost a parquet write per call; paying that
     * EVERY round dominated the sf100 fixpoints (CC: 685 s with
     * per-round durable writes vs a small multiple of the localCheckpoint
@@ -404,9 +437,9 @@ object GraphOps {
     * of the PageRank update, joined and materialized ONCE before the
     * iteration instead of re-joined every round. */
   private def degreeEdges(edges: DataFrame,
-                          checkpointDir: Option[String]): DataFrame = {
+                          checkpointDir: Option[String]): (DataFrame, Long) = {
     val e = edges.toDF("src", "dst").distinct()
-    truncate(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
+    truncateCounted(e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
       checkpointDir)
   }
 
@@ -429,9 +462,45 @@ object GraphOps {
   def pageRankIntFrom(state: DataFrame, edges: DataFrame, iters: Int,
                       unit: Long = 1000000L,
                       checkpointDir: Option[String] = None): DataFrame = {
-    val edeg = degreeEdges(edges, checkpointDir)
-    val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
+    val (edeg, m) = degreeEdges(edges, checkpointDir)
     val base = (unit * 15L) / 100L
+    // Small-graph route: the identical integer update (floor divisions,
+    // long sums — reduction-order-free) on the collected degree-annotated
+    // edges and state (spec'd equal to the distributed loop). The state
+    // is bounded by the same cutoff: for every caller here the node set
+    // is derived from edge endpoints (≤ 2m rows).
+    if (isLongCol(edeg, "src") && m > 0 && m <= graphLocalCutoff(edges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val st = state.toDF("node", "r")
+      if (isLongCol(st, "node") && isLongCol(st, "r")) {
+        val stRows = st.select("node", "r").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (stRows.length <= 2 * graphLocalCutoff(edges)) {
+          val es = edeg.select("src", "dst", "deg").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val nodes = stRows.map(_._1)
+          var rank: java.util.HashMap[Long, Long] = {
+            val h = new java.util.HashMap[Long, Long]()
+            stRows.foreach { case (n, r) => h.put(n, r) }
+            h
+          }
+          for (_ <- 1 to iters) {
+            val contrib = new java.util.HashMap[Long, Long]()
+            es.foreach { case (src, dst, deg) =>
+              if (rank.containsKey(src)) contrib.merge(dst, rank.get(src) / deg, _ + _)
+            }
+            val next = new java.util.HashMap[Long, Long]()
+            nodes.foreach { n =>
+              next.put(n, base + (85L * contrib.getOrDefault(n, 0L)) / 100L)
+            }
+            rank = next
+          }
+          return nodes.map(n => (n, rank.get(n))).toSeq.toDF("node", "r")
+        }
+      }
+    }
+    val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val tr = new RoundTruncator(checkpointDir)
     var rank = state.toDF("node", "r")
     for (_ <- 1 to iters)
@@ -468,7 +537,7 @@ object GraphOps {
   def pageRankIntAscend(state: DataFrame, edges: DataFrame,
                         maxIters: Int = 300, unit: Long = 1000000L,
                         checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val edeg = degreeEdges(edges, checkpointDir)
+    val edeg = degreeEdges(edges, checkpointDir)._1
     val nodes = truncate(state.toDF("node", "r").select("node"), checkpointDir)
     val base = (unit * 15L) / 100L
     def fingerprintCols = Seq(
@@ -610,10 +679,37 @@ object GraphOps {
     // canonicalize to (min, max) before dedup: an undirected input may
     // carry both (a,b) and (b,a), which must count as ONE edge in the
     // endpoint degrees, not two
-    var e = truncate(
+    val (e0c, m0) = truncateCounted(
       edges.toDF("u", "v").filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct(), checkpointDir)
+    // Small-graph route: the same exact-integer peel on the collected
+    // canonical edge set (spec'd equal to the distributed loop,
+    // including the maxRounds cap semantics).
+    if (isLongCol(e0c, "u") && m0 > 0 && m0 <= graphLocalCutoff(edges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var es = e0c.select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      def degs(a: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+        val d = new java.util.HashMap[Long, Long]()
+        a.foreach { case (u, v) => d.merge(u, 1L, _ + _); d.merge(v, 1L, _ + _) }
+        d
+      }
+      var deg = degs(es)
+      var subk = { var c = 0L; deg.forEach((_, d) => if (d < k) c += 1); c }
+      var rounds = 0
+      while (rounds < maxRounds && subk > 0L) {
+        rounds += 1
+        val d = deg
+        es = es.filter { case (u, v) => d.get(u) >= k && d.get(v) >= k }
+        deg = degs(es)
+        subk = { var c = 0L; deg.forEach((_, dd) => if (dd < k) c += 1); c }
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      deg.forEach((n, d) => rows += ((n, d)))
+      return rows.toSeq.toDF("n", "d")
+    }
+    var e = e0c
     // join-reread loop: e and deg feed joins every round (see
     // RoundTruncator) — durable every round beats amortized caching.
     // r15: the sub-k emptiness test rides the SAME pass that
@@ -664,9 +760,35 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.toDF("src", "dst")
-    val adj = truncate(
+    val (adj, m) = truncateCounted(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct(), checkpointDir)
+    // Small-graph route: the same frontier expansion on the collected
+    // symmetric adjacency (spec'd equal to the distributed loop,
+    // including the maxDepth cap).
+    if (isLongCol(adj, "src") && m > 0 && m <= graphLocalCutoff(edges)) {
+      val nbrs = adj.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, es) => (u, es.map(_._2)) }
+      val dist = new java.util.HashMap[Long, Long]()
+      dist.put(source, 0L)
+      var frontier: Array[Long] = Array(source)
+      var depth = 0
+      while (depth < maxDepth && frontier.nonEmpty) {
+        depth += 1
+        val next = scala.collection.mutable.LinkedHashSet[Long]()
+        frontier.foreach { u =>
+          nbrs.getOrElse(u, Array.empty[Long]).foreach { v =>
+            if (!dist.containsKey(v)) next += v
+          }
+        }
+        next.foreach(v => dist.put(v, depth.toLong))
+        frontier = next.toArray
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      dist.forEach((n, d) => rows += ((n, d)))
+      return rows.toSeq.toDF("node", "dist")
+    }
     // join-reread loop: visited anti-joins every later round (see
     // RoundTruncator) — durable every round beats amortized caching
     val tr = new RoundTruncator(checkpointDir, every = 1)
@@ -726,10 +848,43 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.toDF("src", "dst", "w")
-    val adj = truncate(
+    val (adj, m) = truncateCounted(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(min("w").as("w")), checkpointDir)
+    // Small-graph route: the same synchronous relaxation recurrence on
+    // the collected (min-collapsed) adjacency — distances after round i
+    // are min over ≤i-hop paths on either route (spec'd equal).
+    if (isLongCol(adj, "src") && isLongCol(adj, "w") &&
+        m > 0 && m <= graphLocalCutoff(edges)) {
+      val bylSrc = adj.select("src", "dst", "w").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
+      val dist = new java.util.HashMap[Long, Long]()
+      dist.put(source, 0L)
+      var frontier: Array[Long] = Array(source)
+      var round = 0
+      while (round < maxRounds && frontier.nonEmpty) {
+        round += 1
+        val cand = new java.util.HashMap[Long, Long]()
+        frontier.foreach { u =>
+          val du = dist.get(u)
+          bylSrc.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+            val c = du + w
+            val old = cand.get(v)
+            if (!cand.containsKey(v) || c < old) cand.put(v, c)
+          }
+        }
+        val improved = Seq.newBuilder[Long]
+        cand.forEach { (v, c) =>
+          if (!dist.containsKey(v) || c < dist.get(v)) { dist.put(v, c); improved += v }
+        }
+        frontier = improved.result().toArray
+      }
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      dist.forEach((n, d) => rows += ((n, d)))
+      return rows.toSeq.toDF("node", "dist")
+    }
     val tr = new RoundTruncator(checkpointDir)
     var dist = Seq((source, 0L)).toDF("node", "dist")
     var frontier = dist
@@ -786,9 +941,34 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, rounds: Int,
                        checkpointDir: Option[String] = None): DataFrame = {
     val e0 = edges.toDF("u", "v").filter(col("u") =!= col("v"))
-    val adj = truncate(
+    val (adj, m) = truncateCounted(
       e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         .distinct(), checkpointDir)
+    // Small-graph route: K synchronous rounds of the same (count DESC,
+    // label ASC) update on the collected symmetric adjacency (spec'd
+    // equal to the distributed loop).
+    if (isLongCol(adj, "u") && m > 0 && m <= graphLocalCutoff(edges)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val nbrs = adj.select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, es) => (u, es.map(_._2)) }
+      var labels: Map[Long, Long] = nbrs.keysIterator.map(n => (n, n)).toMap
+      var round = 0
+      while (round < rounds) {
+        round += 1
+        labels = nbrs.map { case (u, vs) =>
+          val cnt = new java.util.HashMap[Long, Long]()
+          vs.foreach { v => cnt.merge(labels(v), 1L, _ + _) }
+          var bestLabel = Long.MinValue; var bestN = -1L
+          cnt.forEach { (l, n) =>
+            if (n > bestN || (n == bestN && l < bestLabel)) { bestN = n; bestLabel = l }
+          }
+          (u, bestLabel)
+        }
+      }
+      return labels.toSeq.toDF("node", "label")
+    }
     val tr = new RoundTruncator(checkpointDir)
     var labels = tr(
       adj.select(col("u").as("node")).distinct()

@@ -62,10 +62,19 @@ object StageCaches {
     persisted
   }
 
-  /** Checkpoint `df` to `dir/<stage>` as parquet and read it back:
-    * lineage reset, no cache entry, eager write. */
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Checkpoint `df` to `dir/<stage>_<n>` as parquet and read it back:
+    * lineage reset, no cache entry, eager write. The `_<n>` suffix is a
+    * per-invocation nonce (r15 advice): two operator invocations
+    * sharing a checkpointDir used to overwrite each other's fixed-key
+    * paths at construction time, so a still-live frame from the first
+    * invocation silently read the second's data. Checkpoint files
+    * accumulate per invocation; the checkpointDir is scratch space and
+    * its cleanup stays with the caller (same contract as
+    * SparkContext.setCheckpointDir). */
   def checkpoint(df: DataFrame, dir: String, stage: String): DataFrame = {
-    val path = s"$dir/${stage.replace('.', '_')}"
+    val path = s"$dir/${stage.replace('.', '_')}_${invocation.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

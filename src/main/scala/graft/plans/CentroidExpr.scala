@@ -34,9 +34,21 @@ import org.apache.spark.sql.types._
   *    is NaN, in which case the smallest id survives either way.
   */
 object CentroidKernel {
+  /** r15 advice: a vector shorter than the sliced window must fail
+    * loudly — the old zip_with null-padding frame forms propagated null
+    * for such rows, whereas a silent min-clamp would score a PREFIX and
+    * hand back a plausible-but-wrong assignment. Well-formed corpora
+    * (every declared query's inputs) never hit this. */
+  private def checkLen(v: ArrayData, start: Int, width: Int): Unit =
+    if (v.numElements() < start + width)
+      throw new IllegalArgumentException(
+        s"vector has ${v.numElements()} elements; the centroid slice needs " +
+          s"[$start, ${start + width}) — dimension mismatch between vectors and codebook")
+
   def cosineSlice(v: ArrayData, start: Int, flat: Array[Float], off: Int,
                   width: Int): Double = {
-    val n = math.min(v.numElements() - start, width)
+    checkLen(v, start, width)
+    val n = width
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +65,8 @@ object CentroidKernel {
 
   def l2Slice(v: ArrayData, start: Int, flat: Array[Float], off: Int,
               width: Int): Double = {
-    val n = math.min(v.numElements() - start, width)
+    checkLen(v, start, width)
+    val n = width
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.DataFrame
+
+/** The r16 small-graph routes (spark.graft.graph.localEdgeCutoff): each
+  * integer-exact fixpoint must produce the SAME rows whether the
+  * materialized adjacency is collected to the driver or iterated
+  * distributed — the routes implement the identical synchronous integer
+  * recurrence, so equality is checked on a random graph where ties,
+  * frontier overlaps and the maxRounds caps all fire.
+  */
+class GraphLocalRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val CUTOFF = "spark.graft.graph.localEdgeCutoff"
+
+  /** Run `f` once with the local route enabled and once forced
+    * distributed; return both sorted row sets. */
+  private def bothRoutes(f: => DataFrame): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    spark.conf.set(CUTOFF, "1048576")
+    val local =
+      try f.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      finally spark.conf.unset(CUTOFF)
+    spark.conf.set(CUTOFF, "0")
+    val dist =
+      try f.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+      finally spark.conf.unset(CUTOFF)
+    (local, dist)
+  }
+
+  private def randomGraph(seed: Long, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+  }
+
+  test("ssspInt local route == distributed (random weighted graph, capped rounds)") {
+    val es = randomGraph(42L, 60, 150)
+      .map { case (u, v) => (u, v, 1L + (u + v) % 5L) }
+    val df = es.toDF("src", "dst", "w")
+    for (rounds <- Seq(1, 3, 20)) {
+      val (local, dist) = bothRoutes(GraphOps.ssspInt(df, source = 0L, maxRounds = rounds))
+      assert(local == dist, s"sssp mismatch at maxRounds=$rounds")
+    }
+  }
+
+  test("labelPropagation local route == distributed (random graph, tie-heavy)") {
+    val df = randomGraph(7L, 40, 120).toDF("u", "v")
+    for (rounds <- Seq(1, 3)) {
+      val (local, dist) = bothRoutes(GraphOps.labelPropagation(df, rounds = rounds))
+      assert(local == dist, s"label-prop mismatch at rounds=$rounds")
+    }
+  }
+
+  test("pageRankIntFrom local route == distributed (both orientations, 10 iters)") {
+    val base = randomGraph(11L, 50, 140).filter { case (u, v) => u != v }
+    val df = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val (local, dist) = bothRoutes(GraphOps.pageRankInt(df, iters = 10))
+    assert(local == dist)
+  }
+
+  test("kCore local route == distributed (random graph, k=3)") {
+    val df = randomGraph(13L, 45, 160).toDF("u", "v")
+    val (local, dist) = bothRoutes(GraphOps.kCore(df, k = 3))
+    assert(local == dist)
+  }
+
+  test("bfsLevels local route == distributed (random graph, capped depth)") {
+    val df = randomGraph(17L, 70, 160).toDF("src", "dst")
+    for (depth <- Seq(1, 4, 16)) {
+      val (local, dist) = bothRoutes(GraphOps.bfsLevels(df, source = 0L, maxDepth = depth))
+      assert(local == dist, s"bfs mismatch at maxDepth=$depth")
+    }
+  }
+
+  test("local routes leave non-long ids on the distributed path") {
+    // IntegerType ids miss the isLongCol gate, so the distributed loop
+    // runs even under a permissive cutoff — and still gets the right
+    // answer. Path 1-2-3, 2 synchronous rounds: r1 = (1→2, 2→1, 3→2),
+    // r2 reads r1 labels: 1→1, 2→2 (both neighbors labelled 2), 3→1.
+    val df = Seq((1, 2), (2, 3)).toDF("u", "v")
+    spark.conf.set(CUTOFF, "1048576")
+    try {
+      val got = GraphOps.labelPropagation(df, rounds = 2).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toMap
+      assert(got == Map(1 -> 1, 2 -> 2, 3 -> 1))
+    } finally spark.conf.unset(CUTOFF)
+  }
+}

@@ -97,10 +97,18 @@ class StageCachesSpec extends SparkSpec {
     auditOn(corpus("delta"), Some(dir)).count()
     assert(StageCaches.registeredCount(spark) == before,
       "checkpointed run must not register in-memory stage caches")
-    // the stage boundaries exist as parquet (the production claim)
+    // the stage boundaries exist as parquet (the production claim);
+    // r16: paths carry a per-invocation nonce so concurrent invocations
+    // sharing a checkpointDir never overwrite each other (r15 advice)
     val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(stages.contains("pretrain_funnel") && stages.contains("pretrain_decon"),
+    assert(stages.exists(_.startsWith("pretrain_funnel_")) &&
+        stages.exists(_.startsWith("pretrain_decon_")),
       s"expected checkpointed stage dirs, got $stages")
+    // a second invocation writes FRESH paths — the first's frames stay live
+    auditOn(corpus("delta"), Some(dir)).count()
+    val stages2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(stages2.count(_.startsWith("pretrain_funnel_")) == 2,
+      s"second invocation must get its own nonce-suffixed path, got $stages2")
   }
 
   test("releaseAll drops every registered stage cache for the session") {
