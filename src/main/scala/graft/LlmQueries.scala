@@ -123,7 +123,9 @@ object LlmQueries {
   // CTE: parity holds for the same reason as q21 (the banding catches
   // every >= 0.5 pair on this corpus; LSH prunes, never decides).
   def q72(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClustersLayered(Tables.documents(spark, dir), "doc_id", "text",
+    // r16: labels+sizes only — the full layered frame joined every doc
+    // column (text included) back for a query that reads none of them
+    Dedup.nearDupClusterSizes(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_rep"))
@@ -169,9 +171,8 @@ object LlmQueries {
   // two tiny shuffles past the dedup pass itself.
   def q191(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Dedup.nearDupClustersLayered(docs, "doc_id", "text",
+    Dedup.nearDupClusterSizes(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
-      .select("doc_id", "cluster_id", "cluster_size")
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy("cluster_size")
       .agg(countDistinct("cluster_id").as("n_clusters"),
@@ -1099,9 +1100,8 @@ object LlmQueries {
   // q72's exactly (LSH blocks, exact Jaccard decides, CC closes).
   def q160(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val lab = Dedup.nearDupClustersLayered(docs, "doc_id", "text",
+    val lab = Dedup.nearDupClusterLabels(docs, "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
-      .select(col("doc_id"), col("cluster_id"))
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     val surv = lab.groupBy("cluster_id")
       .agg(min(struct((-col("n_chars")).as("negc"), col("doc_id").as("id"))).as("best"))
@@ -1696,7 +1696,7 @@ object LlmQueries {
   // decides, CC closes on the duplicate subgraph); the weight is one
   // map-side expression past labels that are themselves gated.
   def q202(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClustersLayered(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.nearDupClusterSizes(Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5, shingleN = 3, bands = 16, rowsPerBand = 4)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         expr("1000000L div cluster_size").as("weight_ppm"))

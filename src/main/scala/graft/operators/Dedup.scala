@@ -974,17 +974,31 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleN: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val labels = nearDupLabelsDirect(docs, idCol, textCol, threshold,
+      shingleN, bands, rowsPerBand)
+    val labeled = docs.join(labels, Seq(idCol))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+  }
+
+  /** The (id, cluster_id) labels of [[nearDupClusters]] WITHOUT the
+    * doc-column join-back or the size aggregate — exactly one row per
+    * input doc (unclustered docs label themselves). r16: the cluster
+    * consumers (q72/q160/q191/q202) read only id/cluster_id(/size), so
+    * the full form's docs join carried every doc column — text
+    * included — through an exchange nobody read. */
+  private def nearDupLabelsDirect(docs: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double, shingleN: Int,
+                                  bands: Int, rowsPerBand: Int): DataFrame = {
     val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
     val edges = verifyJaccard(cands, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     val cc = GraphOps.connectedComponents(edges)
-    val labeled = docs
+    docs.select(col(idCol))
       .join(cc.select(col("node").as(idCol), col("component").as("cluster_id")),
         Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
-    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
   }
 
   /** [[nearDupClusters]] with an exact-dedup layer first — the form to
@@ -1006,6 +1020,27 @@ object Dedup {
   def nearDupClustersLayered(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.5, shingleN: Int = 3,
                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val memberLabel = nearDupClusterLabels(docs, idCol, textCol, threshold,
+      shingleN, bands, rowsPerBand)
+    val labeled = docs.join(memberLabel, Seq(idCol))
+    val sizes = memberLabel.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+  }
+
+  /** The (id, cluster_id) labels of [[nearDupClustersLayered]] — one
+    * row per input doc, NO doc-column join-back, no size aggregate.
+    * r16: q160 reads only the labels, and q72/q191/q202 only labels +
+    * sizes ([[nearDupClusterSizes]]), so the full layered form made
+    * every consumer pay a docs join carrying the text column plus a
+    * size aggregate over that widened frame. Labels are identical by
+    * construction (memberLabel is 1:1 with docs: one content hash per
+    * doc, one representative per hash, one cluster per representative),
+    * and sizes over labels == sizes over the docs-joined frame for the
+    * same reason.
+    */
+  def nearDupClusterLabels(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5, shingleN: Int = 3,
+                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // r15: the keying projection and the representative rows are STAGE
     // BOUNDARIES (StageCaches — the r12 lifecycle the image/line forms
     // already use): the rep frame used to be re-derived per consumer
@@ -1014,8 +1049,6 @@ object Dedup {
     // old hashed.join(repMap) form resolved representatives through a
     // join that carried every doc column; the semi-join keeps text out
     // of the keying exchange entirely (the ImageIndex.repsOf shape).
-    // Output rows/columns are unchanged: same members, same labels,
-    // docs' own columns joined back by id.
     val keyed = StageCaches.boundary(
       docs.select(col(idCol), contentHash(col(textCol)).as("__h")),
       None, "dedup.ndcl.keyed")
@@ -1023,16 +1056,27 @@ object Dedup {
     val reps = StageCaches.boundary(
       docs.join(repMap.select(col("__rep").as(idCol)), Seq(idCol), "left_semi"),
       None, "dedup.ndcl.reps")
-    val repClusters = nearDupClusters(reps, idCol, textCol, threshold,
+    val repClusters = nearDupLabelsDirect(reps, idCol, textCol, threshold,
         shingleN, bands, rowsPerBand)
       .select(col(idCol).as("__rep"), col("cluster_id"))
-    val memberLabel = keyed.join(repMap, "__h")
+    keyed.join(repMap, "__h")
       .select(col(idCol), col("__rep"))
       .join(repClusters, "__rep")
       .select(col(idCol), col("cluster_id"))
-    val labeled = docs.join(memberLabel, Seq(idCol))
-    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
+  }
+
+  /** [[nearDupClusterLabels]] + per-cluster size — the
+    * (id, cluster_id, cluster_size) frame q72/q191/q202 actually
+    * consume. Same rows/labels/sizes as projecting the full layered
+    * form (spec'd). */
+  def nearDupClusterSizes(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.5, shingleN: Int = 3,
+                          bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val labels = nearDupClusterLabels(docs, idCol, textCol, threshold,
+      shingleN, bands, rowsPerBand)
+    labels.join(
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      "cluster_id")
   }
 
   // ---- Incremental (index-backed) near-dup dedup -------------------------

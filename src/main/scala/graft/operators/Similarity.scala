@@ -869,7 +869,12 @@ object Similarity {
                                 dir: String, newVecs: DataFrame,
                                 idCol: String, vecCol: String): Unit = {
     val index = readIvfPqIndex(spark, dir)
+    // r16 (guide §6): same pre-write clustering as writeIvfPqIndex —
+    // one appended file per touched list per trigger instead of
+    // tasks×lists; repeated ingest otherwise accretes tiny files that
+    // every later probe re-lists.
     encodeNewVecs(index, newVecs, idCol, vecCol)
+      .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
   }
@@ -906,7 +911,14 @@ object Similarity {
     import spark.implicits._
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
-    index.codes.write.mode("overwrite").partitionBy("centroid_id")
+    // r16 (guide §6): cluster codes by the partition key before the
+    // partitionBy write. Without it every write task emits one file per
+    // centroid_id it holds — up to tasks×nlist tiny files (measured
+    // ~2.6k at gate scale), paid again at every probe's file listing.
+    // Hash-clustering on centroid_id bounds it at one file per list per
+    // owning task; the exchange carries only (id, m-byte codes) rows.
+    index.codes.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
     Seq((index.dim, index.m, index.ksub, index.nlist))
       .toDF("dim", "m", "ksub", "nlist")

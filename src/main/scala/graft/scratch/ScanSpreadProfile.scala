@@ -1,0 +1,68 @@
+package graft.scratch
+
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r16 scratch profiler: does spreading a single-row-group gate file
+  * across cores after the read pay for kernel-heavy document scans?
+  * Not registered; delete after the optimization round.
+  */
+object ScanSpreadProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): Unit = {
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scan] $label: min ${samples.min}%.3f s  (${samples.map(s => f"$s%.2f").mkString(", ")})")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, sfDir)
+    println(s"[scan] documents natural partitions: ${docs.rdd.getNumPartitions}")
+    noop(docs) // warm
+
+    def gopher(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), col("lang"),
+        graft.operators.CorpusOps.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), col("lang"), col("g.*"))
+
+    time("gopher signals, natural scan")(noop(gopher(docs)))
+    time("gopher signals, repartition(doc_id)")(noop(gopher(docs.repartition(col("doc_id")))))
+
+    def winnow(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        graft.functions.TextFunctions.contentHash(col("text")).as("ch"),
+        graft.functions.TextFunctions.winnowFingerprint(col("text"), 8, 256).as("fp"))
+
+    time("winnow fp, natural scan")(noop(winnow(docs)))
+    time("winnow fp, repartition(doc_id)")(noop(winnow(docs.repartition(col("doc_id")))))
+
+    def shingles(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        array_distinct(transform(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3), s => xxhash64(s))).as("sh"))
+
+    time("shingle sets, natural scan")(noop(shingles(docs)))
+    time("shingle sets, repartition(doc_id)")(noop(shingles(docs.repartition(col("doc_id")))))
+
+    val li = Tables.lineitem(spark, sfDir)
+    println(s"[scan] lineitem natural partitions: ${li.rdd.getNumPartitions}")
+    def liAgg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("l_orderkey").agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * 100).cast("long")).as("s"))
+    time("lineitem groupBy, natural scan")(noop(liAgg(li)))
+    time("lineitem groupBy, repartition(l_orderkey)")(noop(liAgg(li.repartition(col("l_orderkey")))))
+    spark.stop()
+  }
+}

@@ -695,6 +695,15 @@ class DedupSpec extends SparkSpec {
     // fixture sanity: one big mixed cluster {1..8}, one clone pair {9,10}
     assert(layered.count(_._2 == 1L) == 8 && layered.count(_._2 == 9L) == 2,
       s"unexpected cluster shape: $layered")
+    // r16: the narrow labels+sizes form == projecting the full frame
+    val sized = Dedup.nearDupClusterSizes(docs, "doc_id", "text", 0.3, 3, 64, 1)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sized == layered, s"nearDupClusterSizes diverged:\nsized=$sized\nfull=$layered")
+    val labels = Dedup.nearDupClusterLabels(docs, "doc_id", "text", 0.3, 3, 64, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == layered.map(t => (t._1, t._2)),
+      s"nearDupClusterLabels diverged:\nlabels=$labels")
   }
 
   test("layered survivor dedup == direct on a clone-heavy corpus and on real docs") {
