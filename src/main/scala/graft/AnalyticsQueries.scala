@@ -566,19 +566,25 @@ object AnalyticsQueries {
     * Clones would pay C(clones, 2)·len candidate rows per name here;
     * that is what the adaptive check routes away from. */
   private[graft] def q83Direct(c: DataFrame): DataFrame = {
+    // r16: join on xxhash64(masked) instead of the masked string (the
+    // r15 EntityResolution.golden move): 8 bytes per row through the
+    // self-join exchange. A hash collision can only ADD a candidate
+    // pair, and the exact levenshtein == 1 filter decides membership
+    // regardless of WHICH mask position surfaced a pair; the distinct
+    // absorbs duplicates either way.
     val masked = c
       .select(col("c_custkey"), col("c_name"),
         posexplode(split(col("c_name"), "(?!^)")))
       .select(col("c_custkey"), col("c_name"), col("pos"),
-        concat(
+        xxhash64(concat(
           expr("substring(c_name, 1, pos)"),
-          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"),
+          expr("substring(c_name, pos + 2, length(c_name))"))).as("mh"),
         length(col("c_name")).as("len"))
-    val a = masked.select(col("pos"), col("masked"), col("len"),
+    val a = masked.select(col("pos"), col("mh"), col("len"),
       col("c_custkey").as("key_a"), col("c_name").as("name_a"))
-    val b = masked.select(col("pos"), col("masked"), col("len"),
+    val b = masked.select(col("pos"), col("mh"), col("len"),
       col("c_custkey").as("key_b"), col("c_name").as("name_b"))
-    a.join(b, Seq("pos", "masked", "len"))
+    a.join(b, Seq("pos", "mh", "len"))
       .filter(col("key_a") < col("key_b"))
       .select("key_a", "key_b", "name_a", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
@@ -589,21 +595,23 @@ object AnalyticsQueries {
     * through two equi-joins. See the block comment above. */
   private[graft] def q83Layered(c: DataFrame): DataFrame = {
     val names = c.select(col("c_name")).distinct()
+    // r16: hashed mask key, as in q83Direct — collisions only add
+    // candidates; levenshtein == 1 decides.
     val masked = names
       .select(col("c_name"), posexplode(split(col("c_name"), "(?!^)")))
       .select(col("c_name"), col("pos"),
-        concat(
+        xxhash64(concat(
           expr("substring(c_name, 1, pos)"),
-          expr("substring(c_name, pos + 2, length(c_name))")).as("masked"))
-      .select(col("c_name"), col("pos"), col("masked"),
+          expr("substring(c_name, pos + 2, length(c_name))"))).as("mh"))
+      .select(col("c_name"), col("pos"), col("mh"),
         length(col("c_name")).as("len"))
-    val a = masked.select(col("pos"), col("masked"), col("len"),
+    val a = masked.select(col("pos"), col("mh"), col("len"),
       col("c_name").as("name_a"))
-    val b = masked.select(col("pos"), col("masked"), col("len"),
+    val b = masked.select(col("pos"), col("mh"), col("len"),
       col("c_name").as("name_b"))
     // both orientations kept: key_a must come from name_a's group, so
     // (nA, nB) and (nB, nA) generate disjoint key pairs below
-    val npairs = a.join(b, Seq("pos", "masked", "len"))
+    val npairs = a.join(b, Seq("pos", "mh", "len"))
       .filter(col("name_a") =!= col("name_b"))
       .select("name_a", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)

@@ -877,12 +877,15 @@ object CorpusOps {
     require(minShared >= 1 && dfCap >= 2, "need minShared >= 1 and dfCap >= 2")
     val fps = df.select(col(idCol),
       explode(TextFunctions.winnowFingerprints(col(textCol), k, w, maxChars)).as("fp"))
-    val rare = fps
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("__df") <= dfCap && col("__df") >= 2)
+    // r16: the per-fp document frequency used to be a count() WINDOW
+    // over fp followed by a groupBy on the same key — the window's
+    // per-partition sort bought nothing the aggregate below doesn't
+    // already have: winnowFingerprints is distinct per doc, so
+    // size(collect_list) IS the df. One hash aggregate, no sort.
     val ids = array_sort(collect_list(col(idCol)))
-    val pairs = rare.groupBy("fp")
+    val pairs = fps.groupBy("fp")
       .agg(ids.as("ids"))
+      .filter(size(col("ids")) <= dfCap && size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

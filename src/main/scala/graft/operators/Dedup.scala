@@ -134,7 +134,7 @@ object Dedup {
                            threshold: Double = 0.5, shingleN: Int = 3,
                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
-    val dupes = verifyJaccard(cands, docs, idCol, textCol, shingleN)
+    val dupes = verifyJaccard(cands, docs, idCol, textCol, shingleN, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dupes, Seq(idCol), "left_anti")
@@ -648,7 +648,7 @@ object Dedup {
                            shingleN: Int = 3): DataFrame = {
     val cands = simhashCandidates(docs, idCol, textCol, maxHamming)
       .select("id_a", "id_b")
-    verifyJaccard(cands, docs, idCol, textCol, shingleN)
+    verifyJaccard(cands, docs, idCol, textCol, shingleN, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -991,7 +991,7 @@ object Dedup {
                                   threshold: Double, shingleN: Int,
                                   bands: Int, rowsPerBand: Int): DataFrame = {
     val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
-    val edges = verifyJaccard(cands, docs, idCol, textCol, shingleN)
+    val edges = verifyJaccard(cands, docs, idCol, textCol, shingleN, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     val cc = GraphOps.connectedComponents(edges)
@@ -1199,11 +1199,34 @@ object Dedup {
     * an empty union.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"))
+                    textCol: String, n: Int, minJaccard: Double = 0.0): DataFrame = {
+    // r16: the hashed-set frame is a stage boundary — it feeds both
+    // sides of the pair fetch (and the size prefilter below), each of
+    // which re-ran the shingle kernel over the corpus before.
+    val sh = StageCaches.stage(
+      docs.select(col(idCol),
+        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__sh"))
+        .withColumn("__sz", size(col("__sh"))),
+      "dedup.vj.sh")
+    // r16 (guide §2.3): with a caller-declared verification floor, the
+    // PPJoin LENGTH filter runs on (id, int) rows BEFORE the set fetch:
+    // J = |∩|/|∪| <= min(|a|,|b|)/max(|a|,|b|), so a size-incompatible
+    // pair can never reach minJaccard and its two ~KB set arrays never
+    // ride the verify join. Dropped pairs are exactly pairs every
+    // caller's >= threshold filter would discard; minJaccard = 0 (the
+    // default) returns every pair unchanged.
+    val base =
+      if (minJaccard > 0.0) {
+        val sizes = sh.select(col(idCol), col("__sz"))
+        pairs
+          .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), "id_b")
+          .filter(least(col("__sza"), col("__szb")).cast(DoubleType)
+            >= lit(minJaccard) * greatest(col("__sza"), col("__szb")).cast(DoubleType))
+          .select(pairs.columns.map(col): _*)
+      } else pairs
     val union = size(array_union(col("__sh_a"), col("__sh_b")))
-    pairs
+    base
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard",
@@ -1845,9 +1868,15 @@ object Dedup {
     val withRep = hashed.join(repMap, "__h").select(col(idCol), col("__rep"),
       col(textCol))
     val reps = withRep.filter(col(idCol) === col("__rep")).drop("__rep")
+    // the curve's verification floor: every reported threshold is
+    // >= thresholdTenths.min, so a pair the size filter drops can
+    // affect no count (its max-jaccard contribution is below every
+    // threshold tested — a doc losing ALL pairs coalesces to 0.0,
+    // which fails the same tests its true sub-floor max failed)
     val pairs = verifyJaccard(
       minhashCandidatePairs(reps, idCol, textCol, shingleN, bands, rowsPerBand),
-      reps, idCol, textCol, shingleN)
+      reps, idCol, textCol, shingleN,
+      minJaccard = thresholdTenths.min.toDouble / 10.0)
     val mjReps = pairs.groupBy(col("id_b").as(idCol)).agg(max("jaccard").as("__mjr"))
     val mj = withRep.select(col(idCol), col("__rep"))
       .join(mjReps, Seq(idCol), "left")
